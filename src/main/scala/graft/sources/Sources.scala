@@ -76,7 +76,8 @@ object FileSource {
   */
 final case class JdbcSource(
     url: String,
-    table: String,                       // "schema.table" or "(select ...) t"
+    table: String = "",                  // "schema.table" (S1) — or use `query`
+    query: Option[String] = None,        // S3: ad-hoc SQL (hooks.py:56-71)
     user: String = "",
     password: String = "",
     partitionColumn: Option[String] = None,
@@ -86,14 +87,19 @@ final case class JdbcSource(
     fetchSize: Int = 10000)              // reference default chunk: README.md:294
     extends Source {
 
+  require(table.nonEmpty ^ query.nonEmpty, "exactly one of table/query")
+
   def load(spark: SparkSession): DataFrame = {
     var r = spark.read
       .format("jdbc")
       .option("url", url)
-      .option("dbtable", table)
       .option("user", user)
       .option("password", password)
       .option("fetchsize", fetchSize)
+    r = query match {
+      case Some(q) => r.option("query", q)
+      case None    => r.option("dbtable", table)
+    }
     (partitionColumn, lowerBound, upperBound) match {
       case (Some(c), Some(lo), Some(hi)) =>
         r = r.option("partitionColumn", c)
@@ -103,5 +109,39 @@ final case class JdbcSource(
       case _ =>
     }
     r.load()
+  }
+
+  // plaintext credentials must never reach logs / test-failure output
+  override def toString: String =
+    s"JdbcSource($url,$table,$query,$user,password=***,$partitionColumn,$lowerBound,$upperBound,$numPartitions,$fetchSize)"
+}
+
+/** S5: live JDBC schema introspection — the engine analog of reading
+  * `all_tab_columns` (reference: oracle_to_iceberg/hooks.py:79-105). Uses
+  * standard DatabaseMetaData so it works against any JDBC source; the
+  * returned columns feed `graft.types.SchemaBuilder.build` exactly like the
+  * reference feeds its `schema_builder`.
+  */
+object JdbcIntrospect {
+  import java.sql.DriverManager
+  import graft.types.SourceColumn
+
+  def tableColumns(url: String, user: String, password: String,
+      schema: String, table: String): Seq[SourceColumn] = {
+    val conn = DriverManager.getConnection(url, user, password)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schema.toUpperCase, table.toUpperCase, null)
+      val out = Seq.newBuilder[SourceColumn]
+      while (rs.next()) {
+        out += SourceColumn(
+          name = rs.getString("COLUMN_NAME"),
+          dataType = rs.getString("TYPE_NAME"),
+          length = Option(rs.getInt("COLUMN_SIZE")).filter(_ > 0),
+          precision = Option(rs.getInt("COLUMN_SIZE")).filter(_ > 0),
+          scale = Option(rs.getInt("DECIMAL_DIGITS")).filter(_ >= 0),
+          nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls)
+      }
+      out.result().sortBy(_.name) // reference orders by column_id (hooks.py:92)
+    } finally conn.close()
   }
 }

@@ -4,10 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
-import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
-import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Using
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** One committed table state: an immutable file manifest + lineage.
   *
@@ -37,28 +38,39 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
   *
   * {{{
   * tableDir/
-  *   _snapshots/<id>.json     one manifest per commit (append-only)
-  *   _current                 text file holding the current snapshot id
-  *   data/<commitId>/[k=v/...]part-*.parquet
+  *   _snapshots/<id>.json                 one manifest per commit (append-only)
+  *   _current                             text file holding the current snapshot id
+  *   data/graft_commit=<id>/[k=v/...]part-*.parquet
   * }}}
   *
   * '''Atomic commit''' (SURVEY §7.4 highest-risk component): data files are
-  * written to a fresh `data/<commitId>/` dir, the snapshot JSON is written,
-  * and only then is `_current` flipped via write-temp + atomic rename. A crash
-  * at any earlier point leaves the table at its previous snapshot; orphaned
-  * data dirs are garbage-collected by `expireSnapshots`. (On a real cluster
-  * `_current` lives on HDFS where rename is equally atomic; S3 deployments
-  * would swap this for a conditional-PUT — driver-side metadata is tiny either
-  * way, data files are never rewritten in place.)
+  * written to a fresh `data/graft_commit=<id>/` dir, the snapshot JSON is
+  * written, and only then is `_current` flipped via write-temp + atomic rename.
+  * A crash at any earlier point leaves the table at its previous snapshot;
+  * manifests not reachable from `_current` via the parent chain are treated as
+  * uncommitted garbage (never read) and collected by `expireSnapshots`. (On a
+  * real cluster `_current` lives on HDFS where rename is equally atomic; S3
+  * deployments would swap this for a conditional-PUT — driver-side metadata is
+  * tiny either way, data files are never rewritten in place.)
   *
-  * Reads reconstruct partition columns from hive-style paths per commit dir
-  * (`basePath` option), so partition pruning and filter pushdown work exactly
-  * as on a native parquet table. Scale note: the manifest lists file paths
-  * only; a 100 TB table at 512 MB/file is ~200k entries — a few MB of JSON,
-  * fine on the driver, and `prunedFiles` prunes by partition before Spark
-  * ever lists storage.
+  * '''Single-relation reads at any commit count.''' The commit id is itself a
+  * hive-style path segment (`graft_commit=<id>`), so an arbitrary set of files
+  * from many commits reads as ONE parquet relation with `basePath = data/`:
+  * Spark rebuilds both the synthetic commit column and the user partition
+  * columns from paths, then we drop the commit column. A table with thousands
+  * of commits still plans a single scan node (vs a per-commit union, whose
+  * plan grows linearly with commit count). The snapshot's recorded schema is
+  * passed to the reader explicitly, which (a) pins partition-column types (no
+  * re-inference: a string partition value "01" stays "01") and (b) makes
+  * schema evolution safe — files missing a newly added column read as nulls.
+  *
+  * Scale note: the manifest lists file paths only; a 100 TB table at 512 MB/
+  * file is ~200k entries — a few MB of JSON, fine on the driver, and
+  * `prunedFiles` prunes by partition before Spark ever lists storage.
   */
 final class Icebox(val tableDir: String) {
+
+  import Icebox.{CommitCol, unescapePathSegment}
 
   private val mapper = new ObjectMapper()
   private def snapshotsDir: Path = Paths.get(tableDir, "_snapshots")
@@ -81,15 +93,24 @@ final class Icebox(val tableDir: String) {
     if (id < 0) None else Some(readSnapshot(id))
   }
 
-  /** All snapshots, newest first (M3 — iceberg_snapshot_operator.py:130-156
-    * walks current→parent; the log is equivalent and O(1) per entry). */
-  def allSnapshots: Seq[Snapshot] =
-    if (!Files.exists(snapshotsDir)) Nil
-    else Files.list(snapshotsDir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .map(p => p.getFileName.toString.stripSuffix(".json").toLong)
-      .toSeq.sorted.reverse
-      .map(readSnapshot)
+  /** All *committed* snapshots, newest first, by walking the parent chain from
+    * `_current` (M3 — iceberg_snapshot_operator.py:130-156 does the same
+    * walk). Manifests not reachable from the chain (a crash between writing
+    * the snapshot JSON and flipping the pointer) are uncommitted garbage and
+    * are deliberately invisible here — time-travel can never surface data
+    * that was never committed.
+    */
+  def allSnapshots: Seq[Snapshot] = {
+    val out = Seq.newBuilder[Snapshot]
+    var id = currentSnapshotId
+    // stop at the first expired (deleted) manifest — history below it is gone
+    while (id >= 0 && Files.exists(snapshotsDir.resolve(s"$id.json"))) {
+      val s = readSnapshot(id)
+      out += s
+      id = s.parentId
+    }
+    out.result()
+  }
 
   /** Snapshot listing as a DataFrame (Iceberg's `table.snapshots` analog). */
   def snapshotsDf(spark: SparkSession): DataFrame = {
@@ -99,6 +120,12 @@ final class Icebox(val tableDir: String) {
         s.files.map(_.sizeBytes).sum))
       .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation", "file_count", "total_bytes")
   }
+
+  /** Partition column names of the current snapshot (empty if unpartitioned
+    * or the table is empty).
+    */
+  def partitionColumns: Seq[String] =
+    currentSnapshot.flatMap(_.files.headOption).map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
 
   // ------------------------------------------------------------------ writes
 
@@ -112,10 +139,18 @@ final class Icebox(val tableDir: String) {
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot =
     commit(df, partitionBy, "overwrite") { (_, newFiles) => newFiles }
 
+  /** Overwrite that records its operation as "upsert" (so cherry-pick and
+    * lineage reporting can distinguish CDC merges from blind overwrites).
+    */
+  private[graft] def overwriteAs(op: String, df: DataFrame, partitionBy: Seq[String]): Snapshot =
+    commit(df, partitionBy, op) { (_, newFiles) => newFiles }
+
   /** W6 partition-scoped: dynamic partition overwrite — replaces only the
     * partitions present in `df` (Spark's
     * `spark.sql.sources.partitionOverwriteMode=dynamic` semantics, but
-    * snapshot-logged and atomic).
+    * snapshot-logged and atomic). At 100 TB this is the difference between
+    * rewriting a few partitions and rewriting the world: untouched
+    * partitions' files carry over into the new snapshot by reference.
     */
   def overwritePartitions(df: DataFrame, partitionBy: Seq[String]): Snapshot = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
@@ -161,19 +196,22 @@ final class Icebox(val tableDir: String) {
   /** M1: bin-pack compaction — rewrite the current file set into
     * ~`targetFileMb`-sized files (reference default 512 MB,
     * iceberg_compaction_operator.py:57,120-126). Row multiset is preserved
-    * (property-tested); partitioned tables repartition on the partition
-    * columns so each value lands in a single task → one output file per
-    * partition per task.
+    * (property-tested). Partitioned tables repartition on (partition cols,
+    * salt) so a hot partition still splits across up to `n` tasks instead of
+    * collapsing into one (skew safety at scale); the writer's `partitionBy`
+    * re-routes rows to their partition dirs regardless.
     */
   def compact(spark: SparkSession, targetFileMb: Int = 512): Snapshot = {
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+    val partCols = partitionColumns
     val df = read(spark)
     val repacked =
-      if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
-      else df.repartition(n)
+      if (partCols.nonEmpty) {
+        val perPart = math.max(1, n / math.max(1, snap.files.map(_.partition).distinct.size))
+        df.repartition(n, (partCols.map(col) :+ pmod(spark_partition_id(), lit(perPart))): _*)
+      } else df.repartition(n)
     commit(repacked, partCols, "compact") { (_, newFiles) => newFiles }
   }
 
@@ -181,25 +219,46 @@ final class Icebox(val tableDir: String) {
     * retaining the `retainLast` most recent and the current snapshot
     * (reference defaults 7 days / retain 10,
     * iceberg_aging_operator.py:62-63,118-186). Data files no longer
-    * referenced by any kept snapshot are deleted; so are orphaned commit
-    * dirs from crashed writes.
+    * referenced by any kept snapshot are deleted. Orphaned commit dirs and
+    * unreachable manifests (crashed writes) are also collected, but only when
+    * older than `olderThanMs` — a concurrent in-flight commit's fresh dir is
+    * never touched (it has a recent mtime), and the whole method is
+    * synchronized against commit() on this instance.
     */
-  def expireSnapshots(olderThanMs: Long, retainLast: Int = 10): Seq[Long] = {
-    val all = allSnapshots // newest first
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 10): Seq[Long] = this.synchronized {
+    val all = allSnapshots // committed chain, newest first
     val currentId = currentSnapshotId
     val keep = all.zipWithIndex.filter { case (s, i) =>
       i < retainLast || s.timestampMs >= olderThanMs || s.id == currentId
     }.map(_._1).toList
     val keepIds = keep.map(_.id).toSet
+    val reachable = all.map(_.id).toSet
     val expired = all.filterNot(s => keepIds(s.id))
     val liveFiles = keep.flatMap(_.files.map(_.path)).toSet
-    // delete expired snapshot manifests
+    // delete expired manifests, plus unreachable (crash-orphaned) manifests old enough
     expired.foreach(s => Files.deleteIfExists(snapshotsDir.resolve(s"${s.id}.json")))
-    // delete data files not referenced by any kept snapshot (incl. orphans)
+    if (Files.exists(snapshotsDir)) {
+      val orphanManifests = Using.resource(Files.list(snapshotsDir)) { st =>
+        st.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          name.endsWith(".json") &&
+            name.stripSuffix(".json").toLongOption.exists(!reachable(_)) &&
+            Files.getLastModifiedTime(p).toMillis < olderThanMs
+        }.toList
+      }
+      orphanManifests.foreach(Files.deleteIfExists(_))
+    }
+    // delete data files not referenced by any kept snapshot (incl. orphans),
+    // with an mtime grace period so an in-flight commit is never corrupted
     if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
-        if (Files.isRegularFile(p) && !liveFiles(p.toString)) Files.deleteIfExists(p)
-        else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+      val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
+      walked.reverse.foreach { p =>
+        if (Files.isRegularFile(p) && !liveFiles(p.toString) &&
+            Files.getLastModifiedTime(p).toMillis < olderThanMs)
+          Files.deleteIfExists(p)
+        else if (Files.isDirectory(p) &&
+            Using.resource(Files.list(p))(s => !s.iterator().hasNext))
+          Files.deleteIfExists(p)
       }
     }
     expired.map(_.id)
@@ -239,29 +298,24 @@ final class Icebox(val tableDir: String) {
       case Some(s) => readFiles(spark, s.files, Some(s.schemaJson))
     }
 
+  /** ONE parquet relation over any file set (see class doc): explicit stored
+    * schema + a synthetic `graft_commit` string partition column that the
+    * hive-style commit dirs provide, dropped after the scan. Filter pushdown
+    * and partition pruning behave exactly as on a native parquet table.
+    */
   private def readFiles(spark: SparkSession, files: Seq[DataFile], schemaJson: Option[String]): DataFrame = {
-    if (files.isEmpty) {
-      val schema = schemaJson
-        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(new org.apache.spark.sql.types.StructType())
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    // Group by commit dir so each scan gets a valid basePath → partition
-    // columns are rebuilt from hive-style paths; filter pushdown + partition
-    // pruning work per scan as on any parquet table.
-    files.groupBy(f => commitDirOf(f.path)).toSeq.sortBy(_._1)
-      .map { case (commitDir, fs) =>
-        spark.read.option("basePath", commitDir).parquet(fs.map(_.path): _*)
-      }
-      .reduce(_ unionByName _)
-  }
-
-  private def commitDirOf(filePath: String): String = {
-    // .../data/<commitId>/...  → prefix through <commitId>
-    val p = Paths.get(filePath)
-    val d = dataDir.toAbsolutePath
-    val rel = d.relativize(p.toAbsolutePath)
-    d.resolve(rel.getName(0)).toString
+    val schema = schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val readSchema = StructType(schema.fields :+ StructField(CommitCol, StringType))
+    spark.read
+      .schema(readSchema)
+      .option("basePath", dataDir.toString)
+      .parquet(files.map(_.path): _*)
+      .drop(CommitCol)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
@@ -269,9 +323,18 @@ final class Icebox(val tableDir: String) {
     */
   private def commit(df: DataFrame, partitionBy: Seq[String], op: String)(
       resolve: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = this.synchronized {
+    require(!df.columns.contains(CommitCol), s"column name $CommitCol is reserved")
+    // Keep one consistent partitioning across live commits: a single-relation
+    // read requires every live file to agree on partition directory structure.
+    currentSnapshot.filter(_ => op == "append").foreach { parent =>
+      val existing = parent.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+      if (parent.files.nonEmpty)
+        require(existing == partitionBy.map(_.toLowerCase).sorted,
+          s"append partitioning ${partitionBy.mkString(",")} != table partitioning ${existing.mkString(",")}")
+    }
     Files.createDirectories(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)
-    val commitDir = dataDir.resolve(commitId)
+    val commitDir = dataDir.resolve(s"$CommitCol=$commitId")
     val writer = df.write.mode("overwrite").option("compression", "zstd") // reference: spark_builder.py:248
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
@@ -295,18 +358,20 @@ final class Icebox(val tableDir: String) {
 
   private def listDataFiles(commitDir: Path): Seq[DataFile] = {
     if (!Files.exists(commitDir)) return Nil
-    Files.walk(commitDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val rel = commitDir.relativize(p)
-        val partition = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-          .filter(_.contains("="))
-          .map { seg =>
-            val Array(k, v) = seg.split("=", 2)
-            k -> java.net.URLDecoder.decode(v, "UTF-8")
-          }.toMap
-        DataFile(p.toString, Files.size(p), partition)
-      }.toSeq.sortBy(_.path)
+    Using.resource(Files.walk(commitDir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = commitDir.relativize(p)
+          val partition = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+            .filter(_.contains("="))
+            .map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              k -> unescapePathSegment(v)
+            }.toMap
+          DataFile(p.toString, Files.size(p), partition)
+        }.toSeq.sortBy(_.path)
+    }
   }
 
   // JSON (jackson-databind ships with Spark)
@@ -338,6 +403,9 @@ final class Icebox(val tableDir: String) {
 }
 
 object Icebox {
+  /** Reserved synthetic partition column carrying the commit id in data paths. */
+  val CommitCol = "graft_commit"
+
   def apply(tableDir: String): Icebox = new Icebox(tableDir)
 
   /** W8 analog: namespace = a directory of tables. */
@@ -345,5 +413,23 @@ object Icebox {
     val dir = Paths.get(warehouseDir, namespace, name)
     Files.createDirectories(dir.getParent)
     new Icebox(dir.toString)
+  }
+
+  /** Decode ONLY %XX escapes in a hive partition path segment — unlike
+    * URLDecoder, '+' stays '+' (Spark's path escaping never encodes space as
+    * '+'; matches ExternalCatalogUtils.unescapePathName semantics).
+    */
+  def unescapePathSegment(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

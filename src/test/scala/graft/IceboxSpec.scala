@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.table.{Icebox, Snapshot}
+
+class IceboxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf = Seq(
+    (1L, "a", "2024-01-01", 10.5),
+    (2L, "b", "2024-01-01", 20.0),
+    (3L, "c", "2024-01-02", 30.25),
+    (4L, "d", "2024-01-02", 40.0)
+  ).toDF("id", "name", "dt", "amount")
+
+  test("append then read round-trips rows") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf)
+    assertSameRows(t.read(spark), sampleDf)
+    t.append(sampleDf.filter($"id" === 1))
+    t.read(spark).count() shouldBe 5
+  }
+
+  test("multi-commit table reads through ONE scan relation (no per-commit union)") {
+    val t = Icebox(tmpDir("icebox"))
+    (1 to 5).foreach(i => t.append(sampleDf.withColumn("id", $"id" + i * 10)))
+    val plan = t.read(spark).queryExecution.optimizedPlan.toString
+    plan should not include "Union"
+    t.read(spark).count() shouldBe 20
+  }
+
+  test("partitioned append preserves string partition values verbatim (no type re-inference)") {
+    val df = Seq((1L, "01"), (2L, "2024-01-01"), (3L, "01")).toDF("id", "code")
+    val t = Icebox(tmpDir("icebox"))
+    t.append(df, partitionBy = Seq("code"))
+    val back = t.read(spark)
+    back.schema("code").dataType.typeName shouldBe "string"
+    back.filter($"code" === "01").count() shouldBe 2
+    assertSameRows(back, df)
+  }
+
+  test("overwrite replaces content") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf)
+    t.overwrite(sampleDf.filter($"id" <= 2))
+    t.read(spark).count() shouldBe 2
+  }
+
+  test("overwritePartitions replaces only touched partitions") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf, partitionBy = Seq("dt"))
+    val replacement = Seq((9L, "z", "2024-01-02", 99.0)).toDF("id", "name", "dt", "amount")
+    t.overwritePartitions(replacement, Seq("dt"))
+    val back = t.read(spark)
+    back.count() shouldBe 3 // 2 untouched + 1 replacement
+    back.filter($"dt" === "2024-01-02").select("id").as[Long].collect().toSet shouldBe Set(9L)
+  }
+
+  test("time travel by snapshot id and rollback") {
+    val t = Icebox(tmpDir("icebox"))
+    val s0 = t.append(sampleDf.filter($"id" <= 2))
+    t.append(sampleDf.filter($"id" > 2))
+    t.read(spark).count() shouldBe 4
+    t.readSnapshotId(spark, s0.id).count() shouldBe 2
+    t.rollbackTo(s0.id)
+    t.read(spark).count() shouldBe 2
+    // history is append-only: rollback is its own snapshot
+    t.currentSnapshot.get.operation shouldBe "rollback"
+  }
+
+  test("readAsOf returns the state at a timestamp") {
+    val t = Icebox(tmpDir("icebox"))
+    val s0 = t.append(sampleDf.filter($"id" <= 2))
+    Thread.sleep(5)
+    t.append(sampleDf.filter($"id" > 2))
+    t.readAsOf(spark, s0.timestampMs).count() shouldBe 2
+    t.readAsOf(spark, System.currentTimeMillis()).count() shouldBe 4
+    t.readAsOf(spark, s0.timestampMs - 1000).count() shouldBe 0
+  }
+
+  test("cherry-pick re-applies an append's delta") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf.filter($"id" === 1))
+    val s1 = t.append(sampleDf.filter($"id" === 2))
+    t.rollbackTo(0L)
+    t.read(spark).count() shouldBe 1
+    t.cherrypick(s1.id)
+    assertSameRows(t.read(spark), sampleDf.filter($"id" <= 2))
+  }
+
+  test("compact preserves the row multiset and reduces file count") {
+    val t = Icebox(tmpDir("icebox"))
+    (1 to 6).foreach(_ => t.append(sampleDf))
+    val before = t.currentSnapshot.get.files.size
+    t.compact(spark, targetFileMb = 512)
+    val after = t.currentSnapshot.get.files.size
+    after should be < before
+    t.read(spark).count() shouldBe 24
+  }
+
+  test("compact on a partitioned table keeps partition pruning alive") {
+    val t = Icebox(tmpDir("icebox"))
+    (1 to 3).foreach(_ => t.append(sampleDf, partitionBy = Seq("dt")))
+    t.compact(spark)
+    t.prunedFiles("dt", Set("2024-01-01")) should not be empty
+    t.readPartitions(spark, "dt", Set("2024-01-01")).count() shouldBe 6
+  }
+
+  test("crash between manifest write and pointer flip leaves orphan invisible") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf)
+    // simulate a crashed commit: manifest written, _current NOT flipped
+    val dir = Paths.get(t.tableDir, "_snapshots")
+    val orphan = Snapshot(99L, 0L, System.currentTimeMillis(), "append", Nil, sampleDf.schema.json)
+    Files.write(dir.resolve("99.json"),
+      """{"id":99,"parentId":0,"timestampMs":9999999999999,"operation":"append","schemaJson":"{}","files":[]}"""
+        .getBytes("UTF-8"))
+    t.currentSnapshotId shouldBe 0L
+    t.allSnapshots.map(_.id) shouldBe Seq(0L)       // orphan unreachable
+    t.readAsOf(spark, Long.MaxValue).count() shouldBe 4 // time travel never sees it
+  }
+
+  test("expireSnapshots deletes old snapshots' unreferenced files but keeps live ones") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf)
+    t.overwrite(sampleDf.filter($"id" === 1)) // snapshot 0's files now unreferenced
+    Thread.sleep(10)
+    val expired = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    expired shouldBe Seq(0L)
+    t.read(spark).count() shouldBe 1
+    // snapshot 0's manifest is gone
+    Files.exists(Paths.get(t.tableDir, "_snapshots", "0.json")) shouldBe false
+  }
+
+  test("partition values containing '+' and '%' survive the path round-trip") {
+    val df = Seq((1L, "a+b"), (2L, "c d"), (3L, "a+b")).toDF("id", "tag")
+    val t = Icebox(tmpDir("icebox"))
+    t.append(df, partitionBy = Seq("tag"))
+    t.prunedFiles("tag", Set("a+b")) should not be empty
+    assertSameRows(t.read(spark), df)
+    t.readPartitions(spark, "tag", Set("a+b")).count() shouldBe 2
+  }
+
+  test("schema evolution: files missing a later-added column read as nulls") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.append(Seq((2L, "b", 5.0)).toDF("id", "name", "score"))
+    val back = t.read(spark)
+    back.columns.toSeq shouldBe Seq("id", "name", "score")
+    back.filter($"id" === 1).select("score").collect()(0).isNullAt(0) shouldBe true
+  }
+
+  test("unescapePathSegment decodes %XX but leaves '+' alone") {
+    Icebox.unescapePathSegment("a%2Fb") shouldBe "a/b"
+    Icebox.unescapePathSegment("a+b") shouldBe "a+b"
+    Icebox.unescapePathSegment("100%") shouldBe "100%"
+    Icebox.unescapePathSegment("%3A%3D") shouldBe ":="
+  }
+}

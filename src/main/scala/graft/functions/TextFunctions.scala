@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen'd inside whole-stage codegen,
+  * no UDFs, so a 100 TB scan stays a single fused pipeline with filters
+  * pushed to the parquet reader.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column (empty string → empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy count: words + extra units for long words
+    * (every 4 chars beyond the first 4) — a cheap deterministic stand-in for
+    * a real tokenizer's token count, expressible as pure SQL.
+    */
+  def approxBpeCount(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + lit(1L) + floor(greatest(length(w) - 4, lit(0)) / 4).cast("long"))
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Ratio of uppercase chars to letters. */
+  def upperRatio(text: Column): Column = {
+    val uppers = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    val letters = length(text) - length(regexp_replace(text, "[A-Za-z]", ""))
+    when(letters === 0, 0.0).otherwise(uppers.cast("double") / letters)
+  }
+
+  /** Ratio of digit chars to total chars. */
+  def digitRatio(text: Column): Column = {
+    val digits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    when(length(text) === 0, 0.0).otherwise(digits.cast("double") / length(text))
+  }
+
+  /** Mean word length (0 for empty text). */
+  def meanWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+  }
+
+  /** Small per-language stopword lists (public, frequency-derived). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val stops = array(stopwords(lang).map(lit): _*)
+    val n = tokenCount(text)
+    val hits = size(filter(tokens(text), t => array_contains(stops, lower(t))))
+    when(n === 0, 0.0).otherwise(hits.cast("double") / n)
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword-hit counts,
+    * null when no language scores a hit (the n-gram-free variant of public
+    * langid heuristics; deterministic, pure SQL).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val arr = array(stops.map(lit): _*)
+      struct(size(filter(tokens(text), t => array_contains(arr, lower(t)))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(null).cast("string"))
+  }
+
+  /** Document quality score in [0,1]: penalizes extreme length, high
+    * punctuation/digit density, and very short docs — the standard cheap
+    * pre-filter shape for web-scale corpora (length/punct/stopword ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val letters = length(text) - length(regexp_replace(text, "[A-Za-z\\u00C0-\\u024F\\u4E00-\\u9FFF]", ""))
+    val alphaRatio = when(length(text) === 0, 0.0).otherwise(letters.cast("double") / length(text))
+    val lengthOk = when(n.between(5, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val digitOk = when(digitRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    val alphaOk = when(alphaRatio >= 0.6, 1.0).otherwise(0.0)
+    round((lengthOk * 0.3) + (punctOk * 0.15) + (digitOk * 0.15) + (wordLenOk * 0.1) + (alphaOk * 0.3), 4)
+  }
+
+  /** Normalization fingerprint: md5 of lowercased, whitespace-collapsed text.
+    * Two docs differing only in case/spacing share a fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Character n-gram shingles of the normalized text (distinct). */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val count = length(norm) - (n - 1)
+    // sequence(1,0) is DESCENDING [1,0] in Spark — guard short texts explicitly
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
+  }
+
+  /** 64-bit rolling-content hashes: one xxhash64 per shingle (the
+    * "rolling hash document fingerprint" building block — feed to MinHash).
+    */
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), MinHash-LSH, SimHash, n-gram Jaccard verification, and
+  * embedding-cosine near-dup.
+  *
+  * 100 TB design rule: '''never all-pairs'''. Every fuzzy method buckets
+  * candidates first (LSH bands / simhash bands / hyperplane signs) and joins
+  * ONLY within buckets, so the shuffle is proportional to data + candidate
+  * volume, not N². Pair generation uses an inner self-join on the bucket key
+  * with `idA < idB`, which Catalyst executes as a shuffled hash join on the
+  * bucket key — hot buckets are bounded by `maxBucketSize` (drop
+  * pathological buckets, the standard web-dedup guard).
+  */
+object Dedup {
+
+  // ----------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: keep the lowest-id row per sha256(text).
+    * One hash-shuffle of (hash, id) — the full rows never move twice: winners
+    * are selected via window on the hash, which shuffles each row once.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact near-dup on the *normalized* fingerprint (case/whitespace
+    * insensitive).
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------------------ MinHash-LSH
+
+  /** MinHash signature: for seed i, `min over shingles of xxhash64(s, i)` —
+    * implemented as hash-of-concat so it stays a pure builtin expression.
+    */
+  private def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val hashes = TextFunctions.shingleHashes(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      // per-seed rehash of the base shingle hash: cheap, independent-ish families
+      coalesce(
+        array_min(transform(hashes, h => xxhash64(h, lit(i)))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** Banded LSH candidate pairs: docs sharing at least one band of their
+    * MinHash signature. Returns (`idA`, `idB`) with idA < idB, distinct.
+    *
+    * With `numHashes = bands * rowsPerBand`, a pair with Jaccard j collides
+    * with probability 1-(1-j^r)^b — defaults (64 = 16×4) catch j ≳ 0.5.
+    */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
+    // (id, band_idx, band_key) — one row per band, then join within buckets
+    val bandKeys = array((0 until bands).map(b =>
+      xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*)
+    val banded = df
+      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(bandKeys))
+      .toDF("__id", "__band", "__key")
+    // guard: drop pathological buckets (boilerplate shingles) before the join
+    val wCount = Window.partitionBy("__band", "__key")
+    val bounded = banded
+      .withColumn("__n", count(lit(1)).over(wCount))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("idA"), col("b.__id").as("idB"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (the verify
+    * stage after LSH): joins shingle sets back by id — candidates only,
+    * never all-pairs.
+    */
+  def jaccardVerify(df: DataFrame, candidates: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("__sh"))
+    candidates
+      .join(sh.withColumnRenamed("__id", "idA").withColumnRenamed("__sh", "__shA"), "idA")
+      .join(sh.withColumnRenamed("__id", "idB").withColumnRenamed("__sh", "__shB"), "idB")
+      .withColumn("jaccard",
+        when(size(array_union(col("__shA"), col("__shB"))) === 0, 0.0)
+          .otherwise(size(array_intersect(col("__shA"), col("__shB"))).cast("double") /
+            size(array_union(col("__shA"), col("__shB")))))
+      .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH dedup: drop every doc that is LSH-candidate AND
+    * verified Jaccard ≥ `threshold` against a lower-id doc. (Group
+    * resolution is min-id-representative, the standard single-pass
+    * approximation of connected components.)
+    */
+  def minHashDedup(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    val dups = jaccardVerify(df, cands, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("idB").as("__dup")).distinct()
+    df.join(dups, df(idCol) === col("__dup"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: bit b is set iff the sum of
+    * (+1/-1) over token-hash bit b is positive. Near-dups have small Hamming
+    * distance.
+    */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    // bit positions unrolled at plan-build time (shiftright needs literal bits)
+    (0 until 64).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (s, h) => s + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit simhash into 4×16-bit keys
+    * (guarantees candidacy for Hamming distance ≤ 3), join within bands,
+    * verify exact Hamming ≤ `maxHamming`.
+    */
+  def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val banded = sh.select(col("__id"), col("__sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("__id", "__sh", "__band", "__key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
+        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- embedding-cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by
+    * random-hyperplane LSH signs (deterministic seeded planes): only vectors
+    * agreeing on all `planes` sign bits are compared.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"), sig.as("__sig"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
+        round(Similarity.cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batch decode / feature-extract plumbing.
+  *
+  * The decode kernels themselves are STUBS — no image/audio codecs ship in
+  * this environment — replaced by a deterministic fake that derives
+  * "features" from the bytes (`decodeStub`). Everything around them is real
+  * and tested: the schema contract, the binary column plumbing, partition
+  * sizing for large blobs, and the `mapPartitions` batch shape (the Scala
+  * analog of `mapInPandas`: one iterator per partition, amortized per-batch
+  * setup, bounded memory).
+  *
+  * Scale notes for 100 TB of media:
+  *  - blobs ride in parquet binary columns; `maxRecordsPerFile`/partition
+  *    sizing keeps row groups bounded (`repartitionForBlobs`)
+  *  - decode is a narrow transformation — no shuffle; metadata-only queries
+  *    never touch the bytes (parquet column pruning drops the blob column)
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),    // image | audio | video
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate_hz", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Attach a binary payload column (utf-8 bytes of `textCol` — the testdata
+    * has no real media, so documents stand in as blobs) plus stub metadata.
+    */
+  def asMediaTable(df: DataFrame, textCol: String, mediaType: String = "image"): DataFrame =
+    df.withColumn("media_bytes", col(textCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        (length(col(textCol)) % 1024 + 1).cast("int").as("width"),
+        (length(col(textCol)) % 768 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate_hz"),
+        (length(col(textCol)).cast("long") * 10L).as("duration_ms")))
+
+  /** Cheap metadata/feature extraction as pure column expressions — no UDF,
+    * no decode: byte length, content hash, leading magic bytes.
+    */
+  def blobStats(df: DataFrame, binCol: String = "media_bytes"): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("content_hash", sha2(col(binCol), 256))
+      .withColumn("magic", hex(substring(col(binCol), 1, 4)))
+
+  /** STUB decode kernel: a real deployment would replace this body with an
+    * actual codec call (JNI / javacv / a sidecar service). Deterministic
+    * fake: 8 pseudo-features derived from byte content. The signature — one
+    * partition-iterator in, one out, batch-amortized — is the real contract.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    // ??? <- real codec goes here; deterministic fake below keeps the
+    // pipeline testable end-to-end without media libraries
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    Array.tabulate(8)(j => (((h >>> (j * 8)) & 0xFF).toFloat) / 255.0f)
+  }
+
+  /** Batched decode / feature extraction over partitions — the `mapInPandas`
+    * analog. Input must contain (`idCol`: long, `binCol`: binary); output is
+    * (id, features array<float>). Narrow op: no shuffle, bounded memory (one
+    * row at a time off the iterator, per-partition setup done once).
+    */
+  def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      // per-partition setup (a real codec would init its context here, once)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        (id, decodeStub(bytes))
+      }
+    }.toDF(idCol, "features")
+  }
+
+  /** Deterministic frame sampling plan for video blobs: every `everyMs`
+    * timestamp in [0, duration) — metadata-only (no decode), pure exprs.
+    */
+  def frameSamplePlan(df: DataFrame, everyMs: Long = 1000L): DataFrame =
+    df.withColumn("frame_ts_ms",
+      explode(sequence(lit(0L), greatest(col("media_meta.duration_ms") - 1, lit(0L)),
+        lit(everyMs))))
+
+  /** Partition sizing for blob tables: target ~`targetMb` per output
+    * partition given an average blob size — keeps parquet row groups and
+    * task memory bounded when blobs are MBs each.
+    */
+  def repartitionForBlobs(df: DataFrame, avgBlobBytes: Long, targetMb: Int = 256): DataFrame = {
+    val rowsPerPartition = math.max(1L, targetMb.toLong * 1024 * 1024 / math.max(1L, avgBlobBytes))
+    val n = math.max(1, (df.count().toDouble / rowsPerPartition).ceil.toInt)
+    df.repartition(n)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Three tiers, by scale:
+  *  - `bruteForceTopK` — exact: broadcast the (small) query set against the
+  *    full corpus; one corpus scan, no shuffle of the corpus. The baseline.
+  *  - `lshTopK` — approximate: random-hyperplane signatures bucket the
+  *    corpus; queries probe only their own bucket (plus optional multi-probe
+  *    neighbors). Corpus-side work ∝ bucket size, not corpus size.
+  *  - `ivfTopK` — approximate: IVF (inverted-file) clustering with
+  *    deterministic seed centroids; queries probe the `nprobe` nearest
+  *    centroid lists. This is the 100 TB path: the candidate join is an
+  *    equi-join on `cluster_id`, so Catalyst shuffles candidates only.
+  *
+  * All math is builtin `zip_with`/`aggregate` expressions in double
+  * precision — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic pseudo-random hyperplanes (driver-side seeded constants),
+    * packed sign bits: bit p = [vec · plane_p > 0]. Used for LSH bucketing.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian())
+    (0 until planes).map { p =>
+      val plane = array(planeVecs(p).map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact top-k by cosine: broadcast `queries` (must be small), scan the
+    * corpus once, rank per query. Deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+    val scored = (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id")) else joined)
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"),
+        col("__rk").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries signed with the same
+    * hyperplanes; candidates = same signature bucket. Recall improves with
+    * fewer planes (bigger buckets) — the classic tradeoff knob.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sigC = hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), sigC.as("__sig"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      hyperplaneSignature(col(vecCol), dim, planes, seed).as("__sig")))
+    val scored = c.join(q, "__sig")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"),
+        col("__rk").as("rank"))
+  }
+
+  /** IVF top-k: (1) pick `nlist` deterministic seed centroids (lowest ids —
+    * at scale: a KMeans fit on a sample, plugged in the same way);
+    * (2) assign every corpus vector to its nearest centroid — broadcast join
+    * against the tiny centroid set; (3) per query, probe the `nprobe`
+    * nearest centroids' lists only. The candidate join is an equi-join on
+    * `__cluster`, so corpus rows outside probed lists are never touched.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("__cid"), col(vecCol).as("__centroid")))
+
+    def nearestClusters(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("__d", l2sq(col(vec), col("__centroid")))
+      val w = Window.partitionBy(id).orderBy(col("__d"), col("__cid"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .select(col(id), col(vec), col("__cid").as(out))
+    }
+
+    val assigned = nearestClusters(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", 1, "__cluster")
+    val probes = nearestClusters(
+      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+      "query_id", "__qv", nprobe, "__cluster")
+
+    val scored = assigned.join(broadcast(probes), "__cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"),
+        col("__rk").as("rank"))
+  }
+}

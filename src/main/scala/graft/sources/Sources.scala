@@ -64,6 +64,27 @@ object FileSource {
     parquet(s"$sfDir/$name.parquet")
 }
 
+/** Loader for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * The files are pyarrow-written; `events.ts` is `timestamp[ns]`, which
+  * Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). The
+  * documented escape hatch is `spark.sql.legacy.parquet.nanosAsLong`, which
+  * surfaces the column as epoch-nanos LongType — we then rebuild a
+  * microsecond `timestamp_ntz` (integer `div`, no double rounding), exactly
+  * the ns→us truncation DuckDB applies, so oracle comparisons line up.
+  */
+object Testdata {
+  import org.apache.spark.sql.types.LongType
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
+}
+
 /** JDBC source with S1–S5 semantics (kept thin — no live Oracle in the test
   * environment; the projection/predicate/partitioning semantics are
   * exercised through FileSource, which shares the Source contract).

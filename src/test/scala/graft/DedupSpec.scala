@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "The Quick  Brown Fox jumps over the lazy dog"),  // case/space dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (5L, "completely different content about spark engines and parquet files"),
+    (6L, "another unrelated document mentioning database query optimization")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    out.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L, 5L, 6L)
+  }
+
+  test("normalized dedup also drops case/whitespace variants") {
+    val out = Dedup.exactNormalized(docs, "text", "doc_id")
+    out.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L, 5L, 6L)
+  }
+
+  test("minhash LSH finds near-dup candidates without all-pairs") {
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id", numHashes = 64, bands = 32)
+    val pairs = cands.as[(Long, Long)].collect().toSet
+    pairs should contain(1L -> 2L)  // exact dups always collide
+    // near-dup 1~4 shares most shingles — should be a candidate at 32 bands
+    pairs should contain(1L -> 4L)
+    // unrelated docs must not pair with everything (not all-pairs)
+    pairs.size should be < 15
+  }
+
+  test("jaccard verify scores candidates exactly") {
+    val cands = Seq((1L, 2L), (1L, 4L), (1L, 5L)).toDF("idA", "idB")
+    val scored = Dedup.jaccardVerify(docs, cands, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    scored(1L -> 2L) shouldBe 1.0
+    scored(1L -> 4L) should be > 0.5
+    scored(1L -> 5L) should be < 0.2
+  }
+
+  test("minHashDedup drops verified near-dups, keeps distinct docs") {
+    val out = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.8)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    kept should contain(1L)
+    kept should not contain 2L   // exact dup dropped
+    kept should contain(5L)
+    kept should contain(6L)
+  }
+
+  test("simhash: identical texts share hash; near-dups are close in hamming") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    java.lang.Long.bitCount(sh(1L) ^ sh(4L)) should be < 16
+    java.lang.Long.bitCount(sh(1L) ^ sh(5L)) should be > 10
+  }
+
+  test("simHashCandidates returns only low-hamming pairs") {
+    val out = Dedup.simHashCandidates(docs, "text", "doc_id", maxHamming = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    out should contain(1L -> 2L)
+    out should not contain (1L -> 5L)
+  }
+
+  test("embeddingNearDup buckets by hyperplane and finds high-cosine pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", dim = 4,
+      threshold = 0.95, planes = 4)
+    val pairs = out.select("idA", "idB").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set(1L -> 2L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokenCount handles empty / whitespace / multi-space text") {
+    one[Int](tokenCount($"t"), "hello world") shouldBe 2
+    one[Int](tokenCount($"t"), "") shouldBe 0
+    one[Int](tokenCount($"t"), "   ") shouldBe 0
+    one[Int](tokenCount($"t"), "  a   b\tc  ") shouldBe 3
+  }
+
+  test("approxBpeCount adds subword units for long words") {
+    one[Long](approxBpeCount($"t"), "hi there") shouldBe 2L
+    one[Long](approxBpeCount($"t"), "internationalization") shouldBe 5L // 1 + (20-4)/4
+  }
+
+  test("punct/digit/upper ratios") {
+    one[Double](punctRatio($"t"), "ab..") shouldBe 0.5
+    one[Double](punctRatio($"t"), "") shouldBe 0.0
+    one[Double](digitRatio($"t"), "a1b2") shouldBe 0.5
+    one[Double](upperRatio($"t"), "AbCd") shouldBe 0.5
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    one[String](langId($"t"), "the cat sat on the mat and it is fine") shouldBe "en"
+    one[String](langId($"t"), "der hund und die katze ist nicht da") shouldBe "de"
+    one[String](langId($"t"), "el perro y la casa es de madera") shouldBe "es"
+    one[String](langId($"t"), "xyzzy qwerty") shouldBe null
+  }
+
+  test("fingerprint is case/whitespace insensitive") {
+    val fp1 = one[String](fingerprint($"t"), "Hello   World")
+    val fp2 = one[String](fingerprint($"t"), "hello world")
+    fp1 shouldBe fp2
+  }
+
+  test("shingles: distinct char n-grams, short text → empty") {
+    one[Seq[String]](shingles($"t", 3), "abcd") shouldBe Seq("abc", "bcd")
+    one[Seq[String]](shingles($"t", 5), "abc") shouldBe Seq()
+    // repeated content collapses (distinct)
+    one[Seq[String]](shingles($"t", 2), "aaa") shouldBe Seq("aa")
+  }
+
+  test("qualityScore rewards normal prose, penalizes junk") {
+    val good = one[Double](qualityScore($"t"), "the quick brown fox jumps over the lazy dog again")
+    val junk = one[Double](qualityScore($"t"), "$$$ !!! ??? ,,, ;;; 12345 67890 11 22 33")
+    good shouldBe 1.0
+    junk should be < 0.5 // no letters + punct-heavy fails alpha/punct/digit gates
+  }
+
+  test("stopwordRatio") {
+    one[Double](stopwordRatio($"t", "en"), "the dog and the cat") shouldBe 0.6
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 compare.py <sfDir> <verifyOutDir>
+
+For every <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name]
+in DuckDB (tables = sfDir parquet files) and compares: column names (sorted),
+dtypes (loosely), and the sorted row multiset (exact; floats via repr).
+"""
+import json, sys, math
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, rows by stringified tuple
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(round(v, 9)))
+            else:
+                vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem",
+              "events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    names = [d for d in sorted(os.listdir(out_dir)) if os.path.isdir(f"{out_dir}/{d}")]
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read result: {e}"); n_fail += 1; continue
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(grows) > 0 else "ROWS-ONLY-EMPTY(!)"
+            print(f"{status:10s} {name}: rows={len(grows)}")
+            if len(grows) == 0: n_fail += 1
+            else: n_pass += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}"); n_fail += 1; continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}"); n_fail += 1; continue
+        if gr != er:
+            bad = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}"); n_fail += 1; continue
+        print(f"PASS       {name}: rows={len(gr)}")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

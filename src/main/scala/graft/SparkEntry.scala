@@ -1,13 +1,534 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
+import graft.functions.TextFunctions
+import graft.normalize.Normalize
+import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+import graft.pipeline.{Config, Pipeline, Task}
+import graft.sources.{FileSource, Testdata}
+import graft.table.Icebox
+
+/** Driver contract — one named query per implemented operator (SURVEY.md §2)
+  * with a DuckDB-equivalent oracle in `oracleSql`. Column names and types are
+  * aligned pairwise: integer outputs are LONG, float aggregates are rounded,
+  * timestamps stay `timestamp_ntz` (what DuckDB produces for these files).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Testdata.table(s, dir, name)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Write `df` as a single parquet file at `destDir/name` (test scaffolding
+    * for the file-CDC scenario).
+    */
+  private def writeOneFile(df: DataFrame, destDir: String, name: String): Unit = {
+    val stage = tmp("stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
+      _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+    Files.createDirectories(Paths.get(destDir))
+    Files.copy(part, Paths.get(destDir, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Flagship query (SURVEY §7.2): lineitem → normalize → filter → Icebox
+    * append → re-read → groupBy-sum, on sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sf = "/root/testdata/sf0.001"
+    val table = Icebox(tmp("entry"))
+    val src = Normalize.prepare(t(spark, sf, "lineitem")).filter(col("l_quantity") > 10)
+    table.append(src)
+    table.read(spark)
+      .groupBy("l_suppkey")
+      .agg(round(sum("l_extendedprice"), 2).as("total_amount"),
+        round(sum("l_quantity"), 2).as("total_quantity"))
+  }
+
+  // ------------------------------------------------------------- the queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1/P2: scan + projection + predicate pushdown
+    "q_scan_filter_project" -> ((s, dir) =>
+      FileSource.table(dir, "lineitem").select(s,
+        columns = Seq("l_orderkey", "l_quantity", "l_extendedprice"),
+        where = Some("l_quantity > 30 AND l_discount < 0.05"))),
+
+    // S4/A3: scalar count
+    "q_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // U1/U2: union-all of two scans
+    "q_union_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .unionByName(ev.filter(col("event_type") === "error"))
+    }),
+
+    // P7: partition-value (IN-list) filtering
+    "q_in_filter" -> ((s, dir) =>
+      FileSource(Seq(s"$dir/orders.parquet"),
+        partitionColumn = Some("o_orderstatus"),
+        partitionValues = Seq("O", "F")).load(s)),
+
+    // P8/P9: normalize — lowercase names + NaN→null
+    "q_normalize" -> ((s, dir) => {
+      val upper = t(s, dir, "lineitem").toDF(
+        t(s, dir, "lineitem").columns.map(_.toUpperCase).toIndexedSeq: _*)
+      val withNan = upper.withColumn("NAN_COL",
+        when(col("L_QUANTITY") < 25, lit(Double.NaN)).otherwise(col("L_DISCOUNT")))
+      Normalize.prepare(withNan)
+    }),
+
+    // P10/F2: string→timestamp round-trip with explicit format
+    "q_cast_timestamp" -> ((s, dir) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      t(s, dir, "events").select(col("event_id"),
+        to_timestamp(date_format(col("ts"), fmt), fmt).cast("timestamp_ntz").as("ts_rt"))
+    }),
+
+    // A1/A2: the reference's flagship groupBy-sum (example_function_usage.py:78-87)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(round(sum("l_extendedprice"), 2).as("total_amount"),
+          round(sum("l_quantity"), 2).as("total_quantity"))),
+
+    // A1 multi-agg: count / sum / avg in one pass
+    "q_agg_multi" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("total_value"),
+          round(avg("value"), 4).as("avg_value"))),
+
+    // sort + limit (top-k)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum("l_extendedprice").as("__rev"))
+        .orderBy(col("__rev").desc, col("l_suppkey"))
+        .limit(10)
+        .select(col("l_suppkey"), round(col("__rev"), 2).as("revenue"))),
+
+    // window function: latest order per customer
+    "q_window_latest" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }),
+
+    // F3-F5 + event-time bucketing: hourly tumbling aggregation
+    "q_window_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))),
+
+    // broadcast join: orders × customer → revenue per segment
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("order_cnt"))),
+
+    // multi-way join: lineitem × supplier × nation
+    "q_join_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("l_extendedprice"), 2).as("revenue"))),
+
+    // F1/F3/F4/F5: scalar string/date/epoch functions
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_u"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od_str"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_epoch_ms"),
+        (col("o_orderdate") - expr("INTERVAL 7 DAYS")).cast("timestamp_ntz").as("od_minus7"))),
+
+    // W1/W3/S10: Icebox append ×2 then read
+    "q_icebox_append" -> ((s, dir) => {
+      val table = Icebox(tmp("qa"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderkey") % 2 === 0))
+      table.append(o.filter(col("o_orderkey") % 2 =!= 0))
+      table.read(s)
+    }),
+
+    // W2: overwrite replaces previous content
+    "q_icebox_overwrite" -> ((s, dir) => {
+      val table = Icebox(tmp("qo"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderstatus") === "O"))
+      table.overwrite(o)
+      table.read(s)
+    }),
+
+    // P6/C3/M3/M4: snapshot time travel
+    "q_icebox_timetravel" -> ((s, dir) => {
+      val table = Icebox(tmp("qt"))
+      val o = t(s, dir, "orders")
+      val s0 = table.append(o.filter(col("o_orderstatus") === "O"))
+      table.append(o.filter(col("o_orderstatus") =!= "O"))
+      table.readSnapshotId(s, s0.id)
+    }),
+
+    // M5: rollback
+    "q_icebox_rollback" -> ((s, dir) => {
+      val table = Icebox(tmp("qr"))
+      val o = t(s, dir, "orders")
+      val s0 = table.append(o.filter(col("o_orderstatus") === "O"))
+      table.append(o.filter(col("o_orderstatus") =!= "O"))
+      table.rollbackTo(s0.id)
+      table.read(s)
+    }),
+
+    // W4/P7: partitioned write + manifest-pruned partition read
+    "q_icebox_partition_prune" -> ((s, dir) => {
+      val table = Icebox(tmp("qp"))
+      table.append(t(s, dir, "orders"), partitionBy = Seq("o_orderstatus"))
+      table.readPartitions(s, "o_orderstatus", Set("F"))
+    }),
+
+    // M1: compaction preserves the row multiset
+    "q_icebox_compact" -> ((s, dir) => {
+      val table = Icebox(tmp("qc"))
+      val l = t(s, dir, "lineitem")
+      (0 until 4).foreach(i => table.append(l.filter(col("l_orderkey") % 4 === i)))
+      table.compact(s)
+      table.read(s)
+    }),
+
+    // J2/W6: upsert-by-primary-key (real MERGE semantics)
+    "q_icebox_upsert" -> ((s, dir) => {
+      val table = Icebox(tmp("qu"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val incoming = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", lit("UPDATED"))
+      Upsert.intoTable(table, incoming, Seq("o_orderkey"))
+      table.read(s)
+    }),
+
+    // W6 partition-scoped: dynamic partition overwrite merge
+    "q_icebox_upsert_partitioned" -> ((s, dir) => {
+      val table = Icebox(tmp("qup"))
+      val ev = t(s, dir, "events")
+      table.append(ev, partitionBy = Seq("event_type"))
+      val incoming = ev.filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") * 3)
+      Upsert.intoTablePartitions(table, incoming, Seq("event_id"), "event_type")
+      table.read(s)
+    }),
+
+    // C1/P4: timestamp high-watermark CDC filter
+    "q_cdc_timestamp" -> ((s, dir) => {
+      val wm = Watermark("src", "events", 1705276800000L, 0L) // 2024-01-15T00:00:00Z
+      Cdc.timestampIncrement(t(s, dir, "events"), "ts", Some(wm))
+    }),
+
+    // C2/P5: version (SCN) CDC filter
+    "q_cdc_scn" -> ((s, dir) => {
+      val wm = Watermark("src", "events", 0L, 5000L)
+      Cdc.scnIncrement(t(s, dir, "events"), "event_id", Some(wm))
+    }),
+
+    // C4/C9/S11/W9: full CDC micro-batch cycle (watermark store + sink)
+    "q_cdc_cycle" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val store = new WatermarkStore(tmp("wm"))
+      val table = Icebox(tmp("qcyc"))
+      Cdc.runCycle(store, "src", "events", sp => t(sp, dir, "events"), "ts") { batch =>
+        table.overwrite(batch); ()
+      }
+      table.read(s)
+    }),
+
+    // C5/C8/S12/W10: file CDC with late-data partition reprocessing — run 1
+    // ingests dt=a + dt=b; f1 is then REWRITTEN (value*3) and run 2 picks up
+    // only partition a, reprocessing it in full.
+    "q_file_cdc" -> ((s, dir) => {
+      val src = tmp("fcdc-src")
+      val ev = t(s, dir, "events")
+      writeOneFile(ev.filter(col("event_id") < 5000), s"$src/dt=a", "f1.parquet")
+      writeOneFile(ev.filter(col("event_id") >= 5000), s"$src/dt=b", "f2.parquet")
+      val table = Icebox(tmp("fcdc-table"))
+      val store = new FileCheckpointStore(tmp("fcdc-cp") + "/cp.json")
+      FileCdc.runCycle(s, src, table, store)
+      Thread.sleep(15) // ensure the rewrite gets a later mtime
+      writeOneFile(ev.filter(col("event_id") < 5000).withColumn("value", col("value") * 3),
+        s"$src/dt=a", "f1.parquet")
+      val r = FileCdc.runCycle(s, src, table, store)
+      require(r.touchedPartitions == Seq("a"), s"late-data run touched ${r.touchedPartitions}")
+      table.read(s)
+    }),
+
+    // pipeline runner: transfer >> compact >> expire
+    "q_pipeline" -> ((s, dir) => {
+      val table = Icebox(tmp("qpipe"))
+      val p = Pipeline.transform("transfer",
+        sp => t(sp, dir, "orders"),
+        df => df.filter(col("o_totalprice") > 1000),
+        df => { table.append(df); () }) >>
+        Task("compact", (sp, _) => { table.compact(sp); () }) >>
+        Task("expire", (_, _) => { table.expireSnapshots(System.currentTimeMillis() + 1000, 1); () })
+      p.run(s, Config())
+      table.read(s)
+    }),
+
+    // LLM: exact dedup by content hash (duplicates injected, lowest id wins)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exact(doubled, "text", "doc_id")
+    }),
+
+    // LLM: normalization-fingerprint dedup (case/whitespace variants collapse)
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val variants = d.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", upper(col("text")))
+      Dedup.exactNormalized(d.unionByName(variants), "text", "doc_id")
+    }),
+
+    // LLM: per-language corpus statistics
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))),
+
+    // LLM: per-document quality/text metrics
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"),
+        round(TextFunctions.meanWordLen(col("text")), 4).as("mean_word_len"))),
+
+    // LLM: heuristic language ID
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    // LLM: normalization fingerprint per document
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // LLM: MinHash-LSH near-dup candidate pairs (rows-only check: the banded
+    // LSH bucketing is not expressible in ANSI SQL)
+    "q_minhash_candidates" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.minHashCandidates(doubled, "text", "doc_id")
+    }),
+
+    // LLM: SimHash banded near-dup pairs (rows-only)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
+    }),
+
+    // LLM: exact ANN — brute-force cosine top-k, broadcast query side
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LLM: IVF approximate ANN (rows-only: clustering not SQL-expressible)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LLM: embedding-cosine near-dup via hyperplane LSH buckets (rows-only)
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dups = e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000)
+      Dedup.embeddingNearDup(e.unionByName(dups), "embedding", "vec_id",
+        dim = 64, threshold = 0.99, planes = 6)
+    }),
+
+    // LLM: multimodal blob stats (binary column plumbing, no decode)
+    "q_multimodal_stats" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
+      Multimodal.blobStats(media).select(
+        col("doc_id"), col("n_bytes"), col("content_hash"),
+        col("media_meta.duration_ms").as("duration_ms"))
+    }),
+
+    // LLM: batched decode-stub features via mapPartitions (rows-only)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
+      Multimodal.decodeFeatures(media)
+    })
+  )
+
+  // ------------------------------------------------------------ the oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
+
+    "q_count" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q_union_all" ->
+      "SELECT * FROM events WHERE event_type = 'click' UNION ALL SELECT * FROM events WHERE event_type = 'error'",
+
+    "q_in_filter" -> "SELECT * FROM orders WHERE o_orderstatus IN ('O','F')",
+
+    "q_normalize" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate,
+        | CASE WHEN l_quantity < 25 THEN NULL ELSE l_discount END AS nan_col
+        | FROM lineitem""".stripMargin,
+
+    "q_cast_timestamp" ->
+      "SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f') AS ts_rt FROM events",
+
+    "q1_agg" ->
+      "SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total_amount, round(sum(l_quantity), 2) AS total_quantity FROM lineitem GROUP BY 1",
+
+    "q_agg_multi" ->
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value FROM events GROUP BY 1",
+
+    "q_topk" ->
+      "SELECT l_suppkey, round(sum(l_extendedprice), 2) AS revenue FROM lineitem GROUP BY 1 ORDER BY sum(l_extendedprice) DESC, l_suppkey LIMIT 10",
+
+    "q_window_latest" ->
+      "SELECT * FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1",
+
+    "q_window_hourly" ->
+      "SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt, round(sum(value), 2) AS total_value FROM events GROUP BY 1",
+
+    "q_join_broadcast" ->
+      "SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+
+    "q_join_multi" ->
+      "SELECT n_name, round(sum(l_extendedprice), 2) AS revenue FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY 1",
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS prio_u,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+        | epoch_ms(o_orderdate) AS od_epoch_ms,
+        | o_orderdate - INTERVAL 7 DAY AS od_minus7
+        | FROM orders""".stripMargin,
+
+    "q_icebox_append" -> "SELECT * FROM orders",
+    "q_icebox_overwrite" -> "SELECT * FROM orders",
+    "q_icebox_timetravel" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
+    "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
+    "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q_icebox_compact" -> "SELECT * FROM lineitem",
+
+    "q_icebox_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        | o_orderdate, 'UPDATED' AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        | UNION ALL
+        | SELECT * FROM orders WHERE o_orderkey % 3 != 0 AND o_orderkey % 2 != 0""".stripMargin,
+
+    "q_icebox_upsert_partitioned" ->
+      """SELECT * FROM events WHERE event_type <> 'click'
+        | UNION ALL
+        | SELECT event_id, ts, user_id, event_type, value * 3 AS value, props
+        |   FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+        | UNION ALL
+        | SELECT * FROM events WHERE event_type = 'click' AND event_id % 10 != 0""".stripMargin,
+
+    "q_cdc_timestamp" -> "SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
+    "q_cdc_scn" -> "SELECT * FROM events WHERE event_id > 5000",
+    "q_cdc_cycle" -> "SELECT * FROM events",
+
+    "q_file_cdc" ->
+      """SELECT event_id, ts, user_id, event_type, value * 3 AS value, props, 'a' AS dt
+        |   FROM events WHERE event_id < 5000
+        | UNION ALL
+        | SELECT event_id, ts, user_id, event_type, value, props, 'b' AS dt
+        |   FROM events WHERE event_id >= 5000""".stripMargin,
+
+    "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
+
+    "q_dedup_exact" ->
+      "SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1",
+
+    "q_dedup_fingerprint" ->
+      "SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) ORDER BY doc_id) = 1",
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens
+        | FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        | CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | round(CASE WHEN len(text) = 0 THEN 0.0 ELSE (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text) END, 4) AS punct_ratio,
+        | round(CASE WHEN len(text) = 0 THEN 0.0 ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END, 4) AS digit_ratio,
+        | round(CASE WHEN trim(text) = '' THEN 0.0 ELSE len(regexp_replace(trim(text), '\s', '', 'g')) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_word_len
+        | FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS w
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id,
+        |   len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) AS en,
+        |   len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS de,
+        |   len(list_filter(w, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS es,
+        |   len(list_filter(w, t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t))) AS fr,
+        |   len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','他'], t))) AS zh
+        |  FROM toks)
+        | SELECT doc_id,
+        |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN NULL
+        |       WHEN zh = greatest(en, de, es, fr, zh) THEN 'zh'
+        |       WHEN fr = greatest(en, de, es, fr, zh) THEN 'fr'
+        |       WHEN es = greatest(en, de, es, fr, zh) THEN 'es'
+        |       WHEN en = greatest(en, de, es, fr, zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        | FROM hits""".stripMargin,
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    "q_ann_topk" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine,
+        | row_number() OVER (PARTITION BY a.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+        | QUALIFY rank <= 5""".stripMargin,
+
+    "q_multimodal_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash,
+        | len(text) * 10 AS duration_ms FROM documents""".stripMargin
+    // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs,
+    // q_ann_ivf, q_embed_neardup, q_multimodal_decode
+  )
 }

@@ -105,7 +105,12 @@ object Cdc {
       tsCol: String, versionCol: Option[String], prev: Option[Watermark]): Watermark = {
     val aggs = Seq(max(col(tsCol)).as("ts")) ++ versionCol.map(c => max(col(c)).as("scn"))
     val row = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val newTs = Option(row.getAs[Timestamp]("ts")).map(_.getTime)
+    // TimestampType surfaces as java.sql.Timestamp, TimestampNTZ as LocalDateTime
+    val newTs = Option(row.getAs[Any]("ts")).map {
+      case t: Timestamp               => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => sys.error(s"unsupported watermark column type: ${other.getClass}")
+    }
     val newScn = versionCol.flatMap(_ => Option(row.getAs[Any]("scn")).map(_.toString.toLong))
     Watermark(schema, table,
       newTs.orElse(prev.map(_.lastTimestampMs)).getOrElse(0L),

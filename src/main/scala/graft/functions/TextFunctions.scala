@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `c` ONCE and pass it to `f` as a lambda-bound value. An outer
+    * expression referenced inside a higher-order-function lambda is
+    * re-evaluated per element (projection collapse makes this easy to hit);
+    * wrapping it in a 1-element array binds it to a lambda variable instead.
+    * Turned shingle generation from O(len²) regex work to O(len).
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokens of a text column (empty string → empty array). */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
@@ -77,15 +86,16 @@ object TextFunctions {
     * null when no language scores a hit (the n-gram-free variant of public
     * langid heuristics; deterministic, pure SQL).
     */
-  def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, stops) =>
-      val arr = array(stops.map(lit): _*)
-      struct(size(filter(tokens(text), t => array_contains(arr, lower(t)))).as("hits"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    bindOnce(tokens(text)) { toks =>
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, stops) =>
+        val arr = array(stops.map(lit): _*)
+        struct(size(filter(toks, t => array_contains(arr, lower(t)))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(null).cast("string"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(null).cast("string"))
-  }
 
   /** Document quality score in [0,1]: penalizes extreme length, high
     * punctuation/digit density, and very short docs — the standard cheap
@@ -110,13 +120,13 @@ object TextFunctions {
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** Character n-gram shingles of the normalized text (distinct). */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    val count = length(norm) - (n - 1)
-    // sequence(1,0) is DESCENDING [1,0] in Spark — guard short texts explicitly
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int = 5): Column =
+    bindOnce(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
+      val count = length(norm) - (n - 1)
+      // sequence(1,0) is DESCENDING [1,0] in Spark — guard short texts explicitly
+      when(count < 1, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
+    }
 
   /** 64-bit rolling-content hashes: one xxhash64 per shingle (the
     * "rolling hash document fingerprint" building block — feed to MinHash).

@@ -44,17 +44,23 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash-LSH
 
-  /** MinHash signature: for seed i, `min over shingles of xxhash64(s, i)` —
-    * implemented as hash-of-concat so it stays a pure builtin expression.
+  /** MinHash signatures as (id, sig array<long>) — computed via
+    * explode(shingle hashes) → 64 min-aggregates. The explode looks like row
+    * inflation but partial (map-side) aggregation collapses it before any
+    * shuffle: shuffle volume is docs × 64 longs, and each shingle hash is
+    * touched exactly once. (The tempting pure-expression form — 64 ×
+    * `array_min(transform(hashes, ...))` — re-evaluates the shingle array
+    * per seed after projection collapse: 64× the work. Measured 100×
+    * slower at sf0.01.)
     */
-  private def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val hashes = TextFunctions.shingleHashes(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      // per-seed rehash of the base shingle hash: cheap, independent-ish families
-      coalesce(
-        array_min(transform(hashes, h => xxhash64(h, lit(i)))),
-        lit(Long.MaxValue))
-    }: _*)
+  private[operators] def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    exploded.groupBy("__id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("__id"), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** Banded LSH candidate pairs: docs sharing at least one band of their
@@ -62,31 +68,39 @@ object Dedup {
     *
     * With `numHashes = bands * rowsPerBand`, a pair with Jaccard j collides
     * with probability 1-(1-j^r)^b — defaults (64 = 16×4) catch j ≳ 0.5.
+    * Docs with no shingles (shorter than the shingle size) have no
+    * signature and can never pair — correct for near-dup purposes.
     */
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
-    // (id, band_idx, band_key) — one row per band, then join within buckets
+    // (id, band_idx, band_key) — one row per band, then pairs within buckets
     val bandKeys = array((0 until bands).map(b =>
       xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*)
-    val banded = df
-      .select(col(idCol).as("__id"), sig.as("__sig"))
+    val banded = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
       .select(col("__id"), posexplode(bandKeys))
       .toDF("__id", "__band", "__key")
-    // guard: drop pathological buckets (boilerplate shingles) before the join
-    val wCount = Window.partitionBy("__band", "__key")
-    val bounded = banded
-      .withColumn("__n", count(lit(1)).over(wCount))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
-    bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("idA"), col("b.__id").as("idB"))
+    bucketPairs(banded, maxBucketSize)
+  }
+
+  /** Pairs (idA < idB) of ids sharing a (band, key) bucket — via ONE shuffle
+    * into buckets + inline pair generation, never a self-join (a self-join
+    * would recompute the upstream signature pipeline once per side). Buckets
+    * larger than `maxBucketSize` are dropped (boilerplate guard: quadratic
+    * pair explosion on pathological content).
+    */
+  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val ids = array_sort(collect_list("__id"))
+    banded.groupBy("__band", "__key")
+      .agg(ids.as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__ids")) - 1),
+        i => transform(slice(col("__ids"), i + 1, size(col("__ids"))),
+          x => struct(element_at(col("__ids"), i).as("idA"), x.as("idB")))))).as("__p"))
+      .select(col("__p.idA"), col("__p.idB"))
       .distinct()
   }
 
@@ -139,24 +153,37 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash per doc computed scalably: explode token hashes → 64 per-bit
+    * vote sums (map-side combined) → pack bits. Same rationale as
+    * `minhashSignatures`: one pass over tokens, shuffle = docs × 64 longs.
+    */
+  private[operators] def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))).as("__h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"__v$b"))
+    exploded.groupBy("__id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(b => when(col(s"__v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("__sh"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit simhash into 4×16-bit keys
     * (guarantees candidacy for Hamming distance ≤ 3), join within bands,
-    * verify exact Hamming ≤ `maxHamming`.
+    * verify exact Hamming ≤ `maxHamming`. Docs with no tokens have no
+    * simhash and never pair.
     */
   def simHashCandidates(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
-    val banded = sh.select(col("__id"), col("__sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-      .toDF("__id", "__sh", "__band", "__key")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.__band") === col("b.__band") && col("a.__key") === col("b.__key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
-        bit_count(col("a.__sh").bitwiseXOR(col("b.__sh"))).as("hamming"))
-      .distinct()
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val banded = simhashes(df, textCol, idCol)
+      .select(struct(col("__id"), col("__sh")).as("__id"), // pair travels as one value
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("__id", "__band", "__key")
+    bucketPairs(banded, maxBucketSize)
+      .select(col("idA.__id").as("idA"), col("idB.__id").as("idB"),
+        bit_count(col("idA.__sh").bitwiseXOR(col("idB.__sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

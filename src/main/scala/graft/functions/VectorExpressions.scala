@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd vector math.
+  *
+  * The builtin route (`zip_with` + `aggregate`) is a higher-order function —
+  * `CodegenFallback` in Spark, i.e. interpreted per row with per-element
+  * lambda dispatch and boxing. For a 64-float cosine evaluated millions of
+  * times in an ANN scan, that interpreter overhead dominates. These
+  * expressions generate a tight primitive loop inside whole-stage codegen
+  * instead (preference order per the build brief: builtins → custom
+  * `Expression` with `doGenCode` → plan-level operators).
+  *
+  * Float elements are accumulated in double, left to right — bit-identical
+  * to the `zip_with`/`aggregate` formulation, so swapping implementations
+  * never changes results.
+  */
+object VectorExpressions {
+
+  val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
+
+  /** Idempotently register the functions in this session's registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(CosineName))) {
+      reg.registerFunction(
+        FunctionIdentifier(CosineName),
+        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, CosineName),
+        (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1)))
+      reg.registerFunction(
+        FunctionIdentifier(DotName),
+        new ExpressionInfo(classOf[DotProductExpr].getName, DotName),
+        (children: Seq[Expression]) => DotProductExpr(children(0), children(1)))
+    }
+  }
+
+  /** Cosine similarity via the native expression (registers on demand). */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(CosineName, a, b)
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(DotName, a, b)
+  }
+}
+
+/** cos(a,b) = a·b / (|a||b|); 0.0 when either norm is 0. Null if either
+  * array is null. Array elements must be non-null floats.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorExpressions.CosineName
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = (double) $a.getFloat($i);
+        |  double $yi = (double) $b.getFloat($i);
+        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |}
+        |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+        |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** a·b in double precision (same accumulation order as the builtin route). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorExpressions.DotName
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |}
+        |${ev.value} = $dot;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

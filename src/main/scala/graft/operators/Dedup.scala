@@ -10,12 +10,11 @@ import graft.functions.TextFunctions
   * embedding-cosine near-dup.
   *
   * 100 TB design rule: '''never all-pairs'''. Every fuzzy method buckets
-  * candidates first (LSH bands / simhash bands / hyperplane signs) and joins
-  * ONLY within buckets, so the shuffle is proportional to data + candidate
-  * volume, not N². Pair generation uses an inner self-join on the bucket key
-  * with `idA < idB`, which Catalyst executes as a shuffled hash join on the
-  * bucket key — hot buckets are bounded by `maxBucketSize` (drop
-  * pathological buckets, the standard web-dedup guard).
+  * candidates first (LSH bands / simhash bands / hyperplane signs) and
+  * generates pairs ONLY within buckets, so the shuffle is proportional to
+  * data + candidate volume, not N². Text methods bucket via one
+  * shuffle + `collect_list` (see `bucketPairs`); hot buckets are bounded by
+  * `maxBucketSize` (drop pathological buckets, the standard web-dedup guard).
   */
 object Dedup {
 
@@ -200,7 +199,7 @@ object Dedup {
     keyed.as("a")
       .join(keyed.as("b"), col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
-        round(Similarity.cosine(col("a.__v"), col("b.__v")), 4).as("cosine"))
+        round(graft.functions.VectorExpressions.cosine(df.sparkSession, col("a.__v"), col("b.__v")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

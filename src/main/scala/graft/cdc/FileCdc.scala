@@ -131,10 +131,29 @@ object FileCdc {
       val changed = method match {
         case "mtime" => f.mtimeMs > lastCheck
         case "size"  => !processed(s"${f.path}:${f.sizeBytes}")
-        case _       => true // "hash": unimplemented in the reference as well (cdc_operator.py:227-229)
+        case "hash"  => !processed(s"${f.path}:${contentHash(f.path)}")
+        case other   => sys.error(s"unknown cdc method '$other' (mtime|size|hash)")
       }
       if (changed) Some(f.copy(partition = pval)) else None
     }
+  }
+
+  /** C7: content-hash change detection — the reference declares this method
+    * but never implements it (cdc_operator.py:227-229 warns and treats all
+    * files as changed); we implement it for real. Driver-side streaming
+    * sha-256 of the file bytes: strongest change signal, at the cost of one
+    * full read per listed file per cycle — use mtime/size for hot paths,
+    * hash when upstream rewrites preserve size+mtime.
+    */
+  private[cdc] def contentHash(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = fs(path).open(new HPath(path))
+    try {
+      val buf = new Array[Byte](256 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      md.digest().map("%02x".format(_)).mkString
+    } finally in.close()
   }
 
   /** Fold this cycle's changes into the checkpoint: touched partitions get
@@ -143,7 +162,11 @@ object FileCdc {
     */
   def advanceCheckpoint(prev: Checkpoint, changed: Seq[FileInfo], method: String,
       partitionPrefix: String, nowMs: Long): Checkpoint = {
-    def fileId(f: FileInfo) = if (method == "size") s"${f.path}:${f.sizeBytes}" else f.path
+    def fileId(f: FileInfo) = method match {
+      case "size" => s"${f.path}:${f.sizeBytes}"
+      case "hash" => s"${f.path}:${contentHash(f.path)}"
+      case _      => f.path
+    }
     val byPartition = changed.groupBy(f => f.partition.getOrElse("default"))
     val updated = byPartition.foldLeft(prev.partitions) { case (acc, (pval, fs)) =>
       acc.updated(pval, PartitionState(fs.map(fileId), nowMs))

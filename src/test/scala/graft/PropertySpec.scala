@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.normalize.Normalize
+import graft.operators.Upsert
+import graft.table.Icebox
+import graft.types.TypeConverter
+
+/** SURVEY §5 property tests: ScalaCheck generators (seeded → reproducible)
+  * checked through the real Spark operators. (The scalatest↔scalacheck
+  * bridge artifact isn't available offline, so generators are sampled
+  * directly.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val rowGen = Gen.listOfN(12, for {
+    id <- Gen.chooseNum(1L, 8L)   // deliberately small key space → collisions
+    v <- Gen.alphaStr.map(_.take(6))
+    ver <- Gen.chooseNum(1L, 5L)
+  } yield (id, v, ver))
+
+  test("property: upsert is idempotent for any target/incoming batches") {
+    for ((t, i) <- samples(rowGen, 8).zip(samples(rowGen, 8).reverse)) {
+      val target = t.toDF("id", "v", "ver").dropDuplicates("id")
+      val incoming = i.toDF("id", "v", "ver")
+      val once = Upsert(target, incoming, Seq("id"), orderCol = Some("ver"))
+      val twice = Upsert(once, incoming, Seq("id"), orderCol = Some("ver"))
+      canon(twice) shouldBe canon(once)
+    }
+  }
+
+  test("property: upsert result keys = target keys ∪ incoming keys, no dup keys") {
+    for ((t, i) <- samples(rowGen, 8).zip(samples(rowGen, 8).reverse)) {
+      val target = t.toDF("id", "v", "ver").dropDuplicates("id")
+      val incoming = i.toDF("id", "v", "ver")
+      val out = Upsert(target, incoming, Seq("id"), orderCol = Some("ver"))
+      val keys = out.select("id").as[Long].collect().toSeq
+      keys.distinct.size shouldBe keys.size
+      keys.toSet shouldBe (t.map(_._1).toSet ++ i.map(_._1).toSet)
+    }
+  }
+
+  test("property: normalize is idempotent") {
+    for (rows <- samples(rowGen, 8) if rows.nonEmpty) {
+      val df = rows.toDF("ID", "Val", "VER")
+        .withColumn("D", when($"VER" > 2, lit(Double.NaN)).otherwise($"VER".cast("double")))
+      val once = Normalize.prepare(df)
+      val twice = Normalize.prepare(once)
+      once.columns.toSeq shouldBe once.columns.map(_.toLowerCase).toSeq
+      canon(twice) shouldBe canon(once)
+      // NaN is actually gone
+      once.filter(isnan($"d")).count() shouldBe 0L
+    }
+  }
+
+  test("property: compaction preserves the row multiset") {
+    for (nCommits <- Seq(1, 2, 4)) {
+      val table = Icebox(tmpDir("prop-compact"))
+      (1 to nCommits).foreach(i =>
+        table.append(Seq((i.toLong, s"v$i"), (i * 10L, s"w$i")).toDF("id", "v")))
+      val before = canon(table.read(spark))
+      table.compact(spark)
+      canon(table.read(spark)) shouldBe before
+    }
+  }
+
+  test("property: TypeConverter is total over arbitrary type strings") {
+    for (s <- samples(Gen.alphaNumStr.map(_.take(20)), 50) if s.nonEmpty) {
+      noException should be thrownBy TypeConverter.oracleToSpark(s)
+    }
+  }
+}

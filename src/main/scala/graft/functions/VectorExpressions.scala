@@ -27,6 +27,7 @@ object VectorExpressions {
 
   val CosineName = "graft_cosine"
   val DotName = "graft_dot"
+  val L2Name = "graft_l2sq"
 
   /** Idempotently register the functions in this session's registry. */
   def register(spark: SparkSession): Unit = {
@@ -40,6 +41,10 @@ object VectorExpressions {
         FunctionIdentifier(DotName),
         new ExpressionInfo(classOf[DotProductExpr].getName, DotName),
         (children: Seq[Expression]) => DotProductExpr(children(0), children(1)))
+      reg.registerFunction(
+        FunctionIdentifier(L2Name),
+        new ExpressionInfo(classOf[L2SqExpr].getName, L2Name),
+        (children: Seq[Expression]) => L2SqExpr(children(0), children(1)))
     }
   }
 
@@ -52,6 +57,11 @@ object VectorExpressions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(DotName, a, b)
+  }
+
+  def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(L2Name, a, b)
   }
 }
 
@@ -144,6 +154,52 @@ case class DotProductExpr(left: Expression, right: Expression)
         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
         |}
         |${ev.value} = $dot;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance in double precision. */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = VectorExpressions.L2Name
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = $acc;
       """.stripMargin
     })
 

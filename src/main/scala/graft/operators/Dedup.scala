@@ -194,7 +194,7 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val sig = Similarity.hyperplaneSignatureFast(df.sparkSession, col(vecCol), dim, planes, seed)
     val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"), sig.as("__sig"))
     keyed.as("a")
       .join(keyed.as("b"), col("a.__sig") === col("b.__sig") && col("a.__id") < col("b.__id"))

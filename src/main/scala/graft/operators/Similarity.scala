@@ -55,6 +55,20 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Session-aware variant using the native codegen'd dot product — the
+    * planes become array<float> literals and each per-plane dot is a tight
+    * primitive loop instead of an interpreted HOF chain.
+    */
+  def hyperplaneSignatureFast(spark: org.apache.spark.sql.SparkSession,
+      vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planeVecs = Array.fill(planes, dim)(rnd.nextGaussian().toFloat)
+    (0 until planes).map { p =>
+      val dot = VectorExpressions.dot(spark, vec, lit(planeVecs(p)))
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Exact top-k by cosine: broadcast `queries` (must be small), scan the
     * corpus once, rank per query. Deterministic tie-break on corpus id.
     */
@@ -80,10 +94,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 8, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val sigC = hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val sigC = hyperplaneSignatureFast(corpus.sparkSession, col(vecCol), dim, planes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), sigC.as("__sig"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      hyperplaneSignature(col(vecCol), dim, planes, seed).as("__sig")))
+      hyperplaneSignatureFast(corpus.sparkSession, col(vecCol), dim, planes, seed).as("__sig")))
     val scored = c.join(q, "__sig")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__cos", VectorExpressions.cosine(corpus.sparkSession, col("__qv"), col("__cv")))
@@ -110,7 +124,7 @@ object Similarity {
 
     def nearestClusters(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
       val scored = df.crossJoin(centroids)
-        .withColumn("__d", l2sq(col(vec), col("__centroid")))
+        .withColumn("__d", VectorExpressions.l2sq(corpus.sparkSession, col(vec), col("__centroid")))
       val w = Window.partitionBy(id).orderBy(col("__d"), col("__cid"))
       scored.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= n)

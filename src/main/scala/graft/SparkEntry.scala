@@ -188,6 +188,24 @@ object SparkEntry {
       table.readSnapshotId(s, s0.id)
     }),
 
+    // C1/C3 at file granularity: incremental manifest-diff scan
+    "q_icebox_incremental" -> ((s, dir) => {
+      val table = Icebox(tmp("qi"))
+      val o = t(s, dir, "orders")
+      val s0 = table.append(o.filter(col("o_orderstatus") === "O"))
+      table.append(o.filter(col("o_orderstatus") =!= "O"))
+      table.changesSince(s, s0.id)
+    }),
+
+    // S9: multi-file ORC scan round-trip (the reference's native input format)
+    "q_orc_scan" -> ((s, dir) => {
+      val base = tmp("qorc")
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").orc(s"$base/a")
+      ev.filter(col("event_id") % 2 =!= 0).write.mode("overwrite").orc(s"$base/b")
+      FileSource(Seq(s"$base/a", s"$base/b"), format = "orc").load(s)
+    }),
+
     // M5: rollback
     "q_icebox_rollback" -> ((s, dir) => {
       val table = Icebox(tmp("qr"))
@@ -441,6 +459,8 @@ object SparkEntry {
     "q_icebox_append" -> "SELECT * FROM orders",
     "q_icebox_overwrite" -> "SELECT * FROM orders",
     "q_icebox_timetravel" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
+    "q_icebox_incremental" -> "SELECT * FROM orders WHERE o_orderstatus <> 'O'",
+    "q_orc_scan" -> "SELECT * FROM events",
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_compact" -> "SELECT * FROM lineitem",

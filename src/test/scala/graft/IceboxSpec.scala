@@ -57,6 +57,17 @@ class IceboxSpec extends SparkSpec {
     back.filter($"dt" === "2024-01-02").select("id").as[Long].collect().toSet shouldBe Set(9L)
   }
 
+  test("changesSince reads only the delta files added after a snapshot") {
+    val t = Icebox(tmpDir("icebox"))
+    val s0 = t.append(sampleDf.filter($"id" <= 2))
+    t.append(sampleDf.filter($"id" > 2))
+    val delta = t.changesSince(spark, s0.id)
+    assertSameRows(delta, sampleDf.filter($"id" > 2))
+    // delta read only lists the added files, not the whole table
+    t.changesSince(spark, t.currentSnapshotId).count() shouldBe 0
+    t.changesSinceTime(spark, s0.timestampMs).count() shouldBe 2
+  }
+
   test("time travel by snapshot id and rollback") {
     val t = Icebox(tmpDir("icebox"))
     val s0 = t.append(sampleDf.filter($"id" <= 2))

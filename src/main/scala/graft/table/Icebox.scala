@@ -239,6 +239,29 @@ final class Icebox(val tableDir: String) {
     commit(repacked, partCols, "compact") { (_, newFiles) => newFiles }
   }
 
+  /** M1 partition-scoped: compact ONLY partitions with more than
+    * `minFiles` data files, carrying every other partition's files into the
+    * new snapshot by reference. At 100 TB this is the only sane compaction
+    * cadence — a CDC table accretes small files in the partitions it
+    * touches; rewriting cold partitions is wasted I/O. Returns the
+    * partitions rewritten.
+    */
+  def compactPartitions(spark: SparkSession, targetFileMb: Int = 512,
+      minFiles: Int = 4): Seq[Map[String, String]] = {
+    val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    val partCols = partitionColumns
+    require(partCols.nonEmpty, "compactPartitions needs a partitioned table; use compact()")
+    val byPartition = snap.files.groupBy(_.partition)
+    val hot = byPartition.filter(_._2.size > minFiles)
+    if (hot.isEmpty) return Nil
+    val hotFiles = hot.values.flatten.toSeq
+    val bytes = hotFiles.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
+    val df = readFiles(spark, hotFiles, Some(snap.schemaJson)).repartition(n, partCols.map(col): _*)
+    overwritePartitions(df, partCols)
+    hot.keys.toSeq
+  }
+
   /** M2: snapshot expiry — drop snapshots older than `olderThanMs`, always
     * retaining the `retainLast` most recent and the current snapshot
     * (reference defaults 7 days / retain 10,

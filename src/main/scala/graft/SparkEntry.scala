@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -297,6 +297,33 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // M1 partition-scoped: hot-partitions-only compaction preserves content
+    "q_compact_partitions" -> ((s, dir) => {
+      val table = Icebox(tmp("qcp"))
+      val ev = t(s, dir, "events")
+      (0 until 6).foreach(i =>
+        table.append(ev.filter(col("event_type") === "click" && col("event_id") % 6 === i),
+          partitionBy = Seq("event_type")))
+      table.append(ev.filter(col("event_type") =!= "click"), partitionBy = Seq("event_type"))
+      table.compactPartitions(s, minFiles = 4)
+      table.read(s)
+    }),
+
+    // skew: salted two-phase aggregation == plain groupBy-agg
+    "q_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), salts = 16)(
+        Seq("value" -> "sum", "value" -> "count"))
+        .select(col("event_type"), round(col("sum_value"), 2).as("total_value"),
+          col("count_value").as("cnt"))),
+
+    // skew: salted replicated join == plain join
+    "q_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "o_custkey", salts = 8)
+    }),
+
     // pipeline runner: transfer >> compact >> expire
     "q_pipeline" -> ((s, dir) => {
       val table = Icebox(tmp("qpipe"))
@@ -491,6 +518,14 @@ object SparkEntry {
         |   FROM events WHERE event_id >= 5000""".stripMargin,
 
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
+
+    "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_salted_agg" ->
+      "SELECT event_type, round(sum(value), 2) AS total_value, count(value) AS cnt FROM events GROUP BY 1",
+
+    "q_salted_join" ->
+      "SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey",
 
     "q_dedup_exact" ->
       "SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1",

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -324,6 +324,28 @@ object SparkEntry {
       Skew.saltedJoin(o, c, "o_custkey", salts = 8)
     }),
 
+    // as-of join (operator Spark lacks; single-shuffle union+window shape)
+    "q_asof_join" -> ((s, dir) => {
+      val dedupedOrders = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+        t(s, dir, "orders").withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }.withColumnRenamed("o_custkey", "user_id")
+      AsofJoin.asof(t(s, dir, "events"), dedupedOrders,
+        "user_id", "ts", "o_orderdate", "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+    }),
+
+    // range join (binned interval equi-join, no all-pairs nested loop)
+    "q_range_join" -> ((s, dir) => {
+      val intervals = t(s, dir, "part")
+        .select(col("p_partkey"), (col("p_retailprice") - 100).as("lo"),
+          (col("p_retailprice") + 100).as("hi"))
+      RangeJoin.pointInInterval(t(s, dir, "supplier"), intervals, "s_acctbal", "lo", "hi", binSize = 50.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("total_bal"))
+    }),
+
     // pipeline runner: transfer >> compact >> expire
     "q_pipeline" -> ((s, dir) => {
       val table = Icebox(tmp("qpipe"))
@@ -520,6 +542,20 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_asof_join" ->
+      """WITH o AS (SELECT * FROM orders
+        |   QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+        | SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |        o.o_orderkey, o.o_totalprice
+        | FROM events e ASOF LEFT JOIN o
+        |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p_partkey, count(*) AS cnt, round(sum(s_acctbal), 2) AS total_bal
+        | FROM part JOIN supplier
+        |   ON s_acctbal BETWEEN p_retailprice - 100 AND p_retailprice + 100
+        | GROUP BY 1""".stripMargin,
 
     "q_salted_agg" ->
       "SELECT event_type, round(sum(value), 2) AS total_value, count(value) AS cnt FROM events GROUP BY 1",

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarityExpr, DotProductExpr, L2SqExpr, VectorExpressions}
+
+/** Spark extensions entry point — makes the graft native expressions
+  * available to every session in a cluster the idiomatic way:
+  *
+  * {{{ spark-submit --conf spark.sql.extensions=graft.GraftExtensions ... }}}
+  *
+  * Equivalent to calling `VectorExpressions.register(spark)` per session,
+  * but injected at session build time so pure-SQL users (thrift server,
+  * notebooks) get `graft_cosine`/`graft_dot`/`graft_l2sq` with no Scala
+  * code. This is also where a future custom `Rule[LogicalPlan]` or
+  * `SparkStrategy` would be injected (`injectOptimizerRule` /
+  * `injectPlannerStrategy`) — nothing in the current operator set needs
+  * one: every operator composes from builtins + these expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, VectorExpressions.CosineName),
+      (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.DotName),
+      new ExpressionInfo(classOf[DotProductExpr].getName, VectorExpressions.DotName),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.L2Name),
+      new ExpressionInfo(classOf[L2SqExpr].getName, VectorExpressions.L2Name),
+      (children: Seq[Expression]) => L2SqExpr(children(0), children(1))))
+  }
+}

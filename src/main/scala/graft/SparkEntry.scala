@@ -616,6 +616,28 @@ object SparkEntry {
         | WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
         | QUALIFY rank <= 5""".stripMargin,
 
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        | assigned AS (
+        |   SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid AS cluster
+        |   FROM embeddings e CROSS JOIN c
+        |   QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid) = 1),
+        | probes AS (
+        |   SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cid AS cluster
+        |   FROM embeddings q CROSS JOIN c
+        |   WHERE q.vec_id < 8
+        |   QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), c.ce), c.cid) <= 4)
+        | SELECT query_id, neighbor_id,
+        |   round(list_cosine_similarity(qv, cv), 4) AS cosine,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        | FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        | WHERE neighbor_id != query_id
+        | QUALIFY rank <= 5""".stripMargin,
+
     "q_multimodal_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash,
         | len(text) * 10 AS duration_ms FROM documents""".stripMargin

@@ -132,6 +132,20 @@ class IceboxSpec extends SparkSpec {
     t.readAsOf(spark, Long.MaxValue).count() shouldBe 4 // time travel never sees it
   }
 
+  test("crash between data write and manifest write: stray commit dir is invisible and GC'd") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(sampleDf)
+    // simulate a crash mid-commit: data files written, NO manifest, no pointer
+    val stray = Paths.get(t.tableDir, "data", "graft_commit=deadbeef", "part-crash.parquet")
+    Files.createDirectories(stray.getParent)
+    Files.write(stray, Array.fill[Byte](128)(1))
+    t.read(spark).count() shouldBe 4                  // reads are manifest-driven: stray invisible
+    Thread.sleep(10)
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis(), retainLast = 10)
+    Files.exists(stray) shouldBe false                // orphan data GC'd
+    t.read(spark).count() shouldBe 4                  // live data untouched
+  }
+
   test("expireSnapshots deletes old snapshots' unreferenced files but keeps live ones") {
     val t = Icebox(tmpDir("icebox"))
     t.append(sampleDf)

@@ -616,6 +616,14 @@ object SparkEntry {
         | WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
         | QUALIFY rank <= 5""".stripMargin,
 
+    // the injected duplicates are bit-identical vectors: the only pairs that
+    // can clear cosine >= 0.99 on this corpus (max inter-vector cosine ~0.45),
+    // and identical vectors always share every LSH bucket — so the exact
+    // output is SQL-expressible even though the bucketing isn't.
+    "q_embed_neardup" ->
+      """SELECT vec_id AS idA, vec_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
+        | FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |           FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -57,6 +57,29 @@ object Streaming {
       .start()
   }
 
+  /** Streaming read FROM an Icebox table (the Iceberg streaming-read
+    * analog): every commit writes new files under `data/graft_commit=<id>/`,
+    * so Spark's file stream over the data dir surfaces each commit's rows as
+    * a micro-batch — downstream pipelines consume table changes without
+    * re-scanning. Append-only semantics (overwrites surface rewritten files
+    * as new data; pair with upsert downstream, as with `changesSince`).
+    */
+  def tableStream(spark: SparkSession, table: Icebox,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val snap = table.currentSnapshot.getOrElse(sys.error(s"no table at ${table.tableDir}"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val readSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(Icebox.CommitCol,
+        org.apache.spark.sql.types.StringType))
+    val reader = spark.readStream.format("parquet").schema(readSchema)
+      .option("basePath", s"${table.tableDir}/data")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(s"${table.tableDir}/data")
+      .drop(Icebox.CommitCol)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * event-time windowing surface (counts + sums per window), emitting
     * append-mode results once the watermark passes the window end.

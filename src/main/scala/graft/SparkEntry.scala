@@ -324,6 +324,24 @@ object SparkEntry {
       Skew.saltedJoin(o, c, "o_custkey", salts = 8)
     }),
 
+    // set operations (beyond-parity: reference has union only)
+    "q_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def users(tpe: String) = ev.filter(col("event_type") === tpe).select("user_id").distinct()
+      users("click").intersect(users("purchase")).except(users("error"))
+    }),
+
+    // rollup aggregation (Catalyst-native grouping sets)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "events").rollup("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))),
+
+    // JSON extraction from the events props column
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
     // as-of join (operator Spark lacks; single-shuffle union+window shape)
     "q_asof_join" -> ((s, dir) => {
       val dedupedOrders = {
@@ -542,6 +560,17 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+        | EXCEPT SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_rollup" ->
+      "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total_value FROM events GROUP BY ROLLUP(event_type)",
+
+    "q_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     "q_asof_join" ->
       """WITH o AS (SELECT * FROM orders

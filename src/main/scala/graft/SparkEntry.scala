@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -324,6 +324,11 @@ object SparkEntry {
       Skew.saltedJoin(o, c, "o_custkey", salts = 8)
     }),
 
+    // stateful sessionization (batch face; streaming face in Sessionize.streaming)
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.batch(t(s, dir, "events"), "user_id", "ts", "value", "event_id",
+        gapMinutes = 30)),
+
     // set operations (beyond-parity: reference has union only)
     "q_set_ops" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -560,6 +565,21 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        | s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |   min(ts) AS session_start, max(ts) AS session_end,
+        |   round(sum(value), 2) AS total_value
+        | FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_set_ops" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -55,7 +55,8 @@ object Dedup {
   private[operators] def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("__id"),
-      explode(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__h"))
+      explode(graft.functions.ShingleExpressions.shingleHashesFast(
+        df.sparkSession, col(textCol), shingleSize)).as("__h"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
     exploded.groupBy("__id")
       .agg(mins.head, mins.tail: _*)

@@ -324,6 +324,13 @@ object SparkEntry {
       Skew.saltedJoin(o, c, "o_custkey", salts = 8)
     }),
 
+    // exact percentiles (interpolating — matches DuckDB quantile_cont)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+
     // stateful sessionization (batch face; streaming face in Sessionize.streaming)
     "q_sessionize" -> ((s, dir) =>
       Sessionize.batch(t(s, dir, "events"), "user_id", "ts", "value", "event_id",
@@ -565,6 +572,12 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        | FROM events GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (

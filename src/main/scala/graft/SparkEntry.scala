@@ -324,6 +324,17 @@ object SparkEntry {
       Skew.saltedJoin(o, c, "o_custkey", salts = 8)
     }),
 
+    // flagship LLM pipeline: quality-filter -> exact-dedup -> snapshot table
+    "q_llm_pipeline" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.8)
+      val deduped = Dedup.exact(scored, "text", "doc_id")
+      val table = Icebox(tmp("qllm"))
+      table.append(deduped)
+      table.read(s)
+    }),
+
     // exact percentiles (interpolating — matches DuckDB quantile_cont)
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
@@ -572,6 +583,20 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_compact_partitions" -> "SELECT * FROM events",
+
+    "q_llm_pipeline" ->
+      """WITH scored AS (
+        |  SELECT *,
+        |    CAST(round(
+        |      (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END * 0.3)
+        |      + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0 ELSE (len(text) - len(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1.0 / len(text) END) < 0.3 THEN 1.0 ELSE 0.0 END * 0.15)
+        |      + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0 ELSE (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / len(text) END) < 0.3 THEN 1.0 ELSE 0.0 END * 0.15)
+        |      + (CASE WHEN (CASE WHEN trim(text) = '' THEN 0.0 ELSE len(regexp_replace(trim(text), '\s', '', 'g')) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END * 0.1)
+        |      + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0 ELSE (len(text) - len(regexp_replace(text, '[A-Za-zÀ-ɏ一-鿿]', '', 'g'))) * 1.0 / len(text) END) >= 0.6 THEN 1.0 ELSE 0.0 END * 0.3)
+        |    , 4) AS DOUBLE) AS quality
+        |  FROM documents)
+        | SELECT * FROM scored WHERE quality >= 0.8
+        | QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

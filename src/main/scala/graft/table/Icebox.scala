@@ -24,10 +24,14 @@ final case class Snapshot(
     files: Seq[DataFile],
     schemaJson: String)
 
-/** One data file plus its identity-partition values (Iceberg-style file-level
-  * partition metadata — enables manifest pruning without touching storage).
+/** One data file plus its identity-partition values and optional per-column
+  * min/max statistics (Iceberg-style file-level metadata — enables manifest
+  * pruning and file skipping without touching storage).
+  * `stats` values are stored as strings and compared numerically by
+  * `prunedFilesByStats` (numeric columns only).
   */
-final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String])
+final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
+    stats: Map[String, (String, String)] = Map.empty)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -129,9 +133,14 @@ final class Icebox(val tableDir: String) {
 
   // ------------------------------------------------------------------ writes
 
-  /** W1/W3: append — new snapshot = parent files + new files. */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot =
-    commit(df, partitionBy, "append") { (parent, newFiles) =>
+  /** W1/W3: append — new snapshot = parent files + new files.
+    * `collectStats` names numeric columns whose per-file min/max are
+    * recorded in the manifest for later file skipping (one extra
+    * aggregation pass over the freshly written files).
+    */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil,
+      collectStats: Seq[String] = Nil): Snapshot =
+    commit(df, partitionBy, "append", collectStats) { (parent, newFiles) =>
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
 
@@ -201,6 +210,29 @@ final class Icebox(val tableDir: String) {
       case Some(s) => changesSince(spark, s.id)
       case None    => read(spark)
     }
+
+  /** File skipping by manifest statistics: files whose recorded [min,max]
+    * for `column` intersects [lo,hi] (either bound may be None for a
+    * half-open range). Files with no stats for the column are kept
+    * (conservative). Statistics are collected when `append`/`overwrite` is
+    * called with `collectStats` — at 100 TB this turns a selective
+    * non-partition predicate into a scan of only the intersecting files,
+    * Iceberg's data-skipping behavior.
+    */
+  def prunedFilesByStats(column: String, lo: Option[Double], hi: Option[Double]): Seq[DataFile] =
+    currentSnapshot.map(_.files.filter { f =>
+      f.stats.get(column) match {
+        case None => true
+        case Some((mn, mx)) =>
+          lo.forall(l => mx.toDouble >= l) && hi.forall(h => mn.toDouble <= h)
+      }
+    }).getOrElse(Nil)
+
+  /** Read only the files whose stats admit `column` ∈ [lo, hi]; callers
+    * still apply the exact filter on the result (stats are a superset).
+    */
+  def readWhereStats(spark: SparkSession, column: String, lo: Option[Double], hi: Option[Double]): DataFrame =
+    readFiles(spark, prunedFilesByStats(column, lo, hi), currentSnapshot.map(_.schemaJson))
 
   /** Manifest-level partition pruning: the files of the current snapshot whose
     * identity-partition value of `column` is in `values` — Iceberg-style
@@ -368,7 +400,8 @@ final class Icebox(val tableDir: String) {
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
     * set is derived by `resolve(parent, newFiles)`.
     */
-  private def commit(df: DataFrame, partitionBy: Seq[String], op: String)(
+  private def commit(df: DataFrame, partitionBy: Seq[String], op: String,
+      collectStats: Seq[String] = Nil)(
       resolve: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = this.synchronized {
     require(!df.columns.contains(CommitCol), s"column name $CommitCol is reserved")
     // Keep one consistent partitioning across live commits: a single-relation
@@ -385,9 +418,38 @@ final class Icebox(val tableDir: String) {
     val writer = df.write.mode("overwrite").option("compression", "zstd") // reference: spark_builder.py:248
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
-    val newFiles = listDataFiles(commitDir)
+    val listed = listDataFiles(commitDir)
+    val newFiles =
+      if (collectStats.isEmpty) listed
+      else {
+        val stats = fileStats(df.sparkSession, listed.map(_.path), collectStats)
+        listed.map(f => f.copy(stats = stats.getOrElse(f.path, Map.empty)))
+      }
     val parent = currentSnapshot
     commitMeta(op, resolve(parent, newFiles), df.schema.json)
+  }
+
+  /** Per-file min/max of `cols` over freshly written files — one distributed
+    * aggregation grouped by input_file_name.
+    */
+  private def fileStats(spark: SparkSession, paths: Seq[String],
+      cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    if (paths.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val file = new java.net.URI(r.getAs[String]("__f")).getPath
+        val st = cols.flatMap { c =>
+          (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> (mn.toString, mx.toString))
+            case _                    => None
+          }
+        }.toMap
+        file -> st
+      }.toMap
   }
 
   /** Metadata-only commit: write snapshot JSON, flip `_current` atomically. */
@@ -433,6 +495,12 @@ final class Icebox(val tableDir: String) {
       o.put("path", f.path).put("sizeBytes", f.sizeBytes)
       val p = o.putObject("partition")
       f.partition.foreach { case (k, v) => p.put(k, v) }
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.foreach { case (c, (mn, mx)) =>
+          val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
+        }
+      }
     }
     root.toPrettyString
   }
@@ -442,7 +510,12 @@ final class Icebox(val tableDir: String) {
     val files = node.get("files").elements().asScala.map { f =>
       val pm = f.get("partition")
       val partition = pm.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-      DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition)
+      val stats = Option(f.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String)])
+      DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats)
     }.toSeq
     Snapshot(node.get("id").asLong, node.get("parentId").asLong, node.get("timestampMs").asLong,
       node.get("operation").asText, files, node.get("schemaJson").asText)

@@ -57,6 +57,28 @@ class IceboxSpec extends SparkSpec {
     back.filter($"dt" === "2024-01-02").select("id").as[Long].collect().toSet shouldBe Set(9L)
   }
 
+  test("file-skipping stats prune files whose [min,max] misses the predicate range") {
+    val t = Icebox(tmpDir("icebox-stats"))
+    // three appends with disjoint id ranges → three files with disjoint stats
+    t.append(sampleDf.filter($"id" <= 2), collectStats = Seq("id", "amount"))
+    t.append(sampleDf.filter($"id" === 3), collectStats = Seq("id", "amount"))
+    t.append(sampleDf.filter($"id" === 4), collectStats = Seq("id", "amount"))
+    val all = t.currentSnapshot.get.files
+    all.foreach(f => f.stats.keySet shouldBe Set("id", "amount"))
+    // id in [3,3] must keep only the middle file
+    val hit = t.prunedFilesByStats("id", Some(3.0), Some(3.0))
+    hit.size shouldBe 1
+    hit.head.stats("id") shouldBe ("3", "3")
+    // reading through the pruned set + exact filter is correct
+    t.readWhereStats(spark, "id", Some(3.0), Some(3.0))
+      .filter($"id" === 3).count() shouldBe 1
+    // half-open range: id >= 4
+    t.prunedFilesByStats("id", Some(4.0), None).size shouldBe 1
+    // stats survive the JSON round-trip (fresh handle re-reads the manifest);
+    // amount <= 25 admits the two files holding amounts 10.5 and 20.0
+    Icebox(t.tableDir).prunedFilesByStats("amount", None, Some(25.0)).size shouldBe 2
+  }
+
   test("changesSince reads only the delta files added after a snapshot") {
     val t = Icebox(tmpDir("icebox"))
     val s0 = t.append(sampleDf.filter($"id" <= 2))

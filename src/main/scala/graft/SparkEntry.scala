@@ -206,6 +206,20 @@ object SparkEntry {
       FileSource(Seq(s"$base/a", s"$base/b"), format = "orc").load(s)
     }),
 
+    // file skipping: stats-pruned read after sort-clustered compaction
+    "q_icebox_stats_skip" -> ((s, dir) => {
+      val table = Icebox(tmp("qss"))
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach(i => table.append(o.filter(col("o_orderkey") % 4 === i)))
+      table.compactSorted(s, Seq("o_totalprice"), numFiles = Some(8))
+      val total = table.currentSnapshot.get.files.size
+      val pruned = table.prunedFilesByStats("o_totalprice", None, Some(5000.0))
+      require(total > 1 && pruned.size < total,
+        s"stats skipping had no effect: $total files, ${pruned.size} after prune")
+      table.readWhereStats(s, "o_totalprice", None, Some(5000.0))
+        .filter(col("o_totalprice") <= 5000.0)
+    }),
+
     // M5: rollback
     "q_icebox_rollback" -> ((s, dir) => {
       val table = Icebox(tmp("qr"))
@@ -553,6 +567,7 @@ object SparkEntry {
     "q_orc_scan" -> "SELECT * FROM events",
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_compact" -> "SELECT * FROM lineitem",
 
     "q_icebox_upsert" ->

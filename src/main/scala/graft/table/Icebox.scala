@@ -271,6 +271,26 @@ final class Icebox(val tableDir: String) {
     commit(repacked, partCols, "compact") { (_, newFiles) => newFiles }
   }
 
+  /** M1 + clustering: sort-ordered compaction — rewrite the table
+    * range-partitioned on `sortBy`, so each output file covers a disjoint
+    * value range, and record per-file min/max for those columns. After this,
+    * `readWhereStats` predicates on the sort column touch O(matching files):
+    * the Iceberg "rewrite with sort order" maintenance action that makes
+    * data skipping effective.
+    */
+  def compactSorted(spark: SparkSession, sortBy: Seq[String],
+      targetFileMb: Int = 512, numFiles: Option[Int] = None): Snapshot = {
+    require(sortBy.nonEmpty, "compactSorted needs sort columns")
+    val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    val totalBytes = snap.files.map(_.sizeBytes).sum
+    val n = numFiles.getOrElse(
+      math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt))
+    val df = read(spark)
+      .repartitionByRange(n, sortBy.map(col): _*)
+      .sortWithinPartitions(sortBy.map(col): _*)
+    commit(df, partitionColumns, "compact", collectStats = sortBy) { (_, newFiles) => newFiles }
+  }
+
   /** M1 partition-scoped: compact ONLY partitions with more than
     * `minFiles` data files, carrying every other partition's files into the
     * new snapshot by reference. At 100 TB this is the only sane compaction

@@ -79,6 +79,22 @@ class IceboxSpec extends SparkSpec {
     Icebox(t.tableDir).prunedFilesByStats("amount", None, Some(25.0)).size shouldBe 2
   }
 
+  test("compactSorted clusters files into disjoint ranges, enabling effective skipping") {
+    val t = Icebox(tmpDir("icebox-sorted"))
+    val big = spark.range(0, 400).selectExpr("id", "cast(id * 1.5 as double) as score")
+    (0 until 4).foreach(i => t.append(big.filter($"id" % 4 === i)))
+    t.compactSorted(spark, Seq("score"), numFiles = Some(4))
+    val files = t.currentSnapshot.get.files
+    files.foreach(_.stats.keySet shouldBe Set("score"))
+    // ranges are (near-)disjoint: a narrow predicate prunes to a small subset
+    val hit = t.prunedFilesByStats("score", Some(10.0), Some(20.0))
+    hit.size should be < files.size
+    assertSameRows(
+      t.readWhereStats(spark, "score", Some(10.0), Some(20.0))
+        .filter($"score".between(10.0, 20.0)),
+      big.filter($"score".between(10.0, 20.0)))
+  }
+
   test("changesSince reads only the delta files added after a snapshot") {
     val t = Icebox(tmpDir("icebox"))
     val s0 = t.append(sampleDf.filter($"id" <= 2))

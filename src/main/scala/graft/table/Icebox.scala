@@ -445,8 +445,38 @@ final class Icebox(val tableDir: String) {
         val stats = fileStats(df.sparkSession, listed.map(_.path), collectStats)
         listed.map(f => f.copy(stats = stats.getOrElse(f.path, Map.empty)))
       }
-    val parent = currentSnapshot
-    commitMeta(op, resolve(parent, newFiles), df.schema.json)
+    commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)
+  }
+
+  /** Like commitMeta but re-derives the file set from the CURRENT parent on
+    * every optimistic-concurrency retry, so a concurrent commit's files are
+    * never dropped from an append.
+    */
+  private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
+      schemaJson: String): Snapshot = this.synchronized {
+    Files.createDirectories(snapshotsDir)
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot
+      val id = parent.map(_.id + 1).getOrElse(0L)
+      val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), System.currentTimeMillis(), op,
+        resolve(parent), schemaJson)
+      try {
+        Files.write(snapshotsDir.resolve(s"$id.json"),
+          toJson(snap).getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt < 1000, s"commit contention exhausted at $tableDir")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Per-file min/max of `cols` over freshly written files — one distributed
@@ -472,17 +502,39 @@ final class Icebox(val tableDir: String) {
       }.toMap
   }
 
-  /** Metadata-only commit: write snapshot JSON, flip `_current` atomically. */
+  /** Metadata-only commit with optimistic concurrency across table handles:
+    * the snapshot id is CLAIMED by atomically creating `<id>.json`
+    * (CREATE_NEW) — two processes/handles racing on the same parent cannot
+    * both win an id, the loser observes the new head and retries on top of
+    * it (Iceberg's commit model). Single-handle writes also stay
+    * `synchronized` for in-process callers.
+    */
   private def commitMeta(op: String, files: Seq[DataFile], schemaJson: String): Snapshot = this.synchronized {
     Files.createDirectories(snapshotsDir)
-    val parent = currentSnapshot
-    val id = parent.map(_.id + 1).getOrElse(0L)
-    val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), System.currentTimeMillis(), op, files, schemaJson)
-    Files.write(snapshotsDir.resolve(s"$id.json"), toJson(snap).getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snap
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot
+      val id = parent.map(_.id + 1).getOrElse(0L)
+      val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), System.currentTimeMillis(), op, files, schemaJson)
+      try {
+        Files.write(snapshotsDir.resolve(s"$id.json"),
+          toJson(snap).getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // another handle claimed this id; re-read the head and retry.
+          // NOTE: append-family resolves (parent ++ new) stay correct under
+          // retry ONLY if the caller re-resolves — commit() below does.
+          attempt += 1
+          require(attempt < 1000, s"commit contention exhausted at $tableDir")
+      }
+    }
+    sys.error("unreachable")
   }
 
   private def listDataFiles(commitDir: Path): Seq[DataFile] = {

@@ -214,6 +214,24 @@ class IceboxSpec extends SparkSpec {
     back.filter($"id" === 1).select("score").collect()(0).isNullAt(0) shouldBe true
   }
 
+  test("concurrent appends from SEPARATE handles lose no commits (optimistic concurrency)") {
+    val dir = tmpDir("icebox-occ")
+    val handles = (0 until 4).map(_ => Icebox(dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = handles.zipWithIndex.map { case (h, i) =>
+      Future { (0 until 3).foreach(j => h.append(Seq((i * 10L + j, s"h$i-$j")).toDF("id", "v"))) }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    val t = Icebox(dir)
+    t.read(spark).count() shouldBe 12          // 4 handles × 3 appends × 1 row — nothing lost
+    t.currentSnapshotId shouldBe 11L           // 12 commits, ids 0..11, no gaps
+    t.allSnapshots.size shouldBe 12
+  }
+
   test("unescapePathSegment decodes %XX but leaves '+' alone") {
     Icebox.unescapePathSegment("a%2Fb") shouldBe "a/b"
     Icebox.unescapePathSegment("a+b") shouldBe "a+b"

@@ -220,6 +220,16 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // manifest-backed FileIndex read: pruning in the planner, no opt-in
+    "q_icebox_indexed_read" -> ((s, dir) => {
+      val table = Icebox(tmp("qir"))
+      val o = t(s, dir, "orders")
+      (0 until 3).foreach(i => table.append(o.filter(col("o_orderkey") % 3 === i),
+        partitionBy = Seq("o_orderstatus"), collectStats = Seq("o_totalprice")))
+      table.readIndexed(s)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") <= 50000.0)
+    }),
+
     // M5: rollback
     "q_icebox_rollback" -> ((s, dir) => {
       val table = Icebox(tmp("qr"))
@@ -568,6 +578,8 @@ object SparkEntry {
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
+    "q_icebox_indexed_read" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice <= 50000.0",
     "q_icebox_compact" -> "SELECT * FROM lineitem",
 
     "q_icebox_upsert" ->

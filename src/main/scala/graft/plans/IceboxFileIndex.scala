@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, GenericInternalRow, Literal, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.table.{DataFile, Icebox, Snapshot}
+
+/** Manifest-backed `FileIndex` for Icebox tables — the integration layer
+  * Iceberg itself uses to plug into Spark's scan planning. With this index:
+  *
+  *  - '''partition pruning''' happens against the manifest's partition
+  *    values (no directory listing at all — `listFiles` never touches
+  *    storage), and
+  *  - '''file skipping''' happens automatically for any pushed-down data
+  *    filter over a stats-covered column (min/max ranges from the
+  *    manifest), with no caller opt-in — `table.readIndexed(spark)
+  *    .filter(...)` prunes by itself.
+  *
+  * Conservative everywhere: unparseable filters or missing stats keep the
+  * file. The exact predicate still runs on the scan output, so pruning can
+  * never change results.
+  */
+final class IceboxFileIndex(
+    spark: SparkSession,
+    tableDir: String,
+    snap: Snapshot,
+    val partitionSchema: StructType) extends FileIndex {
+
+  private val files: Seq[DataFile] = snap.files
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(s"$tableDir/data"))
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] = files.map(_.path).toArray
+
+  override def sizeInBytes: Long = files.map(_.sizeBytes).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val byPartition = files.groupBy(_.partition)
+    byPartition.toSeq.flatMap { case (pvals, fs) =>
+      val row = partitionRow(pvals)
+      if (!partitionMatches(partitionFilters, row)) None
+      else {
+        val kept = fs.filter(f => statsAdmit(dataFilters, f))
+        if (kept.isEmpty) None
+        else Some(PartitionDirectory(row, kept.map(toStatus).toArray))
+      }
+    }
+  }
+
+  private def toStatus(f: DataFile): FileStatus =
+    new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L, new HPath(f.path))
+
+  /** Partition values cast to the partition schema's types. */
+  private def partitionRow(pvals: Map[String, String]): InternalRow = {
+    val values = partitionSchema.fields.map { f =>
+      val raw = pvals.get(f.name).orNull
+      if (raw == null) null
+      else f.dataType match {
+        case StringType  => UTF8String.fromString(raw)
+        case IntegerType => raw.toInt
+        case LongType    => raw.toLong
+        case DoubleType  => raw.toDouble
+        case FloatType   => raw.toFloat
+        case BooleanType => raw.toBoolean
+        case _           => UTF8String.fromString(raw)
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  /** Evaluate partition filters against the partition-value row (filters
+    * reference the relation's partition attributes; bind by name).
+    */
+  private def partitionMatches(filters: Seq[Expression], row: InternalRow): Boolean =
+    filters.forall { f =>
+      val bound = f.transform {
+        case a: Attribute =>
+          val idx = partitionSchema.fieldIndex(a.name)
+          BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+      }
+      try CatalystPredicate.create(bound).eval(row)
+      catch { case _: Exception => true } // unbindable → keep (conservative)
+    }
+
+  /** Range-intersect simple comparison filters with the file's stats. */
+  private def statsAdmit(filters: Seq[Expression], f: DataFile): Boolean =
+    filters.forall { e => admit(e, f) }
+
+  private def admit(e: Expression, f: DataFile): Boolean = {
+    def range(col: String): Option[(Double, Double)] =
+      f.stats.get(col).flatMap { case (mn, mx) =>
+        try Some((mn.toDouble, mx.toDouble)) catch { case _: Exception => None }
+      }
+    def num(l: Literal): Option[Double] =
+      try Some(l.value.toString.toDouble) catch { case _: Exception => None }
+    e match {
+      case GreaterThan(a: Attribute, l: Literal) =>
+        (range(a.name), num(l)) match { case (Some((_, mx)), Some(v)) => mx > v; case _ => true }
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        (range(a.name), num(l)) match { case (Some((_, mx)), Some(v)) => mx >= v; case _ => true }
+      case LessThan(a: Attribute, l: Literal) =>
+        (range(a.name), num(l)) match { case (Some((mn, _)), Some(v)) => mn < v; case _ => true }
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        (range(a.name), num(l)) match { case (Some((mn, _)), Some(v)) => mn <= v; case _ => true }
+      case EqualTo(a: Attribute, l: Literal) =>
+        (range(a.name), num(l)) match { case (Some((mn, mx)), Some(v)) => mn <= v && mx >= v; case _ => true }
+      // mirrored literal-on-left forms
+      case GreaterThan(l: Literal, a: Attribute)        => admit(LessThan(a, l), f)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => admit(LessThanOrEqual(a, l), f)
+      case LessThan(l: Literal, a: Attribute)           => admit(GreaterThan(a, l), f)
+      case LessThanOrEqual(l: Literal, a: Attribute)    => admit(GreaterThanOrEqual(a, l), f)
+      case EqualTo(l: Literal, a: Attribute)            => admit(EqualTo(a, l), f)
+      case _ => true // unsupported shape → keep the file
+    }
+  }
+}
+
+object IceboxFileIndex {
+
+  /** A DataFrame over the table's current snapshot through the manifest
+    * index: every filter gets partition pruning + stats skipping in the
+    * planner, like a native table format.
+    */
+  def readIndexed(spark: SparkSession, table: Icebox): DataFrame = {
+    val snap = table.currentSnapshot.getOrElse(sys.error(s"no table at ${table.tableDir}"))
+    val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val partCols = table.partitionColumns
+    val partSchema = StructType(partCols.map(c => full(c)))
+    val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
+    val index = new IceboxFileIndex(spark, table.tableDir, snap, partSchema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+      .select(full.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+}

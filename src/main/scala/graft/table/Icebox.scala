@@ -187,6 +187,14 @@ final class Icebox(val tableDir: String) {
   def readSnapshotId(spark: SparkSession, id: Long): DataFrame =
     readSnapshotData(spark, Some(readSnapshot(id)))
 
+  /** Read through the manifest-backed `FileIndex` (graft.plans
+    * .IceboxFileIndex): filters on this DataFrame get partition pruning and
+    * stats-based file skipping automatically during planning — no storage
+    * listing, no caller opt-in. The native-table-format read path.
+    */
+  def readIndexed(spark: SparkSession): DataFrame =
+    graft.plans.IceboxFileIndex.readIndexed(spark, this)
+
   /** Incremental scan (C1/C3 at file granularity — Iceberg's
     * `incremental read` analog): rows in data files ADDED since
     * `sinceSnapshotId`. Pure manifest diff — only the delta files are read,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import graft.plans.IceboxFileIndex
+import graft.table.Icebox
+
+class IceboxFileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): Icebox = {
+    val t = Icebox(tmpDir("fidx"))
+    val df = (1 to 100).map(i => (i.toLong, i * 1.0, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "score", "parity")
+    // partitioned by parity, stats on score, three commits
+    t.append(df.filter($"id" <= 40), partitionBy = Seq("parity"), collectStats = Seq("score"))
+    t.append(df.filter($"id" > 40 && $"id" <= 80), partitionBy = Seq("parity"), collectStats = Seq("score"))
+    t.append(df.filter($"id" > 80), partitionBy = Seq("parity"), collectStats = Seq("score"))
+    t
+  }
+
+  test("readIndexed returns the same rows as the plain read") {
+    val t = mkTable()
+    assertSameRows(t.readIndexed(spark), t.read(spark))
+  }
+
+  test("filters through the index are correct (pruning never changes results)") {
+    val t = mkTable()
+    val idx = t.readIndexed(spark)
+    idx.filter($"parity" === "even" && $"score" <= 40.0).count() shouldBe 20
+    idx.filter($"score" > 90.0).count() shouldBe 10
+    idx.filter($"parity" === "neither").count() shouldBe 0
+  }
+
+  test("listFiles prunes partitions by manifest values and files by stats") {
+    val t = mkTable()
+    val snap = t.currentSnapshot.get
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("parity", StringType)))
+    val index = new IceboxFileIndex(spark, t.tableDir, snap, partSchema)
+
+    val all = index.listFiles(Nil, Nil)
+    all.map(_.files.size).sum shouldBe snap.files.size
+
+    // partition filter: parity = 'even' keeps only that partition's files
+    val parityAttr = AttributeReference("parity", StringType)()
+    val evenOnly = index.listFiles(Seq(EqualTo(parityAttr, Literal("even"))), Nil)
+    evenOnly.map(_.files.size).sum shouldBe
+      snap.files.count(_.partition("parity") == "even")
+
+    // data filter: score <= 40 skips files whose min > 40
+    val scoreAttr = AttributeReference("score", DoubleType)()
+    val lowScores = index.listFiles(Nil, Seq(LessThanOrEqual(scoreAttr, Literal(40.0))))
+    lowScores.map(_.files.size).sum should be < snap.files.size
+    // and never drops a file that could match
+    val keptPaths = lowScores.flatMap(_.files.map(_.getPath.toString)).toSet
+    snap.files.filter(f => f.stats("score")._1.toDouble <= 40.0)
+      .foreach(f => keptPaths should contain(f.path))
+  }
+
+  test("the planned scan uses the Icebox index (no directory listing relation)") {
+    val t = mkTable()
+    val rel = t.readIndexed(spark).queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) => r
+    }
+    rel.get.location shouldBe a[IceboxFileIndex]
+  }
+}

@@ -108,6 +108,35 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** IVF with trained centroids: fit seeded KMeans (MLlib) on a sample of
+    * the corpus and run the probe against those centroids. The win over
+    * seed-row centroids is BALANCED lists (measured on the testdata:
+    * median list ≈ mean, max ≈ 1.6× mean vs heavy skew for seed rows), so
+    * per-probe candidate cost is bounded and predictable — on structureless
+    * random vectors raw recall at equal nprobe can trail seed centroids
+    * precisely because skewed seed lists scan more of the corpus; on real
+    * clustered embeddings balanced cells dominate the cost/recall frontier.
+    * Training is a one-time cost amortized over all queries (at 100 TB: fit
+    * on a sample, persist centroids, reuse per sync).
+    */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
+    val centroids = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+        .toSeq.toDF("__cid", "__centroid"))
+    ivfWithCentroids(corpus, queries, centroids, k, nprobe, vecCol, idCol)
+  }
+
   /** IVF top-k: (1) pick `nlist` deterministic seed centroids (lowest ids —
     * at scale: a KMeans fit on a sample, plugged in the same way);
     * (2) assign every corpus vector to its nearest centroid — broadcast join
@@ -121,6 +150,12 @@ object Similarity {
     val centroids = broadcast(
       corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("__cid"), col(vecCol).as("__centroid")))
+    ivfWithCentroids(corpus, queries, centroids, k, nprobe, vecCol, idCol)
+  }
+
+  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      vecCol: String, idCol: String): DataFrame = {
 
     def nearestClusters(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
       val scored = df.crossJoin(centroids)

@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSpec {
     rows.map(_.getLong(1)).headOption shouldBe Some(1L)
   }
 
+  test("ivfTopKKmeans uses trained centroids and finds the exact top neighbor") {
+    val queries = vecs.filter($"vec_id" === 0L)
+    val out = Similarity.ivfTopKKmeans(vecs, queries, k = 2, nlist = 3, nprobe = 3)
+      .orderBy("rank").collect()
+    out.map(_.getLong(1)).headOption shouldBe Some(1L)
+    // deterministic across runs (seeded KMeans)
+    val again = Similarity.ivfTopKKmeans(vecs, queries, k = 2, nlist = 3, nprobe = 3)
+      .orderBy("rank").collect()
+    out.map(_.toString).toSeq shouldBe again.map(_.toString).toSeq
+  }
+
   test("brute force plan broadcasts the query side (no corpus shuffle)") {
     val queries = vecs.filter($"vec_id" < 2)
     val plan = Similarity.bruteForceTopK(vecs, queries, k = 2)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, GenericInternalRow, Literal, Predicate => CatalystPredicate}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
@@ -96,23 +96,36 @@ final class IceboxFileIndex(
     filters.forall { e => admit(e, f) }
 
   private def admit(e: Expression, f: DataFile): Boolean = {
-    def range(col: String): Option[(Double, Double)] =
-      f.stats.get(col).flatMap { case (mn, mx) =>
-        try Some((mn.toDouble, mx.toDouble)) catch { case _: Exception => None }
+    // numeric literals compare numerically against the stat strings; string
+    // literals compare lexicographically (valid: Spark's min/max over
+    // strings is lexicographic and stats store the raw values)
+    def cmp(a: Attribute, l: Literal)(numeric: (Double, Double, Double) => Boolean)(
+        str: (String, String, String) => Boolean): Boolean =
+      f.stats.get(a.name) match {
+        case None => true
+        case Some((mn, mx)) =>
+          l.dataType match {
+            case _: NumericType =>
+              try numeric(mn.toDouble, mx.toDouble, l.value.toString.toDouble)
+              catch { case _: Exception => true }
+            case StringType =>
+              str(mn, mx, l.value.toString)
+            case _ => true
+          }
       }
-    def num(l: Literal): Option[Double] =
-      try Some(l.value.toString.toDouble) catch { case _: Exception => None }
     e match {
       case GreaterThan(a: Attribute, l: Literal) =>
-        (range(a.name), num(l)) match { case (Some((_, mx)), Some(v)) => mx > v; case _ => true }
+        cmp(a, l)((_, mx, v) => mx > v)((_, mx, v) => mx > v)
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        (range(a.name), num(l)) match { case (Some((_, mx)), Some(v)) => mx >= v; case _ => true }
+        cmp(a, l)((_, mx, v) => mx >= v)((_, mx, v) => mx >= v)
       case LessThan(a: Attribute, l: Literal) =>
-        (range(a.name), num(l)) match { case (Some((mn, _)), Some(v)) => mn < v; case _ => true }
+        cmp(a, l)((mn, _, v) => mn < v)((mn, _, v) => mn < v)
       case LessThanOrEqual(a: Attribute, l: Literal) =>
-        (range(a.name), num(l)) match { case (Some((mn, _)), Some(v)) => mn <= v; case _ => true }
+        cmp(a, l)((mn, _, v) => mn <= v)((mn, _, v) => mn <= v)
       case EqualTo(a: Attribute, l: Literal) =>
-        (range(a.name), num(l)) match { case (Some((mn, mx)), Some(v)) => mn <= v && mx >= v; case _ => true }
+        cmp(a, l)((mn, mx, v) => mn <= v && mx >= v)((mn, mx, v) => mn <= v && mx >= v)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => admit(EqualTo(a, v.asInstanceOf[Literal]), f))
       // mirrored literal-on-left forms
       case GreaterThan(l: Literal, a: Attribute)        => admit(LessThan(a, l), f)
       case GreaterThanOrEqual(l: Literal, a: Attribute) => admit(LessThanOrEqual(a, l), f)

@@ -60,6 +60,28 @@ class IceboxFileIndexSpec extends SparkSpec {
       .foreach(f => keptPaths should contain(f.path))
   }
 
+  test("string stats and IN-lists admit/skip files correctly") {
+    val t = Icebox(tmpDir("fidx-str"))
+    val df = Seq((1L, "apple"), (2L, "banana"), (3L, "cherry"), (4L, "plum"))
+      .toDF("id", "fruit")
+    df.collect() // force
+    t.append(df.filter($"id" <= 2), collectStats = Seq("fruit"))  // [apple, banana]
+    t.append(df.filter($"id" > 2), collectStats = Seq("fruit"))   // [cherry, plum]
+    val snap = t.currentSnapshot.get
+    val index = new IceboxFileIndex(spark, t.tableDir, snap,
+      new org.apache.spark.sql.types.StructType())
+    val fruitAttr = AttributeReference("fruit", StringType)()
+    def nFiles(filter: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      index.listFiles(Nil, Seq(filter)).map(_.files.size).sum
+    nFiles(EqualTo(fruitAttr, Literal("banana"))) should be < snap.files.size
+    nFiles(LessThanOrEqual(fruitAttr, Literal("b"))) should be < snap.files.size
+    nFiles(org.apache.spark.sql.catalyst.expressions.In(fruitAttr,
+      Seq(Literal("zebra"), Literal("apple")))) should be < snap.files.size
+    // correctness through the full read path
+    t.readIndexed(spark).filter($"fruit" === "cherry").count() shouldBe 1
+    t.readIndexed(spark).filter($"fruit".isin("apple", "plum")).count() shouldBe 2
+  }
+
   test("the planned scan uses the Icebox index (no directory listing relation)") {
     val t = mkTable()
     val rel = t.readIndexed(spark).queryExecution.analyzed.collectFirst {

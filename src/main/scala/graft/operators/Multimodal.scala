@@ -85,6 +85,29 @@ object Multimodal {
     }.toDF(idCol, "features")
   }
 
+  /** Compare-friendly audit of the decode path: every column is a scalar
+    * computed INSIDE the kernel from the raw bytes, so an external oracle can
+    * verify the binary plumbing end-to-end (byte count survives the binary
+    * cast, the kernel ran once per row, emitted the full feature vector, and
+    * every feature landed in the documented [0,1] range) without having to
+    * reproduce the codec. Exact stub-feature values are pinned by unit test.
+    */
+  def decodeAudit(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        val feats = decodeStub(bytes)
+        (id, bytes.length.toLong, feats.length.toLong,
+          feats.forall(f => f >= 0.0f && f <= 1.0f))
+      }
+    }.toDF(idCol, "n_bytes", "n_features", "features_ok")
+  }
+
   /** Deterministic frame sampling plan for video blobs: every `everyMs`
     * timestamp in [0, duration) — metadata-only (no decode), pure exprs.
     */

@@ -68,6 +68,18 @@ class DedupSpec extends SparkSpec {
     out should not contain (1L -> 5L)
   }
 
+  test("simHashDedupVerified drops token-multiset dups only (hash collisions verified away)") {
+    val permuted = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // permutation of 1: same multiset
+      (3L, "alpha beta gamma delta"),   // exact dup of 1
+      (4L, "alpha beta gamma epsilon")  // different multiset
+    ).toDF("doc_id", "text")
+    val kept = Dedup.simHashDedupVerified(permuted, "text", "doc_id", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 4L)
+  }
+
   test("embeddingNearDup buckets by hyperplane and finds high-cosine pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

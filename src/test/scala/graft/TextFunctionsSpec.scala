@@ -35,6 +35,26 @@ class TextFunctionsSpec extends SparkSpec {
     one[String](langId($"t"), "xyzzy qwerty") shouldBe null
   }
 
+  test("langIdByDoc matches the scalar langId on every doc (incl. ties and empties)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is fine"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y la casa es de madera"),
+      (4L, "le chat est dans la maison pour un moment"),
+      (5L, "的 是 了 在 和"),
+      (6L, "xyzzy qwerty"),            // no hits -> null
+      (7L, ""),                        // no tokens -> null
+      (8L, "de la")                    // tie between languages -> argmax tie-break
+    ).toDF("doc_id", "text")
+    val scalar = docs.select($"doc_id", langId($"text").as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val table = langIdByDoc(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    table shouldBe scalar
+    table(6L) shouldBe null
+    table(7L) shouldBe null
+  }
+
   test("fingerprint is case/whitespace insensitive") {
     val fp1 = one[String](fingerprint($"t"), "Hello   World")
     val fp2 = one[String](fingerprint($"t"), "hello world")

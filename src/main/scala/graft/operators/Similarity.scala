@@ -71,6 +71,12 @@ object Similarity {
 
   /** Exact top-k by cosine: broadcast `queries` (must be small), scan the
     * corpus once, rank per query. Deterministic tie-break on corpus id.
+    *
+    * Shuffle volume: the `row_number <= k` filter is pushed below the
+    * exchange by Spark's rank-limit pushdown — the physical plan shows
+    * `WindowGroupLimit(..., row_number, k, Partial)` BEFORE the Exchange,
+    * so each map task ships only its local top-k per query
+    * (partitions × k × |Q| rows), not the full corpus × |Q| score matrix.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
@@ -125,15 +131,11 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val train = (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
-    val centroids = broadcast(
-      model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
-        .toSeq.toDF("__cid", "__centroid"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
     ivfWithCentroids(corpus, queries, centroids, k, nprobe, vecCol, idCol)
   }
 
@@ -147,31 +149,43 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("__cid"), col(vecCol).as("__centroid")))
+    // nlist rows to the driver — centroids are plan constants, not data
+    val centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     ivfWithCentroids(corpus, queries, centroids, k, nprobe, vecCol, idCol)
   }
 
+  /** Centroid assignment as pure expressions over centroid LITERALS — the
+    * centroid set is tiny and known at plan time, so nearest-centroid is a
+    * narrow, codegen'd projection (nlist fused `graft_l2sq` calls + a struct
+    * argmin), NOT a crossJoin + window. The crossJoin form inflates the
+    * corpus nlist× and then shuffles ALL of it just to compute a per-row
+    * argmin — at 100 TB that shuffle IS the query; this form shuffles
+    * nothing until the (probe-bounded) candidate join.
+    */
   private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
-      centroids: DataFrame, k: Int, nprobe: Int,
+      centroids: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
       vecCol: String, idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
 
-    def nearestClusters(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
-      val scored = df.crossJoin(centroids)
-        .withColumn("__d", VectorExpressions.l2sq(corpus.sparkSession, col(vec), col("__centroid")))
-      val w = Window.partitionBy(id).orderBy(col("__d"), col("__cid"))
-      scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .select(col(id), col(vec), col("__cid").as(out))
-    }
+    // array of struct(distance, cid) — struct ordering = (distance, cid),
+    // the same deterministic tie-break as the old window's orderBy
+    def distStructs(vec: Column): Column = array(centroids.map { case (cid, c) =>
+      struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"))
+    }: _*)
 
-    val assigned = nearestClusters(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", 1, "__cluster")
-    val probes = nearestClusters(
-      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
-      "query_id", "__qv", nprobe, "__cluster")
+    def nearestCluster(vec: Column): Column =
+      array_min(distStructs(vec)).getField("cid")
+
+    def nearestClusters(vec: Column, n: Int): Column =
+      transform(slice(array_sort(distStructs(vec)), 1, n), s => s.getField("cid"))
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      nearestCluster(col(vecCol)).as("__cluster"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(nearestClusters(col(vecCol), nprobe)).as("__cluster")))
 
     val scored = assigned.join(broadcast(probes), "__cluster")
       .filter(col("neighbor_id") =!= col("query_id"))

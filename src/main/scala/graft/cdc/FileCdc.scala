@@ -156,22 +156,42 @@ object FileCdc {
     } finally in.close()
   }
 
-  /** Fold this cycle's changes into the checkpoint: touched partitions get
-    * fresh `{files, last_check_time}`, untouched partition state carries
-    * forward (cdc_operator.py:291-313).
+  /** Fold this cycle's changes into the checkpoint. MERGE semantics, not
+    * replace (the reference replaces, cdc_operator.py:308-310 — which makes
+    * its size/hash methods forget earlier cycles' files and re-detect them
+    * forever):
+    *  - global `processedFiles` = prior set minus stale ids of re-changed
+    *    paths, plus this cycle's ids — files from earlier cycles stay known
+    *  - a touched partition records ALL files currently listed in it (the
+    *    whole partition was reprocessed, not just the changed files);
+    *    untouched partition state carries forward
+    *  - `totalFilesProcessed` accumulates across cycles
     */
-  def advanceCheckpoint(prev: Checkpoint, changed: Seq[FileInfo], method: String,
+  def advanceCheckpoint(prev: Checkpoint, changed: Seq[FileInfo],
+      allFiles: Seq[FileInfo], method: String,
       partitionPrefix: String, nowMs: Long): Checkpoint = {
     def fileId(f: FileInfo) = method match {
       case "size" => s"${f.path}:${f.sizeBytes}"
       case "hash" => s"${f.path}:${contentHash(f.path)}"
       case _      => f.path
     }
-    val byPartition = changed.groupBy(f => f.partition.getOrElse("default"))
-    val updated = byPartition.foldLeft(prev.partitions) { case (acc, (pval, fs)) =>
-      acc.updated(pval, PartitionState(fs.map(fileId), nowMs))
+    // ids embed the path as a prefix up to the last ':' for size/hash
+    def pathOf(id: String) = method match {
+      case "size" | "hash" => id.substring(0, math.max(0, id.lastIndexOf(':')))
+      case _               => id
     }
-    Checkpoint(nowMs, changed.map(fileId), changed.size.toLong, updated)
+    val changedPaths = changed.map(_.path).toSet
+    val mergedGlobal = (prev.processedFiles.filterNot(id => changedPaths(pathOf(id))) ++
+      changed.map(fileId)).distinct
+    val allByPartition = allFiles.groupBy(f =>
+      extractPartition(f.path, partitionPrefix).getOrElse("default"))
+    val touchedPartitions = changed.map(_.partition.getOrElse("default")).distinct
+    val updated = touchedPartitions.foldLeft(prev.partitions) { case (acc, pval) =>
+      val current = allByPartition.getOrElse(pval, Nil)
+      acc.updated(pval, PartitionState(current.map(fileId), nowMs))
+    }
+    Checkpoint(nowMs, mergedGlobal, prev.totalFilesProcessed + changed.size,
+      updated)
   }
 
   // ------------------------------------------------------------- full cycle
@@ -224,8 +244,8 @@ object FileCdc {
       if (table.exists) table.append(df) else table.overwrite(df)
     }
 
-    store.save(advanceCheckpoint(checkpoint, changed, method, partitionPrefix,
-      System.currentTimeMillis()))
+    store.save(advanceCheckpoint(checkpoint, changed, files, method,
+      partitionPrefix, System.currentTimeMillis()))
     CycleResult(changed.map(_.path), touched.result(), rows)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, GenericInternalRow, Literal, Predicate => CatalystPredicate}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types._
@@ -59,19 +59,27 @@ final class IceboxFileIndex(
   private def toStatus(f: DataFile): FileStatus =
     new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L, new HPath(f.path))
 
-  /** Partition values cast to the partition schema's types. */
+  /** Partition values cast to the partition schema's types via Catalyst
+    * `Cast` — the same string→type semantics Spark's own partition-value
+    * inference uses, so Date/Timestamp/Decimal partitions round-trip
+    * correctly (this row is BOTH the predicate input and the partition
+    * values appended to scan output). Unsupported or unparseable values
+    * fail loudly instead of silently mistyping the row.
+    */
   private def partitionRow(pvals: Map[String, String]): InternalRow = {
     val values = partitionSchema.fields.map { f =>
       val raw = pvals.get(f.name).orNull
       if (raw == null) null
       else f.dataType match {
-        case StringType  => UTF8String.fromString(raw)
-        case IntegerType => raw.toInt
-        case LongType    => raw.toLong
-        case DoubleType  => raw.toDouble
-        case FloatType   => raw.toFloat
-        case BooleanType => raw.toBoolean
-        case _           => UTF8String.fromString(raw)
+        case StringType => UTF8String.fromString(raw)
+        case dt =>
+          require(Cast.canCast(StringType, dt),
+            s"unsupported partition type $dt for column ${f.name}")
+          val v = Cast(Literal(UTF8String.fromString(raw), StringType), dt,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(InternalRow.empty)
+          if (v == null) throw new IllegalArgumentException(
+            s"cannot parse partition value '$raw' as $dt for column ${f.name}")
+          v
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
@@ -96,34 +104,40 @@ final class IceboxFileIndex(
     filters.forall { e => admit(e, f) }
 
   private def admit(e: Expression, f: DataFile): Boolean = {
-    // numeric literals compare numerically against the stat strings; string
-    // literals compare lexicographically (valid: Spark's min/max over
-    // strings is lexicographic and stats store the raw values)
-    def cmp(a: Attribute, l: Literal)(numeric: (Double, Double, Double) => Boolean)(
-        str: (String, String, String) => Boolean): Boolean =
+    // numeric literals compare as exact BigDecimal against the stat strings
+    // (Double would lose precision above 2^53 and wrongly skip files whose
+    // long stats round together); string literals compare in UTF8String
+    // order — Spark's min/max over strings is UTF8 binary order, which
+    // disagrees with java.lang.String UTF-16 order for supplementary-plane
+    // characters. A null literal keeps the file (conservative).
+    def cmp(a: Attribute, l: Literal)(numeric: (BigDecimal, BigDecimal, BigDecimal) => Boolean)(
+        str: (UTF8String, UTF8String, UTF8String) => Boolean): Boolean =
       f.stats.get(a.name) match {
         case None => true
+        case _ if l.value == null => true
         case Some((mn, mx)) =>
           l.dataType match {
             case _: NumericType =>
-              try numeric(mn.toDouble, mx.toDouble, l.value.toString.toDouble)
+              try numeric(BigDecimal(mn), BigDecimal(mx), BigDecimal(l.value.toString))
               catch { case _: Exception => true }
             case StringType =>
-              str(mn, mx, l.value.toString)
+              str(UTF8String.fromString(mn), UTF8String.fromString(mx),
+                UTF8String.fromString(l.value.toString))
             case _ => true
           }
       }
     e match {
       case GreaterThan(a: Attribute, l: Literal) =>
-        cmp(a, l)((_, mx, v) => mx > v)((_, mx, v) => mx > v)
+        cmp(a, l)((_, mx, v) => mx > v)((_, mx, v) => mx.compareTo(v) > 0)
       case GreaterThanOrEqual(a: Attribute, l: Literal) =>
-        cmp(a, l)((_, mx, v) => mx >= v)((_, mx, v) => mx >= v)
+        cmp(a, l)((_, mx, v) => mx >= v)((_, mx, v) => mx.compareTo(v) >= 0)
       case LessThan(a: Attribute, l: Literal) =>
-        cmp(a, l)((mn, _, v) => mn < v)((mn, _, v) => mn < v)
+        cmp(a, l)((mn, _, v) => mn < v)((mn, _, v) => mn.compareTo(v) < 0)
       case LessThanOrEqual(a: Attribute, l: Literal) =>
-        cmp(a, l)((mn, _, v) => mn <= v)((mn, _, v) => mn <= v)
+        cmp(a, l)((mn, _, v) => mn <= v)((mn, _, v) => mn.compareTo(v) <= 0)
       case EqualTo(a: Attribute, l: Literal) =>
-        cmp(a, l)((mn, mx, v) => mn <= v && mx >= v)((mn, mx, v) => mn <= v && mx >= v)
+        cmp(a, l)((mn, mx, v) => mn <= v && mx >= v)(
+          (mn, mx, v) => mn.compareTo(v) <= 0 && mx.compareTo(v) >= 0)
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => admit(EqualTo(a, v.asInstanceOf[Literal]), f))
       // mirrored literal-on-left forms

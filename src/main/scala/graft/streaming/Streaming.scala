@@ -63,6 +63,13 @@ object Streaming {
     * a micro-batch — downstream pipelines consume table changes without
     * re-scanning. Append-only semantics (overwrites surface rewritten files
     * as new data; pair with upsert downstream, as with `changesSince`).
+    *
+    * CAVEAT — directory-driven, NOT manifest-driven: this watches raw files,
+    * so it can surface data the table's committed state never references —
+    * files of an in-flight or crashed commit, and expired-but-not-yet-GC'd
+    * files. Use `changeFeed` when exact committed-only semantics matter;
+    * this face trades that precision for Spark-native checkpointing and
+    * back-pressure.
     */
   def tableStream(spark: SparkSession, table: Icebox,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -97,6 +104,46 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("total_value"))
+
+  /** Manifest-driven change feed over an Icebox table: each cycle delivers
+    * exactly the rows added by commits since the durable cursor — driven by
+    * snapshot diffs (`changesSince`), never by directory listing, so
+    * uncommitted / crashed-commit / expired files are never surfaced (the
+    * Icebox read invariant `tableStream` cannot honor). The cursor advances
+    * only after `onBatch` returns, giving at-least-once delivery; a cursor
+    * pointing at an expired snapshot falls back to a full-table redelivery
+    * (absorbed by an idempotent/upsert consumer, as with `changesSince`).
+    * Returns the snapshot ids processed.
+    */
+  def changeFeed(spark: SparkSession, table: Icebox, cursorPath: String,
+      intervalMs: Long = 0L, maxCycles: Int = 1)(
+      onBatch: (DataFrame, Long) => Unit): Seq[Long] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cursor = Paths.get(cursorPath)
+    def loadCursor(): Option[Long] =
+      if (Files.exists(cursor)) Some(new String(Files.readAllBytes(cursor)).trim.toLong) else None
+    def saveCursor(id: Long): Unit = {
+      Option(cursor.getParent).foreach(Files.createDirectories(_))
+      val tmp = cursor.resolveSibling(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, id.toString.getBytes("UTF-8"))
+      Files.move(tmp, cursor, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    microBatchLoop(intervalMs, maxCycles) { _ =>
+      val cur = table.currentSnapshotId
+      val last = loadCursor()
+      if (cur >= 0 && !last.contains(cur)) {
+        val batch = last match {
+          case Some(id) =>
+            try table.changesSince(spark, id)
+            catch { case _: Exception => table.read(spark) } // expired cursor
+          case None => table.read(spark)
+        }
+        onBatch(batch, cur)
+        saveCursor(cur)
+        Some(cur)
+      } else None
+    }.flatten
+  }
 
   /** Blocking micro-batch loop for the *batch* CDC cycle (C9) — the engine
     * analog of the reference's every-5-minutes cron DAG: run `cycle` every

@@ -435,7 +435,11 @@ final class Icebox(val tableDir: String) {
     // Keep one consistent partitioning across live commits: a single-relation
     // read requires every live file to agree on partition directory structure.
     currentSnapshot.filter(_ => op == "append").foreach { parent =>
-      val existing = parent.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+      // compare case-insensitively on BOTH sides: directory names preserve
+      // the column's written case, so lowercasing only one side spuriously
+      // rejects every append after the first for uppercase partition columns
+      val existing = parent.files.headOption
+        .map(_.partition.keys.toSeq.map(_.toLowerCase).sorted).getOrElse(Nil)
       if (parent.files.nonEmpty)
         require(existing == partitionBy.map(_.toLowerCase).sorted,
           s"append partitioning ${partitionBy.mkString(",")} != table partitioning ${existing.mkString(",")}")

@@ -89,6 +89,50 @@ class FileCdcSpec extends SparkSpec {
     table.read(spark).count() shouldBe 2
   }
 
+  test("size method: multi-cycle disjoint changes never re-detect earlier files (partitioned)") {
+    val src = tmpDir("cdc-src5")
+    writePartFile(src, "2024-01-01", "f1.parquet", Seq((1L, "a")))
+    val table = Icebox(tmpDir("cdc-table5"))
+    val store = new FileCheckpointStore(tmpDir("cdc-cp5") + "/cp.json")
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+    // cycle 2 touches the same partition with a late file only
+    writePartFile(src, "2024-01-01", "f2.parquet", Seq((2L, "late")))
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+      .changedFiles.size shouldBe 1
+    // cycle 3 must be a no-op: f1 was NOT changed in cycle 2, but the
+    // reprocessed partition must still remember it (replace-not-merge
+    // folding re-detected it forever)
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+      .changedFiles shouldBe empty
+    table.read(spark).count() shouldBe 2
+    store.load().get.totalFilesProcessed shouldBe 2L // accumulated, not reset
+  }
+
+  test("size method: multi-cycle disjoint changes never re-append earlier files (unpartitioned)") {
+    val src = tmpDir("cdc-src6")
+    def writeFlat(name: String, rows: Seq[(Long, String)]): Unit = {
+      val f = writePartFile(src, "tmp", name, rows)
+      Files.move(Paths.get(f), Paths.get(src, name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeFlat("f1.parquet", Seq((1L, "a")))
+    Files.walk(Paths.get(src, "dt=tmp")).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    val table = Icebox(tmpDir("cdc-table6"))
+    val store = new FileCheckpointStore(tmpDir("cdc-cp6") + "/cp.json")
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+    table.read(spark).count() shouldBe 1
+    writeFlat("f2.parquet", Seq((2L, "b")))
+    Files.walk(Paths.get(src, "dt=tmp")).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+      .changedFiles.size shouldBe 1
+    // f1 must not be appended again (silent row duplication pre-fix)
+    FileCdc.runCycle(spark, src, table, store, method = "size")
+      .changedFiles shouldBe empty
+    table.read(spark).count() shouldBe 2
+  }
+
   test("file utils: exists / stat / read bytes (S6-S8)") {
     val src = tmpDir("cdc-src4")
     val f = writePartFile(src, "2024-01-01", "f1.parquet", Seq((1L, "a")))

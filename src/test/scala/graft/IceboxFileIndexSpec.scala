@@ -82,6 +82,38 @@ class IceboxFileIndexSpec extends SparkSpec {
     t.readIndexed(spark).filter($"fruit".isin("apple", "plum")).count() shouldBe 2
   }
 
+  test("date-partitioned tables read correctly through the index") {
+    val t = Icebox(tmpDir("fidx-date"))
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("id", "d").withColumn("d", to_date($"d"))
+    t.append(df, partitionBy = Seq("d"))
+    val idx = t.readIndexed(spark)
+    idx.schema("d").dataType shouldBe org.apache.spark.sql.types.DateType
+    assertSameRows(idx, t.read(spark))
+    idx.filter($"d" === to_date(lit("2024-01-02"))).count() shouldBe 2
+    idx.filter($"d" < to_date(lit("2024-01-02"))).select("id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("long stats above 2^53 do not skip files that Double rounding would conflate") {
+    val t = Icebox(tmpDir("fidx-big"))
+    val base = (1L << 53)
+    // one file whose min == max == base + 1: mx.toDouble == base.toDouble,
+    // so a Double compare of (mx > base) is false and wrongly drops the file
+    Seq((base + 1, "x")).toDF("big", "v").collect()
+    t.append(Seq((base + 1, "x")).toDF("big", "v"), collectStats = Seq("big"))
+    val snap = t.currentSnapshot.get
+    val index = new IceboxFileIndex(spark, t.tableDir, snap,
+      new org.apache.spark.sql.types.StructType())
+    val bigAttr = AttributeReference("big", org.apache.spark.sql.types.LongType)()
+    val kept = index.listFiles(Nil,
+      Seq(org.apache.spark.sql.catalyst.expressions.GreaterThan(bigAttr, Literal(base))))
+    kept.map(_.files.size).sum shouldBe 1
+    // null literal keeps the file instead of NPEing
+    val fruitless = index.listFiles(Nil,
+      Seq(EqualTo(AttributeReference("v", StringType)(), Literal(null, StringType))))
+    fruitless.map(_.files.size).sum shouldBe 1
+  }
+
   test("the planned scan uses the Icebox index (no directory listing relation)") {
     val t = mkTable()
     val rel = t.readIndexed(spark).queryExecution.analyzed.collectFirst {

@@ -22,6 +22,14 @@ class IceboxSpec extends SparkSpec {
     t.read(spark).count() shouldBe 5
   }
 
+  test("repeated appends to an uppercase partition column are accepted") {
+    val t = Icebox(tmpDir("icebox-ucase"))
+    val df = Seq((1L, "x", "d1"), (2L, "y", "d2")).toDF("id", "v", "Dt")
+    t.append(df, partitionBy = Seq("Dt"))
+    t.append(df.withColumn("id", $"id" + 10), partitionBy = Seq("Dt"))
+    t.read(spark).count() shouldBe 4
+  }
+
   test("multi-commit table reads through ONE scan relation (no per-commit union)") {
     val t = Icebox(tmpDir("icebox"))
     (1 to 5).foreach(i => t.append(sampleDf.withColumn("id", $"id" + i * 10)))

@@ -31,7 +31,7 @@ class UdfsSpec extends SparkSpec {
     val cp0 = graft.cdc.FileCdc.Checkpoint.initial
     val changed0 = graft.cdc.FileCdc.detectChanges(Seq(info), cp0, "hash", "dt")
     changed0.size shouldBe 1
-    val cp1 = graft.cdc.FileCdc.advanceCheckpoint(cp0, changed0, "hash", "dt", 1L)
+    val cp1 = graft.cdc.FileCdc.advanceCheckpoint(cp0, changed0, Seq(info), "hash", "dt", 1L)
     // same content → unchanged
     graft.cdc.FileCdc.detectChanges(Seq(info), cp1, "hash", "dt") shouldBe empty
     // same SIZE, different content → detected (size/mtime methods would miss this)

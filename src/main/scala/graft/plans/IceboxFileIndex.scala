@@ -153,14 +153,33 @@ final class IceboxFileIndex(
 
 object IceboxFileIndex {
 
+  private def nullable(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      f.dataType match {
+        case s: StructType => f.copy(dataType = nullable(s), nullable = true)
+        case a: ArrayType  => f.copy(dataType = a.copy(containsNull = true), nullable = true)
+        case m: MapType    => f.copy(dataType = m.copy(valueContainsNull = true), nullable = true)
+        case _             => f.copy(nullable = true)
+      }
+    })
+
   /** A DataFrame over the table's current snapshot through the manifest
     * index: every filter gets partition pruning + stats skipping in the
     * planner, like a native table format.
     */
-  def readIndexed(spark: SparkSession, table: Icebox): DataFrame = {
-    val snap = table.currentSnapshot.getOrElse(sys.error(s"no table at ${table.tableDir}"))
-    val full = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val partCols = table.partitionColumns
+  def readIndexed(spark: SparkSession, table: Icebox): DataFrame =
+    readSnapshot(spark, table,
+      table.currentSnapshot.getOrElse(sys.error(s"no table at ${table.tableDir}")))
+
+  /** Same, pinned to an arbitrary snapshot (time travel reads plan through
+    * the same index). Partition columns come from the snapshot's own files,
+    * so an old snapshot with a different layout still reads correctly.
+    */
+  def readSnapshot(spark: SparkSession, table: Icebox, snap: Snapshot): DataFrame = {
+    // nullable-normalize like DataFrameReader does to user schemas — files
+    // written before a column was added must read as nulls, not fail
+    val full = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
     val partSchema = StructType(partCols.map(c => full(c)))
     val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
     val index = new IceboxFileIndex(spark, table.tableDir, snap, partSchema)

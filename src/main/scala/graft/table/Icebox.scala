@@ -399,10 +399,15 @@ final class Icebox(val tableDir: String) {
 
   // --------------------------------------------------------------- internals
 
+  /** Snapshot reads plan through the manifest-backed FileIndex (the same
+    * path as `readIndexed`): partition pruning against manifest values and
+    * stats-based file skipping happen in the planner for EVERY read — no
+    * caller opt-in, no storage listing.
+    */
   private[table] def readSnapshotData(spark: SparkSession, snap: Option[Snapshot]): DataFrame =
     snap match {
       case None    => spark.emptyDataFrame
-      case Some(s) => readFiles(spark, s.files, Some(s.schemaJson))
+      case Some(s) => graft.plans.IceboxFileIndex.readSnapshot(spark, this, s)
     }
 
   /** ONE parquet relation over any file set (see class doc): explicit stored
@@ -451,10 +456,18 @@ final class Icebox(val tableDir: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
     val listed = listDataFiles(commitDir)
+    // stats columns are STICKY: once a column is stats-tracked (explicit
+    // collectStats, or a sorted/clustered compaction), subsequent writes
+    // keep collecting for it so file skipping stays effective table-wide
+    // without every caller re-opting-in
+    val statsCols =
+      if (collectStats.nonEmpty) collectStats
+      else currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
+        .filter(df.columns.contains)).getOrElse(Nil)
     val newFiles =
-      if (collectStats.isEmpty) listed
+      if (statsCols.isEmpty) listed
       else {
-        val stats = fileStats(df.sparkSession, listed.map(_.path), collectStats)
+        val stats = fileStats(df.sparkSession, listed.map(_.path), statsCols)
         listed.map(f => f.copy(stats = stats.getOrElse(f.path, Map.empty)))
       }
     commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)

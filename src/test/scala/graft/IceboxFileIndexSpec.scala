@@ -114,6 +114,30 @@ class IceboxFileIndexSpec extends SparkSpec {
     fruitless.map(_.files.size).sum shouldBe 1
   }
 
+  test("the default read path plans through the Icebox index, time travel included") {
+    val t = mkTable()
+    def location(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case LogicalRelation(r: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+          r.location
+      }.get
+    location(t.read(spark)) shouldBe a[IceboxFileIndex]
+    val firstId = t.allSnapshots.map(_.id).min
+    location(t.readSnapshotId(spark, firstId)) shouldBe a[IceboxFileIndex]
+    t.readSnapshotId(spark, firstId).count() shouldBe 40
+  }
+
+  test("stats columns are sticky across subsequent writes") {
+    val t = Icebox(tmpDir("fidx-sticky"))
+    val df = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "score")
+    t.append(df, collectStats = Seq("score"))
+    t.append(df.withColumn("score", $"score" + 100.0)) // no collectStats passed
+    val snap = t.currentSnapshot.get
+    all(snap.files.map(_.stats.keySet)) should contain("score")
+    // skipping fires on the inherited stats through the default read
+    t.read(spark).filter($"score" > 100.0).count() shouldBe 10
+  }
+
   test("the planned scan uses the Icebox index (no directory listing relation)") {
     val t = mkTable()
     val rel = t.readIndexed(spark).queryExecution.analyzed.collectFirst {

@@ -50,9 +50,10 @@ object Sessionize {
 
   /** Streaming sessionization over a typed event stream. Sessions are
     * emitted when CLOSED by a later event beyond the gap (the final open
-    * session per key stays in state — flush by sending a sentinel or using
-    * a timeout in production). Events within a micro-batch are sorted per
-    * key; cross-batch ordering relies on upstream watermarking.
+    * session per key stays in state — flush by sending a sentinel, or use
+    * `streamingEventTime` for watermark-driven emission). Events within a
+    * micro-batch are sorted per key; cross-batch ordering relies on
+    * upstream watermarking. Processing-time semantics.
     */
   def streaming(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -77,6 +78,62 @@ object Sessionize {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** Event-time streaming sessionization: watermark + `EventTimeTimeout`.
+    *
+    * Semantics the processing-time face can't give:
+    *  - '''late-event merge''': an event arriving out of order but within
+    *    the watermark joins (or extends backward) its open session instead
+    *    of being misfiled — events beyond the watermark are dropped by the
+    *    engine, bounding state;
+    *  - '''watermark-driven flush''': an open session is EMITTED once the
+    *    event-time watermark passes `session end + gap` — no sentinel event
+    *    needed, idle keys cost nothing after their timeout fires.
+    *
+    * State per key stays O(1) (one open session). The timeout timestamp is
+    * re-armed to `end + gap` on every update, so the session closes exactly
+    * when no in-watermark event can still belong to it.
+    */
+  def streamingEventTime(events: Dataset[Event], gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no admissible event can extend it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+              s.n, s.total))
+          } else {
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(OpenSession(t, t, 1, e.value))
+                case Some(s) =>
+                  // in-gap event: extends forward, or merges backward if late
+                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

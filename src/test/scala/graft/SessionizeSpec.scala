@@ -50,4 +50,40 @@ class SessionizeSpec extends SparkSpec {
     out(0).sessionEnd shouldBe ts("2024-01-01 10:10:00")
     q.stop()
   }
+
+  test("event-time sessionization merges late events and flushes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.streamingEventTime(input.toDS(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_et")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    spark.table("sess_et").count() shouldBe 0 // open, watermark at 10:00
+
+    // LATE event (10:05 < max seen 10:10) but within the watermark: merges
+    input.addData(Event(1L, ts("2024-01-01 10:05:00"), 4.0))
+    q.processAllAvailable()
+    spark.table("sess_et").count() shouldBe 0
+
+    // another user's far-future event advances the watermark past
+    // user 1's (end + gap); the NEXT trigger fires the event-time timeout
+    input.addData(Event(2L, ts("2024-01-01 13:00:00"), 9.0))
+    q.processAllAvailable()
+    input.addData(Event(2L, ts("2024-01-01 13:00:01"), 1.0))
+    q.processAllAvailable()
+
+    val out = spark.table("sess_et").as[Session].collect()
+    out.length shouldBe 1 // user 1 flushed WITHOUT any closing event
+    out(0).userId shouldBe 1L
+    out(0).nEvents shouldBe 3 // the late event merged
+    out(0).totalValue shouldBe 7.0
+    out(0).sessionStart shouldBe ts("2024-01-01 10:00:00")
+    out(0).sessionEnd shouldBe ts("2024-01-01 10:10:00")
+    q.stop()
+  }
 }

@@ -57,6 +57,22 @@ def main(sf_dir, out_dir):
             erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # Driver parity: the driver converts both sides via pandas. fetchall()
+        # yields Python ints for DuckDB HUGEINT, but .df() renders HUGEINT as
+        # float64 ("3549" -> "3549.0") which breaks the driver's value hash
+        # even when fetchall()-based compare passes. Catch that dtype skew here.
+        try:
+            gdt = {c: str(d.kind) for c, d in
+                   con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes.items()}
+            edt = {c: str(d.kind) for c, d in con.execute(oracle[name]).df().dtypes.items()}
+            skew = [(c, gdt[c], edt[c]) for c in gdt
+                    if c in edt and gdt[c] != edt[c]
+                    and {gdt[c], edt[c]} <= {"i", "u", "f"} and "f" in {gdt[c], edt[c]}]
+            if skew:
+                print(f"FAIL {name}: pandas dtype skew (driver hash would differ): {skew}")
+                n_fail += 1; continue
+        except Exception as e:
+            print(f"WARN {name}: dtype check skipped: {e}")
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
         if gc != ec:

@@ -743,7 +743,7 @@ object SparkEntry {
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-        | sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens
+        | CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens
         | FROM documents GROUP BY 1""".stripMargin,
 
     "q_text_quality" ->

@@ -47,6 +47,12 @@ object Sessionize {
   final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
   final case class Session(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
       nEvents: Long, totalValue: Double)
+  /** Event-time state: ALL sessions not yet safe to emit (pairwise > gap
+    * apart, sorted by start). A session leaves the buffer only when the
+    * watermark passes its `end + gap`, so Append-mode output is final.
+    * Size is bounded by `watermarkDelay / gap + 2` entries, not by data.
+    */
+  final case class SessionBuf(sessions: List[OpenSession])
 
   /** Streaming sessionization over a typed event stream. Sessions are
     * emitted when CLOSED by a later event beyond the gap (the final open
@@ -85,54 +91,59 @@ object Sessionize {
     *
     * Semantics the processing-time face can't give:
     *  - '''late-event merge''': an event arriving out of order but within
-    *    the watermark joins (or extends backward) its open session instead
-    *    of being misfiled — events beyond the watermark are dropped by the
-    *    engine, bounding state;
-    *  - '''watermark-driven flush''': an open session is EMITTED once the
-    *    event-time watermark passes `session end + gap` — no sentinel event
-    *    needed, idle keys cost nothing after their timeout fires.
+    *    the watermark joins its session — even one already closed by a
+    *    beyond-gap successor, and even when it BRIDGES two sessions into
+    *    one (events beyond the watermark are dropped by the engine,
+    *    bounding state);
+    *  - '''watermark-driven flush''': a session is EMITTED only once the
+    *    event-time watermark passes `session end + gap`, i.e. exactly when
+    *    no in-watermark event can still belong to it — so Append output is
+    *    final and never split/overlapping, with no sentinel event needed.
     *
-    * State per key stays O(1) (one open session). The timeout timestamp is
-    * re-armed to `end + gap` on every update, so the session closes exactly
-    * when no in-watermark event can still belong to it.
+    * State per key is a buffer of undecided sessions, bounded by
+    * `watermarkDelay / gap + 2` entries (a gap-closed session is retained
+    * at most one watermark delay). The timeout is re-armed to the earliest
+    * `end + gap` still in the buffer.
     */
   def streamingEventTime(events: Dataset[Event], gapMinutes: Int = 30,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
+
+    // Emit every session the watermark has sealed; re-arm for the rest.
+    def flush(userId: Long, buf: List[OpenSession],
+        state: GroupState[SessionBuf]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (done, pending) = buf.partition(_.end + gapMs <= wm)
+      if (pending.nonEmpty) {
+        state.update(SessionBuf(pending))
+        state.setTimeoutTimestamp(pending.map(_.end).min + gapMs)
+      } else state.remove()
+      done.sortBy(_.start).iterator.map(s =>
+        Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+    }
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBuf]) =>
           if (state.hasTimedOut) {
-            // watermark passed end + gap: no admissible event can extend it
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end),
-              s.n, s.total))
+            flush(userId, state.get.sessions, state)
           } else {
-            val closed = Seq.newBuilder[Session]
-            var cur = state.getOption
-            batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            var buf = state.getOption.map(_.sessions).getOrElse(Nil)
+            batch.foreach { e =>
               val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-                  cur = Some(OpenSession(t, t, 1, e.value))
-                case Some(s) =>
-                  // in-gap event: extends forward, or merges backward if late
-                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1, e.value))
+              // An in-watermark event joins every session within `gap` of its
+              // span — possibly bridging the two adjacent ones into one.
+              val (near, far) = buf.partition(s => t >= s.start - gapMs && t <= s.end + gapMs)
+              val merged = near.foldLeft(OpenSession(t, t, 1, e.value)) { (a, s) =>
+                OpenSession(math.min(a.start, s.start), math.max(a.end, s.end),
+                  a.n + s.n, a.total + s.total)
               }
+              buf = merged :: far
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+            flush(userId, buf, state)
           }
       }
   }

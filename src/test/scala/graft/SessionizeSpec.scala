@@ -86,4 +86,43 @@ class SessionizeSpec extends SparkSpec {
     out(0).sessionEnd shouldBe ts("2024-01-01 10:10:00")
     q.stop()
   }
+
+  test("event-time: gap-closed session is NOT emitted until the watermark seals it, " +
+      "so a late in-watermark event can still bridge it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.streamingEventTime(input.toDS(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+
+    input.addData(Event(1L, ts("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // 10:35 is beyond the 30-min gap: the [10:00] session is gap-closed but
+    // must stay in state — a late event <= 10:30 is still in-watermark
+    input.addData(Event(1L, ts("2024-01-01 10:35:00"), 2.0))
+    q.processAllAvailable()
+    spark.table("sess_bridge").count() shouldBe 0 // nothing emitted early
+
+    // late event 10:28 (>= watermark 10:25) is within gap of BOTH sessions:
+    // bridges them back into one
+    input.addData(Event(1L, ts("2024-01-01 10:28:00"), 4.0))
+    q.processAllAvailable()
+    spark.table("sess_bridge").count() shouldBe 0
+
+    // advance the watermark past 10:35 + gap via another user, then trigger
+    input.addData(Event(2L, ts("2024-01-01 11:20:00"), 9.0))
+    q.processAllAvailable()
+    input.addData(Event(2L, ts("2024-01-01 11:20:01"), 1.0))
+    q.processAllAvailable()
+
+    val out = spark.table("sess_bridge").as[Session].collect()
+    out.length shouldBe 1
+    out(0).userId shouldBe 1L
+    out(0).nEvents shouldBe 3 // one merged session, not a split pair
+    out(0).totalValue shouldBe 7.0
+    out(0).sessionStart shouldBe ts("2024-01-01 10:00:00")
+    out(0).sessionEnd shouldBe ts("2024-01-01 10:35:00")
+    q.stop()
+  }
 }

@@ -467,7 +467,7 @@ final class Icebox(val tableDir: String) {
     val newFiles =
       if (statsCols.isEmpty) listed
       else {
-        val stats = fileStats(df.sparkSession, listed.map(_.path), statsCols)
+        val stats = collectFileStats(df.sparkSession, listed.map(_.path), statsCols, df.schema)
         listed.map(f => f.copy(stats = stats.getOrElse(f.path, Map.empty)))
       }
     commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)
@@ -504,8 +504,58 @@ final class Icebox(val tableDir: String) {
     sys.error("unreachable")
   }
 
-  /** Per-file min/max of `cols` over freshly written files — one distributed
-    * aggregation grouped by input_file_name.
+  /** Per-file min/max of `cols` for freshly written files. Reads parquet
+    * FOOTER metadata (row-group column statistics) — a few KB of metadata
+    * per file, fanned out over executors — instead of re-scanning the data:
+    * at 100 TB a stat-tracked commit would otherwise pay a second full read
+    * of everything it just wrote. Columns whose footer statistics can't be
+    * decoded with exact string parity to the scan path (decimals,
+    * timestamps, nested types) fall back to the data-scan aggregation.
+    */
+  private def collectFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+      schema: StructType): Map[String, Map[String, (String, String)]] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val (footerCols, scanCols) = cols.partition(c => byName.get(c).exists(Icebox.footerDecodable))
+    val fromFooters = footerFileStats(spark, paths, footerCols, footerCols.map(c => c -> byName(c)).toMap)
+    val fromScan = if (scanCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+                   else fileStats(spark, paths, scanCols)
+    paths.map { p =>
+      p -> (fromFooters.getOrElse(p, Map.empty) ++ fromScan.getOrElse(p, Map.empty))
+    }.toMap
+  }
+
+  /** Footer-only stats: open each file's parquet footer on an executor and
+    * fold min/max across its row groups. No data pages are read. A column
+    * with absent/untrustworthy statistics in any row group yields no entry
+    * (pruning then keeps the file — conservative, same as missing stats).
+    */
+  private def footerFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+      colTypes: Map[String, DataType]): Map[String, Map[String, (String, String)]] = {
+    if (paths.isEmpty || cols.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val colsV = cols.toVector
+    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val footer = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
+      val blocks = footer.getBlocks.asScala.toSeq
+      val st = colsV.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+        val ss = chunks.map(_.getStatistics)
+        if (chunks.size != blocks.size || ss.exists(s => s == null || s.isEmpty)) None
+        else {
+          val nonNull = ss.filter(_.hasNonNullValue)
+          if (nonNull.isEmpty) None
+          else Icebox.decodeFooterMinMax(colTypes(c), nonNull).map(c -> _)
+        }
+      }.toMap
+      p -> st
+    }.collect().toMap
+  }
+
+  /** Data-scan stats (fallback for footer-undecodable column types) — one
+    * distributed aggregation grouped by input_file_name.
     */
   private def fileStats(spark: SparkSession, paths: Seq[String],
       cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
@@ -622,6 +672,52 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  import org.apache.spark.sql.types._
+
+  /** Types whose parquet footer statistics decode to the exact same string
+    * the data-scan path produces (so manifests stay byte-identical either
+    * way). Decimals/timestamps/nested types take the scan fallback.
+    */
+  private[table] def footerDecodable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | DateType | StringType => true
+    case _ => false
+  }
+
+  /** Fold row-group statistics into one (min, max) string pair, honoring
+    * each type's order: integral/floating numerically, strings in UTF8
+    * BINARY order (parquet's UTF8 comparator and Spark's string min/max
+    * agree on unsigned byte order — java.lang.String order does not).
+    */
+  private[table] def decodeFooterMinMax(dt: DataType,
+      ss: Seq[org.apache.parquet.column.statistics.Statistics[_]]): Option[(String, String)] = {
+    def longs = (ss.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+                 ss.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val (mn, mx) = longs; Some((mn.toString, mx.toString))
+      case FloatType =>
+        Some((ss.map(_.genericGetMin.asInstanceOf[java.lang.Float].floatValue).min.toString,
+              ss.map(_.genericGetMax.asInstanceOf[java.lang.Float].floatValue).max.toString))
+      case DoubleType =>
+        Some((ss.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min.toString,
+              ss.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max.toString))
+      case BooleanType =>
+        Some((ss.map(_.genericGetMin.asInstanceOf[java.lang.Boolean].booleanValue).min.toString,
+              ss.map(_.genericGetMax.asInstanceOf[java.lang.Boolean].booleanValue).max.toString))
+      case DateType =>
+        val (mn, mx) = longs
+        Some((java.time.LocalDate.ofEpochDay(mn).toString, java.time.LocalDate.ofEpochDay(mx).toString))
+      case StringType =>
+        val ord = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
+        val mins = ss.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        val maxs = ss.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        Some((new String(mins.reduce((a, b) => if (ord(a, b) <= 0) a else b), StandardCharsets.UTF_8),
+              new String(maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b), StandardCharsets.UTF_8)))
+      case _ => None
+    }
+  }
 
   def apply(tableDir: String): Icebox = new Icebox(tableDir)
 

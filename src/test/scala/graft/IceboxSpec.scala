@@ -87,6 +87,22 @@ class IceboxSpec extends SparkSpec {
     Icebox(t.tableDir).prunedFilesByStats("amount", None, Some(25.0)).size shouldBe 2
   }
 
+  test("footer-undecodable stat columns (timestamp) fall back to the data scan") {
+    val t = Icebox(tmpDir("icebox-stats-ts"))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-05 09:30:00"))
+    ).toDF("id", "ts")
+    t.append(df, collectStats = Seq("id", "ts"))
+    val f = t.currentSnapshot.get.files
+    f.foreach(_.stats.keySet shouldBe Set("id", "ts"))
+    f.flatMap(_.stats.get("id")).map(_._1).min shouldBe "1"
+    // timestamp stats come from the scan fallback: java value toString
+    val tsStats = f.flatMap(_.stats.get("ts"))
+    tsStats.map(_._1).min should startWith("2024-01-01")
+    tsStats.map(_._2).max should startWith("2024-03-05")
+  }
+
   test("compactSorted clusters files into disjoint ranges, enabling effective skipping") {
     val t = Icebox(tmpDir("icebox-sorted"))
     val big = spark.range(0, 400).selectExpr("id", "cast(id * 1.5 as double) as score")

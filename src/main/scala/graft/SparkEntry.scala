@@ -220,6 +220,22 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // M1 z-order compaction: with TWO clustering columns, a predicate on the
+    // SECOND alone must still skip files (lexicographic clustering gives the
+    // trailing column zero locality — the require proves the interleave works)
+    "q_icebox_zorder" -> ((s, dir) => {
+      val table = Icebox(tmp("qzo"))
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach(i => table.append(o.filter(col("o_orderkey") % 4 === i)))
+      table.compactSorted(s, Seq("o_custkey", "o_totalprice"), numFiles = Some(16))
+      val total = table.currentSnapshot.get.files.size
+      val pruned = table.prunedFilesByStats("o_totalprice", None, Some(5000.0))
+      require(total > 1 && pruned.size < total,
+        s"z-order skipping on the 2nd column had no effect: $total files, ${pruned.size} kept")
+      table.readWhereStats(s, "o_totalprice", None, Some(5000.0))
+        .filter(col("o_totalprice") <= 5000.0)
+    }),
+
     // manifest-backed FileIndex read: pruning in the planner, no opt-in
     "q_icebox_indexed_read" -> ((s, dir) => {
       val table = Icebox(tmp("qir"))
@@ -490,9 +506,15 @@ object SparkEntry {
     // LLM: end-to-end MinHash-LSH dedup, oracle-checkable construction — at
     // threshold 1.0 on a corpus of injected EXACT duplicates, the survivor
     // set equals the exact-dedup set (identical text shares every LSH band
-    // and has Jaccard exactly 1.0; every doc here is >= shingle size).
+    // and has Jaccard exactly 1.0). Docs whose NORMALIZED text is below the
+    // shingle size (5) get no signature and can't dedup — both sides filter
+    // them out identically so the equivalence can't silently depend on the
+    // fixture containing none. Assumes no duplicate group exceeds
+    // maxBucketSize (default 1000) — oversized LSH buckets are dropped by
+    // the engine (graft_dedup_buckets metric counts them).
     "q_minhash_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .filter(length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) >= 5)
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
       Dedup.minHashDedup(doubled, "text", "doc_id", threshold = 1.0)
     }),
@@ -500,9 +522,12 @@ object SparkEntry {
     // LLM: end-to-end SimHash dedup with exact verification — survivors are
     // exactly the min-id doc per token multiset (simhash candidacy is
     // necessary for multiset equality; the verify stage rejects hash
-    // collisions), which IS ANSI-expressible.
+    // collisions), which IS ANSI-expressible. Tokenless docs (blank text)
+    // get no simhash and can't dedup — filtered identically on both sides.
+    // Assumes no 16-bit simhash band bucket exceeds maxBucketSize (1000);
+    // dropped buckets are counted by the graft_dedup_buckets metric.
     "q_simhash_dedup" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").filter(trim(col("text")) =!= "")
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
       Dedup.simHashDedupVerified(doubled, "text", "doc_id", maxHamming = 3)
     }),
@@ -519,6 +544,51 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LLM: KMeans-trained IVF at FULL probe (nprobe = nlist): probing every
+    // list makes the candidate set the whole corpus, so the result must
+    // equal brute-force top-k EXACTLY, whatever centroids training produced
+    // — an end-to-end oracle over the trained path (fit, assignment, probe
+    // join) that no static SQL could give at partial probe.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LLM: LSH recall invariant — every pair with EQUAL normalized
+    // fingerprints (⇒ equal shingle sets ⇒ identical MinHash signatures ⇒
+    // shares every band) MUST be an LSH candidate pair; emits the violating
+    // pairs, oracle = empty. Guards the banding/bucketing plumbing end to
+    // end (same signature-less-doc filter as q_minhash_dedup).
+    "q_minhash_recall" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) >= 5)
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      val fp = doubled.select(col("doc_id").as("id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val exactPairs = fp.as("a")
+        .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      exactPairs.join(Dedup.minHashCandidates(doubled, "text", "doc_id"),
+        Seq("idA", "idB"), "left_anti")
+    }),
+
+    // LLM: simhash recall invariant — every token-multiset-equal pair is
+    // Hamming-0, so it MUST survive banding as a candidate; oracle = empty.
+    "q_simhash_recall" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      val tk = doubled.select(col("doc_id").as("id"),
+        array_sort(TextFunctions.tokens(col("text"))).as("tk"))
+      val exactPairs = tk.as("a")
+        .join(tk.as("b"), col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      exactPairs.join(
+        Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
+          .select(col("idA"), col("idB")),
+        Seq("idA", "idB"), "left_anti")
     }),
 
     // LLM: embedding-cosine near-dup via hyperplane LSH buckets (rows-only)
@@ -605,6 +675,7 @@ object SparkEntry {
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
+    "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_indexed_read" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice <= 50000.0",
     "q_icebox_compact" -> "SELECT * FROM lineitem",
@@ -713,7 +784,9 @@ object SparkEntry {
     // threshold-1.0 LSH dedup keeps exactly the min-id doc per distinct
     // 5-char shingle SET (equal sets ⇒ identical signatures ⇒ candidates,
     // and Jaccard is exactly 1.0 only for equal sets at these doc sizes) —
-    // the oracle recomputes that set directly
+    // the oracle recomputes that set directly. Mirrors the query's filter of
+    // docs whose normalized text is below the shingle size (they get no
+    // signature on the engine side).
     "q_minhash_dedup" ->
       """WITH doubled AS (
         |  SELECT * FROM documents
@@ -722,6 +795,7 @@ object SparkEntry {
         |norm AS (
         |  SELECT *, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS __n FROM doubled)
         |SELECT doc_id, text, lang, source, n_chars FROM norm
+        |WHERE len(__n) >= 5
         |QUALIFY row_number() OVER (
         |  PARTITION BY list_sort(list_distinct(
         |    list_transform(range(1, greatest(len(__n) - 3, 1)), i -> substr(__n, i, 5))))
@@ -729,13 +803,15 @@ object SparkEntry {
 
     // verified simhash dedup keeps the min-id doc per token MULTISET (the
     // corpus contains genuine permutation near-dups, which simhash+verify
-    // correctly collapses and sha256 would not)
+    // correctly collapses and sha256 would not). Mirrors the query's filter
+    // of tokenless docs (no simhash on the engine side).
     "q_simhash_dedup" ->
       """WITH doubled AS (
         |  SELECT * FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)
         |SELECT * FROM doubled
+        |WHERE trim(text) <> ''
         |QUALIFY row_number() OVER (
         |  PARTITION BY list_sort(regexp_split_to_array(trim(text), '\s+'))
         |  ORDER BY doc_id) = 1""".stripMargin,
@@ -786,6 +862,24 @@ object SparkEntry {
         | FROM embeddings a, embeddings b
         | WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
         | QUALIFY rank <= 5""".stripMargin,
+
+    // full-probe IVF (nprobe = nlist) degenerates to exact search: the
+    // oracle is brute-force top-k, independent of the trained centroids
+    "q_ann_ivf_kmeans" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine,
+        | row_number() OVER (PARTITION BY a.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+        | QUALIFY rank <= 5""".stripMargin,
+
+    // recall invariants: the engine emits every violating pair; the oracle
+    // asserts there are none (the LSH guarantee is exactly "this is empty")
+    "q_minhash_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS idA, CAST(NULL AS BIGINT) AS idB WHERE 1 = 0",
+    "q_simhash_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS idA, CAST(NULL AS BIGINT) AS idB WHERE 1 = 0",
 
     // the injected duplicates are bit-identical vectors: the only pairs that
     // can clear cosine >= 0.99 on this corpus (max inter-vector cosine ~0.45),

@@ -85,16 +85,25 @@ object Dedup {
     bucketPairs(banded, maxBucketSize)
   }
 
+  private val observeSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Pairs (idA < idB) of ids sharing a (band, key) bucket — via ONE shuffle
     * into buckets + inline pair generation, never a self-join (a self-join
     * would recompute the upstream signature pipeline once per side). Buckets
     * larger than `maxBucketSize` are dropped (boilerplate guard: quadratic
-    * pair explosion on pathological content).
+    * pair explosion on pathological content). Dropped buckets are NOT
+    * silent: every run reports a `graft_dedup_buckets_N` observation
+    * (dropped_oversize_buckets, max_bucket_size) via the standard
+    * `QueryExecutionListener`/`StreamingQueryListener` metric channel, so a
+    * recall loss from a cap undersized for the corpus is diagnosable.
     */
   private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val ids = array_sort(collect_list("__id"))
     banded.groupBy("__band", "__key")
       .agg(ids.as("__ids"))
+      .observe(s"graft_dedup_buckets_${observeSeq.incrementAndGet()}",
+        sum(when(size(col("__ids")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_oversize_buckets"),
+        max(size(col("__ids"))).as("max_bucket_size"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(flatten(transform(
         sequence(lit(1), size(col("__ids")) - 1),

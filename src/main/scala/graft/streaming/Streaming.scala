@@ -134,8 +134,18 @@ object Streaming {
       if (cur >= 0 && !last.contains(cur)) {
         val batch = last match {
           case Some(id) =>
+            // Only a MISSING manifest means the cursor's snapshot was
+            // expired (GC'd) — that's the documented full-redelivery case.
+            // A corrupt manifest or transient IO failure propagates instead
+            // of silently turning into a surprise full re-read.
             try table.changesSince(spark, id)
-            catch { case _: Exception => table.read(spark) } // expired cursor
+            catch {
+              case e: java.nio.file.NoSuchFileException =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"changeFeed cursor snapshot $id expired (${e.getMessage}); " +
+                    "falling back to full-table redelivery")
+                table.read(spark)
+            }
           case None => table.read(spark)
         }
         onBatch(batch, cur)

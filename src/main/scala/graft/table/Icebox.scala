@@ -285,6 +285,17 @@ final class Icebox(val tableDir: String) {
     * `readWhereStats` predicates on the sort column touch O(matching files):
     * the Iceberg "rewrite with sort order" maintenance action that makes
     * data skipping effective.
+    *
+    * With MULTIPLE numeric sort columns the clustering key is a Z-ORDER
+    * interleave, not the lexicographic concatenation: lexicographic order
+    * gives the trailing columns no file locality at all (a predicate on the
+    * second column alone skips nothing), while interleaved quantile-bucket
+    * bits give every sort column ~equal locality, so min/max skipping works
+    * for each of them independently — Iceberg's z-order rewrite strategy.
+    * Bucketing uses `percentile_approx` boundaries fetched once to the
+    * driver (a sketch aggregate, NOT a global sort) and baked into the plan
+    * as literals; the only shuffle is the final range partition by z-key.
+    * Falls back to lexicographic when any sort column is non-numeric.
     */
   def compactSorted(spark: SparkSession, sortBy: Seq[String],
       targetFileMb: Int = 512, numFiles: Option[Int] = None): Snapshot = {
@@ -293,9 +304,20 @@ final class Icebox(val tableDir: String) {
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val n = numFiles.getOrElse(
       math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt))
-    val df = read(spark)
-      .repartitionByRange(n, sortBy.map(col): _*)
-      .sortWithinPartitions(sortBy.map(col): _*)
+    val base = read(spark)
+    val allNumeric = sortBy.forall(c => base.schema.fields.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    val df =
+      if (sortBy.size < 2 || !allNumeric)
+        base.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else {
+        val z = Icebox.zOrderKey(base, sortBy)
+        base.withColumn("__z", z)
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
     commit(df, partitionColumns, "compact", collectStats = sortBy) { (_, newFiles) => newFiles }
   }
 
@@ -674,6 +696,31 @@ object Icebox {
   val CommitCol = "graft_commit"
 
   import org.apache.spark.sql.types._
+
+  /** Z-order clustering key over numeric columns: each column is mapped to
+    * a quantile bucket (boundaries from one `percentile_approx` sketch
+    * aggregate, baked into the plan as literals — no global sort, no extra
+    * shuffle), and the bucket bits are interleaved so every column gets
+    * ~equal file locality. Codegen-friendly: the per-row work is a chain of
+    * literal comparisons + bit ops, no HOFs.
+    */
+  private[table] def zOrderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val ncols = cols.size
+    val bits = math.max(2, 14 / ncols) // z-key width = bits * ncols <= 14+
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"), lit(probs), lit(10000)).as(s"__q_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.indices.map { i =>
+      val bs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty)
+      if (bs.isEmpty) lit(0L) // all-null column: single bucket
+      else bs.map(b => when(col(cols(i)).cast("double") > lit(b), 1L).otherwise(0L)).reduce(_ + _)
+    }
+    (for (j <- 0 until bits; i <- 0 until ncols) yield
+      shiftleft(shiftright(buckets(i), j).bitwiseAND(1L), j * ncols + i)
+    ).reduce(_ bitwiseOR _)
+  }
 
   /** Types whose parquet footer statistics decode to the exact same string
     * the data-scan path produces (so manifests stay byte-identical either

@@ -145,4 +145,28 @@ class IceboxFileIndexSpec extends SparkSpec {
     }
     rel.get.location shouldBe a[IceboxFileIndex]
   }
+
+  test("z-order compaction gives the SECOND sort column real file locality") {
+    val t = Icebox(tmpDir("fidx-zorder"))
+    // a cycles fast, b in blocks: under LEXICOGRAPHIC (a, b) clustering every
+    // file would span b's whole domain — a predicate on b alone skips nothing
+    val df = spark.range(0, 4096)
+      .selectExpr("id", "cast(id % 64 as double) as a", "cast(id div 64 as double) as b")
+    t.append(df)
+    t.compactSorted(spark, Seq("a", "b"), numFiles = Some(16))
+    val files = t.currentSnapshot.get.files
+    files.size should be > 4
+    files.foreach(_.stats.keySet shouldBe Set("a", "b"))
+    // z-interleave: a narrow predicate on b ALONE must prune files
+    val hit = t.prunedFilesByStats("b", Some(10.0), Some(12.0))
+    hit.size should be < files.size / 2
+    // pruning on the FIRST column still works too
+    t.prunedFilesByStats("a", Some(10.0), Some(12.0)).size should be < files.size
+    // and never changes results
+    assertSameRows(
+      t.readWhereStats(spark, "b", Some(10.0), Some(12.0)).filter($"b".between(10.0, 12.0)),
+      df.filter($"b".between(10.0, 12.0)))
+    // the default planner read agrees as well (stats skipping is in-plan)
+    t.read(spark).filter($"b" === 20.0).count() shouldBe 64
+  }
 }

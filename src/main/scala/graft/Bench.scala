@@ -16,7 +16,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: interleaved WARN lines have corrupted the one-line
+    // JSON capture downstream (BENCH_r02/r03 both show parsed: null)
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session (codegen, parquet footer reads) so the first timed
     // query doesn't absorb JVM startup
     try SparkEntry.queries("q_count")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,6 +35,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

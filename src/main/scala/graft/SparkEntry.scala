@@ -553,7 +553,10 @@ object SparkEntry {
     // join) that no static SQL could give at partial probe.
     "q_ann_ivf_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8)
+      // trainFraction < 1: the oracle is centroid-independent at full probe,
+      // so sampled training is free accuracy-wise and 4x cheaper
+      Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8,
+        trainFraction = 0.25)
         .withColumn("rank", col("rank").cast("long"))
     }),
 

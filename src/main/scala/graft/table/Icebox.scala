@@ -707,7 +707,9 @@ object Icebox {
   private[table] def zOrderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val ncols = cols.size
-    val bits = math.max(2, 14 / ncols) // z-key width = bits * ncols <= 14+
+    // 2^bits quantile buckets per column: file-level clustering only needs
+    // bucket count ≈ a few × file count, not row-level resolution
+    val bits = math.max(2, 10 / ncols)
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     val aggs = cols.map(c => percentile_approx(col(c).cast("double"), lit(probs), lit(10000)).as(s"__q_$c"))

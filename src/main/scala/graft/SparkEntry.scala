@@ -220,6 +220,26 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // SQL-text MERGE INTO (parsed by Spark's parser, executed copy-on-write
+    // as one atomic Icebox commit): conditional DELETE + UPDATE + INSERT *
+    "q_merge_into" -> ((s, dir) => {
+      val table = Icebox(tmp("qmi"))
+      val o = t(s, dir, "orders")
+      table.overwrite(o)
+      graft.sql.MergeSql.register("qmi_target", table)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000))
+        .createOrReplaceTempView("qmi_source")
+      graft.sql.MergeSql.merge(s,
+        """MERGE INTO qmi_target t USING qmi_source s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      table.read(s)
+    }),
+
     // M1 z-order compaction: with TWO clustering columns, a predicate on the
     // SECOND alone must still skip files (lexicographic clustering gives the
     // trailing column zero locality — the require proves the interleave works)
@@ -679,6 +699,19 @@ object SparkEntry {
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
+
+    // the MERGE semantics written out longhand: matched F-status rows
+    // deleted, other matched rows repriced, +1M-key source rows inserted
+    "q_merge_into" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "q_icebox_indexed_read" ->
       "SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice <= 50000.0",
     "q_icebox_compact" -> "SELECT * FROM lineitem",

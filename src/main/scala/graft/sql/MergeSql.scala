@@ -1,0 +1,177 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+import graft.table.{Icebox, Snapshot}
+
+/** SQL-text `MERGE INTO` over Icebox tables (SURVEY §4 nice-to-have).
+  *
+  * The statement is parsed by SPARK'S OWN parser
+  * (`sessionState.sqlParser.parsePlan` → catalyst `MergeIntoTable`), so the
+  * accepted syntax — multiple conditional WHEN clauses, `UPDATE SET *`,
+  * `INSERT *`, `WHEN NOT MATCHED BY SOURCE` — is exactly Spark's, and the
+  * parsed catalyst expressions are executed verbatim (re-rendered via
+  * `Expression.sql` onto aliased DataFrames). Execution is copy-on-write
+  * against the Icebox snapshot log: one join pass computes the merged row
+  * set, one atomic `overwrite` commit publishes it (readers only ever see
+  * the pre- or post-merge snapshot).
+  *
+  * Why not a DSv2 `SupportsRowLevelOperations` catalog: Spark's analyzer
+  * rewrite for v2 MERGE requires the table to supply a full DataSourceV2
+  * scan + replace-data write; the builtin parquet DSv2 machinery is
+  * `private[sql]`, so that route means hand-rolling a parquet reader. The
+  * parser-level route reuses Catalyst end to end and keeps the engine's
+  * single write path (Icebox commits) — same trade the programmatic
+  * `Upsert` face already makes.
+  *
+  * Matched-action semantics follow the SQL standard as Spark/Delta
+  * implement it: actions apply first-match-wins in clause order; a target
+  * row matched by MORE THAN ONE source row errors when any matched action
+  * exists (non-deterministic merge), matching Delta's cardinality check.
+  *
+  * Scale: the merge is one shuffle join (target × source on the ON
+  * condition) plus broadcast-size action predicates; the cardinality check
+  * is a count over the joined keys, piggybacking the same shuffle shape. At
+  * 100 TB the dominant cost is the copy-on-write rewrite itself — the same
+  * cost profile as `Upsert.intoTable`, which callers with partition-scoped
+  * sources should prefer (`intoTablePartitions` rewrites only touched
+  * partitions).
+  *
+  * Source references: a table/temp-view name (optionally aliased). For a
+  * subquery source, register it as a temp view first — the one divergence
+  * from full MERGE syntax, documented here.
+  */
+object MergeSql {
+
+  /** name → Icebox handle; targets of MERGE statements must be registered. */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Icebox]()
+
+  def register(name: String, table: Icebox): Unit = registry.put(name.toLowerCase, table)
+
+  def lookup(name: String): Option[Icebox] = Option(registry.get(name.toLowerCase))
+
+  /** Execute a `MERGE INTO` statement; returns the committed snapshot. */
+  def merge(spark: SparkSession, sqlText: String): Snapshot =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable => execute(spark, m)
+      case other => sys.error(s"not a MERGE INTO statement: ${other.getClass.getSimpleName}")
+    }
+
+  // ------------------------------------------------------------------ exec
+
+  private def execute(spark: SparkSession, m: MergeIntoTable): Snapshot = {
+    val (targetName, targetAlias) = ref(m.targetTable)
+    val (sourceName, sourceAlias) = ref(m.sourceTable)
+    val icebox = lookup(targetName).getOrElse(
+      sys.error(s"MERGE target '$targetName' is not a registered Icebox table " +
+        s"(MergeSql.register(name, table) first)"))
+    val targetSchema = icebox.currentSnapshot
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(sys.error(s"MERGE target '$targetName' is empty"))
+    val targetCols = targetSchema.fieldNames.toSeq
+
+    // __tid uniquely identifies a target row for the cardinality check;
+    // localCheckpoint pins the ids (monotonically_increasing_id is only
+    // stable within one materialization)
+    val tgt = icebox.read(spark).withColumn("__tid", monotonically_increasing_id())
+      .localCheckpoint(eager = true).alias(targetAlias)
+    val src = spark.table(sourceName).alias(sourceAlias)
+    val cond = asColumn(m.mergeCondition)
+
+    val matched = tgt.join(src, cond, "inner")
+    if (m.matchedActions.nonEmpty) {
+      val dups = matched.groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
+      require(dups == 0L,
+        "MERGE cardinality violation: a target row matches more than one source row")
+    }
+
+    // first-match-wins action index; 0 = no clause applies (keep row as-is)
+    def actionIndex(actions: Seq[MergeAction]): Column =
+      actions.zipWithIndex.foldRight(lit(0)) { case ((a, i), rest) =>
+        when(a.condition.map(asColumn).getOrElse(lit(true)), lit(i + 1)).otherwise(rest)
+      }
+
+    // per-column value under each action (UPDATE assigns, DELETE filtered later)
+    def applyActions(df: DataFrame, actions: Seq[MergeAction]): DataFrame = {
+      val withIdx = df.withColumn("__act", actionIndex(actions))
+      val deletes = actions.zipWithIndex.collect { case (_: DeleteAction, i) => i + 1 }
+      val kept = withIdx.filter(!col("__act").isin(deletes.map(Integer.valueOf): _*) ||
+        lit(deletes.isEmpty))
+      val outCols = targetCols.map { c =>
+        val perAction = actions.zipWithIndex.foldLeft(col(s"$targetAlias.$c")) {
+          case (acc, (u: UpdateAction, i)) =>
+            when(col("__act") === (i + 1), assignedValue(u.assignments, c)
+              .getOrElse(col(s"$targetAlias.$c"))).otherwise(acc)
+          case (acc, (_: UpdateStarAction, i)) =>
+            when(col("__act") === (i + 1), col(s"$sourceAlias.$c")).otherwise(acc)
+          case (acc, _) => acc
+        }
+        perAction.as(c)
+      }
+      kept.select(outCols: _*)
+    }
+
+    val mergedMatched =
+      if (m.matchedActions.isEmpty) matched.select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
+      else applyActions(matched, m.matchedActions)
+
+    val unmatchedTarget = tgt.join(src, cond, "left_anti")
+    val mergedUnmatched =
+      if (m.notMatchedBySourceActions.isEmpty)
+        unmatchedTarget.select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
+      else applyActions(unmatchedTarget, m.notMatchedBySourceActions)
+
+    val inserts: Option[DataFrame] =
+      if (m.notMatchedActions.isEmpty) None
+      else {
+        val unmatchedSource = src.join(tgt, cond, "left_anti")
+          .withColumn("__act", actionIndex(m.notMatchedActions))
+          .filter(col("__act") > 0)
+        val outCols = targetCols.map { c =>
+          val typedNull = lit(null).cast(targetSchema(c).dataType)
+          val perAction = m.notMatchedActions.zipWithIndex.foldLeft(typedNull) {
+            case (acc, (ins: InsertAction, i)) =>
+              when(col("__act") === (i + 1), assignedValue(ins.assignments, c)
+                .getOrElse(typedNull)).otherwise(acc)
+            case (acc, (_: InsertStarAction, i)) =>
+              when(col("__act") === (i + 1), col(s"$sourceAlias.$c")).otherwise(acc)
+            case (acc, _) => acc
+          }
+          perAction.as(c)
+        }
+        Some(unmatchedSource.select(outCols: _*))
+      }
+
+    val result = inserts.foldLeft(mergedMatched.unionByName(mergedUnmatched))(_ unionByName _)
+    icebox.overwrite(result, icebox.partitionColumns)
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  /** (table name, alias) of a parsed target/source reference. */
+  private def ref(plan: LogicalPlan): (String, String) = plan match {
+    case SubqueryAlias(id, child) => (ref(child)._1, id.name)
+    case UnresolvedRelation(parts, _, _) => (parts.mkString("."), parts.last)
+    case other =>
+      sys.error(s"MERGE source/target must be a table or view name " +
+        s"(got ${other.getClass.getSimpleName}); register a temp view for subquery sources")
+  }
+
+  /** Parsed catalyst expression → Column, via its SQL rendering (the public
+    * route — the `Column(Expression)` constructor is gone in Spark 4).
+    */
+  private def asColumn(e: Expression): Column = expr(e.sql)
+
+  /** The value assigned to target column `c`, if any assignment names it
+    * (qualified or not, case-insensitive).
+    */
+  private def assignedValue(assignments: Seq[Assignment], c: String): Option[Column] =
+    assignments.collectFirst {
+      case a if a.key.sql.split('.').last.stripPrefix("`").stripSuffix("`")
+        .equalsIgnoreCase(c) => asColumn(a.value)
+    }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sql.MergeSql
+import graft.table.Icebox
+
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTarget(name: String): Icebox = {
+    val t = Icebox(tmpDir(s"merge-$name"))
+    t.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+    ).toDF("id", "name", "amount"))
+    MergeSql.register(name, t)
+    t
+  }
+
+  test("conditional UPDATE / DELETE / INSERT clauses, first-match-wins") {
+    val t = freshTarget("t_full")
+    Seq((2L, "B", 200.0), (3L, "del", 0.0), (4L, "d", 40.0), (5L, "tiny", 1.0))
+      .toDF("id", "name", "amount").createOrReplaceTempView("src_full")
+    MergeSql.merge(spark,
+      """MERGE INTO t_full t USING src_full s ON t.id = s.id
+        |WHEN MATCHED AND s.name = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.name, amount = s.amount + 1
+        |WHEN NOT MATCHED AND s.amount > 10 THEN
+        |  INSERT (id, name, amount) VALUES (s.id, s.name, s.amount)
+        |""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "a", 10.0),   // untouched
+      (2L, "B", 201.0),  // updated (second clause)
+      (4L, "d", 40.0))   // inserted; id=3 deleted, id=5 fails insert condition
+  }
+
+  test("UPDATE SET * and INSERT * map columns by name") {
+    val t = freshTarget("t_star")
+    Seq((3L, "C!", 300.0), (9L, "nine", 90.0))
+      .toDF("id", "name", "amount").createOrReplaceTempView("src_star")
+    MergeSql.merge(spark,
+      """MERGE INTO t_star t USING src_star s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "C!", 300.0), (9L, "nine", 90.0))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE DELETE removes unreferenced target rows") {
+    val t = freshTarget("t_bysrc")
+    Seq((2L, "keep", 0.0)).toDF("id", "name", "amount").createOrReplaceTempView("src_bysrc")
+    MergeSql.merge(spark,
+      """MERGE INTO t_bysrc t USING src_bysrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED BY SOURCE AND t.amount >= 30.0 THEN DELETE""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1)
+    out shouldBe Array((1L, "a", 10.0), (2L, "keep", 20.0)) // id=3 deleted
+  }
+
+  test("cardinality violation (two source rows match one target row) errors") {
+    val t = freshTarget("t_card")
+    Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "name", "amount")
+      .createOrReplaceTempView("src_card")
+    val e = intercept[IllegalArgumentException] {
+      MergeSql.merge(spark,
+        """MERGE INTO t_card t USING src_card s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    }
+    e.getMessage should include("cardinality")
+    // and the table is untouched (the commit never happened)
+    t.read(spark).count() shouldBe 3
+  }
+
+  test("merge is one atomic snapshot commit with rollback available") {
+    val t = freshTarget("t_atomic")
+    val before = t.currentSnapshotId
+    Seq((1L, "A2", 11.0)).toDF("id", "name", "amount").createOrReplaceTempView("src_atomic")
+    MergeSql.merge(spark,
+      """MERGE INTO t_atomic t USING src_atomic s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    t.currentSnapshotId shouldBe before + 1
+    t.rollbackTo(before)
+    t.read(spark).filter($"id" === 1L).select("name").as[String].head() shouldBe "a"
+  }
+}

@@ -312,7 +312,7 @@ final class Icebox(val tableDir: String) {
         base.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else {
-        val z = Icebox.zOrderKey(base, sortBy)
+        val z = Icebox.zOrderKey(base, sortBy, targetFiles = n)
         base.withColumn("__z", z)
           .repartitionByRange(n, col("__z"))
           .sortWithinPartitions(col("__z"))
@@ -704,15 +704,22 @@ object Icebox {
     * ~equal file locality. Codegen-friendly: the per-row work is a chain of
     * literal comparisons + bit ops, no HOFs.
     */
-  private[table] def zOrderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+  private[table] def zOrderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      targetFiles: Int = 64): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val ncols = cols.size
-    // 2^bits quantile buckets per column: file-level clustering only needs
-    // bucket count ≈ a few × file count, not row-level resolution
-    val bits = math.max(2, 10 / ncols)
+    // Resolution scales with the FILE count, not the row count: z-cells only
+    // need to outnumber output files by a small factor for file-level
+    // min/max locality, and the bucket expression (a literal comparison
+    // chain) is codegen'd — oversizing it just inflates one-time Janino
+    // compile latency. 4x target files in cells, clamped to [2,8] bits/col.
+    val cellBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(2, targetFiles).toLong * 4 - 1)
+    val bits = math.min(8, math.max(2, math.ceil(cellBits.toDouble / ncols).toInt))
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val aggs = cols.map(c => percentile_approx(col(c).cast("double"), lit(probs), lit(10000)).as(s"__q_$c"))
+    // accuracy 1000 ≈ ±0.1% boundary error — invisible at 2^bits ≤ 32
+    // buckets, and the sketch is ~4x cheaper to update than the default
+    val aggs = cols.map(c => percentile_approx(col(c).cast("double"), lit(probs), lit(1000)).as(s"__q_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.indices.map { i =>
       val bs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty)

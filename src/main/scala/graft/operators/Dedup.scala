@@ -41,6 +41,28 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** STREAMING exact dedup for ingest pipelines: first sighting of each
+    * content hash passes through, duplicates arriving within the watermark
+    * horizon are dropped, and per-hash state expires once the watermark
+    * moves past it — so state is bounded by the dedup horizon, not the
+    * stream's lifetime (`dropDuplicatesWithinWatermark`, the engine-native
+    * bounded-state dedup). A duplicate arriving LATER than `watermarkDelay`
+    * after its original is re-emitted: streaming dedup trades unbounded
+    * memory for a horizon, the standard contract for ingest dedup; run
+    * `exact` on the accumulated table for global guarantees.
+    * `normalized = true` dedups on the whitespace/case-insensitive
+    * fingerprint instead of the raw hash.
+    */
+  def streamingExact(events: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes", normalized: Boolean = false): DataFrame = {
+    val key = if (normalized) TextFunctions.fingerprint(col(textCol)) else sha2(col(textCol), 256)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("__h", key)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   // ------------------------------------------------------------ MinHash-LSH
 
   /** MinHash signatures as (id, sig array<long>) — computed via

@@ -74,20 +74,12 @@ object MergeSql {
       .getOrElse(sys.error(s"MERGE target '$targetName' is empty"))
     val targetCols = targetSchema.fieldNames.toSeq
 
-    // __tid uniquely identifies a target row for the cardinality check;
-    // localCheckpoint pins the ids (monotonically_increasing_id is only
-    // stable within one materialization)
-    val tgt = icebox.read(spark).withColumn("__tid", monotonically_increasing_id())
-      .localCheckpoint(eager = true).alias(targetAlias)
+    val tgt = icebox.read(spark).alias(targetAlias)
     val src = spark.table(sourceName).alias(sourceAlias)
     val cond = asColumn(m.mergeCondition)
 
     val matched = tgt.join(src, cond, "inner")
-    if (m.matchedActions.nonEmpty) {
-      val dups = matched.groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
-      require(dups == 0L,
-        "MERGE cardinality violation: a target row matches more than one source row")
-    }
+    if (m.matchedActions.nonEmpty) cardinalityCheck(matched, tgt, targetAlias, targetCols)
 
     // first-match-wins action index; 0 = no clause applies (keep row as-is)
     def actionIndex(actions: Seq[MergeAction]): Column =
@@ -148,6 +140,26 @@ object MergeSql {
 
     val result = inserts.foldLeft(mergedMatched.unionByName(mergedUnmatched))(_ unionByName _)
     icebox.overwrite(result, icebox.partitionColumns)
+  }
+
+  /** Reject merges where a target row matches more than one source row
+    * (non-deterministic UPDATE/DELETE) — Delta's cardinality check, done
+    * WITHOUT materializing the target or minting row ids: a group of
+    * identical target rows of size n matched by m source rows contributes
+    * n×m joined rows, so "some row matches twice" ⟺ some group's joined
+    * count exceeds its target count. Two aggregations + a join of the
+    * (small) grouped results; the target is never checkpointed, so the
+    * check stays a metadata-free streaming shuffle at any table size.
+    */
+  private def cardinalityCheck(matched: DataFrame, tgt: DataFrame,
+      targetAlias: String, targetCols: Seq[String]): Unit = {
+    val tCols = targetCols.map(c => col(s"$targetAlias.$c"))
+    val n = tgt.groupBy(tCols: _*).agg(count(lit(1)).as("__n"))
+    val j = matched.groupBy(tCols: _*).agg(count(lit(1)).as("__j"))
+    val on = targetCols.map(c => n(c) <=> j(c)).reduce(_ && _)
+    val violations = n.join(j, on).filter(col("__j") > col("__n")).limit(1).count()
+    require(violations == 0L,
+      "MERGE cardinality violation: a target row matches more than one source row")
   }
 
   // --------------------------------------------------------------- helpers

@@ -92,4 +92,35 @@ class DedupSpec extends SparkSpec {
     val pairs = out.select("idA", "idB").as[(Long, Long)].collect().toSet
     pairs shouldBe Set(1L -> 2L)
   }
+
+  test("streaming exact dedup drops in-horizon duplicates, expires state past the watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = Dedup.streamingExact(
+      input.toDF().toDF("ts", "text"), "text", "ts", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "alpha"),
+      (ts("2024-01-01 10:01:00"), "alpha"),   // in-batch duplicate
+      (ts("2024-01-01 10:02:00"), "beta"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:05:00"), "alpha")) // cross-batch, in-horizon
+    q.processAllAvailable()
+    spark.table("sdedup").select("text").as[String].collect().sorted shouldBe
+      Array("alpha", "beta")
+
+    // far-future sighting: watermark passed old state, "alpha" re-emits —
+    // the documented horizon contract (bounded state, not global dedup)
+    input.addData((ts("2024-01-01 12:00:00"), "advance"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 12:01:00"), "alpha"))
+    q.processAllAvailable()
+    spark.table("sdedup").filter($"text" === "alpha").count() shouldBe 2
+    q.stop()
+  }
 }

@@ -71,6 +71,19 @@ class MergeSqlSpec extends SparkSpec {
     t.read(spark).count() shouldBe 3
   }
 
+  test("duplicate target rows matched by ONE source row each are legal (n x 1, not 1 x m)") {
+    val t = Icebox(tmpDir("merge-duptgt"))
+    t.overwrite(Seq((1L, "a", 10.0), (1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "amount"))
+    MergeSql.register("t_duptgt", t)
+    Seq((1L, "A", 100.0)).toDF("id", "name", "amount").createOrReplaceTempView("src_duptgt")
+    MergeSql.merge(spark,
+      """MERGE INTO t_duptgt t USING src_duptgt s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sorted
+    out shouldBe Array((1L, "A", 100.0), (1L, "A", 100.0), (2L, "b", 20.0))
+  }
+
   test("merge is one atomic snapshot commit with rollback available") {
     val t = freshTarget("t_atomic")
     val before = t.currentSnapshotId

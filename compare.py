@@ -62,9 +62,11 @@ def main(sf_dir, out_dir):
         # float64 ("3549" -> "3549.0") which breaks the driver's value hash
         # even when fetchall()-based compare passes. Catch that dtype skew here.
         try:
+            # LIMIT 0 preserves pandas dtypes without re-running the query
             gdt = {c: str(d.kind) for c, d in
-                   con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes.items()}
-            edt = {c: str(d.kind) for c, d in con.execute(oracle[name]).df().dtypes.items()}
+                   con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").df().dtypes.items()}
+            edt = {c: str(d.kind) for c, d in
+                   con.execute(f"SELECT * FROM ({oracle[name]}) __q LIMIT 0").df().dtypes.items()}
             skew = [(c, gdt[c], edt[c]) for c in gdt
                     if c in edt and gdt[c] != edt[c]
                     and {gdt[c], edt[c]} <= {"i", "u", "f"} and "f" in {gdt[c], edt[c]}]

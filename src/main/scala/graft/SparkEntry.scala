@@ -25,6 +25,20 @@ object SparkEntry {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** All (idA < idB) pairs of `__id`s sharing a `__key` — one shuffle +
+    * inline combination expansion (never a self-join, which would recompute
+    * the upstream pipeline once per side).
+    */
+  private def groupPairs(keyed: DataFrame): DataFrame =
+    keyed.groupBy("__key")
+      .agg(array_sort(collect_list("__id")).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__ids")) - 1),
+        i => transform(slice(col("__ids"), i + 1, size(col("__ids"))),
+          x => struct(element_at(col("__ids"), i).as("idA"), x.as("idB")))))).as("__p"))
+      .select(col("__p.idA"), col("__p.idB"))
+
   /** Write `df` as a single parquet file at `destDir/name` (test scaffolding
     * for the file-CDC scenario).
     */
@@ -584,16 +598,16 @@ object SparkEntry {
     // fingerprints (⇒ equal shingle sets ⇒ identical MinHash signatures ⇒
     // shares every band) MUST be an LSH candidate pair; emits the violating
     // pairs, oracle = empty. Guards the banding/bucketing plumbing end to
-    // end (same signature-less-doc filter as q_minhash_dedup).
+    // end (same signature-less-doc filter as q_minhash_dedup). Exact pairs
+    // come from ONE groupBy-key shuffle + inline pair generation — a
+    // self-join would recompute the normalization pipeline per side.
     "q_minhash_recall" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .filter(length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) >= 5)
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
-      val fp = doubled.select(col("doc_id").as("id"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
-      val exactPairs = fp.as("a")
-        .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      val exactPairs = groupPairs(
+        doubled.select(col("doc_id").as("__id"),
+          TextFunctions.fingerprint(col("text")).as("__key")))
       exactPairs.join(Dedup.minHashCandidates(doubled, "text", "doc_id"),
         Seq("idA", "idB"), "left_anti")
     }),
@@ -603,11 +617,9 @@ object SparkEntry {
     "q_simhash_recall" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(trim(col("text")) =!= "")
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
-      val tk = doubled.select(col("doc_id").as("id"),
-        array_sort(TextFunctions.tokens(col("text"))).as("tk"))
-      val exactPairs = tk.as("a")
-        .join(tk.as("b"), col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      val exactPairs = groupPairs(
+        doubled.select(col("doc_id").as("__id"),
+          array_sort(TextFunctions.tokens(col("text"))).as("__key")))
       exactPairs.join(
         Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
           .select(col("idA"), col("idB")),

@@ -111,13 +111,15 @@ object Sessionize {
     val gapMs = gapMinutes * 60 * 1000L
 
     // Emit every session the watermark has sealed; re-arm for the rest.
+    // STRICT end+gap < wm: the engine admits events with ts == watermark,
+    // so a session is only final once no admissible ts can extend it.
     def flush(userId: Long, buf: List[OpenSession],
         state: GroupState[SessionBuf]): Iterator[Session] = {
       val wm = state.getCurrentWatermarkMs()
-      val (done, pending) = buf.partition(_.end + gapMs <= wm)
+      val (done, pending) = buf.partition(_.end + gapMs < wm)
       if (pending.nonEmpty) {
         state.update(SessionBuf(pending))
-        state.setTimeoutTimestamp(pending.map(_.end).min + gapMs)
+        state.setTimeoutTimestamp(math.max(pending.map(_.end).min + gapMs, wm + 1))
       } else state.remove()
       done.sortBy(_.start).iterator.map(s =>
         Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))

@@ -77,6 +77,7 @@ object MergeSql {
     val tgt = icebox.read(spark).alias(targetAlias)
     val src = spark.table(sourceName).alias(sourceAlias)
     val cond = asColumn(m.mergeCondition)
+    validateAssignmentKeys(m, targetCols)
 
     val matched = tgt.join(src, cond, "inner")
     if (m.matchedActions.nonEmpty) cardinalityCheck(matched, tgt, targetAlias, targetCols)
@@ -108,7 +109,11 @@ object MergeSql {
     }
 
     val mergedMatched =
-      if (m.matchedActions.isEmpty) matched.select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
+      if (m.matchedActions.isEmpty)
+        // left_semi, NOT the inner join: with no matched action each matched
+        // target row passes through exactly once, however many source rows
+        // hit it (the inner join would emit one copy per source match)
+        tgt.join(src, cond, "left_semi").select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
       else applyActions(matched, m.matchedActions)
 
     val unmatchedTarget = tgt.join(src, cond, "left_anti")
@@ -163,6 +168,24 @@ object MergeSql {
   }
 
   // --------------------------------------------------------------- helpers
+
+  /** Every UPDATE SET / INSERT assignment key must name a target column —
+    * this executor re-resolves expressions outside the analyzer, so without
+    * the check a typo'd column silently no-ops instead of failing analysis.
+    */
+  private def validateAssignmentKeys(m: MergeIntoTable, targetCols: Seq[String]): Unit = {
+    val actions = m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions
+    val keys = actions.flatMap {
+      case u: UpdateAction => u.assignments.map(_.key.sql)
+      case i: InsertAction => i.assignments.map(_.key.sql)
+      case _ => Nil
+    }
+    val bad = keys.filterNot(k => targetCols.exists(
+      _.equalsIgnoreCase(k.split('.').last.stripPrefix("`").stripSuffix("`"))))
+    require(bad.isEmpty,
+      s"MERGE assignment key(s) ${bad.mkString(", ")} do not resolve to target columns " +
+        s"(${targetCols.mkString(", ")})")
+  }
 
   /** (table name, alias) of a parsed target/source reference. */
   private def ref(plan: LogicalPlan): (String, String) = plan match {

@@ -305,7 +305,9 @@ final class Icebox(val tableDir: String) {
     val n = numFiles.getOrElse(
       math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt))
     val base = read(spark)
-    val allNumeric = sortBy.forall(c => base.schema.fields.find(_.name == c)
+    // case-insensitive like the rest of the read path — a case mismatch must
+    // not silently fall back to lexicographic clustering
+    val allNumeric = sortBy.forall(c => base.schema.fields.find(_.name.equalsIgnoreCase(c))
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
     val df =
       if (sortBy.size < 2 || !allNumeric)
@@ -536,9 +538,10 @@ final class Icebox(val tableDir: String) {
     */
   private def collectFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
       schema: StructType): Map[String, Map[String, (String, String)]] = {
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-    val (footerCols, scanCols) = cols.partition(c => byName.get(c).exists(Icebox.footerDecodable))
-    val fromFooters = footerFileStats(spark, paths, footerCols, footerCols.map(c => c -> byName(c)).toMap)
+    def fieldType(c: String) = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val (footerCols, scanCols) = cols.partition(c => fieldType(c).exists(Icebox.footerDecodable))
+    val fromFooters = footerFileStats(spark, paths, footerCols,
+      footerCols.map(c => c -> fieldType(c).get).toMap)
     val fromScan = if (scanCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
                    else fileStats(spark, paths, scanCols)
     paths.map { p =>
@@ -563,7 +566,7 @@ final class Icebox(val tableDir: String) {
           new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
       val blocks = footer.getBlocks.asScala.toSeq
       val st = colsV.flatMap { c =>
-        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString == c))
+        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
         val ss = chunks.map(_.getStatistics)
         if (chunks.size != blocks.size || ss.exists(s => s == null || s.isEmpty)) None
         else {

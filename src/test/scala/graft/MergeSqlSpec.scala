@@ -84,6 +84,32 @@ class MergeSqlSpec extends SparkSpec {
     out shouldBe Array((1L, "A", 100.0), (1L, "A", 100.0), (2L, "b", 20.0))
   }
 
+  test("insert-only merge leaves multiply-matched target rows untouched (no duplication)") {
+    val t = freshTarget("t_insonly")
+    // two source rows hit target id=2; with no WHEN MATCHED clause the
+    // target row must appear exactly once in the result
+    Seq((2L, "x", 1.0), (2L, "y", 2.0), (7L, "new", 70.0))
+      .toDF("id", "name", "amount").createOrReplaceTempView("src_insonly")
+    MergeSql.merge(spark,
+      """MERGE INTO t_insonly t USING src_insonly s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sorted
+    out shouldBe Array(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (7L, "new", 70.0))
+  }
+
+  test("typo'd assignment column errors instead of silently no-oping") {
+    val t = freshTarget("t_typo")
+    Seq((1L, "x", 1.0)).toDF("id", "name", "amount").createOrReplaceTempView("src_typo")
+    val e = intercept[IllegalArgumentException] {
+      MergeSql.merge(spark,
+        """MERGE INTO t_typo t USING src_typo s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET amonut = s.amount""".stripMargin)
+    }
+    e.getMessage should include("do not resolve")
+    t.read(spark).count() shouldBe 3 // nothing committed
+  }
+
   test("merge is one atomic snapshot commit with rollback available") {
     val t = freshTarget("t_atomic")
     val before = t.currentSnapshotId

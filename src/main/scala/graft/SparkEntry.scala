@@ -566,6 +566,27 @@ object SparkEntry {
       Dedup.simHashDedupVerified(doubled, "text", "doc_id", maxHamming = 3)
     }),
 
+    // LLM: overlapping token-window chunking (size 10, overlap 2) — the
+    // long-document split; chunking is pure projection, no shuffle
+    "q_text_chunks" -> ((s, dir) =>
+      t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"), size = 10, overlap = 2)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+          col("c.chunk").as("chunk"))),
+
+    // LLM: Gopher-style repetition signal (duplicate non-blank line ratio).
+    // The corpus has no multi-line docs, so repetition is INJECTED
+    // deterministically (doc_id % 3 == 0 gets its text duplicated on a
+    // second line → ratio 0.5) with the identical construction in the
+    // oracle — the metric, not the fixture, is what's under test.
+    "q_text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .withColumn("__t", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n"), col("text"))).otherwise(col("text")))
+        .select(col("doc_id"),
+          round(TextFunctions.dupLineRatio(col("__t")), 4).as("dup_line_ratio"))),
+
     // LLM: exact ANN — brute-force cosine top-k, broadcast query side
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -590,7 +611,7 @@ object SparkEntry {
       // trainFraction < 1: the oracle is centroid-independent at full probe,
       // so sampled training is free accuracy-wise and 4x cheaper
       Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8,
-        trainFraction = 0.25)
+        trainFraction = 0.25, maxIter = 8)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -901,6 +922,35 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    // chunk i of the whitespace tokens w covers w[i*8+1 .. i*8+10]
+    // (1-based inclusive slice); one chunk when len <= 10
+    "q_text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |n AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 10 THEN 1
+        |         ELSE 1 + CAST(ceil((len(w) - 10) / 8.0) AS INTEGER) END AS nc
+        |  FROM d)
+        |SELECT doc_id, i AS chunk_id, array_to_string(w[i*8+1 : i*8+10], ' ') AS chunk
+        |FROM n, unnest(range(0, nc)) AS u(i)""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text ELSE text END AS tt
+        |  FROM documents WHERE trim(text) <> ''),
+        |l AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(tt, chr(10)), x -> trim(x) <> '')) AS nl,
+        |    len(list_distinct(list_filter(string_split(tt, chr(10)), x -> trim(x) <> ''))) AS nd
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN nl = 0 THEN CAST(0 AS DOUBLE)
+        |             ELSE CAST(nl - nd AS DOUBLE) / nl END, 4) AS dup_line_ratio
+        |FROM l""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

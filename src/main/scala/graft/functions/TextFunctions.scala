@@ -40,6 +40,40 @@ object TextFunctions {
       lit(0L),
       (acc, w) => acc + lit(1L) + floor(greatest(length(w) - 4, lit(0)) / 4).cast("long"))
 
+  /** Overlapping token-window chunks — the standard long-document split
+    * before tokenization/training. Chunk i covers tokens
+    * `[i*(size-overlap), i*(size-overlap)+size)`; the last chunk may be
+    * short; a doc of ≤ `size` tokens yields exactly one chunk; an empty doc
+    * yields none. Returns `array<struct<chunk_id int, chunk string>>` —
+    * `posexplode`/`explode` for one row per chunk. Pure expressions
+    * (plan-time literals for size/step), so chunking stays inside the scan
+    * projection with no shuffle.
+    */
+  def chunks(text: Column, size: Int, overlap: Int = 0): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(lit(1) + ceil((n - size).cast("double") / step).cast("int"))
+    when(n === 0, array().cast("array<struct<chunk_id:int,chunk:string>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.cast("int").as("chunk_id"),
+          array_join(slice(toks, i * step + 1, lit(size)), " ").as("chunk"))))
+  }
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line —
+    * the Gopher-style repetition signal for boilerplate/spam filtering
+    * (0 for docs with no non-blank lines).
+    */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val n = org.apache.spark.sql.functions.size(lines)
+    when(n === 0, 0.0)
+      .otherwise((n - org.apache.spark.sql.functions.size(array_distinct(lines)))
+        .cast("double") / n)
+  }
+
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))

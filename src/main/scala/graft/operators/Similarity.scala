@@ -127,16 +127,44 @@ object Similarity {
     */
   def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      trainFraction: Double = 1.0,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      trainFraction: Double = 1.0, maxIter: Int = 20,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    ivfTopKWith(corpus, queries,
+      ivfTrain(corpus, nlist, seed, trainFraction, maxIter, vecCol),
+      k, nprobe, vecCol, idCol)
+
+  /** Train IVF centroids ONCE (seeded KMeans on a sample) and return them
+    * as a tiny DataFrame `(cluster_id long, centroid array<float>)` —
+    * persist to any table (an Icebox works) and hand to `ivfTopKWith` per
+    * query batch. At 100 TB this is the operating shape: the fit touches a
+    * sample, the centroids are metadata, and every subsequent probe skips
+    * training entirely.
+    */
+  def ivfTrain(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxIter: Int = 20,
+      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import corpus.sparkSession.implicits._
     val train = (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
       .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
+    model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
-    ivfWithCentroids(corpus, queries, centroids, k, nprobe, vecCol, idCol)
+      .toDF("cluster_id", "centroid")
+  }
+
+  /** IVF top-k against PRE-TRAINED centroids `(cluster_id, centroid)` from
+    * `ivfTrain` (possibly read back from a table). The centroid set is
+    * collected to the driver (nlist rows — plan constants, not data) and
+    * fused into the assignment projection exactly like the seed path.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cs = centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    ivfWithCentroids(corpus, queries, cs, k, nprobe, vecCol, idCol)
   }
 
   /** IVF top-k: (1) pick `nlist` deterministic seed centroids (lowest ids —

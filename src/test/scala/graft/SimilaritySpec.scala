@@ -58,6 +58,20 @@ class SimilaritySpec extends SparkSpec {
     out.map(_.toString).toSeq shouldBe again.map(_.toString).toSeq
   }
 
+  test("ivfTrain centroids persist through a table round-trip and reproduce ivfTopKKmeans") {
+    val queries = vecs.filter($"vec_id" === 0L)
+    val centroids = Similarity.ivfTrain(vecs, nlist = 3)
+    // persist → reload (the 100 TB shape: train once, reuse per batch)
+    val dir = tmpDir("ivf-centroids")
+    centroids.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val direct = Similarity.ivfTopKKmeans(vecs, queries, k = 2, nlist = 3, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val replayed = Similarity.ivfTopKWith(vecs, queries, reloaded, k = 2, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    replayed shouldBe direct
+  }
+
   test("brute force plan broadcasts the query side (no corpus shuffle)") {
     val queries = vecs.filter($"vec_id" < 2)
     val plan = Similarity.bruteForceTopK(vecs, queries, k = 2)

@@ -78,4 +78,23 @@ class TextFunctionsSpec extends SparkSpec {
   test("stopwordRatio") {
     one[Double](stopwordRatio($"t", "en"), "the dog and the cat") shouldBe 0.6
   }
+
+  test("chunks: overlapping windows, short docs one chunk, empty docs none") {
+    import org.apache.spark.sql.Row
+    def chunkRows(s: String, size: Int, overlap: Int) =
+      Seq(s).toDF("t").select(explode(chunks($"t", size, overlap)).as("c"))
+        .select($"c.chunk_id", $"c.chunk").collect().toSeq
+    chunkRows("a b c d e", 3, 1) shouldBe Seq(
+      Row(0, "a b c"), Row(1, "c d e"))          // step 2, exact cover
+    chunkRows("a b c d e f", 3, 1) shouldBe Seq(
+      Row(0, "a b c"), Row(1, "c d e"), Row(2, "e f")) // short tail chunk
+    chunkRows("a b", 10, 2) shouldBe Seq(Row(0, "a b")) // doc <= size
+    chunkRows("   ", 5, 0) shouldBe Seq.empty            // empty doc: no chunks
+  }
+
+  test("dupLineRatio counts repeated non-blank lines") {
+    one[Double](round(dupLineRatio($"t"), 4), "x\ny\nx\n\n  \nz") shouldBe 0.25 // 4 lines, 1 dup
+    one[Double](dupLineRatio($"t"), "single line") shouldBe 0.0
+    one[Double](dupLineRatio($"t"), "") shouldBe 0.0
+  }
 }

@@ -587,6 +587,13 @@ object SparkEntry {
         .select(col("doc_id"),
           round(TextFunctions.dupLineRatio(col("__t")), 4).as("dup_line_ratio"))),
 
+    // LLM: Gopher repetition signal #2 — share of chars covered by the most
+    // frequent token bigram (explode → two-level agg, map-side combined)
+    "q_text_topgram" -> ((s, dir) =>
+      TextFunctions.topNgramCharRatioByDoc(
+        t(s, dir, "documents").filter(trim(col("text")) =!= ""), "text", "doc_id", n = 2)
+        .select(col("doc_id"), round(col("top_ngram_char_ratio"), 4).as("top_ngram_char_ratio"))),
+
     // LLM: exact ANN — brute-force cosine top-k, broadcast query side
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -936,6 +943,22 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, i AS chunk_id, array_to_string(w[i*8+1 : i*8+10], ' ') AS chunk
         |FROM n, unnest(range(0, nc)) AS u(i)""".stripMargin,
+
+    // LEFT JOIN keeps docs with < 2 tokens (no bigrams) at ratio 0, matching
+    // the engine's explode_outer
+    "q_text_topgram" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(text) AS tl, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |e AS (
+        |  SELECT doc_id, tl, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM d WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(cnt * len(gram)) AS top FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN m.top IS NULL OR d.tl = 0 THEN CAST(0 AS DOUBLE)
+        |             ELSE CAST(m.top AS DOUBLE) / d.tl END, 4) AS top_ngram_char_ratio
+        |FROM d LEFT JOIN m USING (doc_id)""".stripMargin,
 
     "q_text_repetition" ->
       """WITH t AS (

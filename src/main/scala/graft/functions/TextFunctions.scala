@@ -144,6 +144,35 @@ object TextFunctions {
           .otherwise(lit(null).cast("string")).as("lang_pred"))
   }
 
+  /** Table-level top n-gram character fraction — the second Gopher
+    * repetition signal: the share of the document's characters covered by
+    * occurrences of its single most frequent token n-gram. Boilerplate and
+    * generated spam score high; natural prose scores low. Scale shape =
+    * explode n-grams once → (doc, gram) counts with map-side combine →
+    * per-doc max → ratio; no per-row quadratic work, no self-join. Docs
+    * with fewer than `n` tokens score 0.
+    */
+  def topNgramCharRatioByDoc(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n >= 1")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    val exploded = df.select(col(idCol), length(col(textCol)).as("__len"),
+      explode_outer(grams).as("__g"))
+    exploded
+      .groupBy(col(idCol), col("__len"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__len"))
+      // chars covered by the most frequent gram = count * (gram chars)
+      .agg(max(when(col("__g").isNull, 0L)
+        .otherwise(col("__c") * length(col("__g")))).as("__top"))
+      .select(col(idCol),
+        when(col("__len") === 0, 0.0)
+          .otherwise(col("__top").cast("double") / col("__len")).as("top_ngram_char_ratio"))
+  }
+
   /** Heuristic language ID: argmax over per-language stopword-hit counts,
     * null when no language scores a hit (the n-gram-free variant of public
     * langid heuristics; deterministic, pure SQL). Per-row scalar face; for

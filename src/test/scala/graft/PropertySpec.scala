@@ -75,4 +75,28 @@ class PropertySpec extends SparkSpec {
       noException should be thrownBy TypeConverter.oracleToSpark(s)
     }
   }
+
+  test("property: chunks reassemble losslessly — dropping each chunk's overlap prefix " +
+      "and concatenating reproduces the token stream") {
+    import graft.functions.TextFunctions
+    val docGen = for {
+      n <- Gen.chooseNum(0, 60)
+      ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(w => if (w.isEmpty) "w" else w.take(5)))
+    } yield ws.mkString(" ")
+    val sizeOv = for { s <- Gen.chooseNum(2, 12); o <- Gen.chooseNum(0, s - 1) } yield (s, o)
+    for ((doc, (size, overlap)) <- samples(docGen, 12).zip(samples(sizeOv, 12))) {
+      val rows = Seq(doc).toDF("t")
+        .select(explode(TextFunctions.chunks($"t", size, overlap)).as("c"))
+        .select($"c.chunk_id", $"c.chunk").collect()
+        .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+      val reassembled = rows.zipWithIndex.flatMap { case (chunk, i) =>
+        val toks = chunk.split(" ").filter(_.nonEmpty).toSeq
+        if (i == 0) toks else toks.drop(overlap)
+      }
+      val expected = doc.split("\\s+").filter(_.nonEmpty).toSeq
+      reassembled shouldBe expected
+      // every chunk except possibly the last has exactly `size` tokens
+      rows.dropRight(1).foreach(c => c.split(" ").count(_.nonEmpty) shouldBe size)
+    }
+  }
 }

@@ -92,6 +92,19 @@ class TextFunctionsSpec extends SparkSpec {
     chunkRows("   ", 5, 0) shouldBe Seq.empty            // empty doc: no chunks
   }
 
+  test("topNgramCharRatioByDoc: repeated bigram dominates; tiny docs score 0") {
+    val df = Seq(
+      (1L, "aa bb aa bb aa"),   // "aa bb" x2 covers 10 of 14 chars
+      (2L, "all words unique here now"),
+      (3L, "solo")              // < 2 tokens: no bigram, ratio 0
+    ).toDF("doc_id", "text")
+    val out = topNgramCharRatioByDoc(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(1L) shouldBe (10.0 / 14.0) +- 1e-9
+    out(2L) should be < out(1L)
+    out(3L) shouldBe 0.0
+  }
+
   test("dupLineRatio counts repeated non-blank lines") {
     one[Double](round(dupLineRatio($"t"), 4), "x\ny\nx\n\n  \nz") shouldBe 0.25 // 4 lines, 1 dup
     one[Double](dupLineRatio($"t"), "single line") shouldBe 0.0

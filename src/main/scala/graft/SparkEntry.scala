@@ -409,6 +409,24 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // composed chunking pipeline: token-length gate → overlapping chunks →
+    // cross-corpus exact chunk dedup (keep first occurrence) → per-chunk
+    // token count. Exercises chunks/dedup/token-stats composing end to end
+    // under a single oracle.
+    "q_chunk_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .filter(trim(col("text")) =!= "" && TextFunctions.tokenCount(col("text")) >= 20)
+      val w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_id")
+      docs.select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"), size = 10, overlap = 2)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+          col("c.chunk").as("chunk"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("chunk")).cast("long"))
+    }),
+
     // exact percentiles (interpolating — matches DuckDB quantile_cont)
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
@@ -943,6 +961,24 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, i AS chunk_id, array_to_string(w[i*8+1 : i*8+10], ' ') AS chunk
         |FROM n, unnest(range(0, nc)) AS u(i)""".stripMargin,
+
+    "q_chunk_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE trim(text) <> '' AND len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        |n AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 10 THEN 1
+        |         ELSE 1 + CAST(ceil((len(w) - 10) / 8.0) AS INTEGER) END AS nc
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_id, array_to_string(w[i*8+1 : i*8+10], ' ') AS chunk,
+        |         len(w[i*8+1 : i*8+10]) AS n_tokens
+        |  FROM n, unnest(range(0, nc)) AS u(i))
+        |SELECT doc_id, chunk_id, chunk, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM ch
+        |QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) = 1""".stripMargin,
 
     // LEFT JOIN keeps docs with < 2 tokens (no bigrams) at ratio 0, matching
     // the engine's explode_outer

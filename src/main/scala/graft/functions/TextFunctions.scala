@@ -52,14 +52,18 @@ object TextFunctions {
   def chunks(text: Column, size: Int, overlap: Int = 0): Column = {
     require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
     val step = size - overlap
-    val toks = tokens(text)
-    val n = org.apache.spark.sql.functions.size(toks)
-    val nChunks = when(n <= size, lit(1))
-      .otherwise(lit(1) + ceil((n - size).cast("double") / step).cast("int"))
-    when(n === 0, array().cast("array<struct<chunk_id:int,chunk:string>>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
-        struct(i.cast("int").as("chunk_id"),
-          array_join(slice(toks, i * step + 1, lit(size)), " ").as("chunk"))))
+    // bindOnce: `toks` is referenced inside the transform lambda, where an
+    // unbound outer expression is re-evaluated PER ELEMENT (the split would
+    // run once per chunk)
+    bindOnce(tokens(text)) { toks =>
+      val n = org.apache.spark.sql.functions.size(toks)
+      val nChunks = when(n <= size, lit(1))
+        .otherwise(lit(1) + ceil((n - size).cast("double") / step).cast("int"))
+      when(n === 0, array().cast("array<struct<chunk_id:int,chunk:string>>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(i.cast("int").as("chunk_id"),
+            array_join(slice(toks, i * step + 1, lit(size)), " ").as("chunk"))))
+    }
   }
 
   /** Fraction of non-blank lines that are duplicates of an earlier line —
@@ -155,10 +159,12 @@ object TextFunctions {
   def topNgramCharRatioByDoc(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n >= 1")
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    // bindOnce: same per-element re-evaluation trap as `chunks`
+    val grams = bindOnce(tokens(col(textCol))) { toks =>
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    }
     val exploded = df.select(col(idCol), length(col(textCol)).as("__len"),
       explode_outer(grams).as("__g"))
     exploded

@@ -15,14 +15,35 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * The Spark-native analog of an Iceberg snapshot
   * (reference walks the snapshot parent chain the same way:
   * airflow-plugins/maintenance/iceberg_snapshot_operator.py:130-156).
+  *
+  * `files` is LAZY: on disk each commit stores only its delta
+  * (added files + removed paths) against the parent, and the live file set
+  * is reconstructed on first access by replaying the delta chain from the
+  * nearest full manifest (then cached in the owning [[Icebox]] handle).
+  * Metadata-only consumers (`snapshotsDf`, lineage walks) should use
+  * `fileCount`/`totalBytes`, which are recorded in every manifest and never
+  * force reconstruction.
   */
-final case class Snapshot(
-    id: Long,
-    parentId: Long,                         // -1 = root
-    timestampMs: Long,
-    operation: String,                      // append | overwrite | upsert | compact | rollback | cherrypick
-    files: Seq[DataFile],
-    schemaJson: String)
+final class Snapshot private[table] (
+    val id: Long,
+    val parentId: Long,                     // -1 = root
+    val timestampMs: Long,
+    val operation: String,                  // append | overwrite | upsert | compact | rollback | cherrypick
+    val schemaJson: String,
+    val fileCount: Long,
+    val totalBytes: Long,
+    filesThunk: () => Seq[DataFile]) {
+  lazy val files: Seq[DataFile] = filesThunk()
+  override def toString: String =
+    s"Snapshot(id=$id, parent=$parentId, op=$operation, files=$fileCount)"
+}
+
+object Snapshot {
+  def apply(id: Long, parentId: Long, timestampMs: Long, operation: String,
+      files: Seq[DataFile], schemaJson: String): Snapshot =
+    new Snapshot(id, parentId, timestampMs, operation, schemaJson,
+      files.size.toLong, files.map(_.sizeBytes).sum, () => files)
+}
 
 /** One data file plus its identity-partition values and optional per-column
   * min/max statistics (Iceberg-style file-level metadata — enables manifest
@@ -47,6 +68,19 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
   *   data/graft_commit=<id>/[k=v/...]part-*.parquet
   * }}}
   *
+  * '''O(delta) manifests.''' A commit's manifest stores only the files it
+  * ADDED and the paths it REMOVED relative to its parent (plus a running
+  * `fileCount`/`totalBytes` so listings never force reconstruction); the
+  * live file set is rebuilt lazily by replaying the chain from the nearest
+  * FULL manifest and cached per handle. A full manifest is written whenever
+  * the delta would not be smaller than the full list (overwrite, compact,
+  * rollback of a small table) and, Delta-Lake-checkpoint-style, at least
+  * every `MaxDeltaChain` commits, which bounds reconstruction at
+  * O(MaxDeltaChain) manifest reads. Without this, a 5-minute CDC cadence on
+  * a ~200k-file table would re-serialize tens of MB of JSON per commit and
+  * every history walk would re-parse all of it — commit cost must scale
+  * with the CHANGE, not the table.
+  *
   * '''Atomic commit''' (SURVEY §7.4 highest-risk component): data files are
   * written to a fresh `data/graft_commit=<id>/` dir, the snapshot JSON is
   * written, and only then is `_current` flipped via write-temp + atomic rename.
@@ -68,9 +102,10 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
   * re-inference: a string partition value "01" stays "01") and (b) makes
   * schema evolution safe — files missing a newly added column read as nulls.
   *
-  * Scale note: the manifest lists file paths only; a 100 TB table at 512 MB/
-  * file is ~200k entries — a few MB of JSON, fine on the driver, and
-  * `prunedFiles` prunes by partition before Spark ever lists storage.
+  * Scale note: the reconstructed manifest lists file paths only; a 100 TB
+  * table at 512 MB/file is ~200k entries — a few MB on the driver (held in
+  * a small LRU, not per snapshot), and `prunedFiles` prunes by partition
+  * before Spark ever lists storage.
   */
 final class Icebox(val tableDir: String) {
 
@@ -80,6 +115,23 @@ final class Icebox(val tableDir: String) {
   private def snapshotsDir: Path = Paths.get(tableDir, "_snapshots")
   private def currentPtr: Path = Paths.get(tableDir, "_current")
   private def dataDir: Path = Paths.get(tableDir, "data")
+
+  /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
+    * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
+    * content-equivalent full form), so caching across the handle's lifetime
+    * is safe and makes chain walks O(1) parse after first touch.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[Long, Icebox.Manifest]()
+
+  /** Reconstructed live file sets, small access-order LRU: the head is hit
+    * on every commit/read; history walks (expiry, time travel) churn the
+    * tail. Bounded so a long history never holds O(snapshots × files).
+    */
+  private val filesCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Long, Seq[DataFile]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[DataFile]]): Boolean =
+        size > 4
+    })
 
   // ---------------------------------------------------------------- metadata
 
@@ -116,12 +168,14 @@ final class Icebox(val tableDir: String) {
     out.result()
   }
 
-  /** Snapshot listing as a DataFrame (Iceberg's `table.snapshots` analog). */
+  /** Snapshot listing as a DataFrame (Iceberg's `table.snapshots` analog).
+    * Reads only manifest metadata — a 10k-commit history lists without
+    * reconstructing a single file set.
+    */
   def snapshotsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     allSnapshots
-      .map(s => (s.id, s.parentId, s.timestampMs, s.operation, s.files.size.toLong,
-        s.files.map(_.sizeBytes).sum))
+      .map(s => (s.id, s.parentId, s.timestampMs, s.operation, s.fileCount, s.totalBytes))
       .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation", "file_count", "total_bytes")
   }
 
@@ -365,9 +419,33 @@ final class Icebox(val tableDir: String) {
     val keepIds = keep.map(_.id).toSet
     val reachable = all.map(_.id).toSet
     val expired = all.filterNot(s => keepIds(s.id))
+    // Rebase the OLDEST kept snapshot to a full manifest before its
+    // ancestors disappear: the kept set is always a newest-first prefix of
+    // the chain, so this is the only snapshot whose delta replay could
+    // reach into the expired range. Content-equivalent rewrite via
+    // write-temp + atomic rename (caches stay valid).
+    if (expired.nonEmpty) keep.lastOption.foreach { oldest =>
+      val m = manifest(oldest.id)
+      if (m.full.isEmpty) {
+        val fs = resolveFiles(oldest.id)
+        val fullM = m.copy(fileCount = fs.size.toLong, totalBytes = fs.map(_.sizeBytes).sum,
+          deltaDepth = 0, full = Some(fs), added = Nil, removedPaths = Nil)
+        val tmp = snapshotsDir.resolve(s"${oldest.id}.json.tmp")
+        Files.write(tmp, manifestJson(fullM).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, snapshotsDir.resolve(s"${oldest.id}.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        manifestCache.put(oldest.id, fullM)
+      }
+    }
+    // resolve kept file sets BEFORE deleting any expired manifest a delta
+    // replay might still walk through
     val liveFiles = keep.flatMap(_.files.map(_.path)).toSet
     // delete expired manifests, plus unreachable (crash-orphaned) manifests old enough
-    expired.foreach(s => Files.deleteIfExists(snapshotsDir.resolve(s"${s.id}.json")))
+    expired.foreach { s =>
+      Files.deleteIfExists(snapshotsDir.resolve(s"${s.id}.json"))
+      manifestCache.remove(s.id) // expired ids must fail reads like a fresh handle's
+      filesCache.remove(s.id)
+    }
     if (Files.exists(snapshotsDir)) {
       val orphanManifests = Using.resource(Files.list(snapshotsDir)) { st =>
         st.iterator().asScala.filter { p =>
@@ -497,9 +575,14 @@ final class Icebox(val tableDir: String) {
     commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)
   }
 
-  /** Like commitMeta but re-derives the file set from the CURRENT parent on
-    * every optimistic-concurrency retry, so a concurrent commit's files are
-    * never dropped from an append.
+  /** Metadata commit with optimistic concurrency across table handles: the
+    * snapshot id is CLAIMED by atomically creating `<id>.json` (CREATE_NEW)
+    * — two processes/handles racing on the same parent cannot both win an
+    * id; the loser observes the new head, RE-RESOLVES its file set on top
+    * of it (so a concurrent commit's files are never dropped from an
+    * append), and retries — Iceberg's commit model. The manifest written is
+    * the delta vs the parent unless a full checkpoint is due. Single-handle
+    * writes also stay `synchronized` for in-process callers.
     */
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
       schemaJson: String): Snapshot = this.synchronized {
@@ -508,17 +591,19 @@ final class Icebox(val tableDir: String) {
     while (true) {
       val parent = currentSnapshot
       val id = parent.map(_.id + 1).getOrElse(0L)
-      val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), System.currentTimeMillis(), op,
-        resolve(parent), schemaJson)
+      val (m, canonical) = buildManifest(id, parent, op, resolve(parent), schemaJson)
       try {
         Files.write(snapshotsDir.resolve(s"$id.json"),
-          toJson(snap).getBytes(StandardCharsets.UTF_8),
+          manifestJson(m).getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
         Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        return snap
+        manifestCache.put(id, m)
+        filesCache.put(id, canonical)
+        return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJson,
+          m.fileCount, m.totalBytes, () => canonical)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -602,39 +687,39 @@ final class Icebox(val tableDir: String) {
       }.toMap
   }
 
-  /** Metadata-only commit with optimistic concurrency across table handles:
-    * the snapshot id is CLAIMED by atomically creating `<id>.json`
-    * (CREATE_NEW) — two processes/handles racing on the same parent cannot
-    * both win an id, the loser observes the new head and retries on top of
-    * it (Iceberg's commit model). Single-handle writes also stay
-    * `synchronized` for in-process callers.
+  private def commitMeta(op: String, files: Seq[DataFile], schemaJson: String): Snapshot =
+    commitMetaResolved(op, _ => files, schemaJson)
+
+  /** Decide delta vs full for one commit (see class doc). Returns the
+    * manifest plus the CANONICAL file order — parent survivors then added —
+    * so the in-memory snapshot matches what a fresh handle reconstructs by
+    * replaying the chain from disk.
     */
-  private def commitMeta(op: String, files: Seq[DataFile], schemaJson: String): Snapshot = this.synchronized {
-    Files.createDirectories(snapshotsDir)
-    var attempt = 0
-    while (true) {
-      val parent = currentSnapshot
-      val id = parent.map(_.id + 1).getOrElse(0L)
-      val snap = Snapshot(id, parent.map(_.id).getOrElse(-1L), System.currentTimeMillis(), op, files, schemaJson)
-      try {
-        Files.write(snapshotsDir.resolve(s"$id.json"),
-          toJson(snap).getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-        Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // another handle claimed this id; re-read the head and retry.
-          // NOTE: append-family resolves (parent ++ new) stay correct under
-          // retry ONLY if the caller re-resolves — commit() below does.
-          attempt += 1
-          require(attempt < 1000, s"commit contention exhausted at $tableDir")
-      }
+  private def buildManifest(id: Long, parent: Option[Snapshot], op: String,
+      resolved: Seq[DataFile], schemaJson: String): (Icebox.Manifest, Seq[DataFile]) = {
+    val parentFiles = parent.map(_.files).getOrElse(Nil)
+    val parentDepth = parent.map(p => manifest(p.id).deltaDepth).getOrElse(0)
+    val pByPath = parentFiles.map(f => f.path -> f).toMap
+    val rByPath = resolved.map(f => f.path -> f).toMap
+    // a path present on both sides with a CHANGED entry (e.g. new stats)
+    // is recorded as removed + re-added, so replay replaces it
+    val added = resolved.filterNot(f => pByPath.get(f.path).contains(f))
+    val removedPaths = parentFiles.filterNot(f => rByPath.get(f.path).contains(f)).map(_.path)
+    val ts = System.currentTimeMillis()
+    val parentId = parent.map(_.id).getOrElse(-1L)
+    val writeFull = parent.isEmpty ||
+      added.size + removedPaths.size >= resolved.size ||
+      parentDepth + 1 >= Icebox.MaxDeltaChain
+    if (writeFull)
+      (Icebox.Manifest(id, parentId, ts, op, schemaJson, resolved.size.toLong,
+        resolved.map(_.sizeBytes).sum, 0, Some(resolved), Nil, Nil), resolved)
+    else {
+      val removedSet = removedPaths.toSet
+      val canonical = parentFiles.filterNot(f => removedSet(f.path)) ++ added
+      (Icebox.Manifest(id, parentId, ts, op, schemaJson, canonical.size.toLong,
+        canonical.map(_.sizeBytes).sum, parentDepth + 1, None, added, removedPaths),
+        canonical)
     }
-    sys.error("unreachable")
   }
 
   private def listDataFiles(commitDir: Path): Seq[DataFile] = {
@@ -655,48 +740,136 @@ final class Icebox(val tableDir: String) {
     }
   }
 
-  // JSON (jackson-databind ships with Spark)
-  private def toJson(s: Snapshot): String = {
+  // ------------------------------------------------- manifest serialization
+  // JSON (jackson-databind ships with Spark). Full manifests carry "files";
+  // delta manifests carry "added" + "removedPaths". Manifests written by the
+  // pre-delta format (just "files", no counts) parse as full manifests.
+
+  private def manifestJson(m: Icebox.Manifest): String = {
     val root = mapper.createObjectNode()
-    root.put("id", s.id).put("parentId", s.parentId)
-      .put("timestampMs", s.timestampMs).put("operation", s.operation)
-      .put("schemaJson", s.schemaJson)
-    val arr = root.putArray("files")
-    s.files.foreach { f =>
-      val o = arr.addObject()
-      o.put("path", f.path).put("sizeBytes", f.sizeBytes)
-      val p = o.putObject("partition")
-      f.partition.foreach { case (k, v) => p.put(k, v) }
-      if (f.stats.nonEmpty) {
-        val st = o.putObject("stats")
-        f.stats.foreach { case (c, (mn, mx)) =>
-          val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
+    root.put("id", m.id).put("parentId", m.parentId)
+      .put("timestampMs", m.timestampMs).put("operation", m.operation)
+      .put("schemaJson", m.schemaJson)
+      .put("fileCount", m.fileCount).put("totalBytes", m.totalBytes)
+      .put("deltaDepth", m.deltaDepth)
+    def writeFiles(name: String, fs: Seq[DataFile]): Unit = {
+      val arr = root.putArray(name)
+      fs.foreach { f =>
+        val o = arr.addObject()
+        o.put("path", f.path).put("sizeBytes", f.sizeBytes)
+        val p = o.putObject("partition")
+        f.partition.foreach { case (k, v) => p.put(k, v) }
+        if (f.stats.nonEmpty) {
+          val st = o.putObject("stats")
+          f.stats.foreach { case (c, (mn, mx)) =>
+            val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
+          }
         }
       }
+    }
+    m.full match {
+      case Some(fs) => writeFiles("files", fs)
+      case None =>
+        writeFiles("added", m.added)
+        val rm = root.putArray("removedPaths")
+        m.removedPaths.foreach(rm.add)
     }
     root.toPrettyString
   }
 
-  private def readSnapshot(id: Long): Snapshot = {
+  /** Parse (and cache) the manifest of snapshot `id`. */
+  private def manifest(id: Long): Icebox.Manifest = {
+    val cached = manifestCache.get(id)
+    if (cached != null) return cached
     val node = mapper.readTree(Files.readAllBytes(snapshotsDir.resolve(s"$id.json")))
-    val files = node.get("files").elements().asScala.map { f =>
-      val pm = f.get("partition")
-      val partition = pm.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-      val stats = Option(f.get("stats")).map { sn =>
-        sn.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
-        }.toMap
-      }.getOrElse(Map.empty[String, (String, String)])
-      DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats)
-    }.toSeq
-    Snapshot(node.get("id").asLong, node.get("parentId").asLong, node.get("timestampMs").asLong,
-      node.get("operation").asText, files, node.get("schemaJson").asText)
+    def readFiles(name: String): Seq[DataFile] =
+      Option(node.get(name)).map(_.elements().asScala.map { f =>
+        val pm = f.get("partition")
+        val partition = pm.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        val stats = Option(f.get("stats")).map { sn =>
+          sn.properties().asScala.map { e =>
+            e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
+          }.toMap
+        }.getOrElse(Map.empty[String, (String, String)])
+        DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats)
+      }.toSeq).getOrElse(Nil)
+    val full = if (node.has("files")) Some(readFiles("files")) else None
+    val added = readFiles("added")
+    val removedPaths = Option(node.get("removedPaths"))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val fileCount =
+      if (node.has("fileCount")) node.get("fileCount").asLong
+      else full.map(_.size.toLong).getOrElse(0L)
+    val totalBytes =
+      if (node.has("totalBytes")) node.get("totalBytes").asLong
+      else full.map(_.map(_.sizeBytes).sum).getOrElse(0L)
+    val m = Icebox.Manifest(node.get("id").asLong, node.get("parentId").asLong,
+      node.get("timestampMs").asLong, node.get("operation").asText,
+      node.get("schemaJson").asText, fileCount, totalBytes,
+      if (node.has("deltaDepth")) node.get("deltaDepth").asInt else 0,
+      full, added, removedPaths)
+    manifestCache.put(id, m)
+    m
+  }
+
+  /** Reconstruct the live file set of snapshot `id`: walk parent pointers up
+    * to the nearest full manifest (or LRU-cached reconstruction), then
+    * replay each delta — survivors keep parent order, added files append.
+    * Bounded at `MaxDeltaChain` manifest reads by the checkpoint policy.
+    */
+  private def resolveFiles(id: Long): Seq[DataFile] = {
+    val hit = filesCache.get(id)
+    if (hit != null) return hit
+    var deltas = List.empty[Icebox.Manifest] // nearest-to-base first after the walk
+    var cur = manifest(id)
+    var base: Seq[DataFile] = null
+    while (base == null) {
+      cur.full match {
+        case Some(fs) => base = fs
+        case None =>
+          deltas ::= cur
+          val cachedParent = filesCache.get(cur.parentId)
+          if (cachedParent != null) base = cachedParent
+          else cur = manifest(cur.parentId)
+      }
+    }
+    var files = base
+    deltas.foreach { d =>
+      val removed = d.removedPaths.toSet
+      files = (if (removed.isEmpty) files else files.filterNot(f => removed(f.path))) ++ d.added
+    }
+    filesCache.put(id, files)
+    files
+  }
+
+  private def readSnapshot(id: Long): Snapshot = {
+    val m = manifest(id)
+    new Snapshot(m.id, m.parentId, m.timestampMs, m.operation, m.schemaJson,
+      m.fileCount, m.totalBytes, () => resolveFiles(id))
   }
 }
 
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** Checkpoint cadence: a full manifest is forced once a delta chain
+    * reaches this depth, bounding file-set reconstruction to
+    * O(MaxDeltaChain) manifest reads for any snapshot (Delta Lake's
+    * checkpoint-every-N-commits policy). Amortized manifest bytes per
+    * commit stay O(delta + files/MaxDeltaChain).
+    */
+  private[table] val MaxDeltaChain = 16
+
+  /** On-disk manifest form of one snapshot: either a FULL file listing
+    * (`full` defined) or a DELTA against the parent (`added` +
+    * `removedPaths`). `fileCount`/`totalBytes` describe the RESOLVED state
+    * either way, so listings never reconstruct.
+    */
+  private[table] final case class Manifest(
+      id: Long, parentId: Long, timestampMs: Long, operation: String, schemaJson: String,
+      fileCount: Long, totalBytes: Long, deltaDepth: Int,
+      full: Option[Seq[DataFile]], added: Seq[DataFile], removedPaths: Seq[String])
 
   import org.apache.spark.sql.types._
 

@@ -256,6 +256,55 @@ class IceboxSpec extends SparkSpec {
     t.allSnapshots.size shouldBe 12
   }
 
+  test("snapshot manifests are O(delta): append manifests don't grow with table size") {
+    val t = Icebox(tmpDir("icebox-delta"))
+    val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    (0 until 12).foreach(_ => t.append(one))
+    val dir = Paths.get(t.tableDir, "_snapshots")
+    val sizes = (0L until 12L).map(id => Files.size(dir.resolve(s"$id.json")))
+    // v1 wrote the FULL file list per commit → linear growth; a delta
+    // manifest records just the one added file, so append #11 is no larger
+    // than append #1 (both are one-file deltas)
+    sizes(11) should be <= (sizes(1) + 64)
+    // text form: deltas carry "added", not "files"
+    new String(Files.readAllBytes(dir.resolve("11.json")), "UTF-8") should include("\"added\"")
+    // a fresh handle reconstructs the same state by replaying the chain
+    val t2 = Icebox(t.tableDir)
+    t2.read(spark).count() shouldBe 12
+    t2.currentSnapshot.get.files.map(_.path) shouldBe t.currentSnapshot.get.files.map(_.path)
+    t2.snapshotsDf(spark).count() shouldBe 12
+  }
+
+  test("delta chains checkpoint to a full manifest at MaxDeltaChain commits") {
+    val t = Icebox(tmpDir("icebox-ckpt"))
+    val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    (0 until 18).foreach(_ => t.append(one))
+    val dir = Paths.get(t.tableDir, "_snapshots")
+    def isFull(id: Long) =
+      new String(Files.readAllBytes(dir.resolve(s"$id.json")), "UTF-8").contains("\"files\"")
+    isFull(0) shouldBe true                      // root is always full
+    (1L to 15L).count(isFull) shouldBe 0         // pure-append deltas in between
+    isFull(16L) shouldBe true                    // depth 16 forces a checkpoint
+    isFull(17L) shouldBe false                   // and the chain restarts
+    Icebox(t.tableDir).read(spark).count() shouldBe 18
+  }
+
+  test("expiry rebases the oldest kept delta snapshot to full before deleting ancestors") {
+    val t = Icebox(tmpDir("icebox-rebase"))
+    val one = Seq((1L, "x")).toDF("id", "v").coalesce(1)
+    (0 until 8).foreach(_ => t.append(one))
+    Thread.sleep(10)
+    val expired = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 3)
+    expired.sorted shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    // oldest kept (5) was a delta whose chain ran through the expired range;
+    // it must now be self-contained — a FRESH handle (no caches) reads it
+    val t2 = Icebox(t.tableDir)
+    t2.allSnapshots.map(_.id) shouldBe Seq(7L, 6L, 5L)
+    t2.readSnapshotId(spark, 5L).count() shouldBe 6
+    t2.read(spark).count() shouldBe 8
+    t2.changesSince(spark, 5L).count() shouldBe 2
+  }
+
   test("unescapePathSegment decodes %XX but leaves '+' alone") {
     Icebox.unescapePathSegment("a%2Fb") shouldBe "a/b"
     Icebox.unescapePathSegment("a+b") shouldBe "a+b"

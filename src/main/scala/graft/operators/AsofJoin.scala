@@ -17,22 +17,25 @@ object AsofJoin {
     * carrying `last(right payload, ignoreNulls)` forward, keep left rows.
     * ONE shuffle on the key (the union sort is within partitions) — no
     * range cross-product, no per-key collect; at 100 TB this is the same
-    * cost as a groupBy over both inputs. Ties on rightTs resolve to the
-    * row with the greatest `tieBreak` column value (pass a unique col for
-    * determinism).
+    * cost as a groupBy over both inputs. The right payload rides the window
+    * as a TYPED struct (its schema is known at plan time; the left side
+    * unions in a null-cast struct) — no serialization codec on the hot
+    * path. Ties on rightTs resolve to the row with the greatest `tieBreak`
+    * column value (pass a unique col for determinism).
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, tieBreak: String,
       rightPayload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema(0).dataType
     val lTagged = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
-      .withColumn("__payload", lit(null).cast("string"))
-    val payloadStruct = struct(rightPayload.map(col): _*)
+      .withColumn("__payload", lit(null).cast(payloadType))
     val rTagged = right.select(
       col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
       col(tieBreak).cast("long").as("__tie"),
-      to_json(payloadStruct).as("__payload"))
+      payloadStruct.as("__payload"))
     val lCols = left.columns.map(col)
     val unioned = lTagged.select((lCols :+ col("__ts") :+ col("__side") :+ col("__tie") :+ col("__payload")).toIndexedSeq: _*)
       .unionByName(rTagged.select(
@@ -41,12 +44,10 @@ object AsofJoin {
     // right rows sort before left rows at equal ts (side 0 < 1): "<=" semantics
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val schema = right.select(payloadStruct).schema(0).dataType
     unioned
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumn("__m", from_json(col("__match"), schema))
-      .select((lCols ++ rightPayload.map(c => col(s"__m.$c").as(c))).toIndexedSeq: _*)
+      .select((lCols ++ rightPayload.map(c => col(s"__match.$c").as(c))).toIndexedSeq: _*)
   }
 }
 

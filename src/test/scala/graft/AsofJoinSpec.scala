@@ -36,6 +36,18 @@ class AsofJoinSpec extends SparkSpec {
     out.select("v").as[String].collect() shouldBe Array("high")
   }
 
+  test("asof payload rides as a typed struct — no JSON codec in the plan") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "v", 2.5)).toDF("key", "rts", "rid", "s", "d")
+    val left = Seq((1L, ts("2024-01-01 10:01:00"))).toDF("key", "lts")
+    val out = AsofJoin.asof(left, right, "key", "lts", "rts", "rid", Seq("s", "d"))
+    val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+    plan should not include "to_json"
+    plan should not include "from_json"
+    // payload columns keep their original types (string round-trip would widen/stringify)
+    out.schema("d").dataType.typeName shouldBe "double"
+    out.collect().map(r => (r.getString(2), r.getDouble(3))).toSeq shouldBe Seq(("v", 2.5))
+  }
+
   test("range join equals the naive non-equi join") {
     val points = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 250.0)).toDF("pid", "x")
     val intervals = Seq((10L, 0.0, 10.0), (20L, 10.0, 20.0), (30L, 14.0, 30.0)).toDF("iid", "lo", "hi")

@@ -40,9 +40,10 @@ import graft.table.{Icebox, Snapshot}
   * sources should prefer (`intoTablePartitions` rewrites only touched
   * partitions).
   *
-  * Source references: a table/temp-view name (optionally aliased). For a
-  * subquery source, register it as a temp view first — the one divergence
-  * from full MERGE syntax, documented here.
+  * Source references: a table/temp-view name (optionally aliased), or an
+  * inline `USING (SELECT ...)` subquery — the subquery is re-run from its
+  * parser-captured SQL text (every parsed node carries its origin slice),
+  * so the full MERGE source syntax works without pre-registering views.
   */
 object MergeSql {
 
@@ -64,7 +65,7 @@ object MergeSql {
 
   private def execute(spark: SparkSession, m: MergeIntoTable): Snapshot = {
     val (targetName, targetAlias) = ref(m.targetTable)
-    val (sourceName, sourceAlias) = ref(m.sourceTable)
+    val (srcDf, sourceAlias) = sourceRef(spark, m.sourceTable)
     val icebox = lookup(targetName).getOrElse(
       sys.error(s"MERGE target '$targetName' is not a registered Icebox table " +
         s"(MergeSql.register(name, table) first)"))
@@ -75,7 +76,7 @@ object MergeSql {
     val targetCols = targetSchema.fieldNames.toSeq
 
     val tgt = icebox.read(spark).alias(targetAlias)
-    val src = spark.table(sourceName).alias(sourceAlias)
+    val src = srcDf.alias(sourceAlias)
     val cond = asColumn(m.mergeCondition)
     validateAssignmentKeys(m, targetCols)
 
@@ -144,7 +145,11 @@ object MergeSql {
       }
 
     val result = inserts.foldLeft(mergedMatched.unionByName(mergedUnmatched))(_ unionByName _)
-    icebox.overwrite(result, icebox.partitionColumns)
+    val snap = icebox.overwrite(result, icebox.partitionColumns)
+    // a registerView temp view is pinned to the pre-merge snapshot's file
+    // set — repoint it so SELECT → MERGE → SELECT composes on one name
+    if (spark.catalog.tableExists(targetName)) icebox.registerView(spark, targetName)
+    snap
   }
 
   /** Reject merges where a target row matches more than one source row
@@ -187,14 +192,33 @@ object MergeSql {
         s"(${targetCols.mkString(", ")})")
   }
 
-  /** (table name, alias) of a parsed target/source reference. */
+  /** (table name, alias) of a parsed TARGET reference — must be a name. */
   private def ref(plan: LogicalPlan): (String, String) = plan match {
     case SubqueryAlias(id, child) => (ref(child)._1, id.name)
     case UnresolvedRelation(parts, _, _) => (parts.mkString("."), parts.last)
     case other =>
-      sys.error(s"MERGE source/target must be a table or view name " +
-        s"(got ${other.getClass.getSimpleName}); register a temp view for subquery sources")
+      sys.error(s"MERGE target must be a registered table name " +
+        s"(got ${other.getClass.getSimpleName})")
   }
+
+  /** (DataFrame, alias) of a parsed SOURCE reference. Names resolve through
+    * the session catalog; an inline `USING (SELECT ...)` subquery is re-run
+    * from the SQL text its parsed plan's origin points at — the public
+    * route to execute a parsed-but-unresolved plan (Dataset.ofRows is
+    * private[sql]).
+    */
+  private def sourceRef(spark: SparkSession, plan: LogicalPlan): (DataFrame, String) = plan match {
+    case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+      (spark.table(parts.mkString(".")), id.name)
+    case UnresolvedRelation(parts, _, _) => (spark.table(parts.mkString(".")), parts.last)
+    case SubqueryAlias(id, child) => (spark.sql(subqueryText(child)), id.name)
+    case other => (spark.sql(subqueryText(other)), "__src")
+  }
+
+  private def subqueryText(p: LogicalPlan): String =
+    (for { t <- p.origin.sqlText; a <- p.origin.startIndex; b <- p.origin.stopIndex }
+      yield t.substring(a, b + 1)).getOrElse(sys.error(
+      "MERGE subquery source carries no SQL origin text; register a temp view instead"))
 
   /** Parsed catalyst expression → Column, via its SQL rendering (the public
     * route — the `Column(Expression)` constructor is gone in Spark 4).

@@ -249,6 +249,20 @@ final class Icebox(val tableDir: String) {
   def readIndexed(spark: SparkSession): DataFrame =
     graft.plans.IceboxFileIndex.readIndexed(spark, this)
 
+  /** Register this table under `name` on the session's SQL-text surface: a
+    * temp view over the indexed read (so `spark.sql("SELECT ... FROM
+    * name")` plans through manifest partition pruning and stats skipping)
+    * AND as a [[graft.sql.MergeSql]] target, so text SELECT and MERGE INTO
+    * compose against the same name. The view is pinned to the CURRENT
+    * snapshot's file set; MergeSql re-registers it after each merge commit,
+    * and callers using the programmatic write faces should re-register
+    * after commits they want the view to reflect.
+    */
+  def registerView(spark: SparkSession, name: String): Unit = {
+    readIndexed(spark).createOrReplaceTempView(name)
+    graft.sql.MergeSql.register(name, this)
+  }
+
   /** Incremental scan (C1/C3 at file granularity — Iceberg's
     * `incremental read` analog): rows in data files ADDED since
     * `sinceSnapshotId`. Pure manifest diff — only the delta files are read,

@@ -110,6 +110,39 @@ class MergeSqlSpec extends SparkSpec {
     t.read(spark).count() shouldBe 3 // nothing committed
   }
 
+  test("inline USING (SELECT ...) subquery source works without a pre-registered view") {
+    val t = freshTarget("t_subq")
+    Seq((2L, "raw2", 2.0), (8L, "raw8", 8.0), (9L, "low", 0.5))
+      .toDF("id", "name", "amount").createOrReplaceTempView("raw_subq")
+    MergeSql.merge(spark,
+      """MERGE INTO t_subq t
+        |USING (SELECT id, upper(name) AS name, amount * 10 AS amount
+        |       FROM raw_subq WHERE amount >= 1.0) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, "a", 10.0), (2L, "RAW2", 20.0), (3L, "c", 30.0), (8L, "RAW8", 80.0))
+  }
+
+  test("registerView: text SELECT and MERGE compose on one name, view tracks the merge") {
+    val t = Icebox(tmpDir("merge-view"))
+    t.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "amount"))
+    t.registerView(spark, "t_view")
+    // plain SQL SELECT over the registered name (planner-indexed read)
+    spark.sql("SELECT sum(amount) AS s FROM t_view").as[Double].head() shouldBe 30.0
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    spark.sql("SELECT * FROM t_view").queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r.location
+    }.get shouldBe a[graft.plans.IceboxFileIndex]
+    // MERGE against the same name, then SELECT sees the post-merge state
+    MergeSql.merge(spark,
+      """MERGE INTO t_view t USING (SELECT 2 AS id, 'B' AS name, 200.0 AS amount) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    spark.sql("SELECT name FROM t_view WHERE id = 2").as[String].head() shouldBe "B"
+  }
+
   test("merge is one atomic snapshot commit with rollback available") {
     val t = freshTarget("t_atomic")
     val before = t.currentSnapshotId

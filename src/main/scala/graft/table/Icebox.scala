@@ -310,6 +310,23 @@ final class Icebox(val tableDir: String) {
   def readWhereStats(spark: SparkSession, column: String, lo: Option[Double], hi: Option[Double]): DataFrame =
     readFiles(spark, prunedFilesByStats(column, lo, hi), currentSnapshot.map(_.schemaJson))
 
+  /** String-range variant of [[prunedFilesByStats]]: bounds compare in
+    * unsigned-byte UTF8 order — the order Spark's string min/max, parquet
+    * footer statistics, and [[graft.plans.IceboxFileIndex]] all use (plain
+    * java.lang.String order disagrees for supplementary-plane characters).
+    */
+  def prunedFilesByStatsString(column: String, lo: Option[String], hi: Option[String]): Seq[DataFile] = {
+    def le(a: String, b: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+    currentSnapshot.map(_.files.filter { f =>
+      f.stats.get(column) match {
+        case None => true
+        case Some((mn, mx)) => lo.forall(l => le(l, mx)) && hi.forall(h => le(mn, h))
+      }
+    }).getOrElse(Nil)
+  }
+
   /** Manifest-level partition pruning: the files of the current snapshot whose
     * identity-partition value of `column` is in `values` — Iceberg-style
     * pruning that avoids even listing unrelated storage paths.
@@ -360,10 +377,12 @@ final class Icebox(val tableDir: String) {
     * second column alone skips nothing), while interleaved quantile-bucket
     * bits give every sort column ~equal locality, so min/max skipping works
     * for each of them independently — Iceberg's z-order rewrite strategy.
-    * Bucketing uses `percentile_approx` boundaries fetched once to the
-    * driver (a sketch aggregate, NOT a global sort) and baked into the plan
-    * as literals; the only shuffle is the final range partition by z-key.
-    * Falls back to lexicographic when any sort column is non-numeric.
+    * Bucketing uses quantile boundaries fetched once to the driver (a
+    * `percentile_approx` sketch for numeric columns, a TakeOrdered random
+    * sample for strings — NOT a global sort either way) and baked into the
+    * plan as literals; the only shuffle is the final range partition by
+    * z-key. Falls back to lexicographic when any sort column is neither
+    * numeric nor string.
     */
   def compactSorted(spark: SparkSession, sortBy: Seq[String],
       targetFileMb: Int = 512, numFiles: Option[Int] = None): Snapshot = {
@@ -375,10 +394,11 @@ final class Icebox(val tableDir: String) {
     val base = read(spark)
     // case-insensitive like the rest of the read path — a case mismatch must
     // not silently fall back to lexicographic clustering
-    val allNumeric = sortBy.forall(c => base.schema.fields.find(_.name.equalsIgnoreCase(c))
-      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    val zOrderable = sortBy.forall(c => base.schema.fields.find(_.name.equalsIgnoreCase(c))
+      .exists(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        f.dataType == org.apache.spark.sql.types.StringType))
     val df =
-      if (sortBy.size < 2 || !allNumeric)
+      if (sortBy.size < 2 || !zOrderable)
         base.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else {
@@ -887,12 +907,22 @@ object Icebox {
 
   import org.apache.spark.sql.types._
 
-  /** Z-order clustering key over numeric columns: each column is mapped to
-    * a quantile bucket (boundaries from one `percentile_approx` sketch
-    * aggregate, baked into the plan as literals — no global sort, no extra
-    * shuffle), and the bucket bits are interleaved so every column gets
-    * ~equal file locality. Codegen-friendly: the per-row work is a chain of
-    * literal comparisons + bit ops, no HOFs.
+  /** Z-order clustering key over numeric and string columns: each column is
+    * mapped to a quantile bucket (boundaries baked into the plan as
+    * literals — no global sort, no extra shuffle), and the bucket bits are
+    * interleaved so every column gets ~equal file locality.
+    * Codegen-friendly: the per-row work is a chain of literal comparisons +
+    * bit ops, no HOFs.
+    *
+    * Numeric boundaries come from ONE `percentile_approx` sketch aggregate
+    * over all numeric columns. String boundaries come from a per-column
+    * uniform random sample taken with `orderBy(rand).limit(k)` —
+    * TakeOrdered keeps the k smallest random keys per partition and merges
+    * on the driver (the same sampling shape Spark's RangePartitioner uses),
+    * so it stays one narrow pass at any scale; boundaries are then the
+    * sorted sample's quantiles. String comparison in both Spark and parquet
+    * footer stats is unsigned-byte UTF8 order, so bucket boundaries,
+    * min/max manifests, and read-side predicates all agree.
     */
   private[table] def zOrderKey(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
       targetFiles: Int = 64): org.apache.spark.sql.Column = {
@@ -907,14 +937,41 @@ object Icebox {
     val bits = math.min(8, math.max(2, math.ceil(cellBits.toDouble / ncols).toInt))
     val nb = (1 << bits) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    def fieldType(c: String) = df.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    val numericCols = cols.filter(c =>
+      fieldType(c).exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
     // accuracy 1000 ≈ ±0.1% boundary error — invisible at 2^bits ≤ 32
     // buckets, and the sketch is ~4x cheaper to update than the default
-    val aggs = cols.map(c => percentile_approx(col(c).cast("double"), lit(probs), lit(1000)).as(s"__q_$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val buckets = cols.indices.map { i =>
-      val bs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty)
-      if (bs.isEmpty) lit(0L) // all-null column: single bucket
-      else bs.map(b => when(col(cols(i)).cast("double") > lit(b), 1L).otherwise(0L)).reduce(_ + _)
+    val numBoundaries: Map[String, Seq[Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val aggs = numericCols.map(c =>
+          percentile_approx(col(c).cast("double"), lit(probs), lit(1000)).as(s"__q_$c"))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        numericCols.zipWithIndex.map { case (c, i) =>
+          c -> Option(row.getSeq[Double](i)).getOrElse(Seq.empty)
+        }.toMap
+      }
+    def stringBoundaries(c: String): Seq[String] = {
+      val k = math.max(nb * 64, 1024)
+      val sample = df.select(col(c)).where(col(c).isNotNull)
+        .orderBy(rand(42)).limit(k)
+        .collect().map(_.getString(0)).sorted
+      if (sample.isEmpty) Nil
+      else (1 to nb).map(i => sample(((sample.length - 1).toLong * i / (nb + 1)).toInt)).distinct
+    }
+    val buckets = cols.map { c =>
+      fieldType(c) match {
+        case Some(_: org.apache.spark.sql.types.NumericType) =>
+          val bs = numBoundaries(c)
+          if (bs.isEmpty) lit(0L) // all-null column: single bucket
+          else bs.map(b => when(col(c).cast("double") > lit(b), 1L).otherwise(0L)).reduce(_ + _)
+        case Some(org.apache.spark.sql.types.StringType) =>
+          val bs = stringBoundaries(c)
+          if (bs.isEmpty) lit(0L)
+          else bs.map(b => when(col(c) > lit(b), 1L).otherwise(0L)).reduce(_ + _)
+        case _ => lit(0L) // unsupported type contributes no locality bits
+      }
     }
     (for (j <- 0 until bits; i <- 0 until ncols) yield
       shiftleft(shiftright(buckets(i), j).bitwiseAND(1L), j * ncols + i)

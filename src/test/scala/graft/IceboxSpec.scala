@@ -119,6 +119,24 @@ class IceboxSpec extends SparkSpec {
       big.filter($"score".between(10.0, 20.0)))
   }
 
+  test("compactSorted z-orders (numeric, string) pairs; string-only predicates skip files") {
+    val t = Icebox(tmpDir("icebox-zstr"))
+    val fruits = Seq("apple", "banana", "cherry", "date", "elder", "fig", "grape", "kiwi")
+    val big = spark.range(0, 800).selectExpr("id",
+      s"element_at(array(${fruits.map("'" + _ + "'").mkString(",")}), cast(id % 8 + 1 as int)) as fruit")
+    (0 until 4).foreach(i => t.append(big.filter($"id" % 4 === i)))
+    t.compactSorted(spark, Seq("id", "fruit"), numFiles = Some(8))
+    val files = t.currentSnapshot.get.files
+    files.foreach(_.stats.keySet shouldBe Set("id", "fruit"))
+    // a string-only equality predicate skips files the interleave isolated
+    val hit = t.prunedFilesByStatsString("fruit", Some("banana"), Some("banana"))
+    hit.size should be < files.size
+    // and the numeric column keeps its own locality too
+    t.prunedFilesByStats("id", Some(10.0), Some(20.0)).size should be < files.size
+    assertSameRows(t.readIndexed(spark).filter($"fruit" === "banana"),
+      big.filter($"fruit" === "banana"))
+  }
+
   test("changesSince reads only the delta files added after a snapshot") {
     val t = Icebox(tmpDir("icebox"))
     val s0 = t.append(sampleDf.filter($"id" <= 2))

@@ -164,20 +164,83 @@ object Dedup {
       .minBy(b => math.abs(math.pow(1.0 / b, b.toDouble / numHashes) - threshold))
 
   /** Full MinHash-LSH dedup: drop every doc that is LSH-candidate AND
-    * verified Jaccard ≥ `threshold` against a lower-id doc. (Group
+    * verified Jaccard ≥ `threshold` against a lower-id doc. (Default group
     * resolution is min-id-representative, the standard single-pass
-    * approximation of connected components.) `bands` defaults to the
+    * approximation of connected components; `exactGroups = true` resolves
+    * TRANSITIVE chains to one survivor per component via
+    * [[connectedComponents]] — A~B, B~C with A≁C then keeps only A, where
+    * the single pass keeps A and C.) `bands` defaults to the
     * threshold-matched count (`autoBands`); pass it explicitly to trade
     * recall against verify volume.
     */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = -1,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5, exactGroups: Boolean = false): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val cands = minHashCandidates(df, textCol, idCol, numHashes, b, shingleSize)
-    val dups = jaccardVerify(df, cands, textCol, idCol, shingleSize)
+    val verified = jaccardVerify(df, cands, textCol, idCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-      .select(col("idB").as("__dup")).distinct()
+    if (exactGroups) dedupByComponents(df, idCol, verified)
+    else {
+      val dups = verified.select(col("idB").as("__dup")).distinct()
+      df.join(dups, df(idCol) === col("__dup"), "left_anti")
+    }
+  }
+
+  // ------------------------------------------------- connected components
+
+  /** Connected components over an (idA, idB) duplicate-pair list: returns
+    * `(id, rep)` for every id that appears in `pairs`, where `rep` is the
+    * MINIMUM id reachable through any chain of pairs — the exact-groups
+    * resolution for non-transitive similarity relations.
+    *
+    * Algorithm: iterated min-label propagation with POINTER JUMPING — each
+    * round every node takes the min of its own and its neighbors' labels,
+    * then labels shortcut through one indirection (`rep := rep's rep`), so
+    * a chain of length L converges in O(log L) rounds, not O(L). Each round
+    * is two shuffles on the node id (a groupBy and a self-join of the
+    * label table); the edge list is never squared. `localCheckpoint` cuts
+    * the growing lineage each round — the standard Spark idiom for
+    * iterative graph algorithms (GraphX does the same internally).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
+      .union(pairs.select(col("idB").as("a"), col("idA").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id"), col("a").as("rep")).distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborReps = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("__nr")), "b")
+        .select(col("a").as("id"), col("__nr").as("rep"))
+      val stepped = labels.union(neighborReps).groupBy("id").agg(min("rep").as("rep"))
+      val jumped = stepped
+        .join(stepped.select(col("id").as("__rid"), col("rep").as("__rrep")),
+          col("rep") === col("__rid"), "left")
+        .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = jumped.select(col("id"), col("rep").as("__new"))
+        .join(labels, "id")
+        .filter(col("__new") =!= col("rep"))
+        .isEmpty
+      labels.unpersist()
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop every doc that belongs to a duplicate component but is not its
+    * min-id representative (see [[connectedComponents]]); docs in no pair
+    * survive untouched.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dups = connectedComponents(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("__dup"))
     df.join(dups, df(idCol) === col("__dup"), "left_anti")
   }
 

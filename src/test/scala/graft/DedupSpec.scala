@@ -53,6 +53,59 @@ class DedupSpec extends SparkSpec {
     kept should contain(6L)
   }
 
+  test("connectedComponents resolves transitive chains to the min-id representative") {
+    // chain 10-20-30-40 plus the Z<X<W shape where the single pass differs:
+    // pairs (1,9) and (5,9) — min-id-per-pair keeps {1,5}, CC keeps {1}
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (1L, 9L), (5L, 9L))
+      .toDF("idA", "idB")
+    val reps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    Seq(10L, 20L, 30L, 40L).map(reps) shouldBe Seq(10L, 10L, 10L, 10L)
+    Seq(1L, 5L, 9L).map(reps) shouldBe Seq(1L, 1L, 1L)
+  }
+
+  test("connectedComponents equals driver-side union-find on random pair sets") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairList = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      // reference: naive union-find over the same pairs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      pairList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expected = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairList.toDF("idA", "idB"))
+        .as[(Long, Long)].collect().toMap
+      got shouldBe expected
+    }
+  }
+
+  test("minHashDedup exactGroups keeps ONE survivor per transitive near-dup chain") {
+    // char-5-gram arithmetic: base has 32 distinct shingles; each 10-char
+    // suffix adds 10 → jaccard(suffixed, base) = 32/42 ≈ 0.76 ≥ 0.7, but
+    // jaccard(sufA, sufB) = 32/52 ≈ 0.62 < 0.7. The shared doc has the
+    // HIGHEST id, so verified pairs are (1,9) and (5,9): the single pass
+    // only drops idB=9 and keeps BOTH 1 and 5; exact components resolve
+    // {1,5,9} to the single min-id survivor 1.
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val chain = Seq(
+      (1L, base + " purplecar"),
+      (5L, base + " orangedog"),
+      (9L, base),
+      (7L, "entirely different text about distributed query engines at scale")
+    ).toDF("doc_id", "text")
+    val loose = Dedup.minHashDedup(chain, "text", "doc_id", threshold = 0.7, bands = 32)
+      .select("doc_id").as[Long].collect().sorted
+    val strict = Dedup.minHashDedup(chain, "text", "doc_id", threshold = 0.7, bands = 32,
+      exactGroups = true).select("doc_id").as[Long].collect().sorted
+    loose shouldBe Array(1L, 5L, 7L)
+    strict shouldBe Array(1L, 7L)
+  }
+
   test("simhash: identical texts share hash; near-dups are close in hamming") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -270,6 +270,23 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // M1 z-order over a (numeric, STRING) column pair: string buckets come
+    // from sampled UTF8-order boundaries, and an equality predicate on the
+    // string column ALONE must skip files (the require proves it), with the
+    // exact read going through the planner-indexed path
+    "q_icebox_zorder_str" -> ((s, dir) => {
+      val table = Icebox(tmp("qzs"))
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach(i => table.append(o.filter(col("o_orderkey") % 4 === i)))
+      table.compactSorted(s, Seq("o_custkey", "o_orderpriority"), numFiles = Some(16))
+      val total = table.currentSnapshot.get.files.size
+      val pruned = table.prunedFilesByStatsString("o_orderpriority",
+        Some("1-URGENT"), Some("1-URGENT"))
+      require(total > 1 && pruned.size < total,
+        s"string z-order skipping on the 2nd column had no effect: $total files, ${pruned.size} kept")
+      table.readIndexed(s).filter(col("o_orderpriority") === "1-URGENT")
+    }),
+
     // manifest-backed FileIndex read: pruning in the planner, no opt-in
     "q_icebox_indexed_read" -> ((s, dir) => {
       val table = Icebox(tmp("qir"))
@@ -339,6 +356,31 @@ object SparkEntry {
     "q_cdc_scn" -> ((s, dir) => {
       val wm = Watermark("src", "events", 0L, 5000L)
       Cdc.scnIncrement(t(s, dir, "events"), "event_id", Some(wm))
+    }),
+
+    // Manifest-driven change feed end-to-end (the streaming-facing table
+    // read): three source commits delivered over three feed cycles through
+    // a durable cursor, each batch upserted by pk into a target table —
+    // full first delivery, then exact per-commit deltas (changesSince),
+    // with the repricing delta replacing matched keys
+    "q_change_feed" -> ((s, dir) => {
+      val src = Icebox(tmp("qcf_src"))
+      val tgt = Icebox(tmp("qcf_tgt"))
+      val cursor = tmp("qcf_cur") + "/cursor"
+      val o = t(s, dir, "orders")
+      def deliver(): Seq[Long] =
+        graft.streaming.Streaming.changeFeed(s, src, cursor) { (batch, _) =>
+          Upsert.intoTable(tgt, batch, Seq("o_orderkey")); ()
+        }
+      src.overwrite(o.filter(col("o_orderstatus") === "O"))
+      val d1 = deliver()                              // full first delivery
+      src.append(o.filter(col("o_orderstatus") =!= "O"))
+      val d2 = deliver()                              // delta: the non-O commit only
+      src.append(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val d3 = deliver()                              // delta: repriced rows upsert over matches
+      require(d1.size + d2.size + d3.size == 3, s"expected 3 feed deliveries, got $d1 $d2 $d3")
+      tgt.read(s)
     }),
 
     // C4/C9/S11/W9: full CDC micro-batch cycle (watermark store + sink)
@@ -757,6 +799,7 @@ object SparkEntry {
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
+    "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
 
     // the MERGE semantics written out longhand: matched F-status rows
     // deleted, other matched rows repriced, +1M-key source rows inserted
@@ -791,6 +834,15 @@ object SparkEntry {
     "q_cdc_timestamp" -> "SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
     "q_cdc_scn" -> "SELECT * FROM events WHERE event_id > 5000",
     "q_cdc_cycle" -> "SELECT * FROM events",
+
+    // the three feed cycles written longhand: %5 keys carry the repriced
+    // value from the last delivery, everything else its original row
+    "q_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
 
     "q_file_cdc" ->
       """SELECT event_id, ts, user_id, event_type, value * 3 AS value, props, 'a' AS dt

@@ -119,10 +119,27 @@ object Multimodal {
   /** Partition sizing for blob tables: target ~`targetMb` per output
     * partition given an average blob size — keeps parquet row groups and
     * task memory bounded when blobs are MBs each.
+    *
+    * Sizing does NOT run an extra `count()` scan (the count-before-write
+    * pattern SURVEY §4 flags in the reference): callers that know the row
+    * count pass it, otherwise the optimizer's plan statistics supply a row
+    * count or a size estimate (for file scans these come from file-listing
+    * metadata, no data read). The one remaining fallback to `count()` is
+    * when the plan reports the unknown-size default — rare, and explicit.
     */
-  def repartitionForBlobs(df: DataFrame, avgBlobBytes: Long, targetMb: Int = 256): DataFrame = {
+  def repartitionForBlobs(df: DataFrame, avgBlobBytes: Long, targetMb: Int = 256,
+      rowCount: Option[Long] = None): DataFrame = {
     val rowsPerPartition = math.max(1L, targetMb.toLong * 1024 * 1024 / math.max(1L, avgBlobBytes))
-    val n = math.max(1, (df.count().toDouble / rowsPerPartition).ceil.toInt)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val unknown = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val rows: Long = rowCount
+      .orElse(stats.rowCount.map(_.toLong))
+      .getOrElse {
+        if (stats.sizeInBytes < unknown)
+          (stats.sizeInBytes / math.max(1L, avgBlobBytes)).toLong max 1L
+        else df.count()
+      }
+    val n = math.max(1, (rows.toDouble / rowsPerPartition).ceil.toInt)
     df.repartition(n)
   }
 }

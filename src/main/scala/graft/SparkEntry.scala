@@ -383,6 +383,29 @@ object SparkEntry {
       tgt.read(s)
     }),
 
+    // Connected-components dedup under a NON-transitive, SQL-expressible
+    // pair relation (token counts differing by ≤1 chain across the corpus):
+    // survivors are exactly each component's min doc_id. Pairs via a bin
+    // equi-join (each doc emits keys n and n+1 — never all-pairs); the
+    // oracle recomputes components with a recursive transitive closure.
+    "q_dedup_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("__n"))
+      // connectivity-equivalent SPARSE edge set (O(docs + distinct counts),
+      // never the quadratic in-bucket pair list): every doc links to its
+      // count's min-id hub, and hubs of adjacent counts link — components
+      // under these edges equal components under the full |Δn| <= 1 closure
+      val hubs = n.groupBy("__n").agg(min("doc_id").as("__hub"))
+      val star = n.join(hubs, "__n")
+        .filter(col("doc_id") =!= col("__hub"))
+        .select(col("__hub").as("idA"), col("doc_id").as("idB"))
+      val chain = hubs.select(col("__n"), col("__hub").as("__ha"))
+        .join(hubs.select((col("__n") - 1).as("__n"), col("__hub").as("__hb")), "__n")
+        .select(least(col("__ha"), col("__hb")).as("idA"),
+          greatest(col("__ha"), col("__hb")).as("idB"))
+      Dedup.dedupByComponents(d, "doc_id", star.unionByName(chain)).select(col("doc_id"))
+    }),
+
     // C4/C9/S11/W9: full CDC micro-batch cycle (watermark store + sink)
     "q_cdc_cycle" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -410,6 +433,37 @@ object SparkEntry {
         s"$src/dt=a", "f1.parquet")
       val r = FileCdc.runCycle(s, src, table, store)
       require(r.touchedPartitions == Seq("a"), s"late-data run touched ${r.touchedPartitions}")
+      table.read(s)
+    }),
+
+    // C7 end-to-end: HASH-method file CDC — a content rewrite is re-detected
+    // by content hash (the method the reference declares but leaves
+    // unimplemented; mtime/size can both miss preserving rewrites) and the
+    // touched partition reprocessed via dynamic partition overwrite
+    "q_file_cdc_hash" -> ((s, dir) => {
+      val src = tmp("fcdch-src")
+      val ev = t(s, dir, "events")
+      writeOneFile(ev.filter(col("event_id") < 5000), s"$src/dt=a", "f1.parquet")
+      writeOneFile(ev.filter(col("event_id") >= 5000), s"$src/dt=b", "f2.parquet")
+      val table = Icebox(tmp("fcdch-table"))
+      val store = new FileCheckpointStore(tmp("fcdch-cp") + "/cp.json")
+      FileCdc.runCycle(s, src, table, store, method = "hash")
+      writeOneFile(ev.filter(col("event_id") < 5000).withColumn("value", col("value") * 3),
+        s"$src/dt=a", "f1.parquet")
+      val r = FileCdc.runCycle(s, src, table, store, method = "hash")
+      require(r.touchedPartitions == Seq("a"), s"hash run touched ${r.touchedPartitions}")
+      table.read(s)
+    }),
+
+    // M6: cherry-pick — rollback past an append, then re-apply exactly that
+    // append's file delta on top of the rolled-back state
+    "q_icebox_cherrypick" -> ((s, dir) => {
+      val table = Icebox(tmp("qchp"))
+      val o = t(s, dir, "orders")
+      val s0 = table.append(o.filter(col("o_orderstatus") === "O"))
+      val s1 = table.append(o.filter(col("o_orderstatus") === "F"))
+      table.rollbackTo(s0.id)
+      table.cherrypick(s1.id)
       table.read(s)
     }),
 
@@ -831,6 +885,27 @@ object SparkEntry {
         | UNION ALL
         | SELECT * FROM events WHERE event_type = 'click' AND event_id % 10 != 0""".stripMargin,
 
+    // min-reachable-id per component via recursive closure over the same
+    // |Δ token count| <= 1 pair relation; docs in no pair survive untouched
+    "q_dedup_components" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |           CASE WHEN trim(text) = '' THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |         FROM documents),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |            FROM toks a JOIN toks b
+        |              ON abs(a.n - b.n) <= 1 AND a.doc_id < b.doc_id),
+        |edges AS (SELECT ida AS a, idb AS b FROM pairs
+        |          UNION SELECT idb AS a, ida AS b FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |reps AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM documents d LEFT JOIN reps ON d.doc_id = reps.id
+        |WHERE reps.id IS NULL OR reps.rep = d.doc_id""".stripMargin,
+
     "q_cdc_timestamp" -> "SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'",
     "q_cdc_scn" -> "SELECT * FROM events WHERE event_id > 5000",
     "q_cdc_cycle" -> "SELECT * FROM events",
@@ -852,6 +927,16 @@ object SparkEntry {
         |   FROM events WHERE event_id >= 5000""".stripMargin,
 
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
+
+    // identical final state to q_file_cdc: partition a carries the rewrite
+    "q_file_cdc_hash" ->
+      """SELECT event_id, ts, user_id, event_type, value * 3 AS value, props, 'a' AS dt
+        |   FROM events WHERE event_id < 5000
+        | UNION ALL
+        | SELECT event_id, ts, user_id, event_type, value, props, 'b' AS dt
+        |   FROM events WHERE event_id >= 5000""".stripMargin,
+
+    "q_icebox_cherrypick" -> "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')",
 
     "q_compact_partitions" -> "SELECT * FROM events",
 

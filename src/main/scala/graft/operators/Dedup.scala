@@ -194,14 +194,18 @@ object Dedup {
     * MINIMUM id reachable through any chain of pairs — the exact-groups
     * resolution for non-transitive similarity relations.
     *
-    * Algorithm: iterated min-label propagation with POINTER JUMPING — each
-    * round every node takes the min of its own and its neighbors' labels,
-    * then labels shortcut through one indirection (`rep := rep's rep`), so
-    * a chain of length L converges in O(log L) rounds, not O(L). Each round
-    * is two shuffles on the node id (a groupBy and a self-join of the
-    * label table); the edge list is never squared. `localCheckpoint` cuts
-    * the growing lineage each round — the standard Spark idiom for
-    * iterative graph algorithms (GraphX does the same internally).
+    * Algorithm: iterated min-label propagation with POINTER JUMPING — nodes
+    * take the min of their own and their neighbors' labels, then labels
+    * shortcut through indirections (`rep := rep's rep`), so a chain of
+    * length L converges in O(log L) materialized rounds, not O(L). Each
+    * materialized round packs TWO propagate+jump passes into one
+    * `localCheckpoint` lineage (iterations are latency-bound by action
+    * scheduling, not data, on all but enormous graphs), and convergence is
+    * read from `sum(rep)`: every label is non-increasing round over round,
+    * so an unchanged sum IS the fixpoint — a narrow aggregate over the
+    * checkpointed table instead of a join against the previous labels. The
+    * edge list is never squared; `localCheckpoint` cuts the growing
+    * lineage (the standard Spark idiom for iterative graph algorithms).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
@@ -209,22 +213,26 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id"), col("a").as("rep")).distinct()
       .localCheckpoint(true)
+    def propagate(df: DataFrame): DataFrame = {
+      val neighborReps = edges
+        .join(df.select(col("id").as("b"), col("rep").as("__nr")), "b")
+        .select(col("a").as("id"), col("__nr").as("rep"))
+      df.union(neighborReps).groupBy("id").agg(min("rep").as("rep"))
+    }
+    def jump(df: DataFrame): DataFrame = df
+      .join(df.select(col("id").as("__rid"), col("rep").as("__rrep")),
+        col("rep") === col("__rid"), "left")
+      .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep"))
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     var it = 0
+    var prevSum = repSum(labels)
     var converged = false
     while (!converged && it < maxIter) {
-      val neighborReps = edges
-        .join(labels.select(col("id").as("b"), col("rep").as("__nr")), "b")
-        .select(col("a").as("id"), col("__nr").as("rep"))
-      val stepped = labels.union(neighborReps).groupBy("id").agg(min("rep").as("rep"))
-      val jumped = stepped
-        .join(stepped.select(col("id").as("__rid"), col("rep").as("__rrep")),
-          col("rep") === col("__rid"), "left")
-        .select(col("id"), coalesce(col("__rrep"), col("rep")).as("rep"))
-        .localCheckpoint(true)
-      converged = jumped.select(col("id"), col("rep").as("__new"))
-        .join(labels, "id")
-        .filter(col("__new") =!= col("rep"))
-        .isEmpty
+      val jumped = jump(propagate(jump(propagate(labels)))).localCheckpoint(true)
+      val s = repSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = jumped
       it += 1

@@ -270,6 +270,29 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // TIME-RANGE stats skipping (the most common warehouse predicate):
+    // per-file min/max on a timestamp_ntz column prune in the planner —
+    // the require proves a 2-year window keeps a strict subset of files
+    "q_icebox_time_skip" -> ((s, dir) => {
+      val table = Icebox(tmp("qtsk"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderdate") < "1997-01-01"),
+        collectStats = Seq("o_orderdate"))
+      table.append(o.filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1999-01-01"))
+      table.append(o.filter(col("o_orderdate") >= "1999-01-01")) // sticky stats continue
+      val snap = table.currentSnapshot.get
+      val idx = new graft.plans.IceboxFileIndex(s, table.tableDir, snap,
+        new org.apache.spark.sql.types.StructType())
+      val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "o_orderdate", org.apache.spark.sql.types.TimestampNTZType)()
+      val kept = idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.LessThan(
+        attr, org.apache.spark.sql.catalyst.expressions.Literal(
+          java.time.LocalDateTime.of(1997, 1, 1, 0, 0))))).map(_.files.size).sum
+      require(snap.files.size > 1 && kept < snap.files.size,
+        s"time-range skipping had no effect: ${snap.files.size} files, $kept kept")
+      table.readIndexed(s).filter(col("o_orderdate") < "1997-01-01")
+    }),
+
     // M1 z-order over a (numeric, STRING) column pair: string buckets come
     // from sampled UTF8-order boundaries, and an equality predicate on the
     // string column ALONE must skip files (the require proves it), with the
@@ -854,6 +877,7 @@ object SparkEntry {
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
+    "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
 
     // the MERGE semantics written out longhand: matched F-status rows
     // deleted, other matched rows repriced, +1M-key source rows inserted

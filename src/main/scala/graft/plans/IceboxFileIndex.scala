@@ -109,13 +109,27 @@ final class IceboxFileIndex(
     // long stats round together); string literals compare in UTF8String
     // order — Spark's min/max over strings is UTF8 binary order, which
     // disagrees with java.lang.String UTF-16 order for supplementary-plane
-    // characters. A null literal keeps the file (conservative).
+    // characters. Date and TIMESTAMP_NTZ literals compare on the epoch
+    // scale after parsing the ISO stat strings — both types are ZONE-FREE,
+    // so the string round-trip (LocalDate / LocalDateTime toString on the
+    // stats side, days / micros in the catalyst literal) is exact; zoned
+    // TimestampType stats keep the file (its stat string carries JVM-zone
+    // rendering, and a cross-zone misparse would prune WRONG files, not
+    // just fewer). A null literal keeps the file (conservative).
     def cmp(a: Attribute, l: Literal)(numeric: (BigDecimal, BigDecimal, BigDecimal) => Boolean)(
         str: (UTF8String, UTF8String, UTF8String) => Boolean): Boolean =
       f.stats.get(a.name) match {
         case None => true
         case _ if l.value == null => true
         case Some((mn, mx)) =>
+          def ntzMicros(s: String): BigDecimal = {
+            val ldt = java.time.LocalDateTime.parse(
+              // scan-path stats render java.sql.Timestamp/LocalDateTime; the
+              // former uses "yyyy-MM-dd HH:mm:ss[.f]", ISO wants a 'T'
+              if (s.contains('T')) s else s.replaceFirst(" ", "T"))
+            BigDecimal(ldt.toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000 +
+              BigDecimal(ldt.getNano / 1000)
+          }
           l.dataType match {
             case _: NumericType =>
               try numeric(BigDecimal(mn), BigDecimal(mx), BigDecimal(l.value.toString))
@@ -123,6 +137,14 @@ final class IceboxFileIndex(
             case StringType =>
               str(UTF8String.fromString(mn), UTF8String.fromString(mx),
                 UTF8String.fromString(l.value.toString))
+            case DateType =>
+              try numeric(BigDecimal(java.time.LocalDate.parse(mn).toEpochDay),
+                BigDecimal(java.time.LocalDate.parse(mx).toEpochDay),
+                BigDecimal(l.value.asInstanceOf[Int]))
+              catch { case _: Exception => true }
+            case TimestampNTZType =>
+              try numeric(ntzMicros(mn), ntzMicros(mx), BigDecimal(l.value.asInstanceOf[Long]))
+              catch { case _: Exception => true }
             case _ => true
           }
       }

@@ -82,6 +82,37 @@ class IceboxFileIndexSpec extends SparkSpec {
     t.readIndexed(spark).filter($"fruit".isin("apple", "plum")).count() shouldBe 2
   }
 
+  test("date and timestamp_ntz stats admit/skip files on the epoch scale") {
+    val t = Icebox(tmpDir("fidx-time"))
+    def month(m: Int) = spark.range(0, 30).selectExpr("id",
+      s"make_date(2024, $m, cast(id % 28 + 1 as int)) as d",
+      s"make_timestamp_ntz(2024, $m, cast(id % 28 + 1 as int), 10, 30, 0) as ts")
+    (1 to 3).foreach(m => t.append(month(m), collectStats = Seq("d", "ts")))
+    val snap = t.currentSnapshot.get
+    all(snap.files.map(_.stats.keySet)) shouldBe Set("d", "ts")
+    val index = new IceboxFileIndex(spark, t.tableDir, snap,
+      new org.apache.spark.sql.types.StructType())
+    def nFiles(filter: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      index.listFiles(Nil, Seq(filter)).map(_.files.size).sum
+    val dAttr = AttributeReference("d", org.apache.spark.sql.types.DateType)()
+    val tsAttr = AttributeReference("ts", org.apache.spark.sql.types.TimestampNTZType)()
+    // a one-month window skips the other months' files — on BOTH types
+    nFiles(LessThanOrEqual(dAttr,
+      Literal(java.time.LocalDate.of(2024, 1, 31)))) should be < snap.files.size
+    nFiles(LessThanOrEqual(tsAttr,
+      Literal(java.time.LocalDateTime.of(2024, 1, 31, 23, 59)))) should be < snap.files.size
+    // zoned TimestampType predicates stay conservative (no stats recorded
+    // under that type here; an unknown shape must keep every file)
+    nFiles(EqualTo(AttributeReference("ts",
+      org.apache.spark.sql.types.TimestampType)(),
+      Literal(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))) shouldBe snap.files.size
+    // pruning never changes results through the full read path
+    t.readIndexed(spark).filter($"d" >= "2024-02-01" && $"d" < "2024-03-01")
+      .count() shouldBe 30
+    t.readIndexed(spark)
+      .filter($"ts" >= "2024-03-01 00:00:00").count() shouldBe 30
+  }
+
   test("date-partitioned tables read correctly through the index") {
     val t = Icebox(tmpDir("fidx-date"))
     val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))

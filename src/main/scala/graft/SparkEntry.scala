@@ -406,6 +406,13 @@ object SparkEntry {
       tgt.read(s)
     }),
 
+    // Okapi BM25 relevance of every doc against a 3-term query — one
+    // query-term-filtered explode, broadcast df/N/avgdl constants
+    "q_bm25" -> ((s, dir) =>
+      TextFunctions.bm25(t(s, dir, "documents"), "text", "doc_id",
+          Seq("join", "vector", "stream"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))),
+
     // Connected-components dedup under a NON-transitive, SQL-expressible
     // pair relation (token counts differing by ≤1 chain across the corpus):
     // survivors are exactly each component's min doc_id. Pairs via a bin
@@ -908,6 +915,29 @@ object SparkEntry {
         |   FROM events WHERE event_type = 'click' AND event_id % 10 = 0
         | UNION ALL
         | SELECT * FROM events WHERE event_type = 'click' AND event_id % 10 != 0""".stripMargin,
+
+    // BM25 written longhand; every float constant CAST to DOUBLE (bare
+    // numeric literals are DECIMAL in DuckDB and would change the rounding)
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |       FROM documents WHERE trim(text) <> ''),
+        |dl AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS DOUBLE) AS dl
+        |       FROM documents),
+        |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+        |                 (SELECT avg(dl) FROM dl) AS avgdl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id,
+        |        sum( ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |             * (tf * CAST(2.2 AS DOUBLE))
+        |             / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)) ) AS bm25
+        |      FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+        |      CROSS JOIN stats GROUP BY 1)
+        |SELECT d.doc_id, CAST(round(coalesce(s.bm25, 0), 4) AS DOUBLE) AS bm25
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
 
     // min-reachable-id per component via recursive closure over the same
     // |Δ token count| <= 1 pair relation; docs in no pair survive untouched

@@ -237,4 +237,38 @@ object TextFunctions {
     */
   def shingleHashes(text: Column, n: Int = 5): Column =
     transform(shingles(text, n), s => xxhash64(s))
+
+  /** Okapi BM25 relevance of every document against a bag of query terms —
+    * the standard corpus-relevance score for retrieval-style filtering of
+    * training data. Output: (`idCol`, `bm25` double; 0.0 for docs matching
+    * no term). Tokenization is lowercased whitespace (matches [[tokens]]).
+    *
+    * Scale shape: ONE explode pass, filtered to the query terms BEFORE any
+    * shuffle (shuffle volume = matching tokens only, not the corpus);
+    * document length comes from a narrow [[tokenCount]] projection, never
+    * a second explode; per-term document frequencies derive from the tf
+    * aggregate (|q| rows, broadcast); the corpus constants N and avgdl
+    * ride as a 1-row broadcast cross join — no driver action, no collect.
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val qtoks = df.select(col(idCol).as("__id"),
+      explode(tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t").isin(queryTerms: _*))
+    val tf = qtoks.groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
+    val dls = df.select(col(idCol).as("__id"), tokenCount(col(textCol)).cast("double").as("__dl"))
+    val stats = df.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(df.select(tokenCount(col(textCol)).as("__c")).agg(avg("__c").as("__avgdl")))
+    val perTerm = tf
+      .join(broadcast(dfreq), "__t")
+      .join(dls, "__id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * (col("__tf") * (k1 + 1)) /
+        (col("__tf") + (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+    val scores = perTerm.groupBy("__id").agg(sum("__s").as("bm25"))
+    df.select(col(idCol).as("__id")).join(scores, Seq("__id"), "left")
+      .select(col("__id").as(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
 }

@@ -110,4 +110,18 @@ class TextFunctionsSpec extends SparkSpec {
     one[Double](dupLineRatio($"t"), "single line") shouldBe 0.0
     one[Double](dupLineRatio($"t"), "") shouldBe 0.0
   }
+
+  test("bm25 matches the hand-computed Okapi formula") {
+    val docs = Seq((1L, "join join scan"), (2L, "scan filter"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bm25(docs, "text", "doc_id", Seq("join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df(join)=1 → idf = ln((3-1+0.5)/(1+0.5)+1); doc1: tf=2, dl=3,
+    // avgdl=(3+2+0)/3 → denom = 2 + 1.2*(0.25 + 0.75*3/(5.0/3))
+    val idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    val expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / (5.0 / 3)))
+    out(1L) shouldBe expected +- 1e-9
+    out(2L) shouldBe 0.0 // no query term
+    out(3L) shouldBe 0.0 // empty doc
+  }
 }

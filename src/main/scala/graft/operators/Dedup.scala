@@ -194,25 +194,128 @@ object Dedup {
     * MINIMUM id reachable through any chain of pairs — the exact-groups
     * resolution for non-transitive similarity relations.
     *
-    * Algorithm: iterated min-label propagation with POINTER JUMPING — nodes
-    * take the min of their own and their neighbors' labels, then labels
-    * shortcut through indirections (`rep := rep's rep`), so a chain of
-    * length L converges in O(log L) materialized rounds, not O(L). Each
+    * Two-phase algorithm (the shape production dedup pipelines use):
+    *
+    *  1. '''Partition-local contraction''' — one `mapPartitions` pass runs
+    *     an in-memory union-find over each partition's edges and emits one
+    *     star edge `(node → partition-local min root)` per node per
+    *     partition. This collapses all intra-partition structure, so the
+    *     contracted edge set is bounded by the number of DISTINCT NODES in
+    *     the pair graph (× partition multiplicity), not by the edge count —
+    *     multi-edges and dense buckets disappear here.
+    *  2. If the contracted set fits `maxDriverNodes` (default 4M ≈ 64 MB),
+    *     a driver union-find finishes in milliseconds — iterative Spark
+    *     jobs pay ~0.5 s of scheduling latency PER ROUND and a chain of
+    *     hubs needs O(log diameter) rounds, so below the threshold the
+    *     driver is strictly faster AND fewer moving parts. Above it, the
+    *     distributed min-label loop below takes over, seeded with the
+    *     phase-1 roots (already partially resolved).
+    *
+    * At 100 TB the duplicate GRAPH is far smaller than the corpus (only
+    * docs appearing in some candidate pair), and phase 1 bounds the
+    * collected set by its node count; corpora whose dup graph exceeds the
+    * threshold get the distributed loop automatically — correctness never
+    * depends on the cutoff (property-tested on both sides of it).
+    *
+    * Distributed fallback: iterated min-label propagation with POINTER
+    * JUMPING — nodes take the min of their own and their neighbors' labels,
+    * then labels shortcut through indirections (`rep := rep's rep`). Each
     * materialized round packs TWO propagate+jump passes into one
-    * `localCheckpoint` lineage (iterations are latency-bound by action
-    * scheduling, not data, on all but enormous graphs), and convergence is
-    * read from `sum(rep)`: every label is non-increasing round over round,
-    * so an unchanged sum IS the fixpoint — a narrow aggregate over the
-    * checkpointed table instead of a join against the previous labels. The
-    * edge list is never squared; `localCheckpoint` cuts the growing
-    * lineage (the standard Spark idiom for iterative graph algorithms).
+    * `localCheckpoint` lineage, and convergence is read from `sum(rep)`:
+    * every label is non-increasing round over round, so an unchanged sum IS
+    * the fixpoint. The edge list is never squared.
+    *
+    * Non-integral id columns (e.g. string keys) skip phase 1 and run the
+    * loop directly.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("idA").as("a"), col("idB").as("b"))
-      .union(pairs.select(col("idB").as("a"), col("idA").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id"), col("a").as("rep")).distinct()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      maxDriverNodes: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema(pairs.schema.fieldIndex("idA")).dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) return minLabelLoop(
+      pairs.select(col("idA").as("a"), col("idB").as("b"))
+        .union(pairs.select(col("idB").as("a"), col("idA").as("b")))
+        .distinct().localCheckpoint(true),
+      seed = None, maxIter)
+
+    val spark = pairs.sparkSession
+    val pairEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val stars = pairs
+      .select(col("idA").cast("long").as("a"), col("idB").cast("long").as("b"))
+      .mapPartitions(it => localUnionFind(it.map(r => (r.getLong(0), r.getLong(1)))))(pairEnc)
+      .toDF("id", "rep")
       .localCheckpoint(true)
+    val starCount = stars.count()
+    val out =
+      if (starCount <= maxDriverNodes) {
+        // driver union-find over the CONTRACTED star edges
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+          r
+        }
+        stars.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val resolved = parent.keys.toArray.map(k => (k, find(k))).toSeq
+        stars.unpersist()
+        spark.createDataset(resolved)(pairEnc).toDF("id", "rep")
+      } else {
+        val contractedEdges = stars.filter(col("id") =!= col("rep"))
+          .select(col("id").as("a"), col("rep").as("b"))
+        val bidi = contractedEdges
+          .union(contractedEdges.select(col("b").as("a"), col("a").as("b")))
+          .distinct().localCheckpoint(true)
+        val seed = stars.groupBy("id").agg(min("rep").as("rep")).localCheckpoint(true)
+        stars.unpersist()
+        minLabelLoop(bidi, Some(seed), maxIter)
+      }
+    out.select(col("id").cast(idType).as("id"), col("rep").cast(idType).as("rep"))
+  }
+
+  /** In-memory union-find over one partition's edges; emits one
+    * `(node, partition-local min root)` star edge per node seen. Memory is
+    * O(nodes in partition) — bounded by the partition's edge count.
+    */
+  private def localUnionFind(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toArray.iterator.map(k => (k, find(k)))
+  }
+
+  /** Distributed min-label propagation with pointer jumping (see
+    * [[connectedComponents]] doc). `edges` must be bidirectional; `seed`
+    * optionally pre-resolves labels (phase-1 roots).
+    */
+  private def minLabelLoop(edges: DataFrame, seed: Option[DataFrame],
+      maxIter: Int): DataFrame = {
+    var labels = seed.getOrElse(
+      edges.select(col("a").as("id"), col("a").as("rep")).distinct()
+        .localCheckpoint(true))
     def propagate(df: DataFrame): DataFrame = {
       val neighborReps = edges
         .join(df.select(col("id").as("b"), col("rep").as("__nr")), "b")

@@ -81,6 +81,12 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.connectedComponents(pairList.toDF("idA", "idB"))
         .as[(Long, Long)].collect().toMap
       got shouldBe expected
+      // force the distributed min-label fallback (threshold 0) — both sides
+      // of the driver/distributed cutoff must agree with the reference
+      val gotDistributed = Dedup.connectedComponents(
+          pairList.toDF("idA", "idB"), maxDriverNodes = 0L)
+        .as[(Long, Long)].collect().toMap
+      gotDistributed shouldBe expected
     }
   }
 

@@ -114,7 +114,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("bm25 matches the hand-computed Okapi formula") {
     val docs = Seq((1L, "join join scan"), (2L, "scan filter"), (3L, ""))
       .toDF("doc_id", "text")
-    val out = TextFunctions.bm25(docs, "text", "doc_id", Seq("join"))
+    val out = bm25(docs, "text", "doc_id", Seq("join"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // N=3, df(join)=1 → idf = ln((3-1+0.5)/(1+0.5)+1); doc1: tf=2, dl=3,
     // avgdl=(3+2+0)/3 → denom = 2 + 1.2*(0.25 + 0.75*3/(5.0/3))

@@ -254,6 +254,39 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // SQL-text DELETE: file-pruned copy-on-write — range layout + id stats
+    // mean only the files whose [min,max] admit the predicate are rewritten;
+    // the require proves untouched files carried over by reference
+    "q_delete_sql" -> ((s, dir) => {
+      val table = Icebox(tmp("qds"))
+      val li = t(s, dir, "lineitem")
+      table.append(li.repartitionByRange(8, col("l_orderkey")),
+        collectStats = Seq("l_orderkey"))
+      table.registerView(s, "qds_target")
+      val hi = li.agg(max("l_orderkey")).head().getLong(0)
+      val r = graft.sql.DmlSql.delete(s,
+        s"DELETE FROM qds_target WHERE l_orderkey > ${hi / 2}")
+      require(r.keptFiles > 0,
+        s"DELETE pruned nothing: ${r.rewrittenFiles} rewritten, ${r.keptFiles} kept")
+      table.read(s)
+    }),
+
+    // SQL-text UPDATE: same pruned copy-on-write; assigned values cast back
+    // to the column type so the schema is stable under repeated UPDATEs
+    "q_update_sql" -> ((s, dir) => {
+      val table = Icebox(tmp("qus"))
+      val o = t(s, dir, "orders")
+      table.append(o.repartitionByRange(8, col("o_totalprice")),
+        collectStats = Seq("o_totalprice"))
+      table.registerView(s, "qus_target")
+      val r = graft.sql.DmlSql.update(s,
+        "UPDATE qus_target SET o_totalprice = o_totalprice * 1.1, " +
+          "o_orderpriority = '0-REPRICED' WHERE o_totalprice < 10000")
+      require(r.keptFiles > 0,
+        s"UPDATE pruned nothing: ${r.rewrittenFiles} rewritten, ${r.keptFiles} kept")
+      table.read(s)
+    }),
+
     // M1 z-order compaction: with TWO clustering columns, a predicate on the
     // SECOND alone must still skip files (lexicographic clustering gives the
     // trailing column zero locality — the require proves the interleave works)
@@ -885,6 +918,23 @@ object SparkEntry {
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
     "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
+
+    // DELETE written longhand: survivors are the predicate's complement
+    // (l_orderkey is non-null, so NOT(k > t) is k <= t)
+    "q_delete_sql" ->
+      "SELECT * FROM lineitem WHERE l_orderkey <= (SELECT max(l_orderkey) // 2 FROM lineitem)",
+
+    // UPDATE written longhand: both assignments read the PRE-update row
+    // (simultaneous assignment semantics), hence both CASEs test the
+    // original o_totalprice
+    "q_update_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_totalprice < 10000 THEN o_totalprice * 1.1
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       o_orderdate,
+        |       CASE WHEN o_totalprice < 10000 THEN '0-REPRICED'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders""".stripMargin,
 
     // the MERGE semantics written out longhand: matched F-status rows
     // deleted, other matched rows repriced, +1M-key source rows inserted

@@ -193,6 +193,37 @@ object IceboxFileIndex {
     readSnapshot(spark, table,
       table.currentSnapshot.getOrElse(sys.error(s"no table at ${table.tableDir}")))
 
+  /** Split `snap`'s files by whether they may hold rows matching the filter
+    * in `filtered` (a DataFrame whose plan contains the predicate over this
+    * snapshot's read): returns `(candidates, untouched)`. Classification
+    * reuses the index's own planning logic — conjuncts referencing only
+    * partition columns prune via manifest partition values, the rest via
+    * manifest min/max stats; unparseable conjuncts or missing stats keep
+    * the file in `candidates` (conservative, so a copy-on-write DELETE /
+    * UPDATE that rewrites only `candidates` is always correct).
+    */
+  def splitByPredicate(spark: SparkSession, table: Icebox, snap: Snapshot,
+      filtered: DataFrame): (Seq[DataFile], Seq[DataFile]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val preds = filtered.queryExecution.optimizedPlan.collect {
+      case f: LogicalFilter => conjuncts(f.condition)
+    }.flatten
+    val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+    val full = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    val partSchema = StructType(partCols.map(c => full(c)))
+    val index = new IceboxFileIndex(spark, table.tableDir, snap, partSchema)
+    val (partFilters, dataFilters) = preds.partition(p =>
+      p.references.nonEmpty && p.references.forall(a => partCols.contains(a.name)))
+    val kept = index.listFiles(partFilters, dataFilters)
+      .flatMap(_.files.map(_.getPath.toString)).toSet
+    snap.files.partition(f => kept(new HPath(f.path).toString))
+  }
+
   /** Same, pinned to an arbitrary snapshot (time travel reads plan through
     * the same index). Partition columns come from the snapshot's own files,
     * so an old snapshot with a different layout still reads correctly.

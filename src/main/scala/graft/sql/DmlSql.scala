@@ -1,0 +1,145 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.table.{DataFile, Icebox, Snapshot}
+
+/** SQL-text row-level `DELETE FROM` / `UPDATE` over Icebox tables, executed
+  * as FILE-PRUNED copy-on-write — the Iceberg copy-on-write model:
+  *
+  *  1. Spark's own parser produces the catalyst `DeleteFromTable` /
+  *     `UpdateTable` plan (so accepted syntax is exactly Spark's, including
+  *     target aliases and arbitrary predicates).
+  *  2. The predicate's conjuncts are classified against the target's
+  *     MANIFEST (partition values + per-file min/max stats,
+  *     [[graft.plans.IceboxFileIndex.splitByPredicate]]): files whose
+  *     metadata cannot contain a matching row are carried into the new
+  *     snapshot BY REFERENCE; only possibly-matching files are rewritten.
+  *  3. One atomic commit publishes the rewrite (readers see pre- or
+  *     post-DML state, never partial).
+  *
+  * At 100 TB a `DELETE ... WHERE day = X` on a stats-tracked or partitioned
+  * table rewrites O(matching files), not the table. A predicate over a
+  * column with no stats degrades to a full rewrite — correct, just
+  * unpruned (same contract as Iceberg copy-on-write without metrics).
+  *
+  * NULL semantics are SQL's: DELETE removes rows where the predicate is
+  * TRUE (not null/false); UPDATE assigns where TRUE, preserves otherwise.
+  * Assigned values are cast back to the target column's type, so the table
+  * schema is stable under UPDATE (`int_col = int_col + 1` stays int).
+  *
+  * Targets resolve through the same registry as [[MergeSql]]
+  * (`Icebox.registerView` or `MergeSql.register`); after the commit the
+  * temp view (if any) is repointed so SELECT → DML → SELECT composes.
+  */
+object DmlSql {
+
+  /** Outcome of a DML statement: the committed snapshot plus the file-level
+    * rewrite footprint (pruning evidence — `keptFiles` carried over by
+    * reference, `rewrittenFiles` read+rewritten).
+    */
+  final case class DmlResult(snapshot: Snapshot, rewrittenFiles: Int, keptFiles: Int)
+
+  /** Execute any supported SQL-text statement: MERGE INTO (delegated to
+    * [[MergeSql]]), DELETE FROM, or UPDATE.
+    */
+  def sql(spark: SparkSession, sqlText: String): Snapshot =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case _: MergeIntoTable => MergeSql.merge(spark, sqlText)
+      case d: DeleteFromTable => executeDelete(spark, d).snapshot
+      case u: UpdateTable => executeUpdate(spark, u).snapshot
+      case other => sys.error(s"unsupported statement: ${other.getClass.getSimpleName}")
+    }
+
+  /** Execute a `DELETE FROM` statement. */
+  def delete(spark: SparkSession, sqlText: String): DmlResult =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case d: DeleteFromTable => executeDelete(spark, d)
+      case other => sys.error(s"not a DELETE statement: ${other.getClass.getSimpleName}")
+    }
+
+  /** Execute an `UPDATE` statement. */
+  def update(spark: SparkSession, sqlText: String): DmlResult =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case u: UpdateTable => executeUpdate(spark, u)
+      case other => sys.error(s"not an UPDATE statement: ${other.getClass.getSimpleName}")
+    }
+
+  // ------------------------------------------------------------------ exec
+
+  private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult = {
+    val (name, alias, icebox, snap, schema) = target(spark, d.table)
+    val cond = expr(d.condition.sql)
+    val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
+    // keep rows where the predicate is NOT TRUE (false or null)
+    val survivors = icebox.readDataFiles(spark, candidates).alias(alias)
+      .filter(!coalesce(cond, lit(false)))
+    commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors)
+  }
+
+  private def executeUpdate(spark: SparkSession, u: UpdateTable): DmlResult = {
+    val (name, alias, icebox, snap, schema) = target(spark, u.table)
+    val cond = u.condition.map(c => expr(c.sql)).getOrElse(lit(true))
+    validateAssignments(u.assignments, schema)
+    val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
+    val hit = coalesce(cond, lit(false))
+    val outCols = schema.fields.toSeq.map { f =>
+      assigned(u.assignments, f.name) match {
+        case Some(v) => when(hit, v.cast(f.dataType))
+          .otherwise(col(s"$alias.${f.name}")).as(f.name)
+        case None => col(s"$alias.${f.name}").as(f.name)
+      }
+    }
+    val rewritten = icebox.readDataFiles(spark, candidates).alias(alias)
+      .select(outCols: _*)
+    commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten)
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def target(spark: SparkSession, plan: LogicalPlan):
+      (String, String, Icebox, Snapshot, StructType) = {
+    val (name, alias) = MergeSql.ref(plan)
+    val icebox = MergeSql.lookup(name).getOrElse(
+      sys.error(s"DML target '$name' is not a registered Icebox table " +
+        s"(Icebox.registerView / MergeSql.register first)"))
+    val snap = icebox.currentSnapshot.getOrElse(sys.error(s"DML target '$name' is empty"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    (name, alias, icebox, snap, schema)
+  }
+
+  private def split(spark: SparkSession, icebox: Icebox, snap: Snapshot,
+      alias: String, cond: Column): (Seq[DataFile], Seq[DataFile]) = {
+    val filtered = graft.plans.IceboxFileIndex.readSnapshot(spark, icebox, snap)
+      .alias(alias).filter(cond)
+    graft.plans.IceboxFileIndex.splitByPredicate(spark, icebox, snap, filtered)
+  }
+
+  private def commitAndRepoint(spark: SparkSession, name: String, icebox: Icebox,
+      op: String, candidates: Seq[DataFile], untouched: Seq[DataFile],
+      replacement: DataFrame): DmlResult = {
+    val snap = icebox.rewriteFiles(op, candidates, replacement, icebox.partitionColumns)
+    if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
+    DmlResult(snap, candidates.size, untouched.size)
+  }
+
+  /** Same guard as MergeSql: this executor re-resolves expressions outside
+    * the analyzer, so a typo'd SET column must fail loudly, not no-op.
+    */
+  private def validateAssignments(assignments: Seq[Assignment], schema: StructType): Unit = {
+    val bad = assignments.map(_.key.sql).filterNot(k => schema.fieldNames.exists(
+      _.equalsIgnoreCase(k.split('.').last.stripPrefix("`").stripSuffix("`"))))
+    require(bad.isEmpty,
+      s"UPDATE assignment key(s) ${bad.mkString(", ")} do not resolve to target columns " +
+        s"(${schema.fieldNames.mkString(", ")})")
+  }
+
+  private def assigned(assignments: Seq[Assignment], c: String): Option[Column] =
+    assignments.collectFirst {
+      case a if a.key.sql.split('.').last.stripPrefix("`").stripSuffix("`")
+        .equalsIgnoreCase(c) => expr(a.value.sql)
+    }
+}

@@ -193,7 +193,7 @@ object MergeSql {
   }
 
   /** (table name, alias) of a parsed TARGET reference — must be a name. */
-  private def ref(plan: LogicalPlan): (String, String) = plan match {
+  private[sql] def ref(plan: LogicalPlan): (String, String) = plan match {
     case SubqueryAlias(id, child) => (ref(child)._1, id.name)
     case UnresolvedRelation(parts, _, _) => (parts.mkString("."), parts.last)
     case other =>

@@ -223,6 +223,27 @@ final class Icebox(val tableDir: String) {
     }
   }
 
+  /** Copy-on-write FILE-LEVEL rewrite (row-level DELETE/UPDATE substrate):
+    * commits a snapshot where `removed` files are replaced by the write of
+    * `replacement`; every other live file carries over BY REFERENCE. At
+    * 100 TB this is the difference between rewriting the table and
+    * rewriting only the files whose stats admit the predicate — the same
+    * pruning the read path uses, applied to the write path.
+    */
+  private[graft] def rewriteFiles(op: String, removed: Seq[DataFile],
+      replacement: DataFrame, partitionBy: Seq[String]): Snapshot = {
+    val removedPaths = removed.map(_.path).toSet
+    commit(replacement, partitionBy, op) { (parent, newFiles) =>
+      parent.map(_.files).getOrElse(Nil).filterNot(f => removedPaths(f.path)) ++ newFiles
+    }
+  }
+
+  /** Read a specific subset of the current snapshot's files (current table
+    * schema applies).
+    */
+  private[graft] def readDataFiles(spark: SparkSession, files: Seq[DataFile]): DataFrame =
+    readFiles(spark, files, currentSnapshot.map(_.schemaJson))
+
   // ------------------------------------------------------------------- reads
 
   /** Read the current table state. */

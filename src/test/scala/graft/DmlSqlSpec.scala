@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.{DmlSql, MergeSql}
+import graft.table.Icebox
+
+class DmlSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DELETE removes matching rows; predicate-false and null rows survive") {
+    val t = Icebox(tmpDir("dml-del"))
+    t.overwrite(Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 50.0), (3L, null), (4L, 45.0)
+    ).toDF("id", "v"))
+    MergeSql.register("del_null", t)
+    DmlSql.delete(spark, "DELETE FROM del_null WHERE v > 40")
+    t.read(spark).select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
+  test("DELETE without WHERE empties the table") {
+    val t = Icebox(tmpDir("dml-delall"))
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    MergeSql.register("del_all", t)
+    DmlSql.delete(spark, "DELETE FROM del_all")
+    t.read(spark).count() shouldBe 0L
+  }
+
+  test("DELETE rewrites only files whose stats admit the predicate") {
+    val t = Icebox(tmpDir("dml-prune"))
+    val df = (1 to 80).map(i => (i.toLong, i % 8)).toDF("id", "bucket")
+    // range layout + id stats: files carry disjoint [min,max] id ranges
+    t.append(df.repartitionByRange(8, col("id")), collectStats = Seq("id"))
+    MergeSql.register("del_prune", t)
+    val total = t.currentSnapshot.get.files.size
+    total should be > 1
+    val r = DmlSql.delete(spark, "DELETE FROM del_prune WHERE id > 75")
+    r.keptFiles should be > 0
+    (r.rewrittenFiles + r.keptFiles) shouldBe total
+    t.read(spark).agg(max("id")).as[Long].head() shouldBe 75L
+    t.read(spark).count() shouldBe 75L
+  }
+
+  test("UPDATE assigns where the predicate is true, preserves elsewhere, keeps types") {
+    val t = Icebox(tmpDir("dml-upd"))
+    t.overwrite(Seq((1L, 10, "x"), (2L, 20, "y"), (3L, 30, "z")).toDF("id", "n", "s"))
+    MergeSql.register("upd_t", t)
+    DmlSql.update(spark, "UPDATE upd_t SET n = n + 1, s = 'hit' WHERE id >= 2")
+    val out = t.read(spark).as[(Long, Int, String)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 10, "x"), (2L, 21, "hit"), (3L, 31, "hit"))
+    t.read(spark).schema("n").dataType.typeName shouldBe "integer"
+  }
+
+  test("UPDATE with target alias and qualified references") {
+    val t = Icebox(tmpDir("dml-alias"))
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    MergeSql.register("upd_alias", t)
+    DmlSql.update(spark, "UPDATE upd_alias AS x SET v = x.v * 2 WHERE x.id = 2")
+    t.read(spark).as[(Long, Double)].collect().sortBy(_._1) shouldBe
+      Array((1L, 1.0), (2L, 4.0))
+  }
+
+  test("UPDATE with a typo'd SET column fails loudly") {
+    val t = Icebox(tmpDir("dml-typo"))
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))
+    MergeSql.register("upd_typo", t)
+    val e = intercept[IllegalArgumentException] {
+      DmlSql.update(spark, "UPDATE upd_typo SET nope = 5")
+    }
+    e.getMessage should include("nope")
+  }
+
+  test("partitioned DELETE carries untouched partitions by reference") {
+    val t = Icebox(tmpDir("dml-part"))
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .toDF("id", "part", "v")
+    t.overwrite(df, partitionBy = Seq("part"))
+    val before = t.currentSnapshot.get.files.filter(_.partition.get("part").contains("b"))
+      .map(_.path).toSet
+    MergeSql.register("del_part", t)
+    val r = DmlSql.delete(spark, "DELETE FROM del_part WHERE part = 'a' AND v < 2")
+    r.keptFiles should be > 0
+    // partition-b files survive as the SAME files (no rewrite)
+    val after = t.currentSnapshot.get.files.filter(_.partition.get("part").contains("b"))
+      .map(_.path).toSet
+    after shouldBe before
+    t.read(spark).select("id").as[Long].collect().sorted shouldBe Array(2L, 3L, 4L)
+  }
+
+  test("sql() dispatches DELETE, UPDATE, and MERGE") {
+    val t = Icebox(tmpDir("dml-sql"))
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    t.registerView(spark, "disp_t")
+    DmlSql.sql(spark, "DELETE FROM disp_t WHERE id = 3")
+    DmlSql.sql(spark, "UPDATE disp_t SET v = 9.0 WHERE id = 1")
+    Seq((2L, 20.0)).toDF("id", "v").createOrReplaceTempView("disp_src")
+    DmlSql.sql(spark,
+      "MERGE INTO disp_t t USING disp_src s ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+    t.read(spark).as[(Long, Double)].collect().sortBy(_._1) shouldBe
+      Array((1L, 9.0), (2L, 20.0))
+    // the registered view repointed after each commit
+    spark.sql("SELECT v FROM disp_t WHERE id = 1").as[Double].head() shouldBe 9.0
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -699,6 +699,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    // LLM: benchmark decontamination — flag every doc sharing an 8-token
+    // shingle with the "benchmark" subset (doc_id % 19 = 0). The benchmark
+    // gram set is broadcast; the corpus is never shuffled
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Decontaminate.flag(d, "text", "doc_id",
+          d.filter(col("doc_id") % 19 === 0), "text", n = 8)
+        .select(col("doc_id"), col("contaminated"))
+    }),
+
     // LLM: MinHash-LSH near-dup candidate pairs (rows-only check: the banded
     // LSH bucketing is not expressible in ANSI SQL)
     "q_minhash_candidates" -> ((s, dir) => {
@@ -1188,6 +1198,22 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    // contamination = sharing any 8-token shingle with the doc_id%19=0
+    // "benchmark" subset; docs under 8 tokens have no shingles
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(ts) - 7),
+        |           i -> array_to_string(ts[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0),
+        |bad AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g))
+        |SELECT d.doc_id, (bad.doc_id IS NOT NULL) AS contaminated
+        |  FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id""".stripMargin,
 
     // chunk i of the whitespace tokens w covers w[i*8+1 .. i*8+10]
     // (1-based inclusive slice); one chunk when len <= 10

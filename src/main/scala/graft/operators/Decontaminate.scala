@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training-data pipelines: drop (or flag)
+  * corpus documents that share any `n`-token shingle with a benchmark /
+  * eval set — the standard guard against test-set leakage into training
+  * data (the n-gram-overlap method used by GPT-3/PaLM/Llama data cards,
+  * typically with n in [8, 13]).
+  *
+  * 100 TB design: the BENCHMARK side is small by nature (eval sets are
+  * MBs), so its distinct shingles are '''broadcast''' — the corpus side
+  * explodes to one row per token position but meets the benchmark in a
+  * broadcast semi-join, never a shuffle of the corpus; only the matched
+  * doc-id set (tiny) aggregates. Corpus documents shorter than `n` tokens
+  * produce no shingles and are never flagged, mirroring the oracle.
+  *
+  * Tokenization is lowercase + whitespace-split (ANSI-expressible so the
+  * DuckDB oracle can mirror it exactly); punctuation-insensitive variants
+  * can pre-normalize the text column.
+  */
+object Decontaminate {
+
+  /** Distinct `(id, gram)` token n-grams of `textCol` — one row per
+    * distinct n-gram per document.
+    */
+  def ngrams(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol).as("__id"), toks.as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("__id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__ts")) - (n - 1)),
+        i => array_join(slice(col("__ts"), i, lit(n)), " ")))).as("gram"))
+  }
+
+  /** Distinct n-grams of a text column (no per-document attribution). */
+  def gramSet(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    df.select(toks.as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(explode(array_distinct(transform(
+        sequence(lit(1), size(col("__ts")) - (n - 1)),
+        i => array_join(slice(col("__ts"), i, lit(n)), " ")))).as("gram"))
+      .distinct()
+  }
+
+  /** The distinct doc ids of `docs` sharing at least one n-gram with
+    * `bench` (broadcast).
+    */
+  def contaminatedIds(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = gramSet(bench, benchTextCol, n)
+    ngrams(docs, textCol, idCol, n)
+      .join(broadcast(benchGrams), "gram", "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+  }
+
+  /** `docs` plus a `contaminated` boolean column. */
+  def flag(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val bad = contaminatedIds(docs, textCol, idCol, bench, benchTextCol, n)
+      .withColumnRenamed(idCol, "__cid")
+    docs.join(bad, docs(idCol) === col("__cid"), "left")
+      .withColumn("contaminated", col("__cid").isNotNull)
+      .drop("__cid")
+  }
+
+  /** `docs` with contaminated documents removed. */
+  def clean(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val bad = contaminatedIds(docs, textCol, idCol, bench, benchTextCol, n)
+      .withColumnRenamed(idCol, "__cid")
+    docs.join(bad, docs(idCol) === col("__cid"), "left_anti")
+  }
+}

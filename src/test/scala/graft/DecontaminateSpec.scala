@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"), // contains bench 8-gram
+    (2L, "a completely different document about query engines"),
+    (3L, "short doc"),                                           // < 8 tokens: never flagged
+    (4L, "THE Quick BROWN fox JUMPS over THE lazy cat today")    // case-insensitive: 8-gram differs at pos 8
+  ).toDF("doc_id", "text")
+
+  private val bench = Seq(
+    (100L, "exam question: the quick brown fox jumps over the lazy dog")
+  ).toDF("bid", "btext")
+
+  test("flag marks docs sharing an 8-token shingle with the benchmark") {
+    val out = Decontaminate.flag(corpus, "text", "doc_id", bench, "btext")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    out(1L) shouldBe true   // "the quick brown fox jumps over the lazy" shared
+    out(2L) shouldBe false
+    out(3L) shouldBe false
+    out(4L) shouldBe true   // lowercased tokens match the same shingle
+  }
+
+  test("clean drops exactly the flagged docs") {
+    val kept = Decontaminate.clean(corpus, "text", "doc_id", bench, "btext")
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(2L, 3L)
+  }
+
+  test("n larger than every doc flags nothing") {
+    Decontaminate.flag(corpus, "text", "doc_id", bench, "btext", n = 40)
+      .filter("contaminated").count() shouldBe 0L
+  }
+
+  test("the corpus meets the benchmark in a broadcast join, not a shuffle") {
+    val plan = Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, "btext")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+}

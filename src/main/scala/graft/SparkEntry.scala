@@ -699,6 +699,24 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    // LLM: PII scrub — deterministic synthetic email/phone/IP per doc (the
+    // corpus has no real PII), then the fixed-order redact chain + audit
+    // counts; patterns are Java-regex/RE2 semantics-identical by design
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pii = concat(
+        col("text"),
+        lit(" reach user"), col("doc_id").cast("string"), lit("@example.com or 555-867-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".42"))
+      d.select(col("doc_id"), pii.as("__s"))
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("__s")).as("redacted"),
+          TextFunctions.piiCounts(col("__s")).getField("emails").cast("long").as("n_email"),
+          TextFunctions.piiCounts(col("__s")).getField("phones").cast("long").as("n_phone"),
+          TextFunctions.piiCounts(col("__s")).getField("ips").cast("long").as("n_ip"))
+    }),
+
     // LLM: benchmark decontamination — flag every doc sharing an 8-token
     // shingle with the "benchmark" subset (doc_id % 19 = 0). The benchmark
     // gram set is broadcast; the corpus is never shuffled
@@ -1198,6 +1216,26 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    // same synthetic PII construction, same literal patterns ('g' = all
+    // occurrences, Spark's regexp_replace default)
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or 555-867-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(s, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(s, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip
+        |FROM p""".stripMargin,
 
     // contamination = sharing any 8-token shingle with the doc_id%19=0
     // "benchmark" subset; docs under 8 tokens have no shingles

@@ -217,6 +217,43 @@ object TextFunctions {
     round((lengthOk * 0.3) + (punctOk * 0.15) + (digitOk * 0.15) + (wordLenOk * 0.1) + (alphaOk * 0.3), 4)
   }
 
+  /** Email address shape (conservative: requires a dotted TLD). Patterns
+    * use only syntax with identical semantics in Java regex and RE2, so a
+    * DuckDB oracle can apply the same literal pattern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American phone shape NNN[-. ]NNN[-. ]NNNN on word boundaries. */
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 shape on word boundaries (not range-validated —
+    * redaction prefers false positives over leaks).
+    */
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`, then phone
+    * numbers → `<PHONE>`, then IPv4 addresses → `<IP>` — the C4/RefinedWeb
+    *-style scrub pass. Application order is fixed and load-bearing: the
+    * three shapes cannot partially overlap each other's replacements
+    * (replacement tokens contain no digits or `@`). One codegen'd
+    * expression chain, no UDF — at 100 TB this runs inside whole-stage
+    * codegen like any other projection.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-category PII hit counts as a struct `(emails, phones, ips)` —
+    * the audit face of [[redactPii]] (count before you scrub).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("emails"),
+    regexp_count(text, lit(PhonePattern)).as("phones"),
+    regexp_count(text, lit(Ipv4Pattern)).as("ips"))
+
   /** Normalization fingerprint: md5 of lowercased, whitespace-collapsed text.
     * Two docs differing only in case/spacing share a fingerprint.
     */

@@ -111,6 +111,27 @@ class TextFunctionsSpec extends SparkSpec {
     one[Double](dupLineRatio($"t"), "") shouldBe 0.0
   }
 
+  test("redactPii scrubs emails, phones, and IPs; leaves clean text alone") {
+    one[String](redactPii($"t"), "mail a.b+c@sub.example.org now") shouldBe
+      "mail <EMAIL> now"
+    one[String](redactPii($"t"), "call 555-867-5309 or 555.867.5309 or 555 867 5309") shouldBe
+      "call <PHONE> or <PHONE> or <PHONE>"
+    one[String](redactPii($"t"), "from 10.0.0.1 and 192.168.255.254") shouldBe
+      "from <IP> and <IP>"
+    // version strings with fewer than 4 groups survive; digit runs without
+    // separators are not phone-shaped
+    one[String](redactPii($"t"), "v1.2.3 build 5558675309") shouldBe
+      "v1.2.3 build 5558675309"
+    one[String](redactPii($"t"), "no pii here") shouldBe "no pii here"
+  }
+
+  test("piiCounts audits per category") {
+    val r = Seq("a@b.co and c@d.org at 10.0.0.1").toDF("t")
+      .select(piiCounts($"t").as("p")).selectExpr("p.emails", "p.phones", "p.ips")
+      .collect()(0)
+    (r.getInt(0), r.getInt(1), r.getInt(2)) shouldBe ((2, 0, 1))
+  }
+
   test("bm25 matches the hand-computed Okapi formula") {
     val docs = Seq((1L, "join join scan"), (2L, "scan filter"), (3L, ""))
       .toDF("doc_id", "text")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -699,6 +699,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    // LLM: deterministic content-keyed sampling — same rows kept on every
+    // engine/run/partitioning (md5-prefix threshold), so DuckDB replays it
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.35, seed = "s")),
+
+    // LLM: weighted source mixing (the training-mix operator): src0 10%,
+    // src1 50%, src2 90%, everything else 25% — one CASE over source
+    "q_source_mix" -> ((s, dir) =>
+      Sampling.mixSources(t(s, dir, "documents"), "source",
+        Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
+        col("doc_id"), defaultRate = 0.25, seed = "mix")),
+
     // LLM: PII scrub — deterministic synthetic email/phone/IP per doc (the
     // corpus has no real PII), then the fixed-order redact chain + audit
     // counts; patterns are Java-regex/RE2 semantics-identical by design
@@ -1216,6 +1228,22 @@ object SparkEntry {
 
     "q_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    // 0.35 * 2^32 = 1503238553 = 0x59999999; md5 prefixes are lowercase
+    // fixed-width hex in both engines, so '<' compares numerically
+    "q_hash_sample" ->
+      """SELECT * FROM documents
+        |WHERE substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8) < '59999999'""".stripMargin,
+
+    // per-source thresholds: 0.1->0x19999999, 0.5->0x80000000,
+    // 0.9->0xe6666666, default 0.25->0x40000000
+    "q_source_mix" ->
+      """SELECT * FROM documents
+        |WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '19999999'
+        |              WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN 'e6666666'
+        |              ELSE '40000000' END""".stripMargin,
 
     // same synthetic PII construction, same literal patterns ('g' = all
     // occurrences, Spark's regexp_replace default)

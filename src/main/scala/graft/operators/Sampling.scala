@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling for training-data pipelines.
+  *
+  * Unlike `df.sample()` (seeded per-partition RNG — resampling changes
+  * when partitioning changes), these operators key each row's fate on a
+  * HASH OF THE ROW'S OWN KEY: the same row is kept or dropped on every
+  * run, every engine, every partitioning, and any executor count — the
+  * property source-mixing pipelines need so a re-run reproduces the exact
+  * training mix (and so an oracle on another engine can verify the
+  * sample).
+  *
+  * Mechanism: a row is kept iff the first 8 hex chars of
+  * `md5(seed || key)` are lexicographically below `thresholdHex(rate)`
+  * (fixed-width lowercase hex compares numerically). md5 is uniform, so
+  * the kept fraction converges to `rate`; thresholds nest, so
+  * `sample(r1) ⊆ sample(r2)` whenever `r1 <= r2` — shrinking a corpus
+  * keeps a subset, never a reshuffle.
+  *
+  * 100 TB: pure narrow projection+filter (codegen'd md5), no shuffle, no
+  * RNG state; weighted mixing is one CASE expression over the source
+  * column.
+  */
+object Sampling {
+
+  /** 8-hex-char keep-threshold for `rate` ∈ [0,1]: the prefix value is a
+    * uniform 32-bit draw, kept when below `rate * 2^32`. `"g"` sorts above
+    * every hex string (keep all); `"00000000"` sorts at/below none (drop
+    * all).
+    */
+  def thresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "00000000"
+    else f"${(rate * 4294967296L).toLong}%08x"
+
+  private def prefix(keyCol: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), keyCol.cast("string"))), 1, 8)
+
+  /** Keep ~`rate` of rows, decided by `md5(seed || key)` — deterministic
+    * and partitioning-independent. `keyCol` should be a stable identifier
+    * (string or integer; avoid floats, whose string forms vary).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double,
+      seed: String = ""): DataFrame =
+    df.filter(prefix(keyCol, seed) < lit(thresholdHex(rate)))
+
+  /** Weighted source mixing: per-row keep-rate looked up from
+    * `weights(sourceCol value)`, `defaultRate` for unlisted sources — the
+    * "20% web, 100% books, 5% logs" training-mix shape, reproducible
+    * because each row's fate is content-keyed.
+    */
+  def mixSources(df: DataFrame, sourceCol: String, weights: Map[String, Double],
+      keyCol: Column, defaultRate: Double = 1.0, seed: String = ""): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (src, rate)) =>
+        when(col(sourceCol) === src, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(prefix(keyCol, seed) < threshold)
+  }
+}

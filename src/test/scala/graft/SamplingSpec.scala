@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(rows, col("id"), 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows.repartition(13), col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+  }
+
+  test("hashSample rate is approximately honored") {
+    val n = Sampling.hashSample(rows, col("id"), 0.3).count()
+    n.toDouble / 2000 shouldBe 0.3 +- 0.05
+  }
+
+  test("samples nest: rate r1 <= r2 implies sample(r1) is a subset of sample(r2)") {
+    val small = Sampling.hashSample(rows, col("id"), 0.2).select("id").as[Long].collect().toSet
+    val big = Sampling.hashSample(rows, col("id"), 0.6).select("id").as[Long].collect().toSet
+    small.subsetOf(big) shouldBe true
+  }
+
+  test("rate bounds: 1.0 keeps everything, 0.0 keeps nothing") {
+    Sampling.hashSample(rows, col("id"), 1.0).count() shouldBe 2000L
+    Sampling.hashSample(rows, col("id"), 0.0).count() shouldBe 0L
+  }
+
+  test("different seeds draw different samples") {
+    val a = Sampling.hashSample(rows, col("id"), 0.5, seed = "a")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows, col("id"), 0.5, seed = "b")
+      .select("id").as[Long].collect().toSet
+    a should not be b
+  }
+
+  test("mixSources honors per-source weights and the default") {
+    val out = Sampling.mixSources(rows, "source",
+        Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5), col("id"), defaultRate = 0.1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    out.getOrElse("src0", 0L) shouldBe 0L
+    out("src1") shouldBe 500L
+    out("src2").toDouble / 500 shouldBe 0.5 +- 0.1
+    out("src3").toDouble / 500 shouldBe 0.1 +- 0.07
+  }
+}

@@ -254,6 +254,19 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Schema evolution: an append may ADD columns — files written before
+    // the column existed read back as typed nulls (the manifest's schema is
+    // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
+    "q_schema_evolution" -> ((s, dir) => {
+      val table = Icebox(tmp("qse"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderkey") % 2 === 0))
+      table.append(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("o_channel",
+          concat(lit("web-"), pmod(col("o_custkey"), lit(3)).cast("string"))))
+      table.read(s)
+    }),
+
     // SQL-text DELETE: file-pruned copy-on-write — range layout + id stats
     // mean only the files whose [min,max] admit the predicate are rewritten;
     // the require proves untouched files carried over by reference
@@ -958,6 +971,14 @@ object SparkEntry {
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
     "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
+
+    // pre-evolution rows carry a typed NULL for the added column
+    "q_schema_evolution" ->
+      """SELECT *, CAST(NULL AS VARCHAR) AS o_channel
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT *, 'web-' || CAST(o_custkey % 3 AS VARCHAR) AS o_channel
+        |  FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
 
     // DELETE written longhand: survivors are the predicate's complement
     // (l_orderkey is non-null, so NOT(k > t) is k <= t)

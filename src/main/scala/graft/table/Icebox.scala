@@ -528,6 +528,33 @@ final class Icebox(val tableDir: String) {
     expired.map(_.id)
   }
 
+  /** Remove ORPHAN data files: files under the table's data directory that
+    * no live snapshot references — debris from writes whose metadata commit
+    * never landed (the crash window between parquet write and manifest
+    * publish). Unlike [[expireSnapshots]] this retires no history: every
+    * snapshot's file set stays intact. `graceMs` protects in-flight
+    * commits (a freshly written commit dir whose manifest hasn't published
+    * YET looks orphaned); Iceberg's `remove_orphan_files` defaults to 3
+    * days for the same reason. Returns deleted paths.
+    */
+  def removeOrphans(graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = this.synchronized {
+    if (!Files.exists(dataDir)) return Nil
+    val referenced = allSnapshots.flatMap(_.files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
+    val deleted = Seq.newBuilder[String]
+    walked.reverse.foreach { p =>
+      if (Files.isRegularFile(p) && !referenced(p.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff) {
+        Files.deleteIfExists(p)
+        deleted += p.toString
+      } else if (Files.isDirectory(p) && p != dataDir &&
+          Using.resource(Files.list(p))(s => !s.iterator().hasNext))
+        Files.deleteIfExists(p)
+    }
+    deleted.result()
+  }
+
   /** M5: rollback — repoint the table at an earlier snapshot's file set,
     * recorded as a new snapshot (history stays append-only; the Iceberg
     * `rollback_to_snapshot` analog the reference stubs out,

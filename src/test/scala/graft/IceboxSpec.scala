@@ -238,6 +238,40 @@ class IceboxSpec extends SparkSpec {
     Files.exists(Paths.get(t.tableDir, "_snapshots", "0.json")) shouldBe false
   }
 
+  test("schema evolution: an append may DROP a column; old files' extra data is ignored") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(Seq((1L, "a", 5.0)).toDF("id", "name", "score"))
+    t.append(Seq((2L, "b")).toDF("id", "name"))
+    val back = t.read(spark)
+    back.columns.toSeq shouldBe Seq("id", "name")
+    back.count() shouldBe 2L
+    // time travel to the pre-drop snapshot still sees the old schema
+    t.readSnapshotId(spark, 0L).columns.toSeq shouldBe Seq("id", "name", "score")
+  }
+
+  test("removeOrphans deletes stale unreferenced files, keeps referenced and young ones") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(Seq((1L, "a")).toDF("id", "name"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "name")) // snapshot 0's file now historical but LIVE
+    val dataDir = java.nio.file.Paths.get(t.tableDir, "data")
+    val staleOrphan = dataDir.resolve("graft_commit=deadbeef0000/part-orphan.parquet")
+    java.nio.file.Files.createDirectories(staleOrphan.getParent)
+    java.nio.file.Files.write(staleOrphan, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(staleOrphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200 * 1000))
+    val youngOrphan = dataDir.resolve("graft_commit=deadbeef0001/part-young.parquet")
+    java.nio.file.Files.createDirectories(youngOrphan.getParent)
+    java.nio.file.Files.write(youngOrphan, Array[Byte](4, 5, 6))
+    val deleted = t.removeOrphans(graceMs = 3600 * 1000)
+    deleted shouldBe Seq(staleOrphan.toString)
+    java.nio.file.Files.exists(staleOrphan) shouldBe false
+    java.nio.file.Files.exists(staleOrphan.getParent) shouldBe false // empty dir swept
+    java.nio.file.Files.exists(youngOrphan) shouldBe true
+    // BOTH snapshots still read intact (history untouched, unlike expire)
+    t.read(spark).count() shouldBe 1L
+    t.readSnapshotId(spark, 0L).count() shouldBe 1L
+  }
+
   test("partition values containing '+' and '%' survive the path round-trip") {
     val df = Seq((1L, "a+b"), (2L, "c d"), (3L, "a+b")).toDF("id", "tag")
     val t = Icebox(tmpDir("icebox"))

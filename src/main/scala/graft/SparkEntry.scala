@@ -254,6 +254,18 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // SQL-text INSERT INTO ... SELECT: appended through the same atomic
+    // snapshot commit as the programmatic faces
+    "q_insert_sql" -> ((s, dir) => {
+      val table = Icebox(tmp("qis"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderkey") % 2 === 0))
+      table.registerView(s, "qis_target")
+      o.filter(col("o_orderkey") % 2 =!= 0).createOrReplaceTempView("qis_src")
+      graft.sql.DmlSql.insert(s, "INSERT INTO qis_target SELECT * FROM qis_src")
+      table.read(s)
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -724,6 +736,12 @@ object SparkEntry {
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
         col("doc_id"), defaultRate = 0.25, seed = "mix")),
 
+    // LLM: deterministic per-source quota — at most 10 docs per source,
+    // chosen by hash order (reproducible unbiased N-sample per group)
+    "q_cap_per_source" -> ((s, dir) =>
+      Sampling.takePerKey(t(s, dir, "documents"), "source", col("doc_id"), 10,
+        seed = "cap")),
+
     // LLM: PII scrub — deterministic synthetic email/phone/IP per doc (the
     // corpus has no real PII), then the fixed-order redact chain + audit
     // counts; patterns are Java-regex/RE2 semantics-identical by design
@@ -971,6 +989,9 @@ object SparkEntry {
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
     "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
+
+    // append = union of both halves
+    "q_insert_sql" -> "SELECT * FROM orders",
 
     // pre-evolution rows carry a typed NULL for the added column
     "q_schema_evolution" ->
@@ -1265,6 +1286,13 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN 'e6666666'
         |              ELSE '40000000' END""".stripMargin,
+
+    // hash order is engine-identical (md5 hex), ties impossible but broken
+    // on doc_id anyway
+    "q_cap_per_source" ->
+      """SELECT * FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin,
 
     // same synthetic PII construction, same literal patterns ('g' = all
     // occurrences, Spark's regexp_replace default)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, content-stable sampling for training-data pipelines.
@@ -46,6 +47,23 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: Column, rate: Double,
       seed: String = ""): DataFrame =
     df.filter(prefix(keyCol, seed) < lit(thresholdHex(rate)))
+
+  /** Deterministic per-key quota: keep the `n` rows of each `keyCol` group
+    * with the smallest `md5(seed || id)` — a reproducible "at most N docs
+    * per source" cap (the hash order is a fixed uniform permutation, so
+    * this is an unbiased N-sample per group, stable across runs and
+    * engines). One hash-shuffle window with rank-limit pushdown
+    * (`WindowGroupLimit` prunes to ≤ n per group map-side before the
+    * exchange); ties break on the id.
+    */
+  def takePerKey(df: DataFrame, keyCol: String, idCol: Column, n: Int,
+      seed: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(lit(seed), idCol.cast("string"))), idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 
   /** Weighted source mixing: per-row keep-rate looked up from
     * `weights(sourceCol value)`, `defaultRate` for unlisted sources — the

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.table.{DataFile, Icebox, Snapshot}
@@ -50,7 +50,17 @@ object DmlSql {
       case _: MergeIntoTable => MergeSql.merge(spark, sqlText)
       case d: DeleteFromTable => executeDelete(spark, d).snapshot
       case u: UpdateTable => executeUpdate(spark, u).snapshot
+      case i: InsertIntoStatement => executeInsert(spark, i)
       case other => sys.error(s"unsupported statement: ${other.getClass.getSimpleName}")
+    }
+
+  /** Execute an `INSERT INTO` / `INSERT OVERWRITE` statement (SELECT or
+    * VALUES source, optional column list, BY NAME, static PARTITION spec).
+    */
+  def insert(spark: SparkSession, sqlText: String): Snapshot =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case i: InsertIntoStatement => executeInsert(spark, i)
+      case other => sys.error(s"not an INSERT statement: ${other.getClass.getSimpleName}")
     }
 
   /** Execute a `DELETE FROM` statement. */
@@ -95,6 +105,47 @@ object DmlSql {
     val rewritten = icebox.readDataFiles(spark, candidates).alias(alias)
       .select(outCols: _*)
     commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten)
+  }
+
+  /** INSERT: the source query re-runs from its parser origin text (VALUES
+    * parses to a plan whose origin is the VALUES clause — `spark.sql` runs
+    * both shapes). Position-mapped by default (SQL standard), name-mapped
+    * under `BY NAME`, column-list subsets null-fill the rest; every value
+    * casts to the target column type. Static `PARTITION (p='x')` values
+    * become literal columns. `INSERT OVERWRITE` maps to dynamic partition
+    * overwrite on partitioned tables (only touched partitions rewrite —
+    * the 100 TB-sane semantics), full overwrite otherwise.
+    */
+  private def executeInsert(spark: SparkSession, ins: InsertIntoStatement): Snapshot = {
+    val (name, _, icebox, _, schema) = target(spark, ins.table)
+    val statics = ins.partitionSpec.toSeq.collect { case (k, Some(v)) => k -> v }
+    val src = spark.sql(MergeSql.subqueryText(ins.query))
+    val destNames: Seq[String] =
+      if (ins.byName) src.columns.toSeq
+      else if (ins.userSpecifiedCols.nonEmpty) ins.userSpecifiedCols
+      else schema.fieldNames.toSeq.filterNot(c => statics.exists(_._1.equalsIgnoreCase(c)))
+    require(src.columns.length == destNames.length,
+      s"INSERT supplies ${src.columns.length} columns but ${destNames.length} are expected " +
+        s"(${destNames.mkString(", ")})")
+    val bad = destNames.filterNot(d => schema.fieldNames.exists(_.equalsIgnoreCase(d)))
+    require(bad.isEmpty, s"INSERT column(s) ${bad.mkString(", ")} do not resolve to target " +
+      s"columns (${schema.fieldNames.mkString(", ")})")
+    val renamed = src.toDF(destNames: _*)
+    val withStatics = statics.foldLeft(renamed) { case (df, (k, v)) =>
+      df.withColumn(k, lit(v))
+    }
+    val out = withStatics.select(schema.fields.toSeq.map { f =>
+      if (withStatics.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val parts = icebox.partitionColumns
+    val snap =
+      if (!ins.overwrite) icebox.append(out, parts)
+      else if (parts.nonEmpty) icebox.overwritePartitions(out, parts)
+      else icebox.overwrite(out)
+    if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
+    snap
   }
 
   // --------------------------------------------------------------- helpers

@@ -215,7 +215,7 @@ object MergeSql {
     case other => (spark.sql(subqueryText(other)), "__src")
   }
 
-  private def subqueryText(p: LogicalPlan): String =
+  private[sql] def subqueryText(p: LogicalPlan): String =
     (for { t <- p.origin.sqlText; a <- p.origin.startIndex; b <- p.origin.stopIndex }
       yield t.substring(a, b + 1)).getOrElse(sys.error(
       "MERGE subquery source carries no SQL origin text; register a temp view instead"))

@@ -86,6 +86,48 @@ class DmlSqlSpec extends SparkSpec {
     t.read(spark).select("id").as[Long].collect().sorted shouldBe Array(2L, 3L, 4L)
   }
 
+  test("INSERT INTO SELECT appends with position mapping and casts") {
+    val t = Icebox(tmpDir("dml-ins"))
+    t.overwrite(Seq((1L, "a", 1.5)).toDF("id", "s", "v"))
+    MergeSql.register("ins_t", t)
+    Seq((2, "b", "2.5")).toDF("x", "y", "z").createOrReplaceTempView("ins_src")
+    DmlSql.insert(spark, "INSERT INTO ins_t SELECT * FROM ins_src")
+    t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1) shouldBe
+      Array((1L, "a", 1.5), (2L, "b", 2.5))
+  }
+
+  test("INSERT with a column list null-fills unlisted columns") {
+    val t = Icebox(tmpDir("dml-inscols"))
+    t.overwrite(Seq((1L, "a", 1.5)).toDF("id", "s", "v"))
+    MergeSql.register("inscols_t", t)
+    DmlSql.insert(spark, "INSERT INTO inscols_t (id, v) VALUES (7, 9.0)")
+    val row = t.read(spark).filter($"id" === 7L).as[(Long, Option[String], Double)].head()
+    row shouldBe ((7L, None, 9.0))
+  }
+
+  test("INSERT OVERWRITE on a partitioned table rewrites only touched partitions") {
+    val t = Icebox(tmpDir("dml-insow"))
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val bFiles = t.currentSnapshot.get.files
+      .filter(_.partition.get("part").contains("b")).map(_.path).toSet
+    MergeSql.register("insow_t", t)
+    DmlSql.insert(spark, "INSERT OVERWRITE insow_t VALUES (9, 'a', 9.0)")
+    t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1) shouldBe
+      Array((2L, "b", 2.0), (9L, "a", 9.0))
+    t.currentSnapshot.get.files.filter(_.partition.get("part").contains("b"))
+      .map(_.path).toSet shouldBe bFiles // partition b untouched, by reference
+  }
+
+  test("INSERT with a static PARTITION spec adds the literal column") {
+    val t = Icebox(tmpDir("dml-insstatic"))
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "part", "v"), partitionBy = Seq("part"))
+    MergeSql.register("insstatic_t", t)
+    DmlSql.insert(spark, "INSERT INTO insstatic_t PARTITION (part = 'c') VALUES (3, 3.0)")
+    t.read(spark).filter($"part" === "c").as[(Long, String, Double)].collect() shouldBe
+      Array((3L, "c", 3.0))
+  }
+
   test("sql() dispatches DELETE, UPDATE, and MERGE") {
     val t = Icebox(tmpDir("dml-sql"))
     t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))

@@ -39,6 +39,25 @@ class SamplingSpec extends SparkSpec {
     a should not be b
   }
 
+  test("takePerKey caps each group at n, deterministically across partitionings") {
+    val a = Sampling.takePerKey(rows, "source", col("id"), 7)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.takePerKey(rows.repartition(17), "source", col("id"), 7)
+      .select("id").as[Long].collect().toSet
+    a shouldBe b
+    Sampling.takePerKey(rows, "source", col("id"), 7)
+      .groupBy("source").count().select("count").as[Long].collect()
+      .forall(_ == 7L) shouldBe true
+    // groups smaller than n survive whole
+    Sampling.takePerKey(rows.filter($"id" <= 2), "source", col("id"), 7).count() shouldBe 2L
+  }
+
+  test("takePerKey plans a rank-limit pushdown below the exchange") {
+    val plan = Sampling.takePerKey(rows, "source", col("id"), 7)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
   test("mixSources honors per-source weights and the default") {
     val out = Sampling.mixSources(rows, "source",
         Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5), col("id"), defaultRate = 0.1)

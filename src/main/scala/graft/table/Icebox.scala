@@ -135,6 +135,36 @@ final class Icebox(val tableDir: String) {
 
   // ---------------------------------------------------------------- metadata
 
+  private def propsPath: Path = Paths.get(tableDir, "_properties.json")
+
+  /** Iceberg-style table properties (flat string map). Recognized keys:
+    * `write.bloom.columns` — comma-separated columns for which every data
+    * write records a parquet BLOOM FILTER (footer-level; Spark's reader
+    * then skips row groups on pushed equality predicates over those
+    * columns — the point-lookup complement to min/max stats, which are
+    * useless for high-cardinality unsorted columns at 100 TB);
+    * `write.compression` — parquet codec (default zstd).
+    */
+  def properties: Map[String, String] = {
+    if (!Files.exists(propsPath)) return Map.empty
+    val node = mapper.readTree(Files.readAllBytes(propsPath))
+    val out = Map.newBuilder[String, String]
+    node.properties().iterator().asScala.foreach(e => out += e.getKey -> e.getValue.asText)
+    out.result()
+  }
+
+  /** Merge `kv` into the table properties (atomic replace-on-write). */
+  def setProperties(kv: Map[String, String]): Unit = this.synchronized {
+    Files.createDirectories(Paths.get(tableDir))
+    val merged = properties ++ kv
+    val node = mapper.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def exists: Boolean = Files.exists(currentPtr)
 
   def currentSnapshotId: Long = {
@@ -636,7 +666,14 @@ final class Icebox(val tableDir: String) {
     Files.createDirectories(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)
     val commitDir = dataDir.resolve(s"$CommitCol=$commitId")
-    val writer = df.write.mode("overwrite").option("compression", "zstd") // reference: spark_builder.py:248
+    val props = properties
+    val bloomCols = props.get("write.bloom.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val writer = bloomCols.foldLeft(
+      df.write.mode("overwrite")
+        .option("compression", props.getOrElse("write.compression", "zstd"))) { // reference: spark_builder.py:248
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
     val listed = listDataFiles(commitDir)

@@ -272,6 +272,32 @@ class IceboxSpec extends SparkSpec {
     t.readSnapshotId(spark, 0L).count() shouldBe 1L
   }
 
+  test("table properties round-trip and merge") {
+    val t = Icebox(tmpDir("icebox"))
+    t.properties shouldBe Map.empty
+    t.setProperties(Map("write.bloom.columns" -> "id", "a" -> "1"))
+    t.setProperties(Map("a" -> "2", "b" -> "3"))
+    t.properties shouldBe Map("write.bloom.columns" -> "id", "a" -> "2", "b" -> "3")
+  }
+
+  test("write.bloom.columns records a parquet bloom filter in every data file") {
+    import scala.jdk.CollectionConverters._
+    val t = Icebox(tmpDir("icebox"))
+    t.setProperties(Map("write.bloom.columns" -> "id"))
+    t.append((1L to 5000L).map(i => (i, s"name$i")).toDF("id", "name"))
+    val file = t.currentSnapshot.get.files.head.path
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val byName = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      val bloomReader = reader.getBloomFilterDataReader(block)
+      bloomReader.readBloomFilter(byName("id")) should not be null
+      bloomReader.readBloomFilter(byName("name")) shouldBe null // only opted-in columns
+    } finally reader.close()
+  }
+
   test("partition values containing '+' and '%' survive the path round-trip") {
     val df = Seq((1L, "a+b"), (2L, "c d"), (3L, "a+b")).toDF("id", "tag")
     val t = Icebox(tmpDir("icebox"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -736,6 +736,16 @@ object SparkEntry {
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
         col("doc_id"), defaultRate = 0.25, seed = "mix")),
 
+    // LLM: training-sequence packing — concatenate-then-chunk per source
+    // shard, 512-token budget; one window sum, shards pack in parallel
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Packing.packSequences(d, col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long"), 512, "source")
+        .select(col("doc_id"), col("source"), col("seq_id"),
+          col("seq_offset").cast("long").as("seq_offset"))
+    }),
+
     // LLM: deterministic per-source quota — at most 10 docs per source,
     // chosen by hash order (reproducible unbiased N-sample per group)
     "q_cap_per_source" -> ((s, dir) =>
@@ -1286,6 +1296,24 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN 'e6666666'
         |              ELSE '40000000' END""".stripMargin,
+
+    // start-offset binning over the per-shard running token total; a doc
+    // straddling a boundary belongs to the sequence its first token is in
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n,
+        |         CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, source,
+        |       CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+        |       start % 512 AS seq_offset
+        |  FROM c""".stripMargin,
 
     // hash order is engine-identical (md5 hex), ties impossible but broken
     // on doc_id anyway

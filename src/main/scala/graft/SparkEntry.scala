@@ -266,6 +266,17 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Metadata-only COUNT(*): manifests record per-file footer row counts
+    // at write time, so the count never touches data
+    "q_count_meta" -> ((s, dir) => {
+      val table = Icebox(tmp("qcm"))
+      val li = t(s, dir, "lineitem")
+      table.append(li.filter(col("l_orderkey") % 2 === 0))
+      table.append(li.filter(col("l_orderkey") % 2 =!= 0))
+      val n = table.rowCount.getOrElse(sys.error("manifest row count missing"))
+      s.createDataset(Seq(n))(org.apache.spark.sql.Encoders.scalaLong).toDF("cnt")
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -1002,6 +1013,8 @@ object SparkEntry {
 
     // append = union of both halves
     "q_insert_sql" -> "SELECT * FROM orders",
+
+    "q_count_meta" -> "SELECT count(*) AS cnt FROM lineitem",
 
     // pre-evolution rows carry a typed NULL for the added column
     "q_schema_evolution" ->

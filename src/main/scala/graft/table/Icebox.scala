@@ -52,7 +52,7 @@ object Snapshot {
   * `prunedFilesByStats` (numeric columns only).
   */
 final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
-    stats: Map[String, (String, String)] = Map.empty)
+    stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -166,6 +166,17 @@ final class Icebox(val tableDir: String) {
   }
 
   def exists: Boolean = Files.exists(currentPtr)
+
+  /** Metadata-only COUNT(*): the sum of per-file row counts recorded in the
+    * manifest at write time (parquet footer block counts — exact, not an
+    * estimate). `None` when any live file predates row-count recording
+    * (pre-round-6 manifests); callers fall back to a scan. At 100 TB this
+    * answers the most common query ever issued without touching a byte of
+    * data — Iceberg's metadata-query behavior.
+    */
+  def rowCount: Option[Long] = currentSnapshot.map(_.files).flatMap { fs =>
+    if (fs.forall(_.rows >= 0L)) Some(fs.map(_.rows).sum) else None
+  }
 
   def currentSnapshotId: Long = {
     if (!exists) -1L
@@ -676,7 +687,12 @@ final class Icebox(val tableDir: String) {
     }
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
-    val listed = listDataFiles(commitDir)
+    val listedRaw = listDataFiles(commitDir)
+    // per-file row counts from the parquet footers (KBs of metadata per
+    // file, executor-fanned) — makes COUNT(*) a manifest read, Iceberg's
+    // metadata-query behavior
+    val rowCounts = footerRowCounts(df.sparkSession, listedRaw.map(_.path))
+    val listed = listedRaw.map(f => f.copy(rows = rowCounts.getOrElse(f.path, -1L)))
     // stats columns are STICKY: once a column is stats-tracked (explicit
     // collectStats, or a sorted/clustered compaction), subsequent writes
     // keep collecting for it so file skipping stays effective table-wide
@@ -758,6 +774,19 @@ final class Icebox(val tableDir: String) {
     * with absent/untrustworthy statistics in any row group yields no entry
     * (pruning then keeps the file — conservative, same as missing stats).
     */
+  /** Row count per file from parquet footer block metadata — no data read. */
+  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+    if (paths.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val footer = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
+      p -> footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.collect().toMap
+  }
+
   private def footerFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
       colTypes: Map[String, DataType]): Map[String, Map[String, (String, String)]] = {
     if (paths.isEmpty || cols.isEmpty) return Map.empty
@@ -876,6 +905,7 @@ final class Icebox(val tableDir: String) {
       fs.foreach { f =>
         val o = arr.addObject()
         o.put("path", f.path).put("sizeBytes", f.sizeBytes)
+        if (f.rows >= 0) o.put("rows", f.rows)
         val p = o.putObject("partition")
         f.partition.foreach { case (k, v) => p.put(k, v) }
         if (f.stats.nonEmpty) {
@@ -910,7 +940,8 @@ final class Icebox(val tableDir: String) {
             e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
           }.toMap
         }.getOrElse(Map.empty[String, (String, String)])
-        DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats)
+        DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
+          if (f.has("rows")) f.get("rows").asLong else -1L)
       }.toSeq).getOrElse(Nil)
     val full = if (node.has("files")) Some(readFiles("files")) else None
     val added = readFiles("added")

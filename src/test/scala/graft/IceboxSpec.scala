@@ -272,6 +272,28 @@ class IceboxSpec extends SparkSpec {
     t.readSnapshotId(spark, 0L).count() shouldBe 1L
   }
 
+  test("rowCount answers COUNT(*) from the manifest alone, tracking DML") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"))
+    t.append((101L to 130L).map(i => (i, s"v$i")).toDF("id", "s"))
+    t.rowCount shouldBe Some(130L)
+    graft.sql.MergeSql.register("rc_t", t)
+    graft.sql.DmlSql.delete(spark, "DELETE FROM rc_t WHERE id > 120")
+    t.rowCount shouldBe Some(120L)
+    t.rowCount.get shouldBe t.read(spark).count()
+  }
+
+  test("rowCount is None when a manifest predates row counts (scan fallback contract)") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    // simulate an old manifest: strip the rows field from the snapshot json
+    val mf = java.nio.file.Paths.get(t.tableDir, "_snapshots", "0.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf))
+      .replaceAll("\"rows\"\\s*:\\s*\\d+,?", "")
+    java.nio.file.Files.write(mf, stripped.getBytes)
+    Icebox(t.tableDir).rowCount shouldBe None // fresh handle, no cache
+  }
+
   test("table properties round-trip and merge") {
     val t = Icebox(tmpDir("icebox"))
     t.properties shouldBe Map.empty

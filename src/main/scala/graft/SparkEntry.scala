@@ -266,6 +266,17 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // SQL-text CTAS: partitioned table materialized from a query, read back
+    // through the registered view (planner-indexed)
+    "q_ctas_sql" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("qctas_src")
+      graft.sql.DmlSql.createTable(s,
+        """CREATE OR REPLACE TABLE qctas_orders PARTITIONED BY (o_orderstatus)
+          |AS SELECT * FROM qctas_src WHERE o_totalprice > 100000""".stripMargin,
+        tmp("qctas"))
+      s.sql("SELECT * FROM qctas_orders")
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1015,6 +1026,8 @@ object SparkEntry {
     "q_insert_sql" -> "SELECT * FROM orders",
 
     "q_count_meta" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    "q_ctas_sql" -> "SELECT * FROM orders WHERE o_totalprice > 100000",
 
     // pre-evolution rows carry a typed NULL for the added column
     "q_schema_evolution" ->

@@ -1,7 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, UpdateTable}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.table.{DataFile, Icebox, Snapshot}
@@ -105,6 +107,47 @@ object DmlSql {
     val rewritten = icebox.readDataFiles(spark, candidates).alias(alias)
       .select(outCols: _*)
     commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten)
+  }
+
+  /** `CREATE [OR REPLACE] TABLE <name> [PARTITIONED BY (cols)] AS SELECT`
+    * — the table materializes as an Icebox at `<warehouseDir>/<name parts>`
+    * and registers on the session (view + DML target), so CTAS → INSERT →
+    * MERGE → SELECT composes on one name. Identity partitioning only
+    * (bucket/days transforms would need a partition-function layer);
+    * `IF NOT EXISTS` no-ops onto the existing table.
+    */
+  def createTable(spark: SparkSession, sqlText: String, warehouseDir: String): Icebox =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case c: CreateTableAsSelect =>
+        ctas(spark, warehouseDir, c.name, c.partitioning, c.query,
+          replace = false, ifNotExists = c.ignoreIfExists)
+      case r: ReplaceTableAsSelect =>
+        ctas(spark, warehouseDir, r.name, r.partitioning, r.query,
+          replace = true, ifNotExists = false)
+      case other => sys.error(s"not a CREATE TABLE AS SELECT: ${other.getClass.getSimpleName}")
+    }
+
+  private def ctas(spark: SparkSession, warehouseDir: String, namePlan: LogicalPlan,
+      partitioning: Seq[Transform], query: LogicalPlan,
+      replace: Boolean, ifNotExists: Boolean): Icebox = {
+    val parts = namePlan match {
+      case UnresolvedIdentifier(ps, _) => ps
+      case other => sys.error(s"unsupported CTAS target: ${other.getClass.getSimpleName}")
+    }
+    val name = parts.mkString(".")
+    val icebox = Icebox((warehouseDir +: parts).mkString("/"))
+    if (icebox.exists && !replace) {
+      if (ifNotExists) { icebox.registerView(spark, name); return icebox }
+      sys.error(s"CTAS target '$name' already exists (use CREATE OR REPLACE)")
+    }
+    val partCols = partitioning.map { t =>
+      require(t.name == "identity",
+        s"only identity PARTITIONED BY supported, got ${t.describe}")
+      t.references.head.fieldNames.mkString(".")
+    }
+    icebox.overwrite(spark.sql(MergeSql.subqueryText(query)), partCols)
+    icebox.registerView(spark, name)
+    icebox
   }
 
   /** INSERT: the source query re-runs from its parser origin text (VALUES

@@ -128,6 +128,31 @@ class DmlSqlSpec extends SparkSpec {
       Array((3L, "c", 3.0))
   }
 
+  test("CTAS creates, registers, and composes with the rest of the SQL surface") {
+    val wh = tmpDir("dml-ctas-wh")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "part", "v").createOrReplaceTempView("ctas_src")
+    val t = DmlSql.createTable(spark,
+      "CREATE TABLE ctas_t PARTITIONED BY (part) AS SELECT * FROM ctas_src WHERE v > 15", wh)
+    t.partitionColumns shouldBe Seq("part")
+    spark.sql("SELECT id FROM ctas_t").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // plain CREATE on an existing table errors; OR REPLACE replaces
+    intercept[RuntimeException] {
+      DmlSql.createTable(spark, "CREATE TABLE ctas_t AS SELECT * FROM ctas_src", wh)
+    }
+    DmlSql.createTable(spark,
+      "CREATE OR REPLACE TABLE ctas_t AS SELECT * FROM ctas_src WHERE v < 15", wh)
+    spark.sql("SELECT id FROM ctas_t").as[Long].collect() shouldBe Array(1L)
+    // IF NOT EXISTS no-ops onto the existing table
+    DmlSql.createTable(spark,
+      "CREATE TABLE IF NOT EXISTS ctas_t AS SELECT * FROM ctas_src", wh)
+    spark.sql("SELECT count(*) FROM ctas_t").as[Long].head() shouldBe 1L
+    // the created table is a first-class DML target
+    DmlSql.sql(spark, "INSERT INTO ctas_t VALUES (9, 'z', 90.0)")
+    DmlSql.sql(spark, "UPDATE ctas_t SET v = 0.0 WHERE id = 9")
+    spark.sql("SELECT v FROM ctas_t WHERE id = 9").as[Double].head() shouldBe 0.0
+  }
+
   test("sql() dispatches DELETE, UPDATE, and MERGE") {
     val t = Icebox(tmpDir("dml-sql"))
     t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))

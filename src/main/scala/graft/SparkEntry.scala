@@ -277,6 +277,19 @@ object SparkEntry {
       s.sql("SELECT * FROM qctas_orders")
     }),
 
+    // Row-level change diff (CDF audit): an UPDATE's effect reads back as
+    // its delete+insert pairs; only files differing between the snapshots
+    // are read (carried-over files cancel out of the multiset diff)
+    "q_change_diff" -> ((s, dir) => {
+      val table = Icebox(tmp("qcd"))
+      table.append(t(s, dir, "orders").repartitionByRange(8, col("o_totalprice")),
+        collectStats = Seq("o_totalprice"))
+      table.registerView(s, "qcd_t")
+      graft.sql.DmlSql.update(s,
+        "UPDATE qcd_t SET o_totalprice = o_totalprice * 2 WHERE o_totalprice < 10000")
+      table.changeDiff(s, 0L, 1L)
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1026,6 +1039,16 @@ object SparkEntry {
     "q_insert_sql" -> "SELECT * FROM orders",
 
     "q_count_meta" -> "SELECT count(*) AS cnt FROM lineitem",
+
+    // the UPDATE's row-level effect, written longhand
+    "q_change_diff" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |       o_orderdate, o_orderpriority, 'insert' AS _change_type
+        |  FROM orders WHERE o_totalprice < 10000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |  FROM orders WHERE o_totalprice < 10000""".stripMargin,
 
     "q_ctas_sql" -> "SELECT * FROM orders WHERE o_totalprice > 100000",
 

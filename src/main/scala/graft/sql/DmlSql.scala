@@ -81,8 +81,20 @@ object DmlSql {
 
   // ------------------------------------------------------------------ exec
 
+  /** This executor re-renders parsed expressions through `Expression.sql`;
+    * a correlated/IN subquery does not survive that round-trip, so reject
+    * it with a actionable message instead of a parser error downstream.
+    */
+  private def noSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      stmt: String): Unit =
+    require(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"$stmt predicates with subqueries are not supported — rewrite as MERGE INTO " +
+        s"with the subquery as the USING source")
+
   private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult = {
     val (name, alias, icebox, snap, schema) = target(spark, d.table)
+    noSubquery(d.condition, "DELETE")
     val cond = expr(d.condition.sql)
     val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
     // keep rows where the predicate is NOT TRUE (false or null)
@@ -93,6 +105,8 @@ object DmlSql {
 
   private def executeUpdate(spark: SparkSession, u: UpdateTable): DmlResult = {
     val (name, alias, icebox, snap, schema) = target(spark, u.table)
+    u.condition.foreach(noSubquery(_, "UPDATE"))
+    u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
     val cond = u.condition.map(c => expr(c.sql)).getOrElse(lit(true))
     validateAssignments(u.assignments, schema)
     val (candidates, untouched) = split(spark, icebox, snap, alias, cond)

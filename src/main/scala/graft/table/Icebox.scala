@@ -220,6 +220,45 @@ final class Icebox(val tableDir: String) {
       .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation", "file_count", "total_bytes")
   }
 
+  /** Files metadata table (Iceberg's `<table>.files` analog): one row per
+    * live data file of the current snapshot — path, size, row count (-1 if
+    * unrecorded), partition values, and recorded min/max stats. Pure
+    * manifest read; inspect layout health (file sizes, skew, stats
+    * coverage) without touching data.
+    */
+  def filesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentSnapshot.map(_.files).getOrElse(Nil)
+      .map(f => (f.path, f.sizeBytes, f.rows, f.partition,
+        f.stats.map { case (c, (mn, mx)) => c -> s"[$mn, $mx]" }))
+      .toDF("path", "size_bytes", "rows", "partition", "stats")
+  }
+
+  /** Row-level change diff between two snapshots (change-data-feed audit
+    * face): rows only in `toId` tagged `insert`, rows only in `fromId`
+    * tagged `delete` (an update appears as its delete+insert pair).
+    * MANIFEST-PRUNED: only files that differ between the snapshots are
+    * read — carried-over files cannot contribute to the multiset
+    * difference — so a small commit against a 100 TB table diffs O(changed
+    * files), not two table scans. `exceptAll` keeps duplicate multiplicity
+    * exact.
+    */
+  def changeDiff(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    val from = readSnapshot(fromId)
+    val to = readSnapshot(toId)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val removedFiles = from.files.filterNot(f => toPaths(f.path))
+    val addedFiles = to.files.filterNot(f => fromPaths(f.path))
+    // read each side with ITS OWN schema (diff requires matching columns:
+    // use the newer snapshot's column set; evolution-added columns read as
+    // nulls from older files)
+    val oldRows = readFiles(spark, removedFiles, Some(to.schemaJson))
+    val newRows = readFiles(spark, addedFiles, Some(to.schemaJson))
+    newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
+      .unionByName(oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
+  }
+
   /** Partition column names of the current snapshot (empty if unpartitioned
     * or the table is empty).
     */

@@ -153,6 +153,42 @@ class DmlSqlSpec extends SparkSpec {
     spark.sql("SELECT v FROM ctas_t WHERE id = 9").as[Double].head() shouldBe 0.0
   }
 
+  test("DML predicates with subqueries fail with an actionable message") {
+    val t = Icebox(tmpDir("dml-subq"))
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))
+    MergeSql.register("subq_t", t)
+    val e = intercept[IllegalArgumentException] {
+      DmlSql.delete(spark, "DELETE FROM subq_t WHERE id IN (SELECT id FROM subq_t)")
+    }
+    e.getMessage should include("MERGE INTO")
+  }
+
+  test("changeDiff reports an UPDATE as delete+insert pairs and reads only changed files") {
+    val t = Icebox(tmpDir("dml-cdf"))
+    t.append((1L to 80L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .repartitionByRange(8, col("id")), collectStats = Seq("id"))
+    MergeSql.register("cdf_t", t)
+    DmlSql.update(spark, "UPDATE cdf_t SET v = 0.0 WHERE id > 75")
+    val diff = t.changeDiff(spark, 0L, 1L)
+    val rows = diff.as[(Long, Double, String)].collect().sortBy(r => (r._1, r._3))
+    rows.length shouldBe 10 // 5 updated ids x (delete + insert)
+    rows.map(_._1).distinct.sorted shouldBe Array(76L, 77L, 78L, 79L, 80L)
+    rows.filter(_._3 == "insert").forall(_._2 == 0.0) shouldBe true
+    // pruned: only the rewritten file pair is read, not all 8+ files
+    diff.inputFiles.length should be < t.currentSnapshot.get.files.size + 8
+    diff.inputFiles.length should be <= 4
+  }
+
+  test("filesDf exposes the manifest: paths, sizes, rows, stats") {
+    val t = Icebox(tmpDir("dml-filesdf"))
+    t.append((1L to 50L).map(i => (i, s"p${i % 2}")).toDF("id", "p"),
+      collectStats = Seq("id"))
+    val rows = t.filesDf(spark).collect()
+    rows.length shouldBe t.currentSnapshot.get.files.size
+    rows.map(_.getAs[Long]("rows")).sum shouldBe 50L
+    rows.forall(_.getAs[Map[String, String]]("stats").contains("id")) shouldBe true
+  }
+
   test("sql() dispatches DELETE, UPDATE, and MERGE") {
     val t = Icebox(tmpDir("dml-sql"))
     t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))

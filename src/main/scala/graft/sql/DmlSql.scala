@@ -44,6 +44,34 @@ object DmlSql {
     */
   final case class DmlResult(snapshot: Snapshot, rewrittenFiles: Int, keptFiles: Int)
 
+  private val warehouseRef = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Warehouse root for CTAS targets issued through [[run]]. */
+  def setWarehouse(dir: String): Unit = warehouseRef.set(dir)
+
+  /** ONE entry point for the whole SQL-text surface: writes (MERGE, DELETE,
+    * UPDATE, INSERT, CTAS) route to the Icebox executors and return a
+    * one-row `(operation, snapshot_id)` summary; everything else (SELECT
+    * over registered views, SHOW, VALUES, ...) runs through `spark.sql`
+    * unchanged. CTAS requires [[setWarehouse]] first.
+    */
+  def run(spark: SparkSession, sqlText: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case _: MergeIntoTable | _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
+        summary(spark, sql(spark, sqlText))
+      case _: CreateTableAsSelect | _: ReplaceTableAsSelect =>
+        val wh = Option(warehouseRef.get).getOrElse(
+          sys.error("CTAS through run() needs DmlSql.setWarehouse(dir) first"))
+        summary(spark, createTable(spark, sqlText, wh).currentSnapshot.get)
+      case _ => spark.sql(sqlText)
+    }
+
+  private def summary(spark: SparkSession, s: Snapshot): DataFrame =
+    spark.createDataset(Seq((s.operation, s.id)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("operation", "snapshot_id")
+
   /** Execute any supported SQL-text statement: MERGE INTO (delegated to
     * [[MergeSql]]), DELETE FROM, or UPDATE.
     */

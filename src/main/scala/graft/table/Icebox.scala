@@ -727,11 +727,6 @@ final class Icebox(val tableDir: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
     val listedRaw = listDataFiles(commitDir)
-    // per-file row counts from the parquet footers (KBs of metadata per
-    // file, executor-fanned) — makes COUNT(*) a manifest read, Iceberg's
-    // metadata-query behavior
-    val rowCounts = footerRowCounts(df.sparkSession, listedRaw.map(_.path))
-    val listed = listedRaw.map(f => f.copy(rows = rowCounts.getOrElse(f.path, -1L)))
     // stats columns are STICKY: once a column is stats-tracked (explicit
     // collectStats, or a sorted/clustered compaction), subsequent writes
     // keep collecting for it so file skipping stays effective table-wide
@@ -740,12 +735,14 @@ final class Icebox(val tableDir: String) {
       if (collectStats.nonEmpty) collectStats
       else currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
         .filter(df.columns.contains)).getOrElse(Nil)
-    val newFiles =
-      if (statsCols.isEmpty) listed
-      else {
-        val stats = collectFileStats(df.sparkSession, listed.map(_.path), statsCols, df.schema)
-        listed.map(f => f.copy(stats = stats.getOrElse(f.path, Map.empty)))
-      }
+    // ONE footer pass per commit collects row counts (always — COUNT(*) as
+    // a manifest read) AND min/max for footer-decodable stats columns;
+    // only footer-undecodable types pay the data-scan fallback
+    val meta = collectFileStats(df.sparkSession, listedRaw.map(_.path), statsCols, df.schema)
+    val newFiles = listedRaw.map { f =>
+      val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
+      f.copy(rows = rows, stats = stats)
+    }
     commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)
   }
 
@@ -787,48 +784,36 @@ final class Icebox(val tableDir: String) {
     sys.error("unreachable")
   }
 
-  /** Per-file min/max of `cols` for freshly written files. Reads parquet
-    * FOOTER metadata (row-group column statistics) — a few KB of metadata
+  /** Per-file metadata for freshly written files: ROW COUNT (always) plus
+    * min/max of `cols`, in ONE parquet-footer pass — a few KB of metadata
     * per file, fanned out over executors — instead of re-scanning the data:
     * at 100 TB a stat-tracked commit would otherwise pay a second full read
     * of everything it just wrote. Columns whose footer statistics can't be
     * decoded with exact string parity to the scan path (decimals,
-    * timestamps, nested types) fall back to the data-scan aggregation.
+    * timestamps, nested types) fall back to the data-scan aggregation; a
+    * column with absent/untrustworthy statistics in any row group yields no
+    * entry (pruning then keeps the file — conservative).
     */
   private def collectFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
-      schema: StructType): Map[String, Map[String, (String, String)]] = {
+      schema: StructType): Map[String, (Long, Map[String, (String, String)])] = {
     def fieldType(c: String) = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     val (footerCols, scanCols) = cols.partition(c => fieldType(c).exists(Icebox.footerDecodable))
-    val fromFooters = footerFileStats(spark, paths, footerCols,
+    val fromFooters = footerMeta(spark, paths, footerCols,
       footerCols.map(c => c -> fieldType(c).get).toMap)
     val fromScan = if (scanCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
                    else fileStats(spark, paths, scanCols)
     paths.map { p =>
-      p -> (fromFooters.getOrElse(p, Map.empty) ++ fromScan.getOrElse(p, Map.empty))
+      val (rows, fstats) = fromFooters.getOrElse(p, (-1L, Map.empty[String, (String, String)]))
+      p -> (rows, fstats ++ fromScan.getOrElse(p, Map.empty))
     }.toMap
   }
 
-  /** Footer-only stats: open each file's parquet footer on an executor and
-    * fold min/max across its row groups. No data pages are read. A column
-    * with absent/untrustworthy statistics in any row group yields no entry
-    * (pruning then keeps the file — conservative, same as missing stats).
+  /** One executor-fanned footer read per file: block row counts + row-group
+    * min/max for `cols`. No data pages are read.
     */
-  /** Row count per file from parquet footer block metadata — no data read. */
-  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): Map[String, Long] = {
+  private def footerMeta(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+      colTypes: Map[String, DataType]): Map[String, (Long, Map[String, (String, String)])] = {
     if (paths.isEmpty) return Map.empty
-    val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
-    val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val footer = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
-      p -> footer.getBlocks.asScala.map(_.getRowCount).sum
-    }.collect().toMap
-  }
-
-  private def footerFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
-      colTypes: Map[String, DataType]): Map[String, Map[String, (String, String)]] = {
-    if (paths.isEmpty || cols.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
     val colsV = cols.toVector
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
@@ -837,6 +822,7 @@ final class Icebox(val tableDir: String) {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
       val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
       val st = colsV.flatMap { c =>
         val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
         val ss = chunks.map(_.getStatistics)
@@ -847,7 +833,7 @@ final class Icebox(val tableDir: String) {
           else Icebox.decodeFooterMinMax(colTypes(c), nonNull).map(c -> _)
         }
       }.toMap
-      p -> st
+      p -> (rows, st)
     }.collect().toMap
   }
 

@@ -153,6 +153,17 @@ class DmlSqlSpec extends SparkSpec {
     spark.sql("SELECT v FROM ctas_t WHERE id = 9").as[Double].head() shouldBe 0.0
   }
 
+  test("run() is one entry point: SELECT passthrough, write summaries, CTAS") {
+    DmlSql.setWarehouse(tmpDir("dml-run-wh"))
+    Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v").createOrReplaceTempView("run_src")
+    val created = DmlSql.run(spark, "CREATE TABLE run_t AS SELECT * FROM run_src")
+    created.columns.toSeq shouldBe Seq("operation", "snapshot_id")
+    DmlSql.run(spark, "UPDATE run_t SET v = 0.0 WHERE id = 2")
+      .select("operation").as[String].head() shouldBe "update"
+    // passthrough SELECT sees the post-update view
+    DmlSql.run(spark, "SELECT v FROM run_t WHERE id = 2").as[Double].head() shouldBe 0.0
+  }
+
   test("DML predicates with subqueries fail with an actionable message") {
     val t = Icebox(tmpDir("dml-subq"))
     t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))

@@ -771,6 +771,24 @@ object SparkEntry {
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
         col("doc_id"), defaultRate = 0.25, seed = "mix")),
 
+    // LLM capstone: the full modern data-prep pipeline composed from this
+    // round's operators — token gate → benchmark decontamination →
+    // fingerprint dedup → weighted source mix → sequence packing — one
+    // oracle over the whole chain
+    "q_dataprep_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val gated = d.filter(TextFunctions.tokenCount(col("text")) >= 5)
+      val decon = Decontaminate.clean(gated, "text", "doc_id",
+        d.filter(col("doc_id") % 19 === 0), "text", 8)
+      val deduped = Dedup.exactNormalized(decon, "text", "doc_id")
+      val mixed = Sampling.mixSources(deduped, "source",
+        Map("src0" -> 0.2, "src1" -> 0.8), col("doc_id"), 0.5, "dp")
+      Packing.packSequences(mixed, col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long"), 256, "source")
+        .select(col("doc_id"), col("source"), col("seq_id"),
+          col("seq_offset").cast("long").as("seq_offset"))
+    }),
+
     // LLM: training-sequence packing — concatenate-then-chunk per source
     // shard, 512-token budget; one window sum, shards pack in parallel
     "q_pack_sequences" -> ((s, dir) => {
@@ -1345,6 +1363,43 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN 'e6666666'
         |              ELSE '40000000' END""".stripMargin,
+
+    // the whole chain as CTEs: gate (n>=5) → decontaminate (8-gram overlap
+    // vs doc_id%19) → fingerprint dedup → mix (0.2/0.8/0.5 thresholds
+    // 33333333/cccccccc/80000000) → pack (budget 256)
+    "q_dataprep_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, source,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |gated AS (SELECT * FROM toks WHERE n >= 5),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(ts) - 7),
+        |           i -> array_to_string(ts[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0),
+        |bad AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)),
+        |decon AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |dedup AS (SELECT * FROM decon
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) = 1),
+        |mixed AS (SELECT * FROM dedup
+        |  WHERE substr(md5('dp' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    CASE source WHEN 'src0' THEN '33333333'
+        |                WHEN 'src1' THEN 'cccccccc'
+        |                ELSE '80000000' END),
+        |c AS (SELECT doc_id, source, n,
+        |        CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start
+        |      FROM mixed)
+        |SELECT doc_id, source,
+        |       CAST(floor(start / 256.0) AS BIGINT) AS seq_id,
+        |       start % 256 AS seq_offset
+        |  FROM c""".stripMargin,
 
     // start-offset binning over the per-shard running token total; a doc
     // straddling a boundary belongs to the sequence its first token is in

@@ -215,6 +215,10 @@ object DmlSql {
     val bad = destNames.filterNot(d => schema.fieldNames.exists(_.equalsIgnoreCase(d)))
     require(bad.isEmpty, s"INSERT column(s) ${bad.mkString(", ")} do not resolve to target " +
       s"columns (${schema.fieldNames.mkString(", ")})")
+    val badStatics = statics.map(_._1)
+      .filterNot(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    require(badStatics.isEmpty, s"INSERT PARTITION column(s) ${badStatics.mkString(", ")} " +
+      s"do not resolve to target columns (${schema.fieldNames.mkString(", ")})")
     val renamed = src.toDF(destNames: _*)
     val withStatics = statics.foldLeft(renamed) { case (df, (k, v)) =>
       df.withColumn(k, lit(v))

@@ -153,16 +153,43 @@ final class Icebox(val tableDir: String) {
     out.result()
   }
 
-  /** Merge `kv` into the table properties (atomic replace-on-write). */
+  /** Merge `kv` into the table properties. Concurrency-safe ACROSS handles
+    * and processes, not just within one (snapshot commits already are): the
+    * read-merge-write runs under a CREATE_NEW lock-file claim — the same
+    * atomic primitive the commit path uses — so two concurrent setProperties
+    * calls serialize instead of losing one's update. A lock left by a
+    * crashed holder is broken after 10 s.
+    */
   def setProperties(kv: Map[String, String]): Unit = this.synchronized {
     Files.createDirectories(Paths.get(tableDir))
-    val merged = properties ++ kv
-    val node = mapper.createObjectNode()
-    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lock = Paths.get(tableDir, "_properties.lock")
+    var attempt = 0
+    while (attempt < 4000) {
+      try {
+        Files.write(lock, Array.emptyByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val merged = properties ++ kv
+          val node = mapper.createObjectNode()
+          merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+          val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
+          Files.write(tmp, mapper.writeValueAsBytes(node))
+          Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally Files.deleteIfExists(lock)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          try {
+            if (Files.exists(lock) &&
+                System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > 10000)
+              Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () } // lost a race to the holder
+          Thread.sleep(5)
+      }
+    }
+    sys.error(s"setProperties lock contention exhausted at $tableDir")
   }
 
   def exists: Boolean = Files.exists(currentPtr)
@@ -594,18 +621,32 @@ final class Icebox(val tableDir: String) {
     }
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
-    if (Files.exists(dataDir)) {
-      val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
-      walked.reverse.foreach { p =>
-        if (Files.isRegularFile(p) && !liveFiles(p.toString) &&
-            Files.getLastModifiedTime(p).toMillis < olderThanMs)
-          Files.deleteIfExists(p)
-        else if (Files.isDirectory(p) &&
-            Using.resource(Files.list(p))(s => !s.iterator().hasNext))
-          Files.deleteIfExists(p)
-      }
-    }
+    deleteUnreferenced(liveFiles, olderThanMs)
     expired.map(_.id)
+  }
+
+  /** Delete files under data/ that are dead relative to `referenced`, if
+    * older than `cutoffMs`: data files (*.parquet) not referenced, and
+    * AUXILIARY files (_SUCCESS markers, Hadoop .crc checksums) only when
+    * their directory holds no referenced file — a live commit's markers
+    * and checksums are never touched. Empty directories are pruned.
+    */
+  private def deleteUnreferenced(referenced: Set[String], cutoffMs: Long): Seq[String] = {
+    if (!Files.exists(dataDir)) return Nil
+    val refDirs = referenced.map(p => Paths.get(p).getParent.toString)
+    val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
+    val deleted = Seq.newBuilder[String]
+    walked.reverse.foreach { p =>
+      if (Files.isRegularFile(p) && Files.getLastModifiedTime(p).toMillis < cutoffMs) {
+        val dead =
+          if (p.getFileName.toString.endsWith(".parquet")) !referenced(p.toString)
+          else !refDirs(p.getParent.toString)
+        if (dead) { Files.deleteIfExists(p); deleted += p.toString }
+      } else if (Files.isDirectory(p) && p != dataDir &&
+          Using.resource(Files.list(p))(s => !s.iterator().hasNext))
+        Files.deleteIfExists(p)
+    }
+    deleted.result()
   }
 
   /** Remove ORPHAN data files: files under the table's data directory that
@@ -618,21 +659,8 @@ final class Icebox(val tableDir: String) {
     * days for the same reason. Returns deleted paths.
     */
   def removeOrphans(graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = this.synchronized {
-    if (!Files.exists(dataDir)) return Nil
     val referenced = allSnapshots.flatMap(_.files.map(_.path)).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
-    val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
-    val deleted = Seq.newBuilder[String]
-    walked.reverse.foreach { p =>
-      if (Files.isRegularFile(p) && !referenced(p.toString) &&
-          Files.getLastModifiedTime(p).toMillis < cutoff) {
-        Files.deleteIfExists(p)
-        deleted += p.toString
-      } else if (Files.isDirectory(p) && p != dataDir &&
-          Using.resource(Files.list(p))(s => !s.iterator().hasNext))
-        Files.deleteIfExists(p)
-    }
-    deleted.result()
+    deleteUnreferenced(referenced, System.currentTimeMillis() - graceMs)
   }
 
   /** M5: rollback — repoint the table at an earlier snapshot's file set,
@@ -727,14 +755,19 @@ final class Icebox(val tableDir: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(commitDir.toString)
     val listedRaw = listDataFiles(commitDir)
-    // stats columns are STICKY: once a column is stats-tracked (explicit
-    // collectStats, or a sorted/clustered compaction), subsequent writes
-    // keep collecting for it so file skipping stays effective table-wide
-    // without every caller re-opting-in
-    val statsCols =
-      if (collectStats.nonEmpty) collectStats
-      else currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
-        .filter(df.columns.contains)).getOrElse(Nil)
+    // Footer-decodable primitive columns are stats-tracked BY DEFAULT: the
+    // footer pass already runs once per commit for row counts, so their
+    // min/max is metadata-free — every table gets file skipping and
+    // file-pruned DML without writer opt-in (Iceberg records metrics for
+    // all columns by default for the same reason). Scan-fallback types
+    // (decimals, timestamps, nested) still require explicit `collectStats`
+    // and stay STICKY once tracked, so skipping remains effective
+    // table-wide without every caller re-opting-in.
+    val sticky = currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
+      .filter(df.columns.contains)).getOrElse(Nil)
+    val footerDefaults = df.schema.fields.toSeq
+      .filter(f => Icebox.footerDecodable(f.dataType)).map(_.name)
+    val statsCols = (collectStats ++ sticky ++ footerDefaults).distinct
     // ONE footer pass per commit collects row counts (always — COUNT(*) as
     // a manifest read) AND min/max for footer-decodable stats columns;
     // only footer-undecodable types pay the data-scan fallback
@@ -1036,6 +1069,11 @@ object Icebox {
     */
   private[table] val MaxDeltaChain = 16
 
+  /** String min/max longer than this (UTF-8 bytes) are dropped from the
+    * manifest rather than recorded — see [[decodeFooterMinMax]].
+    */
+  private[table] val MaxStringStatBytes = 64
+
   /** On-disk manifest form of one snapshot: either a FULL file listing
     * (`full` defined) or a DELTA against the parent (`added` +
     * `removedPaths`). `fileCount`/`totalBytes` describe the RESOLVED state
@@ -1157,8 +1195,16 @@ object Icebox {
         val ord = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
         val mins = ss.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
         val maxs = ss.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-        Some((new String(mins.reduce((a, b) => if (ord(a, b) <= 0) a else b), StandardCharsets.UTF_8),
-              new String(maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b), StandardCharsets.UTF_8)))
+        val mn = mins.reduce((a, b) => if (ord(a, b) <= 0) a else b)
+        val mx = maxs.reduce((a, b) => if (ord(a, b) >= 0) a else b)
+        // LONG strings (document bodies, payloads) are not recorded: with
+        // stats now on by default, embedding two page-sized values per file
+        // would bloat every manifest for a column nobody range-prunes on.
+        // Absent stats keep the file (conservative), never mis-prune.
+        // (Iceberg instead truncates to 16 chars; skipping is simpler and
+        // avoids the truncated-upper-bound increment edge cases.)
+        if (mn.length > MaxStringStatBytes || mx.length > MaxStringStatBytes) None
+        else Some((new String(mn, StandardCharsets.UTF_8), new String(mx, StandardCharsets.UTF_8)))
       case _ => None
     }
   }

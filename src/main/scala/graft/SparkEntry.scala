@@ -347,6 +347,45 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // SQL-text DELETE with an IN-subquery predicate: the subquery runs
+    // through the full analyzer against registered views; file pruning
+    // still happens on the subquery-FREE conjunct (l_orderkey > hi/2) —
+    // the require proves it. Iceberg-SQL parity for subquery DML.
+    "q_delete_subquery" -> ((s, dir) => {
+      val table = Icebox(tmp("qdsq"))
+      val li = t(s, dir, "lineitem")
+      table.append(li.repartitionByRange(8, col("l_orderkey")),
+        collectStats = Seq("l_orderkey"))
+      table.registerView(s, "qdsq_target")
+      t(s, dir, "orders").createOrReplaceTempView("qdsq_orders")
+      val hi = li.agg(max("l_orderkey")).head().getLong(0)
+      val r = graft.sql.DmlSql.delete(s,
+        s"DELETE FROM qdsq_target WHERE l_orderkey > ${hi / 2} AND l_orderkey IN " +
+          "(SELECT o_orderkey FROM qdsq_orders WHERE o_orderpriority = '1-URGENT')")
+      require(r.keptFiles > 0,
+        s"subquery DELETE pruned nothing: ${r.rewrittenFiles} rewritten, ${r.keptFiles} kept")
+      table.read(s)
+    }),
+
+    // SQL-text UPDATE with a correlated EXISTS predicate (correlates to the
+    // target alias); the subquery-free range conjunct still prunes files
+    "q_update_subquery" -> ((s, dir) => {
+      val table = Icebox(tmp("qusq"))
+      val o = t(s, dir, "orders")
+      table.append(o.repartitionByRange(8, col("o_orderkey")),
+        collectStats = Seq("o_orderkey"))
+      table.registerView(s, "qusq_target")
+      t(s, dir, "customer").createOrReplaceTempView("qusq_cust")
+      val hi = o.agg(max("o_orderkey")).head().getLong(0)
+      val r = graft.sql.DmlSql.update(s,
+        s"UPDATE qusq_target t SET o_orderpriority = '9-VIP' WHERE o_orderkey > ${hi / 2} " +
+          "AND EXISTS (SELECT 1 FROM qusq_cust c WHERE c.c_custkey = t.o_custkey " +
+          "AND c.c_mktsegment = 'BUILDING')")
+      require(r.keptFiles > 0,
+        s"subquery UPDATE pruned nothing: ${r.rewrittenFiles} rewritten, ${r.keptFiles} kept")
+      table.read(s)
+    }),
+
     // M1 z-order compaction: with TWO clustering columns, a predicate on the
     // SECOND alone must still skip files (lexicographic clustering gives the
     // trailing column zero locality — the require proves the interleave works)
@@ -1093,6 +1132,24 @@ object SparkEntry {
         |       o_orderdate,
         |       CASE WHEN o_totalprice < 10000 THEN '0-REPRICED'
         |            ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders""".stripMargin,
+
+    // subquery DELETE longhand: survivors are the complement of
+    // (range conjunct AND IN-subquery); all keys involved are non-null
+    "q_delete_subquery" ->
+      """SELECT * FROM lineitem
+        | WHERE NOT (l_orderkey > (SELECT max(l_orderkey) // 2 FROM lineitem)
+        |   AND l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_orderpriority = '1-URGENT'))""".stripMargin,
+
+    // correlated-EXISTS UPDATE longhand
+    "q_update_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       CASE WHEN o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+        |             AND EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = orders.o_custkey
+        |                            AND c.c_mktsegment = 'BUILDING')
+        |            THEN '9-VIP' ELSE o_orderpriority END AS o_orderpriority
         |  FROM orders""".stripMargin,
 
     // the MERGE semantics written out longhand: matched F-status rows

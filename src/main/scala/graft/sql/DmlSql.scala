@@ -1,5 +1,6 @@
 package graft.sql
 
+import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, UpdateTable}
@@ -109,20 +110,97 @@ object DmlSql {
 
   // ------------------------------------------------------------------ exec
 
-  /** This executor re-renders parsed expressions through `Expression.sql`;
-    * a correlated/IN subquery does not survive that round-trip, so reject
-    * it with a actionable message instead of a parser error downstream.
+  /** SET values re-render through `Expression.sql`; a subquery there does
+    * not survive that round-trip, so reject with an actionable message.
+    * (DELETE/UPDATE *conditions* with subqueries ARE supported — they run
+    * through the full analyzer, see [[subqueryPredicate]].)
     */
   private def noSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression,
       stmt: String): Unit =
-    require(!e.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
-      s"$stmt predicates with subqueries are not supported — rewrite as MERGE INTO " +
+    require(!hasSubquery(e),
+      s"$stmt with subqueries is not supported — rewrite as MERGE INTO " +
         s"with the subquery as the USING source")
+
+  private def hasSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+
+  /** A predicate containing IN / NOT IN / EXISTS subqueries cannot go
+    * through `expr(e.sql)` (subqueries don't survive the text round-trip).
+    * Instead the candidate files register as a temp view under the target's
+    * alias and the predicate's ORIGINAL text (recovered from its parser
+    * Origin) re-analyzes through `spark.sql`, so the subquery resolves
+    * against the session's registered views — including correlated EXISTS,
+    * which correlates to the aliased view. Returns the candidate rows
+    * extended with one boolean `hitCol` = predicate IS TRUE.
+    */
+  private def subqueryPredicate(spark: SparkSession, icebox: Icebox,
+      candidates: Seq[DataFile], alias: String,
+      condText: String, hitCol: String): DataFrame = {
+    val view = s"__dml_cand_${UUID.randomUUID().toString.replace("-", "").take(12)}"
+    icebox.readDataFiles(spark, candidates).createOrReplaceTempView(view)
+    try spark.sql(
+      s"SELECT `$alias`.*, coalesce(($condText), false) AS $hitCol FROM $view AS `$alias`")
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** File pruning under a predicate with subqueries: prune on the
+    * subquery-free conjuncts only (dropping conjuncts can only WIDEN the
+    * candidate set — a correct superset). All-subquery predicates prune
+    * nothing (full candidate set).
+    */
+  private def pruneConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    def conjuncts(x: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = x match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val clean = conjuncts(e).filterNot(hasSubquery)
+    if (clean.isEmpty) lit(true) else clean.map(c => expr(c.sql)).reduce(_ && _)
+  }
+
+  /** The condition's original SQL text. Expression Origins are too coarse
+    * to slice (e.g. an `InSubquery` origin starts at `IN`, dropping the
+    * left operand; `Exists` spans the whole statement), but in DELETE and
+    * UPDATE grammar the WHERE clause is always the FINAL top-level clause —
+    * so recover it from the statement text: everything after the first
+    * `WHERE` keyword at paren depth 0 outside quoted strings/identifiers.
+    */
+  private def conditionText(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    val stmt = e.origin.sqlText.getOrElse(sys.error(
+      "DML subquery predicate carries no SQL origin text"))
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var i = 0; var depth = 0
+    val n = stmt.length
+    while (i < n) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"' | '`') =>
+          i += 1; while (i < n && stmt.charAt(i) != q) i += 1; i += 1
+        case c if depth == 0 && (c == 'w' || c == 'W') && i + 5 <= n &&
+            stmt.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || !isWordChar(stmt.charAt(i - 1))) &&
+            (i + 5 == n || !isWordChar(stmt.charAt(i + 5))) =>
+          return stmt.substring(i + 5)
+        case _ => i += 1
+      }
+    }
+    sys.error(s"no top-level WHERE clause found in: $stmt")
+  }
 
   private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult = {
     val (name, alias, icebox, snap, schema) = target(spark, d.table)
-    noSubquery(d.condition, "DELETE")
+    if (hasSubquery(d.condition)) {
+      val (candidates, untouched) =
+        split(spark, icebox, snap, alias, pruneConjuncts(d.condition))
+      val marked = subqueryPredicate(spark, icebox, candidates, alias,
+        conditionText(d.condition), "__dml_hit")
+      // keep rows where the predicate is NOT TRUE (false or null)
+      val survivors = marked.filter(!col("__dml_hit")).drop("__dml_hit")
+      return commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors)
+    }
     val cond = expr(d.condition.sql)
     val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
     // keep rows where the predicate is NOT TRUE (false or null)
@@ -133,12 +211,21 @@ object DmlSql {
 
   private def executeUpdate(spark: SparkSession, u: UpdateTable): DmlResult = {
     val (name, alias, icebox, snap, schema) = target(spark, u.table)
-    u.condition.foreach(noSubquery(_, "UPDATE"))
     u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
-    val cond = u.condition.map(c => expr(c.sql)).getOrElse(lit(true))
     validateAssignments(u.assignments, schema)
-    val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
-    val hit = coalesce(cond, lit(false))
+    val condHasSubq = u.condition.exists(hasSubquery)
+    val pruneCol =
+      if (condHasSubq) pruneConjuncts(u.condition.get)
+      else u.condition.map(c => expr(c.sql)).getOrElse(lit(true))
+    val (candidates, untouched) = split(spark, icebox, snap, alias, pruneCol)
+    val (source, hit) =
+      if (condHasSubq)
+        (subqueryPredicate(spark, icebox, candidates, alias,
+          conditionText(u.condition.get), "__dml_hit"), col("__dml_hit"))
+      else {
+        val cond = u.condition.map(c => expr(c.sql)).getOrElse(lit(true))
+        (icebox.readDataFiles(spark, candidates).alias(alias), coalesce(cond, lit(false)))
+      }
     val outCols = schema.fields.toSeq.map { f =>
       assigned(u.assignments, f.name) match {
         case Some(v) => when(hit, v.cast(f.dataType))
@@ -146,8 +233,7 @@ object DmlSql {
         case None => col(s"$alias.${f.name}").as(f.name)
       }
     }
-    val rewritten = icebox.readDataFiles(spark, candidates).alias(alias)
-      .select(outCols: _*)
+    val rewritten = source.select(outCols: _*)
     commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten)
   }
 

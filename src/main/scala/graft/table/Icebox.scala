@@ -163,10 +163,13 @@ final class Icebox(val tableDir: String) {
   def setProperties(kv: Map[String, String]): Unit = this.synchronized {
     Files.createDirectories(Paths.get(tableDir))
     val lock = Paths.get(tableDir, "_properties.lock")
+    val myToken = UUID.randomUUID().toString
     var attempt = 0
     while (attempt < 4000) {
       try {
-        Files.write(lock, Array.emptyByteArray,
+        // the lock carries its owner's token so a breaker can verify WHICH
+        // lock instance it is removing (a bare path delete can't)
+        Files.write(lock, myToken.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
         try {
           val merged = properties ++ kv
@@ -176,20 +179,49 @@ final class Icebox(val tableDir: String) {
           Files.write(tmp, mapper.writeValueAsBytes(node))
           Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-        } finally Files.deleteIfExists(lock)
+        } finally {
+          // only delete the lock if it is still OURS — if we stalled >10 s a
+          // breaker may have replaced it, and deleting blindly would evict
+          // the new holder's live lock
+          try {
+            val owner = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+            if (owner == myToken) Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+        }
         return
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
-          try {
-            if (Files.exists(lock) &&
-                System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > 10000)
-              Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () } // lost a race to the holder
+          breakStaleLock(lock)
           Thread.sleep(5)
       }
     }
     sys.error(s"setProperties lock contention exhausted at $tableDir")
+  }
+
+  /** Break a lock whose holder appears dead (mtime >10 s old) WITHOUT the
+    * check-then-delete race: the lock is first atomically renamed to a
+    * unique grave name — only one contender can win the rename, and once
+    * renamed no new waiter can observe it — then its owner token is compared
+    * against the token read during the staleness check. A mismatch means a
+    * fresh lock replaced the stale one between check and rename (we stole a
+    * live lock); it is atomically restored.
+    */
+  private def breakStaleLock(lock: Path): Unit = {
+    try {
+      if (!Files.exists(lock) ||
+          System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis <= 10000) return
+      val observed = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+      val grave = lock.resolveSibling(s"_properties.lock.broken.${UUID.randomUUID().toString.take(8)}")
+      Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+      val moved = new String(Files.readAllBytes(grave), StandardCharsets.UTF_8)
+      if (moved == observed) Files.deleteIfExists(grave) // confirmed stale — broken
+      else {
+        // a fresh lock slid in after the staleness check; put it back
+        try Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(grave) }
+      }
+    } catch { case _: java.io.IOException => () } // lost a race — retry loop handles it
   }
 
   def exists: Boolean = Files.exists(currentPtr)
@@ -427,8 +459,13 @@ final class Icebox(val tableDir: String) {
     currentSnapshot.map(_.files.filter { f =>
       f.stats.get(column) match {
         case None => true
+        // stats are recorded for string/date/bool columns too (by default
+        // since r7); a non-numeric stat string keeps the file, matching the
+        // conservative contract used by IceboxFileIndex.admit
         case Some((mn, mx)) =>
-          lo.forall(l => mx.toDouble >= l) && hi.forall(h => mn.toDouble <= h)
+          scala.util.Try(
+            lo.forall(l => mx.toDouble >= l) && hi.forall(h => mn.toDouble <= h)
+          ).getOrElse(true)
       }
     }).getOrElse(Nil)
 
@@ -633,7 +670,14 @@ final class Icebox(val tableDir: String) {
     */
   private def deleteUnreferenced(referenced: Set[String], cutoffMs: Long): Seq[String] = {
     if (!Files.exists(dataDir)) return Nil
-    val refDirs = referenced.map(p => Paths.get(p).getParent.toString)
+    // every ancestor directory between a referenced file and dataDir is
+    // live: partitioned writes put parquet in data/__commit=N/part=v/ while
+    // _SUCCESS markers sit at the commit root data/__commit=N/
+    val refDirs = referenced.flatMap { p =>
+      Iterator.iterate(Paths.get(p).getParent)(_.getParent)
+        .takeWhile(d => d != null && d.startsWith(dataDir))
+        .map(_.toString)
+    }
     val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
     val deleted = Seq.newBuilder[String]
     walked.reverse.foreach { p =>

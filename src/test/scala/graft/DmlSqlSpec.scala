@@ -164,12 +164,83 @@ class DmlSqlSpec extends SparkSpec {
     DmlSql.run(spark, "SELECT v FROM run_t WHERE id = 2").as[Double].head() shouldBe 0.0
   }
 
-  test("DML predicates with subqueries fail with an actionable message") {
-    val t = Icebox(tmpDir("dml-subq"))
+  test("DELETE WHERE id IN (SELECT ...) runs the subquery through the analyzer") {
+    val t = Icebox(tmpDir("dml-subq-in"))
+    t.overwrite((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    MergeSql.register("subq_in_t", t)
+    Seq(2L, 4L, 6L).toDF("id").createOrReplaceTempView("subq_in_src")
+    DmlSql.delete(spark, "DELETE FROM subq_in_t WHERE id IN (SELECT id FROM subq_in_src)")
+    t.read(spark).select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 5L, 7L, 8L, 9L, 10L)
+  }
+
+  test("DELETE WHERE NOT IN keeps SQL null semantics (null in subquery → no rows delete)") {
+    val t = Icebox(tmpDir("dml-subq-notin"))
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    MergeSql.register("subq_ni_t", t)
+    Seq[java.lang.Long](2L, null).toDF("id").createOrReplaceTempView("subq_ni_src")
+    // NOT IN over a set containing NULL is never TRUE → nothing deletes
+    DmlSql.delete(spark, "DELETE FROM subq_ni_t WHERE id NOT IN (SELECT id FROM subq_ni_src)")
+    t.read(spark).count() shouldBe 3L
+    // without the null, NOT IN deletes the complement
+    Seq[java.lang.Long](2L).toDF("id").createOrReplaceTempView("subq_ni_src2")
+    DmlSql.delete(spark, "DELETE FROM subq_ni_t WHERE id NOT IN (SELECT id FROM subq_ni_src2)")
+    t.read(spark).select("id").as[Long].collect() shouldBe Array(2L)
+  }
+
+  test("DELETE with correlated EXISTS correlates to the target alias") {
+    val t = Icebox(tmpDir("dml-subq-exists"))
+    t.overwrite(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s"))
+    MergeSql.register("subq_ex_t", t)
+    Seq((2L, "keep"), (3L, "keep")).toDF("ref_id", "tag")
+      .createOrReplaceTempView("subq_ex_src")
+    DmlSql.delete(spark,
+      "DELETE FROM subq_ex_t t WHERE EXISTS (SELECT 1 FROM subq_ex_src s WHERE s.ref_id = t.id)")
+    t.read(spark).select("id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("UPDATE with a subquery condition assigns only matched rows") {
+    val t = Icebox(tmpDir("dml-subq-upd"))
+    t.overwrite(Seq((1L, 10, "x"), (2L, 20, "y"), (3L, 30, "z")).toDF("id", "n", "s"))
+    MergeSql.register("subq_upd_t", t)
+    Seq(2L, 3L).toDF("id").createOrReplaceTempView("subq_upd_src")
+    DmlSql.update(spark,
+      "UPDATE subq_upd_t SET n = n + 1, s = 'hit' WHERE id IN (SELECT id FROM subq_upd_src)")
+    val out = t.read(spark).as[(Long, Int, String)].collect().sortBy(_._1)
+    out shouldBe Array((1L, 10, "x"), (2L, 21, "hit"), (3L, 31, "hit"))
+    t.read(spark).schema("n").dataType.typeName shouldBe "integer"
+  }
+
+  test("subquery DELETE still prunes files on the subquery-free conjuncts") {
+    val t = Icebox(tmpDir("dml-subq-prune"))
+    val df = (1 to 80).map(i => (i.toLong, i % 8)).toDF("id", "bucket")
+    t.append(df.repartitionByRange(8, col("id")), collectStats = Seq("id"))
+    MergeSql.register("subq_prune_t", t)
+    val total = t.currentSnapshot.get.files.size
+    total should be > 1
+    Seq(77L, 78L, 200L).toDF("id").createOrReplaceTempView("subq_prune_src")
+    val r = DmlSql.delete(spark,
+      "DELETE FROM subq_prune_t WHERE id > 75 AND id IN (SELECT id FROM subq_prune_src)")
+    r.keptFiles should be > 0 // id > 75 pruned files despite the subquery conjunct
+    (r.rewrittenFiles + r.keptFiles) shouldBe total
+    t.read(spark).count() shouldBe 78L
+    t.read(spark).filter(col("id").isin(77L, 78L)).count() shouldBe 0L
+  }
+
+  test("subquery referencing the TARGET table sees the pre-delete state") {
+    val t = Icebox(tmpDir("dml-subq-self"))
+    t.overwrite((1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    t.registerView(spark, "subq_self_t")
+    DmlSql.delete(spark, "DELETE FROM subq_self_t WHERE id IN (SELECT max(id) FROM subq_self_t)")
+    t.read(spark).select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
+  test("UPDATE SET values with subqueries still fail with an actionable message") {
+    val t = Icebox(tmpDir("dml-subq-set"))
     t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))
-    MergeSql.register("subq_t", t)
+    MergeSql.register("subq_set_t", t)
     val e = intercept[IllegalArgumentException] {
-      DmlSql.delete(spark, "DELETE FROM subq_t WHERE id IN (SELECT id FROM subq_t)")
+      DmlSql.update(spark, "UPDATE subq_set_t SET v = (SELECT max(v) FROM subq_set_t)")
     }
     e.getMessage should include("MERGE INTO")
   }

@@ -72,7 +72,7 @@ class IceboxSpec extends SparkSpec {
     t.append(sampleDf.filter($"id" === 3), collectStats = Seq("id", "amount"))
     t.append(sampleDf.filter($"id" === 4), collectStats = Seq("id", "amount"))
     val all = t.currentSnapshot.get.files
-    all.foreach(f => f.stats.keySet shouldBe Set("id", "amount"))
+    all.foreach(f => f.stats.keySet should contain allOf ("id", "amount"))
     // id in [3,3] must keep only the middle file
     val hit = t.prunedFilesByStats("id", Some(3.0), Some(3.0))
     hit.size shouldBe 1
@@ -85,6 +85,21 @@ class IceboxSpec extends SparkSpec {
     // stats survive the JSON round-trip (fresh handle re-reads the manifest);
     // amount <= 25 admits the two files holding amounts 10.5 and 20.0
     Icebox(t.tableDir).prunedFilesByStats("amount", None, Some(25.0)).size shouldBe 2
+  }
+
+  test("plain append records min/max for every footer-decodable column by default") {
+    val t = Icebox(tmpDir("icebox-default-stats"))
+    t.append(sampleDf) // no collectStats, no writer opt-in
+    val files = t.currentSnapshot.get.files
+    files should not be empty
+    // id (long), name (string), dt (string), amount (double) are all footer-decodable
+    files.foreach(_.stats.keySet should contain allOf ("id", "name", "dt", "amount"))
+    val idStats = files.flatMap(_.stats.get("id"))
+    idStats.map(_._1.toLong).min shouldBe 1L
+    idStats.map(_._2.toLong).max shouldBe 4L
+    val nameStats = files.flatMap(_.stats.get("name"))
+    nameStats.map(_._1).min shouldBe "a"
+    nameStats.map(_._2).max shouldBe "d"
   }
 
   test("footer-undecodable stat columns (timestamp) fall back to the data scan") {
@@ -109,7 +124,7 @@ class IceboxSpec extends SparkSpec {
     (0 until 4).foreach(i => t.append(big.filter($"id" % 4 === i)))
     t.compactSorted(spark, Seq("score"), numFiles = Some(4))
     val files = t.currentSnapshot.get.files
-    files.foreach(_.stats.keySet shouldBe Set("score"))
+    files.foreach(_.stats.keySet should contain("score"))
     // ranges are (near-)disjoint: a narrow predicate prunes to a small subset
     val hit = t.prunedFilesByStats("score", Some(10.0), Some(20.0))
     hit.size should be < files.size

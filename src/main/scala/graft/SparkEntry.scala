@@ -386,6 +386,66 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // M3/M4 snapshot listing under an exact oracle: three appends with known
+    // row splits → snapshotsDf (id, operation) joined to per-snapshot
+    // manifest row totals must equal DuckDB's cumulative counts. Exercises
+    // the manifest parent-chain walk + per-file row counts end-to-end; the
+    // require pins listing-vs-manifest file_count consistency.
+    "q_snapshots_meta" -> ((s, dir) => {
+      val table = Icebox(tmp("qsm"))
+      val o = t(s, dir, "orders")
+      (0 to 2).foreach(i => table.append(o.filter(col("o_orderkey") % 3 === i)))
+      val snaps = table.allSnapshots.sortBy(_.id)
+      require(snaps.map(_.fileCount) == snaps.map(_.files.size.toLong),
+        "snapshot listing file_count disagrees with manifest file set")
+      val totals = s.createDataset(snaps.map(x => (x.id, x.files.map(_.rows).sum)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("snapshot_id", "row_total")
+      table.snapshotsDf(s).select("snapshot_id", "operation")
+        .join(totals, Seq("snapshot_id"))
+    }),
+
+    // Merge-on-read DELETE (Iceberg v2 position deletes): a sparse delete
+    // writes ONE tiny (file_path, pos) delete file instead of rewriting
+    // 512 MB data files — the requires prove zero data files were touched;
+    // readers anti-join the positions away
+    "q_delete_mor" -> ((s, dir) => {
+      val table = Icebox(tmp("qdm"))
+      val li = t(s, dir, "lineitem")
+      table.append(li.repartitionByRange(8, col("l_orderkey")),
+        collectStats = Seq("l_orderkey"))
+      table.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+      table.registerView(s, "qdm_target")
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      val r = graft.sql.DmlSql.delete(s,
+        "DELETE FROM qdm_target WHERE l_orderkey % 1000 = 7")
+      require(r.rewrittenFiles == 0,
+        s"merge-on-read DELETE rewrote ${r.rewrittenFiles} data files")
+      require(table.currentSnapshot.get.files.map(_.path).toSet == beforePaths,
+        "merge-on-read DELETE changed the data file set")
+      table.read(s)
+    }),
+
+    // Merge-on-read UPDATE: position-delete the old rows + append the new
+    // images in one atomic commit; zero data-file rewrites
+    "q_update_mor" -> ((s, dir) => {
+      val table = Icebox(tmp("qum"))
+      val o = t(s, dir, "orders")
+      table.append(o.repartitionByRange(8, col("o_orderkey")),
+        collectStats = Seq("o_orderkey"))
+      table.setProperties(Map("write.update.mode" -> "merge-on-read"))
+      table.registerView(s, "qum_target")
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      val r = graft.sql.DmlSql.update(s,
+        "UPDATE qum_target SET o_orderpriority = '9-MOR' WHERE o_orderkey % 500 = 3")
+      require(r.rewrittenFiles == 0,
+        s"merge-on-read UPDATE rewrote ${r.rewrittenFiles} data files")
+      require(beforePaths.subsetOf(table.currentSnapshot.get.files.map(_.path).toSet),
+        "merge-on-read UPDATE dropped data files")
+      table.read(s)
+    }),
+
     // M1 z-order compaction: with TWO clustering columns, a predicate on the
     // SECOND alone must still skip files (lexicographic clustering gives the
     // trailing column zero locality — the require proves the interleave works)
@@ -1150,6 +1210,26 @@ object SparkEntry {
         |                          WHERE c.c_custkey = orders.o_custkey
         |                            AND c.c_mktsegment = 'BUILDING')
         |            THEN '9-VIP' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders""".stripMargin,
+
+    // snapshot listing longhand: cumulative row totals after each append
+    "q_snapshots_meta" ->
+      """SELECT CAST(0 AS BIGINT) AS snapshot_id, 'append' AS operation,
+        |       count(*) AS row_total FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'append', count(*) FROM orders WHERE o_orderkey % 3 <= 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', count(*) FROM orders""".stripMargin,
+
+    // merge-on-read DELETE longhand: survivors are the predicate complement
+    "q_delete_mor" ->
+      "SELECT * FROM lineitem WHERE NOT (l_orderkey % 1000 = 7)",
+
+    // merge-on-read UPDATE longhand
+    "q_update_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       CASE WHEN o_orderkey % 500 = 3 THEN '9-MOR'
+        |            ELSE o_orderpriority END AS o_orderpriority
         |  FROM orders""".stripMargin,
 
     // the MERGE semantics written out longhand: matched F-status rows

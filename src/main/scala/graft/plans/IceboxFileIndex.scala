@@ -243,7 +243,10 @@ object IceboxFileIndex {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
+    val base = spark.baseRelationToDataFrame(relation)
+    // merge-on-read: anti-join away position-deleted rows (no-op plan when
+    // the snapshot carries no delete files)
+    Icebox.applyPositionDeletes(spark, base, snap.files)
       .select(full.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
   }
 }

@@ -190,8 +190,76 @@ object DmlSql {
     sys.error(s"no top-level WHERE clause found in: $stmt")
   }
 
+  // ------------------------------------------------- merge-on-read support
+
+  /** DML write mode for a table, from its properties (Iceberg's
+    * `write.delete.mode` / `write.update.mode`): `copy-on-write` (default,
+    * rewrite candidate files), `merge-on-read` (always position-delete), or
+    * `auto` (position-delete when the matched rows are a small fraction —
+    * [[morThreshold]] — of the candidate files' rows, else copy-on-write).
+    * At 100 TB `auto` makes a single-row DELETE cost one tiny delete file
+    * instead of a 512 MB file rewrite.
+    */
+  private def dmlMode(icebox: Icebox, prop: String): String =
+    icebox.properties.getOrElse(prop, "copy-on-write") match {
+      case m @ ("copy-on-write" | "merge-on-read" | "auto") => m
+      case other => sys.error(s"unsupported $prop '$other' " +
+        "(expected copy-on-write | merge-on-read | auto)")
+    }
+
+  private def morThreshold(icebox: Icebox): Double =
+    icebox.properties.get("write.merge-on-read.threshold").map(_.toDouble).getOrElse(0.1)
+
+  /** Candidate rows matching `cond` (TRUE only), with their physical
+    * positions as `__dml_fp`/`__dml_pos`, existing position deletes
+    * already applied (an UPDATE must never resurrect a deleted row).
+    */
+  private def matchedWithPos(spark: SparkSession, icebox: Icebox,
+      candidates: Seq[DataFile], alias: String,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression]): DataFrame = {
+    val withPos = icebox.readDataFilesWithPos(spark, candidates, "__dml_fp", "__dml_pos")
+    cond match {
+      case None => withPos.alias(alias)
+      case Some(c) if !hasSubquery(c) =>
+        withPos.alias(alias).filter(coalesce(expr(c.sql), lit(false)))
+      case Some(c) =>
+        val view = s"__dml_cand_${UUID.randomUUID().toString.replace("-", "").take(12)}"
+        withPos.createOrReplaceTempView(view)
+        try spark.sql(
+          s"SELECT `$alias`.* FROM $view AS `$alias` WHERE (${conditionText(c)})")
+        finally spark.catalog.dropTempView(view)
+    }
+  }
+
+  /** `auto` decision: merge-on-read only when every candidate file has a
+    * recorded row count and the matched fraction is under the threshold.
+    */
+  private def morChosen(mode: String, icebox: Icebox, candidates: Seq[DataFile],
+      matchedCount: => Long): Boolean =
+    mode == "merge-on-read" || {
+      val rows = candidates.map(_.rows)
+      rows.nonEmpty && rows.forall(_ >= 0) &&
+        matchedCount <= morThreshold(icebox) * rows.sum
+    }
+
   private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult = {
     val (name, alias, icebox, snap, schema) = target(spark, d.table)
+    val deleteMode = dmlMode(icebox, "write.delete.mode")
+    if (deleteMode != "copy-on-write") {
+      val pruneCol =
+        if (hasSubquery(d.condition)) pruneConjuncts(d.condition) else expr(d.condition.sql)
+      val (candidates, untouched) = split(spark, icebox, snap, alias, pruneCol)
+      val matched = matchedWithPos(spark, icebox, candidates, alias, Some(d.condition))
+        .select(col("__dml_fp").as("file_path"), col("__dml_pos").as("pos")).persist()
+      try {
+        if (morChosen(deleteMode, icebox, candidates, matched.count())) {
+          val s2 = icebox.commitPositionDeletes(spark, "delete", matched)
+          if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
+          return DmlResult(s2, 0, candidates.size + untouched.size)
+        }
+      } finally matched.unpersist()
+      // `auto` fell through: copy-on-write below
+    }
     if (hasSubquery(d.condition)) {
       val (candidates, untouched) =
         split(spark, icebox, snap, alias, pruneConjuncts(d.condition))
@@ -213,6 +281,34 @@ object DmlSql {
     val (name, alias, icebox, snap, schema) = target(spark, u.table)
     u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
     validateAssignments(u.assignments, schema)
+    val updateMode = dmlMode(icebox, "write.update.mode")
+    if (updateMode != "copy-on-write") {
+      val pruneColM = u.condition match {
+        case Some(c) if hasSubquery(c) => pruneConjuncts(c)
+        case Some(c)                   => expr(c.sql)
+        case None                      => lit(true)
+      }
+      val (candidates, untouched) = split(spark, icebox, snap, alias, pruneColM)
+      val matched = matchedWithPos(spark, icebox, candidates, alias, u.condition).persist()
+      try {
+        if (morChosen(updateMode, icebox, candidates, matched.count())) {
+          val positions = matched.select(col("__dml_fp").as("file_path"),
+            col("__dml_pos").as("pos"))
+          // every matched row is a hit: assignments apply unconditionally
+          val newRows = matched.select(schema.fields.toSeq.map { f =>
+            assigned(u.assignments, f.name) match {
+              case Some(v) => v.cast(f.dataType).as(f.name)
+              case None    => col(s"$alias.${f.name}").as(f.name)
+            }
+          }: _*)
+          val s2 = icebox.commitPositionDeletesWithData("update", positions, newRows,
+            icebox.partitionColumns)
+          if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
+          return DmlResult(s2, 0, candidates.size + untouched.size)
+        }
+      } finally matched.unpersist()
+      // `auto` fell through: copy-on-write below
+    }
     val condHasSubq = u.condition.exists(hasSubquery)
     val pruneCol =
       if (condHasSubq) pruneConjuncts(u.condition.get)

@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
@@ -50,9 +50,14 @@ object Snapshot {
   * pruning and file skipping without touching storage).
   * `stats` values are stored as strings and compared numerically by
   * `prunedFilesByStats` (numeric columns only).
+  * `deletes` lists POSITION-DELETE files (Iceberg v2 merge-on-read analog)
+  * applying to this data file: each is a parquet dir of
+  * `(file_path, pos)` rows; readers anti-join them away. Stats/row counts
+  * describe the BASE file (a superset — still conservative for pruning).
   */
 final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
-    stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L)
+    stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L,
+    deletes: Seq[String] = Nil)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -115,6 +120,7 @@ final class Icebox(val tableDir: String) {
   private def snapshotsDir: Path = Paths.get(tableDir, "_snapshots")
   private def currentPtr: Path = Paths.get(tableDir, "_current")
   private def dataDir: Path = Paths.get(tableDir, "data")
+  private def deletesDir: Path = Paths.get(tableDir, "deletes")
 
   /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
     * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
@@ -234,7 +240,11 @@ final class Icebox(val tableDir: String) {
     * data — Iceberg's metadata-query behavior.
     */
   def rowCount: Option[Long] = currentSnapshot.map(_.files).flatMap { fs =>
-    if (fs.forall(_.rows >= 0L)) Some(fs.map(_.rows).sum) else None
+    // a file with position deletes makes its manifest row count an upper
+    // bound, not exact — callers fall back to a scan (conservative)
+    if (fs.forall(_.rows >= 0L) && fs.forall(_.deletes.isEmpty))
+      Some(fs.map(_.rows).sum)
+    else None
   }
 
   def currentSnapshotId: Long = {
@@ -289,8 +299,8 @@ final class Icebox(val tableDir: String) {
     import spark.implicits._
     currentSnapshot.map(_.files).getOrElse(Nil)
       .map(f => (f.path, f.sizeBytes, f.rows, f.partition,
-        f.stats.map { case (c, (mn, mx)) => c -> s"[$mn, $mx]" }))
-      .toDF("path", "size_bytes", "rows", "partition", "stats")
+        f.stats.map { case (c, (mn, mx)) => c -> s"[$mn, $mx]" }, f.deletes.size))
+      .toDF("path", "size_bytes", "rows", "partition", "stats", "delete_files")
   }
 
   /** Row-level change diff between two snapshots (change-data-feed audit
@@ -305,10 +315,15 @@ final class Icebox(val tableDir: String) {
   def changeDiff(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
     val from = readSnapshot(fromId)
     val to = readSnapshot(toId)
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val removedFiles = from.files.filterNot(f => toPaths(f.path))
-    val addedFiles = to.files.filterNot(f => fromPaths(f.path))
+    // ENTRY-identity diff, not path diff: a merge-on-read DELETE keeps the
+    // data file path but attaches a delete file — the changed entry lands
+    // on BOTH sides, and reading each side with its own delete set makes
+    // the removed rows fall out of exceptAll. Path-identical unchanged
+    // entries still never read.
+    val fromSet = from.files.toSet
+    val toSet = to.files.toSet
+    val removedFiles = from.files.filterNot(toSet)
+    val addedFiles = to.files.filterNot(fromSet)
     // read each side with ITS OWN schema (diff requires matching columns:
     // use the newer snapshot's column set; evolution-added columns read as
     // nulls from older files)
@@ -659,7 +674,25 @@ final class Icebox(val tableDir: String) {
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
     deleteUnreferenced(liveFiles, olderThanMs)
+    deleteUnreferencedDeleteDirs(keep.flatMap(_.files.flatMap(_.deletes)).toSet, olderThanMs)
     expired.map(_.id)
+  }
+
+  /** Remove position-delete dirs under `deletes/` referenced by no kept
+    * snapshot, mtime-gated like data files (an in-flight merge-on-read
+    * commit writes its delete file BEFORE publishing the manifest).
+    */
+  private def deleteUnreferencedDeleteDirs(referenced: Set[String], cutoffMs: Long): Seq[String] = {
+    if (!Files.exists(deletesDir)) return Nil
+    val dead = Using.resource(Files.list(deletesDir)) { st =>
+      st.iterator().asScala.filter(d => !referenced(d.toString) &&
+        Files.getLastModifiedTime(d).toMillis < cutoffMs).toList
+    }
+    dead.flatMap { d =>
+      val inner = Using.resource(Files.walk(d))(_.iterator().asScala.toSeq)
+      inner.reverse.foreach(Files.deleteIfExists(_))
+      Some(d.toString)
+    }
   }
 
   /** Delete files under data/ that are dead relative to `referenced`, if
@@ -703,8 +736,11 @@ final class Icebox(val tableDir: String) {
     * days for the same reason. Returns deleted paths.
     */
   def removeOrphans(graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = this.synchronized {
-    val referenced = allSnapshots.flatMap(_.files.map(_.path)).toSet
-    deleteUnreferenced(referenced, System.currentTimeMillis() - graceMs)
+    val snaps = allSnapshots
+    val referenced = snaps.flatMap(_.files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    deleteUnreferenced(referenced, cutoff) ++
+      deleteUnreferencedDeleteDirs(snaps.flatMap(_.files.flatMap(_.deletes)).toSet, cutoff)
   }
 
   /** M5: rollback — repoint the table at an earlier snapshot's file set,
@@ -758,13 +794,92 @@ final class Icebox(val tableDir: String) {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val readSchema = StructType(schema.fields :+ StructField(CommitCol, StringType))
-    spark.read
+    val base = spark.read
       .schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(files.map(_.path): _*)
+    Icebox.applyPositionDeletes(spark, base, files)
       .drop(CommitCol)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Like [[readDataFiles]] but with each row's physical position exposed
+    * (`fpCol` = `_metadata.file_path`, `posCol` = `_metadata.row_index`),
+    * existing position deletes already applied — the input to merge-on-read
+    * DML, which must evaluate predicates over LIVE rows only (re-deleting a
+    * dead position is harmless, but an UPDATE must never resurrect one).
+    */
+  private[graft] def readDataFilesWithPos(spark: SparkSession, files: Seq[DataFile],
+      fpCol: String, posCol: String): DataFrame = {
+    val schema = currentSnapshot.map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType]).getOrElse(new StructType())
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields ++ Seq(StructField(fpCol, StringType), StructField(posCol,
+          org.apache.spark.sql.types.LongType))))
+    val readSchema = StructType(schema.fields :+ StructField(CommitCol, StringType))
+    val base = spark.read
+      .schema(readSchema)
+      .option("basePath", dataDir.toString)
+      .parquet(files.map(_.path): _*)
+      .select(col("*"), col("_metadata.file_path").as(fpCol), col("_metadata.row_index").as(posCol))
+    Icebox.antiJoinDeletes(spark, base, files.flatMap(_.deletes).distinct, fpCol, posCol)
+      .drop(CommitCol)
+      .select((schema.fieldNames.map(col) ++ Seq(col(fpCol), col(posCol))).toIndexedSeq: _*)
+  }
+
+  /** Write `positions` — `(file_path, pos)` rows in `_metadata` form — as
+    * ONE position-delete parquet dir under `deletes/` and return its path.
+    * Merge-on-read deletes are small by construction (the mode is chosen
+    * when the hit set is a small fraction of the candidate files), so one
+    * output file keeps the read-side anti-join broadcastable.
+    */
+  private def writeDeleteFile(positions: DataFrame): String = {
+    Files.createDirectories(deletesDir)
+    val dir = deletesDir.resolve(s"delete-${UUID.randomUUID().toString.take(12)}")
+    positions.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** Merge-on-read row-level DELETE: records `positions` (in
+    * `_metadata.file_path` URI form + row ordinal) as a position-delete
+    * file and commits a snapshot where each affected data file references
+    * it — NO data file is rewritten. Iceberg v2 position-delete semantics:
+    * readers anti-join the positions away; compaction materializes them.
+    */
+  private[graft] def commitPositionDeletes(spark: SparkSession, op: String,
+      positions: DataFrame): Snapshot = {
+    val schemaJson = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir")).schemaJson
+    val affected = affectedPaths(positions)
+    if (affected.isEmpty) // no matching rows: commit an explicit no-op snapshot
+      return commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
+    val dir = writeDeleteFile(positions)
+    commitMetaResolved(op, parent => parent.map(_.files).getOrElse(Nil).map(f =>
+      if (affected(f.path)) f.copy(deletes = f.deletes :+ dir) else f), schemaJson)
+  }
+
+  /** Merge-on-read UPDATE: position-delete the matched rows AND append
+    * their updated images in ONE atomic commit.
+    */
+  private[graft] def commitPositionDeletesWithData(op: String, positions: DataFrame,
+      newData: DataFrame, partitionBy: Seq[String]): Snapshot = {
+    val schemaJson = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir")).schemaJson
+    val affected = affectedPaths(positions)
+    if (affected.isEmpty)
+      return commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
+    val dir = writeDeleteFile(positions)
+    commit(newData, partitionBy, op) { (parent, newFiles) =>
+      parent.map(_.files).getOrElse(Nil).map(f =>
+        if (affected(f.path)) f.copy(deletes = f.deletes :+ dir) else f) ++ newFiles
+    }
+  }
+
+  /** Distinct data files hit by `positions`, as manifest-form plain paths
+    * (bounded driver collect: ≤ one row per candidate FILE, not per row).
+    */
+  private def affectedPaths(positions: DataFrame): Set[String] =
+    positions.select("file_path").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
 
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
     * set is derived by `resolve(parent, newFiles)`.
@@ -1016,6 +1131,10 @@ final class Icebox(val tableDir: String) {
             val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
           }
         }
+        if (f.deletes.nonEmpty) {
+          val ds = o.putArray("deletes")
+          f.deletes.foreach(ds.add)
+        }
       }
     }
     m.full match {
@@ -1042,8 +1161,10 @@ final class Icebox(val tableDir: String) {
             e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
           }.toMap
         }.getOrElse(Map.empty[String, (String, String)])
+        val deletes = Option(f.get("deletes"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
-          if (f.has("rows")) f.get("rows").asLong else -1L)
+          if (f.has("rows")) f.get("rows").asLong else -1L, deletes)
       }.toSeq).getOrElse(Nil)
     val full = if (node.has("files")) Some(readFiles("files")) else None
     val added = readFiles("added")
@@ -1104,6 +1225,46 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** Apply position deletes to a raw file-relation DataFrame: rows whose
+    * `(_metadata.file_path, _metadata.row_index)` appear in any of the
+    * files' delete files are anti-joined away. A no-op (and zero plan
+    * overhead) when no file carries deletes. The delete side is small by
+    * the merge-on-read threshold, so Spark broadcasts the anti-join; an
+    * oversized delete set degrades to a shuffled anti-join, never to an
+    * error. Must run BEFORE any projection — `_metadata` is only reachable
+    * on the file relation itself.
+    */
+  private[graft] def applyPositionDeletes(spark: SparkSession, base: DataFrame,
+      files: Seq[DataFile]): DataFrame = {
+    val deleteDirs = files.flatMap(_.deletes).distinct
+    if (deleteDirs.isEmpty) base
+    else {
+      val outCols = base.columns.toIndexedSeq
+      antiJoinDeletes(spark,
+        base.select(col("*"), col("_metadata.file_path").as("__icx_fp"),
+          col("_metadata.row_index").as("__icx_pos")),
+        deleteDirs, "__icx_fp", "__icx_pos")
+        .select(outCols.map(col): _*)
+    }
+  }
+
+  /** Anti-join `df` (carrying materialized `fpCol`/`posCol` position
+    * columns) against the `(file_path, pos)` rows of `deleteDirs`.
+    * `_metadata.file_path` renders with a scheme through `spark.read`
+    * (`file:/...`) but WITHOUT one through a custom FileIndex (`/...`), so
+    * both join keys normalize away the `scheme:[//authority]` prefix —
+    * matching on the filesystem path, which is identical either way.
+    */
+  private[graft] def antiJoinDeletes(spark: SparkSession, df: DataFrame,
+      deleteDirs: Seq[String], fpCol: String, posCol: String): DataFrame = {
+    if (deleteDirs.isEmpty) return df
+    def norm(c: Column): Column = regexp_replace(c, "^[a-zA-Z][\\w+.-]*:(//[^/]*)?", "")
+    val dels = spark.read.parquet(deleteDirs: _*)
+      .select(norm(col("file_path")).as("__del_fp"), col("pos").as("__del_pos"))
+    df.join(dels,
+      norm(df(fpCol)) === col("__del_fp") && df(posCol) === col("__del_pos"), "left_anti")
+  }
 
   /** Checkpoint cadence: a full manifest is forced once a delta chain
     * reaches this depth, bounding file-set reconstruction to

@@ -386,6 +386,50 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // HIDDEN bucket partitioning (beyond parity — Iceberg bucket(n, col)):
+    // the derived id_bucket dir never enters the schema; an equality
+    // predicate on the SOURCE column prunes to one bucket's files via the
+    // manifest index (the require proves it), and the exact filter on top
+    // keeps results identical to the oracle
+    "q_icebox_bucket_prune" -> ((s, dir) => {
+      val table = Icebox(tmp("qbp"))
+      val o = t(s, dir, "orders")
+      table.appendTransformed(o.repartition(8), "bucket(16, o_custkey)")
+      val snap = table.currentSnapshot.get
+      val idx = new graft.plans.IceboxFileIndex(s, table.tableDir, snap,
+        new org.apache.spark.sql.types.StructType())
+      val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "o_custkey", org.apache.spark.sql.types.LongType)()
+      val kept = idx.listFiles(Nil, Seq(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(attr,
+          org.apache.spark.sql.catalyst.expressions.Literal(7L,
+            org.apache.spark.sql.types.LongType)))).map(_.files.size).sum
+      require(snap.files.size > 1 && kept < snap.files.size,
+        s"bucket pruning had no effect: ${snap.files.size} files, $kept kept")
+      table.readIndexed(s).filter(col("o_custkey") === 7L)
+    }),
+
+    // HIDDEN days(ts) partitioning over the event stream (30 calendar days
+    // — the natural grain for a log table; orders' 2400 distinct days would
+    // be dir-explosion misuse): a time-range predicate prunes whole days
+    "q_icebox_days_prune" -> ((s, dir) => {
+      val table = Icebox(tmp("qdp"))
+      val ev = t(s, dir, "events")
+      table.appendTransformed(ev.repartition(4), "days(ts)")
+      val snap = table.currentSnapshot.get
+      val idx = new graft.plans.IceboxFileIndex(s, table.tableDir, snap,
+        new org.apache.spark.sql.types.StructType())
+      val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "ts", org.apache.spark.sql.types.TimestampNTZType)()
+      val kept = idx.listFiles(Nil, Seq(
+        org.apache.spark.sql.catalyst.expressions.LessThan(attr,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            java.time.LocalDateTime.of(2024, 1, 10, 0, 0))))).map(_.files.size).sum
+      require(snap.files.size > 1 && kept < snap.files.size,
+        s"days pruning had no effect: ${snap.files.size} files, $kept kept")
+      table.readIndexed(s).filter(col("ts") < "2024-01-10")
+    }),
+
     // M3/M4 snapshot listing under an exact oracle: three appends with known
     // row splits → snapshotsDf (id, operation) joined to per-snapshot
     // manifest row totals must equal DuckDB's cumulative counts. Exercises
@@ -1211,6 +1255,12 @@ object SparkEntry {
         |                            AND c.c_mktsegment = 'BUILDING')
         |            THEN '9-VIP' ELSE o_orderpriority END AS o_orderpriority
         |  FROM orders""".stripMargin,
+
+    // hidden partitioning is transparent: the oracle is the plain filter
+    "q_icebox_bucket_prune" ->
+      "SELECT * FROM orders WHERE o_custkey = 7",
+    "q_icebox_days_prune" ->
+      "SELECT * FROM events WHERE ts < '2024-01-10'",
 
     // snapshot listing longhand: cumulative row totals after each append
     "q_snapshots_meta" ->

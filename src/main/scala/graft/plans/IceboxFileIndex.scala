@@ -99,9 +99,71 @@ final class IceboxFileIndex(
       catch { case _: Exception => true } // unbindable → keep (conservative)
     }
 
-  /** Range-intersect simple comparison filters with the file's stats. */
+  /** Range-intersect simple comparison filters with the file's stats, and
+    * prune HIDDEN partitions through the table's transform spec.
+    */
   private def statsAdmit(filters: Seq[Expression], f: DataFile): Boolean =
-    filters.forall { e => admit(e, f) }
+    filters.forall { e => admit(e, f) && transformAdmit(e, f) }
+
+  /** Hidden-partition pruning: a predicate on a transform's SOURCE column
+    * maps the literal through the transform ([[PartitionTransform
+    * .literalDirValue]]) and compares against the file's partition-dir
+    * value. Equality/IN prune any transform; ranges prune only
+    * order-preserving ones (days/hours/truncate). A file holds ONE dir
+    * value pv per transform, and order preservation gives x ◇ lit ⇒
+    * t(x) ◇ t(lit) weakly — so `a > lit` admits iff pv >= t(lit), etc.
+    * Unmapped literals, missing dir values, or an unloadable spec keep the
+    * file (conservative).
+    */
+  private lazy val transforms: Seq[graft.table.PartitionTransform] =
+    try graft.table.PartitionTransform.parseSpec(
+        new Icebox(tableDir).properties.getOrElse("partition.spec", ""))
+      .filterNot(_.isInstanceOf[graft.table.IdentityTransform])
+    catch { case _: Exception => Nil }
+
+  private def transformAdmit(e: Expression, f: DataFile): Boolean = {
+    if (transforms.isEmpty) return true
+    def byName(a: Attribute) = transforms.filter(_.source.equalsIgnoreCase(a.name))
+    def eq(a: Attribute, l: Literal): Boolean = byName(a).forall { t =>
+      (f.partition.get(t.name), t.literalDirValue(l)) match {
+        case (Some(pv), Some(ev)) => pv == ev
+        case _ => true
+      }
+    }
+    // admit iff compare(pv, t(lit)) satisfies `ok`; compare is numeric when
+    // the mode is "auto" and both sides parse as long, else UTF8 binary
+    // order (the order the writer's lexically-sortable dir formats use)
+    def rng(a: Attribute, l: Literal, ok: Int => Boolean): Boolean = byName(a).forall { t =>
+      t.ordering match {
+        case None => true
+        case Some(mode) =>
+          (f.partition.get(t.name), t.literalDirValue(l)) match {
+            case (Some(pv), Some(ev)) =>
+              val c =
+                if (mode != "lex" && pv.toLongOption.isDefined && ev.toLongOption.isDefined)
+                  java.lang.Long.compare(pv.toLong, ev.toLong)
+                else UTF8String.fromString(pv).compareTo(UTF8String.fromString(ev))
+              ok(c)
+            case _ => true
+          }
+      }
+    }
+    e match {
+      case EqualTo(a: Attribute, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: Attribute) => eq(a, l)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => eq(a, v.asInstanceOf[Literal]))
+      case GreaterThan(a: Attribute, l: Literal)         => rng(a, l, _ >= 0)
+      case GreaterThanOrEqual(a: Attribute, l: Literal)  => rng(a, l, _ >= 0)
+      case LessThan(a: Attribute, l: Literal)            => rng(a, l, _ <= 0)
+      case LessThanOrEqual(a: Attribute, l: Literal)     => rng(a, l, _ <= 0)
+      case GreaterThan(l: Literal, a: Attribute)         => rng(a, l, _ <= 0)
+      case GreaterThanOrEqual(l: Literal, a: Attribute)  => rng(a, l, _ <= 0)
+      case LessThan(l: Literal, a: Attribute)            => rng(a, l, _ >= 0)
+      case LessThanOrEqual(l: Literal, a: Attribute)     => rng(a, l, _ >= 0)
+      case _ => true
+    }
+  }
 
   private def admit(e: Expression, f: DataFile): Boolean = {
     // numeric literals compare as exact BigDecimal against the stat strings
@@ -213,8 +275,11 @@ object IceboxFileIndex {
     val preds = filtered.queryExecution.optimizedPlan.collect {
       case f: LogicalFilter => conjuncts(f.condition)
     }.flatten
-    val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+    // HIDDEN partition dirs (transform-derived) are not schema columns —
+    // they prune via transformAdmit, not the partition schema
     val full = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+      .filter(full.fieldNames.contains)
     val partSchema = StructType(partCols.map(c => full(c)))
     val index = new IceboxFileIndex(spark, table.tableDir, snap, partSchema)
     val (partFilters, dataFilters) = preds.partition(p =>
@@ -230,9 +295,12 @@ object IceboxFileIndex {
     */
   def readSnapshot(spark: SparkSession, table: Icebox, snap: Snapshot): DataFrame = {
     // nullable-normalize like DataFrameReader does to user schemas — files
-    // written before a column was added must read as nulls, not fail
+    // written before a column was added must read as nulls, not fail.
+    // Hidden (transform-derived) partition dirs are not schema columns and
+    // stay out of the relation entirely.
     val full = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
     val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+      .filter(full.fieldNames.contains)
     val partSchema = StructType(partCols.map(c => full(c)))
     val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
     val index = new IceboxFileIndex(spark, table.tableDir, snap, partSchema)

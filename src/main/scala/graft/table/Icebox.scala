@@ -352,6 +352,54 @@ final class Icebox(val tableDir: String) {
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
 
+  /** The table's hidden-partition transform spec (`partition.spec` table
+    * property, e.g. `"bucket(8, id), days(ts)"`), empty for identity-only
+    * tables. See [[PartitionTransform]].
+    */
+  def partitionSpec: Seq[PartitionTransform] =
+    properties.get("partition.spec").map(PartitionTransform.parseSpec).getOrElse(Nil)
+
+  /** W4+ (beyond parity): append under a HIDDEN partition spec —
+    * `"bucket(8, id), days(ts), region"` — the derived partition columns
+    * never enter the table schema; readers prune them from predicates on
+    * the SOURCE columns via the manifest index. The first write persists
+    * the spec in table properties; later writers (including DML rewrites
+    * and compaction, which re-derive automatically) must agree.
+    */
+  def appendTransformed(df: DataFrame, spec: String,
+      collectStats: Seq[String] = Nil): Snapshot = {
+    val ts = PartitionTransform.parseSpec(spec)
+    val existing = partitionSpec
+    if (existing.isEmpty)
+      setProperties(Map("partition.spec" -> PartitionTransform.renderSpec(ts)))
+    else require(
+      PartitionTransform.renderSpec(existing) == PartitionTransform.renderSpec(ts),
+      s"partition spec mismatch: table uses '${PartitionTransform.renderSpec(existing)}', " +
+        s"write passed '${PartitionTransform.renderSpec(ts)}'")
+    append(df, ts.map(_.name), collectStats)
+  }
+
+  /** Overwrite variant of [[appendTransformed]]. */
+  def overwriteTransformed(df: DataFrame, spec: String): Snapshot = {
+    val ts = PartitionTransform.parseSpec(spec)
+    setProperties(Map("partition.spec" -> PartitionTransform.renderSpec(ts)))
+    overwrite(df, ts.map(_.name))
+  }
+
+  /** Add any spec-derived hidden partition columns missing from `df` (the
+    * write-side derivation every committer shares; sources absent from the
+    * frame are skipped — commit's partitioning check catches real misuse).
+    */
+  private def withHiddenPartitions(df: DataFrame): DataFrame =
+    partitionSpec
+      .filter(t => !t.isInstanceOf[IdentityTransform] && !df.columns.contains(t.name))
+      .foldLeft(df) { (d, t) =>
+        d.schema.fields.find(_.name.equalsIgnoreCase(t.source)) match {
+          case Some(src) => d.withColumn(t.name, t.derive(col(src.name), src.dataType))
+          case None      => d
+        }
+      }
+
   /** W2/W3: overwrite — new snapshot = new files only. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot =
     commit(df, partitionBy, "overwrite") { (_, newFiles) => newFiles }
@@ -535,7 +583,7 @@ final class Icebox(val tableDir: String) {
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
     val partCols = partitionColumns
-    val df = read(spark)
+    val df = withHiddenPartitions(read(spark)) // re-derive hidden dirs for the shuffle key
     val repacked =
       if (partCols.nonEmpty) {
         val perPart = math.max(1, n / math.max(1, snap.files.map(_.partition).distinct.size))
@@ -609,7 +657,8 @@ final class Icebox(val tableDir: String) {
     val hotFiles = hot.values.flatten.toSeq
     val bytes = hotFiles.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val df = readFiles(spark, hotFiles, Some(snap.schemaJson)).repartition(n, partCols.map(col): _*)
+    val df = withHiddenPartitions(readFiles(spark, hotFiles, Some(snap.schemaJson)))
+      .repartition(n, partCols.map(col): _*)
     overwritePartitions(df, partCols)
     hot.keys.toSeq
   }
@@ -884,10 +933,20 @@ final class Icebox(val tableDir: String) {
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
     * set is derived by `resolve(parent, newFiles)`.
     */
-  private def commit(df: DataFrame, partitionBy: Seq[String], op: String,
+  private def commit(df0: DataFrame, partitionBy: Seq[String], op: String,
       collectStats: Seq[String] = Nil)(
       resolve: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = this.synchronized {
-    require(!df.columns.contains(CommitCol), s"column name $CommitCol is reserved")
+    require(!df0.columns.contains(CommitCol), s"column name $CommitCol is reserved")
+    // HIDDEN partitions: derive any spec-defined partition column the
+    // caller's frame doesn't carry (compaction and DML rewrites read the
+    // schema-only view, so they re-derive here); the STORED schema excludes
+    // hidden columns either way — they never enter the table schema
+    val hiddenNames = partitionSpec
+      .filterNot(_.isInstanceOf[IdentityTransform]).map(_.name).toSet
+    val schemaJsonStored = StructType(
+      df0.schema.fields.filterNot(f => hiddenNames.contains(f.name))).json
+    val df =
+      if (partitionBy.exists(hiddenNames.contains)) withHiddenPartitions(df0) else df0
     // Keep one consistent partitioning across live commits: a single-relation
     // read requires every live file to agree on partition directory structure.
     currentSnapshot.filter(_ => op == "append").foreach { parent =>
@@ -924,7 +983,7 @@ final class Icebox(val tableDir: String) {
     // table-wide without every caller re-opting-in.
     val sticky = currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
       .filter(df.columns.contains)).getOrElse(Nil)
-    val footerDefaults = df.schema.fields.toSeq
+    val footerDefaults = df0.schema.fields.toSeq
       .filter(f => Icebox.footerDecodable(f.dataType)).map(_.name)
     val statsCols = (collectStats ++ sticky ++ footerDefaults).distinct
     // ONE footer pass per commit collects row counts (always — COUNT(*) as
@@ -935,7 +994,7 @@ final class Icebox(val tableDir: String) {
       val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
       f.copy(rows = rows, stats = stats)
     }
-    commitMetaResolved(op, parent => resolve(parent, newFiles), df.schema.json)
+    commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored)
   }
 
   /** Metadata commit with optimistic concurrency across table handles: the

@@ -490,6 +490,48 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Merge-on-read UPSERT (Iceberg v2 EQUALITY deletes): one atomic commit
+    // writes the batch's pk tuples as an equality-delete file + the batch as
+    // new data files — the target is never read nor rewritten (the CDC write
+    // shape copy-on-write can't reach at 100 TB). The requires prove zero
+    // rewrite and that the delete attached to pre-existing files only.
+    "q_upsert_mor" -> ((s, dir) => {
+      val table = Icebox(tmp("qemor"))
+      val c = t(s, dir, "customer")
+      table.append(c.repartitionByRange(4, col("c_custkey")))
+      table.setProperties(Map("write.upsert.mode" -> "merge-on-read"))
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      val batch = c.filter(col("c_custkey") % 100 === 1)
+        .withColumn("c_mktsegment", lit("MOR-UPD"))
+        .unionByName(c.filter(col("c_custkey") % 100 === 2)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+      graft.operators.Upsert.intoTable(table, batch, Seq("c_custkey"))
+      val files = table.currentSnapshot.get.files
+      require(beforePaths.subsetOf(files.map(_.path).toSet),
+        "merge-on-read upsert rewrote pre-existing data files")
+      require(files.filter(f => beforePaths(f.path)).exists(_.eqDeletes.nonEmpty),
+        "merge-on-read upsert attached no equality delete")
+      require(files.filterNot(f => beforePaths(f.path)).forall(_.eqDeletes.isEmpty),
+        "equality delete leaked onto the batch's own files")
+      table.read(s)
+    }),
+
+    // Equality-delete by key (the "stream of deleted ids" CDC shape): remove
+    // every row whose key appears in a batch WITHOUT reading or rewriting
+    // any data — one tiny key file and a metadata commit
+    "q_delete_bykeys" -> ((s, dir) => {
+      val table = Icebox(tmp("qdbk"))
+      val p = t(s, dir, "part")
+      table.append(p.repartitionByRange(4, col("p_partkey")))
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      table.deleteByKeys(p.filter(col("p_partkey") % 50 === 0).select("p_partkey"))
+      val files = table.currentSnapshot.get.files
+      require(files.map(_.path).toSet == beforePaths,
+        "deleteByKeys changed the data file set")
+      require(files.exists(_.eqDeletes.nonEmpty), "no equality delete attached")
+      table.read(s)
+    }),
+
     // M1 z-order compaction: with TWO clustering columns, a predicate on the
     // SECOND alone must still skip files (lexicographic clustering gives the
     // trailing column zero locality — the require proves the interleave works)
@@ -1274,6 +1316,21 @@ object SparkEntry {
     // merge-on-read DELETE longhand: survivors are the predicate complement
     "q_delete_mor" ->
       "SELECT * FROM lineitem WHERE NOT (l_orderkey % 1000 = 7)",
+
+    // merge-on-read (equality-delete) upsert longhand: matched keys take the
+    // batch image, unmatched survive, shifted-key rows insert
+    "q_upsert_mor" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       CASE WHEN c_custkey % 100 = 1 THEN 'MOR-UPD'
+        |            ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 100 = 2""".stripMargin,
+
+    // equality delete by key longhand
+    "q_delete_bykeys" ->
+      "SELECT * FROM part WHERE NOT (p_partkey % 50 = 0)",
 
     // merge-on-read UPDATE longhand
     "q_update_mor" ->

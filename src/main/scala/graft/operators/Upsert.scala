@@ -59,6 +59,12 @@ object Upsert {
       orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
     val spark = incoming.sparkSession
     val parts = if (partitionBy.nonEmpty) partitionBy else table.partitionColumns
+    val mode = table.properties.getOrElse("write.upsert.mode", "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"write.upsert.mode=$mode (expected copy-on-write | merge-on-read)")
+    if (mode == "merge-on-read" && table.exists) {
+      intoTableMor(table, incoming, pk, orderCol, parts); return
+    }
     val merged =
       if (!table.exists) orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
       else apply(table.read(spark), incoming, pk, orderCol)
@@ -66,6 +72,29 @@ object Upsert {
     // table's *current* files, and the new snapshot is only flipped in after
     // the full result is durably written to a fresh commit dir.
     table.overwriteAs("upsert", merged, parts)
+  }
+
+  /** Merge-on-read upsert (Iceberg v2 EQUALITY-delete analog): ONE atomic
+    * commit writes (a) an equality-delete file carrying the batch's pk
+    * tuples, attached to the pre-existing data files (minus stats-pruned
+    * ones), and (b) the deduped batch as new data files. The target's
+    * existing data is never read NOR rewritten — a CDC cycle costs
+    * O(batch) regardless of table size, the write shape copy-on-write
+    * upsert can't reach at 100 TB. Readers resolve matched keys to the new
+    * images (old images anti-join away; the batch's own files are never
+    * attached, so the new rows survive their own delete). Compaction
+    * materializes the deletes back into plain files.
+    *
+    * Enabled per-table via `write.upsert.mode = merge-on-read` (picked up
+    * by [[intoTable]]) or called directly.
+    */
+  def intoTableMor(table: Icebox, incoming: DataFrame, pk: Seq[String],
+      orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
+    val parts = if (partitionBy.nonEmpty) partitionBy else table.partitionColumns
+    val src = orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
+    if (!table.exists) { table.overwriteAs("upsert", src, parts); return }
+    table.commitEqualityDeletes("upsert-mor", src.select(pk.map(col): _*), Some(src), parts)
+    ()
   }
 
   /** Partition-scoped upsert (the 100 TB path): merge the batch against ONLY

@@ -312,9 +312,9 @@ object IceboxFileIndex {
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     val base = spark.baseRelationToDataFrame(relation)
-    // merge-on-read: anti-join away position-deleted rows (no-op plan when
-    // the snapshot carries no delete files)
-    Icebox.applyPositionDeletes(spark, base, snap.files)
+    // merge-on-read: anti-join away position- and equality-deleted rows
+    // (no-op plan when the snapshot carries no delete files of either kind)
+    Icebox.applyDeletes(spark, base, snap.files)
       .select(full.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
   }
 }

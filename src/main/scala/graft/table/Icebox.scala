@@ -8,7 +8,7 @@ import scala.util.Using
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructField, StructType}
 
 /** One committed table state: an immutable file manifest + lineage.
   *
@@ -52,12 +52,20 @@ object Snapshot {
   * `prunedFilesByStats` (numeric columns only).
   * `deletes` lists POSITION-DELETE files (Iceberg v2 merge-on-read analog)
   * applying to this data file: each is a parquet dir of
-  * `(file_path, pos)` rows; readers anti-join them away. Stats/row counts
-  * describe the BASE file (a superset — still conservative for pruning).
+  * `(file_path, pos)` rows; readers anti-join them away.
+  * `eqDeletes` lists EQUALITY-DELETE files (Iceberg v2's other delete
+  * type): each is a parquet dir whose SCHEMA names the equality columns
+  * and whose rows are the deleted key tuples. Applicability is the attach
+  * list itself — a delete file committed at snapshot N is attached only to
+  * files that already existed at N (minus stats-pruned ones), so rows
+  * appended later — including by the same upsert commit — are never
+  * affected (Iceberg's sequence-number semantics, carried per file).
+  * Stats/row counts describe the BASE file (a superset — still
+  * conservative for pruning).
   */
 final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
     stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L,
-    deletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -240,9 +248,9 @@ final class Icebox(val tableDir: String) {
     * data — Iceberg's metadata-query behavior.
     */
   def rowCount: Option[Long] = currentSnapshot.map(_.files).flatMap { fs =>
-    // a file with position deletes makes its manifest row count an upper
-    // bound, not exact — callers fall back to a scan (conservative)
-    if (fs.forall(_.rows >= 0L) && fs.forall(_.deletes.isEmpty))
+    // a file with position or equality deletes makes its manifest row count
+    // an upper bound, not exact — callers fall back to a scan (conservative)
+    if (fs.forall(_.rows >= 0L) && fs.forall(f => f.deletes.isEmpty && f.eqDeletes.isEmpty))
       Some(fs.map(_.rows).sum)
     else None
   }
@@ -723,7 +731,8 @@ final class Icebox(val tableDir: String) {
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
     deleteUnreferenced(liveFiles, olderThanMs)
-    deleteUnreferencedDeleteDirs(keep.flatMap(_.files.flatMap(_.deletes)).toSet, olderThanMs)
+    deleteUnreferencedDeleteDirs(
+      keep.flatMap(_.files.flatMap(f => f.deletes ++ f.eqDeletes)).toSet, olderThanMs)
     expired.map(_.id)
   }
 
@@ -789,7 +798,8 @@ final class Icebox(val tableDir: String) {
     val referenced = snaps.flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     deleteUnreferenced(referenced, cutoff) ++
-      deleteUnreferencedDeleteDirs(snaps.flatMap(_.files.flatMap(_.deletes)).toSet, cutoff)
+      deleteUnreferencedDeleteDirs(
+        snaps.flatMap(_.files.flatMap(f => f.deletes ++ f.eqDeletes)).toSet, cutoff)
   }
 
   /** M5: rollback — repoint the table at an earlier snapshot's file set,
@@ -847,7 +857,7 @@ final class Icebox(val tableDir: String) {
       .schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(files.map(_.path): _*)
-    Icebox.applyPositionDeletes(spark, base, files)
+    Icebox.applyDeletes(spark, base, files)
       .drop(CommitCol)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -872,7 +882,9 @@ final class Icebox(val tableDir: String) {
       .option("basePath", dataDir.toString)
       .parquet(files.map(_.path): _*)
       .select(col("*"), col("_metadata.file_path").as(fpCol), col("_metadata.row_index").as(posCol))
-    Icebox.antiJoinDeletes(spark, base, files.flatMap(_.deletes).distinct, fpCol, posCol)
+    val posApplied =
+      Icebox.antiJoinDeletes(spark, base, files.flatMap(_.deletes).distinct, fpCol, posCol)
+    Icebox.applyEqualityDeletes(spark, posApplied, files, Some(fpCol))
       .drop(CommitCol)
       .select((schema.fieldNames.map(col) ++ Seq(col(fpCol), col(posCol))).toIndexedSeq: _*)
   }
@@ -922,6 +934,80 @@ final class Icebox(val tableDir: String) {
         if (affected(f.path)) f.copy(deletes = f.deletes :+ dir) else f) ++ newFiles
     }
   }
+
+  /** Write `keys` — distinct key tuples whose column set IS the equality
+    * columns — as ONE equality-delete parquet dir under `deletes/` and
+    * return its path. Small by construction (one CDC batch's keys), so the
+    * read-side joins broadcast.
+    */
+  private def writeEqDeleteFile(keys: DataFrame): String = {
+    Files.createDirectories(deletesDir)
+    val dir = deletesDir.resolve(s"eqdelete-${UUID.randomUUID().toString.take(12)}")
+    keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  /** EQUALITY-delete commit (Iceberg v2's other merge-on-read delete type):
+    * records `keys` as an equality-delete file attached to every data file
+    * that existed when the deleter read the table — minus files whose
+    * manifest stats PROVE they contain no batch key — and, for
+    * merge-on-read upsert, appends `newData`'s files in the SAME atomic
+    * snapshot. No data file is read or rewritten: a CDC upsert/delete costs
+    * one tiny parquet write regardless of table size. Readers anti-join the
+    * keys away ([[Icebox.applyEqualityDeletes]]); compaction materializes.
+    *
+    * Sequence semantics live in the attach list: `newData`'s own files and
+    * any concurrently committed append are NOT attached (the pre-existing
+    * file set is captured before the optimistic-commit loop), so re-inserts
+    * of a deleted key survive.
+    */
+  private[graft] def commitEqualityDeletes(op: String, keys: DataFrame,
+      newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    val tableCols = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType].fieldNames.toSet
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(tableCols.contains),
+      s"equality-delete key columns ${keyCols.mkString(",")} must be table columns")
+    val preExisting = cur.files.map(_.path).toSet
+    // batch key bounds for attach pruning: one tiny agg over the keys
+    val numericKeyCols = keyCols.filter(c => keys.schema(c).dataType.isInstanceOf[NumericType])
+    val bounds: Map[String, (Double, Double)] =
+      if (numericKeyCols.isEmpty) Map.empty
+      else {
+        val aggs = numericKeyCols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val r = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else Some(c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    // a file needs no attach iff stats PROVE some key column disjoint from
+    // the batch's key range (missing/non-numeric stats keep the attach)
+    def disjoint(f: DataFile): Boolean = bounds.exists { case (c, (klo, khi)) =>
+      f.stats.get(c).exists { case (mn, mx) =>
+        scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
+      }
+    }
+    val dir = writeEqDeleteFile(keys)
+    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.map(f =>
+      if (preExisting(f.path) && !disjoint(f)) f.copy(eqDeletes = f.eqDeletes :+ dir) else f)
+    newData match {
+      case None => commitMetaResolved(op,
+        parent => attach(parent.map(_.files).getOrElse(Nil)), cur.schemaJson)
+      case Some(df) => commit(df, partitionBy, op) { (parent, newFiles) =>
+        attach(parent.map(_.files).getOrElse(Nil)) ++ newFiles
+      }
+    }
+  }
+
+  /** CDC hard-delete by key: remove every row whose key tuple appears in
+    * `keys` (columns of `keys` = the equality columns) without reading or
+    * rewriting ANY data — one equality-delete file and a metadata commit.
+    * The merge-on-read complement of a predicate DELETE for the "stream of
+    * deleted ids" CDC shape.
+    */
+  def deleteByKeys(keys: DataFrame): Snapshot = commitEqualityDeletes("eqdelete", keys)
 
   /** Distinct data files hit by `positions`, as manifest-form plain paths
     * (bounded driver collect: ≤ one row per candidate FILE, not per row).
@@ -1194,6 +1280,10 @@ final class Icebox(val tableDir: String) {
           val ds = o.putArray("deletes")
           f.deletes.foreach(ds.add)
         }
+        if (f.eqDeletes.nonEmpty) {
+          val eds = o.putArray("eqDeletes")
+          f.eqDeletes.foreach(eds.add)
+        }
       }
     }
     m.full match {
@@ -1222,8 +1312,10 @@ final class Icebox(val tableDir: String) {
         }.getOrElse(Map.empty[String, (String, String)])
         val deletes = Option(f.get("deletes"))
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+        val eqDeletes = Option(f.get("eqDeletes"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
         DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
-          if (f.has("rows")) f.get("rows").asLong else -1L, deletes)
+          if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes)
       }.toSeq).getOrElse(Nil)
     val full = if (node.has("files")) Some(readFiles("files")) else None
     val added = readFiles("added")
@@ -1285,27 +1377,27 @@ object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
 
-  /** Apply position deletes to a raw file-relation DataFrame: rows whose
-    * `(_metadata.file_path, _metadata.row_index)` appear in any of the
-    * files' delete files are anti-joined away. A no-op (and zero plan
-    * overhead) when no file carries deletes. The delete side is small by
-    * the merge-on-read threshold, so Spark broadcasts the anti-join; an
-    * oversized delete set degrades to a shuffled anti-join, never to an
-    * error. Must run BEFORE any projection — `_metadata` is only reachable
-    * on the file relation itself.
+  /** Apply BOTH delete kinds — position then equality — to a raw
+    * file-relation DataFrame. Position deletes anti-join on
+    * `(_metadata.file_path, _metadata.row_index)`; both delete sides are
+    * small by construction, so Spark broadcasts the joins (an oversized
+    * set degrades to a shuffled join, never to an error). `_metadata` is
+    * only reachable on the file relation itself, so the file-path/row-index
+    * columns are materialized ONCE here and shared by both passes — must
+    * run BEFORE any projection. Zero plan overhead when the snapshot
+    * carries no delete files of either kind.
     */
-  private[graft] def applyPositionDeletes(spark: SparkSession, base: DataFrame,
+  private[graft] def applyDeletes(spark: SparkSession, base: DataFrame,
       files: Seq[DataFile]): DataFrame = {
-    val deleteDirs = files.flatMap(_.deletes).distinct
-    if (deleteDirs.isEmpty) base
-    else {
-      val outCols = base.columns.toIndexedSeq
-      antiJoinDeletes(spark,
-        base.select(col("*"), col("_metadata.file_path").as("__icx_fp"),
-          col("_metadata.row_index").as("__icx_pos")),
-        deleteDirs, "__icx_fp", "__icx_pos")
-        .select(outCols.map(col): _*)
-    }
+    val posDirs = files.flatMap(_.deletes).distinct
+    val hasEq = files.exists(_.eqDeletes.nonEmpty)
+    if (posDirs.isEmpty && !hasEq) return base
+    val outCols = base.columns.toIndexedSeq
+    val withMeta = base.select(col("*"), col("_metadata.file_path").as("__icx_fp"),
+      col("_metadata.row_index").as("__icx_pos"))
+    val posApplied = antiJoinDeletes(spark, withMeta, posDirs, "__icx_fp", "__icx_pos")
+    applyEqualityDeletes(spark, posApplied, files, Some("__icx_fp"))
+      .select(outCols.map(col): _*)
   }
 
   /** Anti-join `df` (carrying materialized `fpCol`/`posCol` position
@@ -1323,6 +1415,56 @@ object Icebox {
       .select(norm(col("file_path")).as("__del_fp"), col("pos").as("__del_pos"))
     df.join(dels,
       norm(df(fpCol)) === col("__del_fp") && df(posCol) === col("__del_pos"), "left_anti")
+  }
+
+  /** Strip any `scheme:[//authority]` prefix from `c` (see
+    * [[antiJoinDeletes]] — `_metadata.file_path` carries `file:` through
+    * `spark.read` but not through a custom FileIndex).
+    */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][\\w+.-]*:(//[^/]*)?", "")
+
+  /** Apply EQUALITY deletes to a file-relation DataFrame: a row is removed
+    * iff its key tuple appears in an equality-delete file AND its data file
+    * carries that delete in `eqDeletes` (the attach list IS the sequence
+    * semantics — files appended after the delete never carry it, so their
+    * rows survive even on key match). Each delete dir's schema names its
+    * equality columns, so one table can mix deletes on different keys.
+    *
+    * Plan shape: per delete dir, TWO broadcast left joins (key tuples +
+    * attached-file list, both small by construction) and one codegen'd
+    * filter — never an `isin` literal list, never a keys×files blow-up.
+    * Rows with a NULL in any key column are never deleted (SQL equality
+    * semantics — conservative). A no-op (zero plan overhead) when no file
+    * carries equality deletes.
+    *
+    * `fpCol`: pass a pre-materialized file-path column when the caller
+    * already carries one; otherwise `_metadata.file_path` is materialized
+    * (requires `base` to still be the file relation, like [[applyDeletes]]).
+    */
+  private[graft] def applyEqualityDeletes(spark: SparkSession, base: DataFrame,
+      files: Seq[DataFile], fpCol: Option[String] = None): DataFrame = {
+    val dirs = files.flatMap(_.eqDeletes).distinct
+    if (dirs.isEmpty) return base
+    val fp = fpCol.getOrElse("__icx_eqfp")
+    val withFp =
+      if (fpCol.isDefined) base
+      else base.select(col("*"), col("_metadata.file_path").as(fp))
+    val out = dirs.zipWithIndex.foldLeft(withFp) { case (df, (dir, i)) =>
+      val attached = files.filter(_.eqDeletes.contains(dir)).map(_.path).distinct
+      val attDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(attached.map(Row(_)), 1),
+        StructType(Seq(StructField(s"__eq_att_fp$i", StringType))))
+      val keys = spark.read.parquet(dir).dropDuplicates()
+      val hit = s"__eq_hit$i"
+      val att = s"__eq_att$i"
+      df.join(broadcast(keys.withColumn(hit, lit(true))), keys.columns.toSeq, "left")
+        .join(broadcast(attDf.withColumn(att, lit(true))),
+          normPathCol(col(fp)) === normPathCol(col(s"__eq_att_fp$i")), "left")
+        .filter(!(coalesce(col(hit), lit(false)) && coalesce(col(att), lit(false))))
+        .drop(hit, att, s"__eq_att_fp$i")
+    }
+    if (fpCol.isDefined) out else out.drop(fp)
   }
 
   /** Checkpoint cadence: a full manifest is forced once a delta chain

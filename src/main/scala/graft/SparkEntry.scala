@@ -490,6 +490,35 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Column-mapping schema evolution: RENAME / DROP / ADD are metadata-only
+    // commits (the requires prove zero data-file churn); files keep their
+    // physical column names, reads alias to the logical schema, and appends
+    // AFTER the evolution land in the same physical columns — old and new
+    // file generations read as one table
+    "q_schema_evolve" -> ((s, dir) => {
+      val table = Icebox(tmp("qevo"))
+      val o = t(s, dir, "orders")
+      table.append(o.repartitionByRange(4, col("o_orderkey")))
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      table.registerView(s, "qevo_t")
+      graft.sql.DmlSql.run(s, "ALTER TABLE qevo_t RENAME COLUMN o_totalprice TO price")
+      graft.sql.DmlSql.run(s, "ALTER TABLE qevo_t DROP COLUMN o_orderpriority")
+      graft.sql.DmlSql.run(s, "ALTER TABLE qevo_t ADD COLUMN flag STRING")
+      require(table.currentSnapshot.get.files.map(_.path).toSet == beforePaths,
+        "schema evolution touched data files (must be metadata-only)")
+      val post = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumnRenamed("o_totalprice", "price")
+        .drop("o_orderpriority")
+        .withColumn("flag", lit("NEW"))
+      table.append(post.select(table.read(s).columns.map(col).toIndexedSeq: _*))
+      // stats pruning keeps working under the RENAMED logical name
+      val kept = table.prunedFilesByStats("price", Some(900000.0), None)
+      require(kept.size < table.currentSnapshot.get.files.size,
+        "stats pruning on renamed column kept every file")
+      table.read(s)
+    }),
+
     // Merge-on-read UPSERT (Iceberg v2 EQUALITY deletes): one atomic commit
     // writes the batch's pk tuples as an equality-delete file + the batch as
     // new data files — the target is never read nor rewritten (the CDC write
@@ -1316,6 +1345,17 @@ object SparkEntry {
     // merge-on-read DELETE longhand: survivors are the predicate complement
     "q_delete_mor" ->
       "SELECT * FROM lineitem WHERE NOT (l_orderkey % 1000 = 7)",
+
+    // schema evolution longhand: original rows under renamed/dropped/added
+    // columns (added column NULL), plus the post-evolution appended batch
+    "q_schema_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price,
+        |       o_orderdate, CAST(NULL AS VARCHAR) AS flag
+        |  FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, 'NEW'
+        |  FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     // merge-on-read (equality-delete) upsert longhand: matched keys take the
     // batch image, unmatched survive, shifted-key rows insert

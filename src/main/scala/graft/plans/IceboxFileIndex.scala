@@ -297,8 +297,12 @@ object IceboxFileIndex {
     // nullable-normalize like DataFrameReader does to user schemas — files
     // written before a column was added must read as nulls, not fail.
     // Hidden (transform-derived) partition dirs are not schema columns and
-    // stay out of the relation entirely.
-    val full = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    // stay out of the relation entirely. The RELATION uses physical names
+    // (files and partition dirs store those); the final projection aliases
+    // back to the snapshot's logical names, and Catalyst rewrites pushed
+    // filters through the aliases — pruning below sees physical names only.
+    val logical = nullable(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    val full = Icebox.physicalSchema(logical)
     val partCols = snap.files.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
       .filter(full.fieldNames.contains)
     val partSchema = StructType(partCols.map(c => full(c)))
@@ -315,6 +319,7 @@ object IceboxFileIndex {
     // merge-on-read: anti-join away position- and equality-deleted rows
     // (no-op plan when the snapshot carries no delete files of either kind)
     Icebox.applyDeletes(spark, base, snap.files)
-      .select(full.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .select(logical.fields.map(f => org.apache.spark.sql.functions
+        .col(Icebox.physicalName(f)).as(f.name)).toIndexedSeq: _*)
   }
 }

@@ -2,8 +2,8 @@ package graft.sql
 
 import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, ReplaceTableAsSelect, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedFieldName, UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, CreateTableAsSelect, DeleteFromTable, DropColumns, InsertIntoStatement, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, UpdateTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -58,7 +58,8 @@ object DmlSql {
     */
   def run(spark: SparkSession, sqlText: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case _: MergeIntoTable | _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
+      case _: MergeIntoTable | _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
+           _: RenameColumn | _: DropColumns | _: AddColumns | _: AlterColumns =>
         summary(spark, sql(spark, sqlText))
       case _: CreateTableAsSelect | _: ReplaceTableAsSelect =>
         val wh = Option(warehouseRef.get).getOrElse(
@@ -82,8 +83,63 @@ object DmlSql {
       case d: DeleteFromTable => executeDelete(spark, d).snapshot
       case u: UpdateTable => executeUpdate(spark, u).snapshot
       case i: InsertIntoStatement => executeInsert(spark, i)
+      case a @ (_: RenameColumn | _: DropColumns | _: AddColumns | _: AlterColumns) =>
+        executeAlter(spark, a)
       case other => sys.error(s"unsupported statement: ${other.getClass.getSimpleName}")
     }
+
+  /** Execute `ALTER TABLE ... RENAME COLUMN / DROP COLUMN(S) / ADD
+    * COLUMN(S) / ALTER COLUMN ... TYPE` against a registered Icebox table —
+    * all METADATA-ONLY commits (column-mapping evolution; see
+    * [[graft.table.Icebox.renameColumn]]).
+    */
+  def alter(spark: SparkSession, sqlText: String): Snapshot =
+    executeAlter(spark, spark.sessionState.sqlParser.parsePlan(sqlText))
+
+  private def executeAlter(spark: SparkSession, plan: LogicalPlan): Snapshot = {
+    def tableOf(child: LogicalPlan): (String, Icebox) = child match {
+      case u: UnresolvedTable =>
+        val name = u.multipartIdentifier.last
+        name -> MergeSql.lookup(name).getOrElse(
+          sys.error(s"ALTER target '$name' is not a registered Icebox table " +
+            s"(Icebox.registerView / MergeSql.register first)"))
+      case other => sys.error(s"unsupported ALTER target: $other")
+    }
+    def fieldName(f: FieldName): String = f match {
+      case UnresolvedFieldName(parts) =>
+        require(parts.length == 1, s"nested fields unsupported: ${parts.mkString(".")}")
+        parts.head
+      case other => sys.error(s"unsupported field reference: $other")
+    }
+    val (name, icebox, snap) = plan match {
+      case r: RenameColumn =>
+        val (n, t) = tableOf(r.table)
+        (n, t, t.renameColumn(fieldName(r.column), r.newName))
+      case d: DropColumns =>
+        val (n, t) = tableOf(d.table)
+        val last = d.columnsToDrop.map(fieldName).foldLeft(
+          null: Snapshot)((_, c) => t.dropColumn(c))
+        (n, t, last)
+      case a: AddColumns =>
+        val (n, t) = tableOf(a.table)
+        val last = a.columnsToAdd.foldLeft(null: Snapshot) { (_, qc) =>
+          require(qc.path.isEmpty, "nested ADD COLUMN unsupported")
+          t.addColumn(qc.colName, qc.dataType)
+        }
+        (n, t, last)
+      case a: AlterColumns =>
+        val (n, t) = tableOf(a.table)
+        val last = a.specs.foldLeft(null: Snapshot) { (_, sp) =>
+          val dt = sp.newDataType.getOrElse(
+            sys.error("only ALTER COLUMN ... TYPE is supported"))
+          t.widenColumn(fieldName(sp.column), dt)
+        }
+        (n, t, last)
+      case other => sys.error(s"unsupported ALTER statement: ${other.getClass.getSimpleName}")
+    }
+    if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
+    snap
+  }
 
   /** Execute an `INSERT INTO` / `INSERT OVERWRITE` statement (SELECT or
     * VALUES source, optional column list, BY NAME, static PARTITION spec).

@@ -341,11 +341,17 @@ final class Icebox(val tableDir: String) {
       .unionByName(oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
   }
 
-  /** Partition column names of the current snapshot (empty if unpartitioned
-    * or the table is empty).
+  /** Partition column names of the current snapshot, as LOGICAL names
+    * (partition dirs store physical names; callers speak logical). Empty if
+    * unpartitioned or the table is empty.
     */
-  def partitionColumns: Seq[String] =
-    currentSnapshot.flatMap(_.files.headOption).map(_.partition.keys.toSeq.sorted).getOrElse(Nil)
+  def partitionColumns: Seq[String] = {
+    val physToLogical = currentSchemaStruct.map(_.fields.map(f =>
+      Icebox.physicalName(f) -> f.name).toMap).getOrElse(Map.empty[String, String])
+    currentSnapshot.flatMap(_.files.headOption)
+      .map(_.partition.keys.toSeq.map(k => physToLogical.getOrElse(k, k)).sorted)
+      .getOrElse(Nil)
+  }
 
   // ------------------------------------------------------------------ writes
 
@@ -526,9 +532,10 @@ final class Icebox(val tableDir: String) {
     * non-partition predicate into a scan of only the intersecting files,
     * Iceberg's data-skipping behavior.
     */
-  def prunedFilesByStats(column: String, lo: Option[Double], hi: Option[Double]): Seq[DataFile] =
+  def prunedFilesByStats(column: String, lo: Option[Double], hi: Option[Double]): Seq[DataFile] = {
+    val key = toPhysical(column) // stats are keyed by physical name
     currentSnapshot.map(_.files.filter { f =>
-      f.stats.get(column) match {
+      f.stats.get(key) match {
         case None => true
         // stats are recorded for string/date/bool columns too (by default
         // since r7); a non-numeric stat string keeps the file, matching the
@@ -539,6 +546,7 @@ final class Icebox(val tableDir: String) {
           ).getOrElse(true)
       }
     }).getOrElse(Nil)
+  }
 
   /** Read only the files whose stats admit `column` ∈ [lo, hi]; callers
     * still apply the exact filter on the result (stats are a superset).
@@ -555,8 +563,9 @@ final class Icebox(val tableDir: String) {
     def le(a: String, b: String) =
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+    val key = toPhysical(column)
     currentSnapshot.map(_.files.filter { f =>
-      f.stats.get(column) match {
+      f.stats.get(key) match {
         case None => true
         case Some((mn, mx)) => lo.forall(l => le(l, mx)) && hi.forall(h => le(mn, h))
       }
@@ -567,8 +576,10 @@ final class Icebox(val tableDir: String) {
     * identity-partition value of `column` is in `values` — Iceberg-style
     * pruning that avoids even listing unrelated storage paths.
     */
-  def prunedFiles(column: String, values: Set[String]): Seq[DataFile] =
-    currentSnapshot.map(_.files.filter(f => f.partition.get(column).exists(values))).getOrElse(Nil)
+  def prunedFiles(column: String, values: Set[String]): Seq[DataFile] = {
+    val key = toPhysical(column) // partition dirs carry physical names
+    currentSnapshot.map(_.files.filter(f => f.partition.get(key).exists(values))).getOrElse(Nil)
+  }
 
   /** Read only the partitions matching `values` (prunes via the manifest
     * before Spark lists anything).
@@ -851,15 +862,21 @@ final class Icebox(val tableDir: String) {
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(new StructType())
     if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val readSchema = StructType(schema.fields :+ StructField(CommitCol, StringType))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields.map(f => f.copy(metadata =
+          org.apache.spark.sql.types.Metadata.empty))))
+    // scan with PHYSICAL names (what the files store); the final projection
+    // aliases back to the snapshot's logical names — pushed-down filters are
+    // rewritten through the aliases by Catalyst, so pruning sees physical
+    val phys = Icebox.physicalSchema(schema)
+    val readSchema = StructType(phys.fields :+ StructField(CommitCol, StringType))
     val base = spark.read
       .schema(readSchema)
       .option("basePath", dataDir.toString)
       .parquet(files.map(_.path): _*)
     Icebox.applyDeletes(spark, base, files)
       .drop(CommitCol)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(schema.fields.map(f => col(Icebox.physicalName(f)).as(f.name)).toIndexedSeq: _*)
   }
 
   /** Like [[readDataFiles]] but with each row's physical position exposed
@@ -876,7 +893,8 @@ final class Icebox(val tableDir: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(schema.fields ++ Seq(StructField(fpCol, StringType), StructField(posCol,
           org.apache.spark.sql.types.LongType))))
-    val readSchema = StructType(schema.fields :+ StructField(CommitCol, StringType))
+    val phys = Icebox.physicalSchema(schema)
+    val readSchema = StructType(phys.fields :+ StructField(CommitCol, StringType))
     val base = spark.read
       .schema(readSchema)
       .option("basePath", dataDir.toString)
@@ -886,7 +904,8 @@ final class Icebox(val tableDir: String) {
       Icebox.antiJoinDeletes(spark, base, files.flatMap(_.deletes).distinct, fpCol, posCol)
     Icebox.applyEqualityDeletes(spark, posApplied, files, Some(fpCol))
       .drop(CommitCol)
-      .select((schema.fieldNames.map(col) ++ Seq(col(fpCol), col(posCol))).toIndexedSeq: _*)
+      .select((schema.fields.map(f => col(Icebox.physicalName(f)).as(f.name)) ++
+        Seq(col(fpCol), col(posCol))).toIndexedSeq: _*)
   }
 
   /** Write `positions` — `(file_path, pos)` rows in `_metadata` form — as
@@ -965,18 +984,23 @@ final class Icebox(val tableDir: String) {
       newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil): Snapshot = {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val tableCols = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType].fieldNames.toSet
-    val keyCols = keys.columns.toSeq
-    require(keyCols.nonEmpty && keyCols.forall(tableCols.contains),
-      s"equality-delete key columns ${keyCols.mkString(",")} must be table columns")
+    val logicalKeyCols = keys.columns.toSeq
+    require(logicalKeyCols.nonEmpty && logicalKeyCols.forall(tableCols.contains),
+      s"equality-delete key columns ${logicalKeyCols.mkString(",")} must be table columns")
+    // delete files store PHYSICAL key names — rename-proof: the read-side
+    // join runs below the logical aliasing, and a later column rename must
+    // not orphan older delete files
+    val keysPhys = keys.select(logicalKeyCols.map(c => col(c).as(toPhysical(c))): _*)
+    val keyCols = keysPhys.columns.toSeq
     val preExisting = cur.files.map(_.path).toSet
     // batch key bounds for attach pruning: one tiny agg over the keys
-    val numericKeyCols = keyCols.filter(c => keys.schema(c).dataType.isInstanceOf[NumericType])
+    val numericKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType.isInstanceOf[NumericType])
     val bounds: Map[String, (Double, Double)] =
       if (numericKeyCols.isEmpty) Map.empty
       else {
         val aggs = numericKeyCols.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-        val r = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val r = keysPhys.agg(aggs.head, aggs.tail: _*).collect()(0)
         numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
           else Some(c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
@@ -989,7 +1013,7 @@ final class Icebox(val tableDir: String) {
         scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
       }
     }
-    val dir = writeEqDeleteFile(keys)
+    val dir = writeEqDeleteFile(keysPhys)
     def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.map(f =>
       if (preExisting(f.path) && !disjoint(f)) f.copy(eqDeletes = f.eqDeletes :+ dir) else f)
     newData match {
@@ -1029,10 +1053,23 @@ final class Icebox(val tableDir: String) {
     // hidden columns either way — they never enter the table schema
     val hiddenNames = partitionSpec
       .filterNot(_.isInstanceOf[IdentityTransform]).map(_.name).toSet
-    val schemaJsonStored = StructType(
-      df0.schema.fields.filterNot(f => hiddenNames.contains(f.name))).json
-    val df =
+    // column-mapping evolution: carry each existing column's physical name
+    // from the current schema; a brand-new column whose name was EVER used
+    // physically before (dropped then re-added) gets a fresh physical name
+    // so the dropped column's on-disk data can't resurrect
+    val storedSchema = evolvedStoredSchema(StructType(
+      df0.schema.fields.filterNot(f => hiddenNames.contains(f.name))))
+    val schemaJsonStored = storedSchema.json
+    val l2p = Icebox.logicalToPhysical(storedSchema)
+    def phys(n: String): String = l2p.getOrElse(n, n)
+    val df1 =
       if (partitionBy.exists(hiddenNames.contains)) withHiddenPartitions(df0) else df0
+    // files are written with PHYSICAL column names (read paths alias back)
+    val df =
+      if (Icebox.hasMapping(storedSchema))
+        df1.select(df1.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+      else df1
+    val partitionByPhys = partitionBy.map(phys)
     // Keep one consistent partitioning across live commits: a single-relation
     // read requires every live file to agree on partition directory structure.
     currentSnapshot.filter(_ => op == "append").foreach { parent =>
@@ -1042,8 +1079,8 @@ final class Icebox(val tableDir: String) {
       val existing = parent.files.headOption
         .map(_.partition.keys.toSeq.map(_.toLowerCase).sorted).getOrElse(Nil)
       if (parent.files.nonEmpty)
-        require(existing == partitionBy.map(_.toLowerCase).sorted,
-          s"append partitioning ${partitionBy.mkString(",")} != table partitioning ${existing.mkString(",")}")
+        require(existing == partitionByPhys.map(_.toLowerCase).sorted,
+          s"append partitioning ${partitionByPhys.mkString(",")} != table partitioning ${existing.mkString(",")}")
     }
     Files.createDirectories(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)
@@ -1054,9 +1091,9 @@ final class Icebox(val tableDir: String) {
     val writer = bloomCols.foldLeft(
       df.write.mode("overwrite")
         .option("compression", props.getOrElse("write.compression", "zstd"))) { // reference: spark_builder.py:248
-      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
     }
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    (if (partitionByPhys.nonEmpty) writer.partitionBy(partitionByPhys: _*) else writer)
       .parquet(commitDir.toString)
     val listedRaw = listDataFiles(commitDir)
     // Footer-decodable primitive columns are stats-tracked BY DEFAULT: the
@@ -1067,11 +1104,13 @@ final class Icebox(val tableDir: String) {
     // (decimals, timestamps, nested) still require explicit `collectStats`
     // and stay STICKY once tracked, so skipping remains effective
     // table-wide without every caller re-opting-in.
+    // stats are keyed by PHYSICAL name throughout (files, manifests, and
+    // the pruning paths all live below the logical aliasing)
     val sticky = currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
       .filter(df.columns.contains)).getOrElse(Nil)
     val footerDefaults = df0.schema.fields.toSeq
-      .filter(f => Icebox.footerDecodable(f.dataType)).map(_.name)
-    val statsCols = (collectStats ++ sticky ++ footerDefaults).distinct
+      .filter(f => Icebox.footerDecodable(f.dataType)).map(f => phys(f.name))
+    val statsCols = (collectStats.map(phys) ++ sticky ++ footerDefaults).distinct
     // ONE footer pass per commit collects row counts (always — COUNT(*) as
     // a manifest read) AND min/max for footer-decodable stats columns;
     // only footer-undecodable types pay the data-scan fallback
@@ -1081,6 +1120,138 @@ final class Icebox(val tableDir: String) {
       f.copy(rows = rows, stats = stats)
     }
     commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored)
+  }
+
+  /** The current snapshot's schema as a StructType (logical names). */
+  private def currentSchemaStruct: Option[StructType] =
+    currentSnapshot.map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+
+  /** Map a caller-facing (logical) column name to the physical name used in
+    * files, manifests, and partition dirs. Identity when the table has no
+    * mapping or no snapshot yet.
+    */
+  private[graft] def toPhysical(name: String): String =
+    currentSchemaStruct.flatMap(_.fields.find(_.name.equalsIgnoreCase(name))
+      .map(Icebox.physicalName)).getOrElse(name)
+
+  /** Every physical column name any snapshot's schema ever used — the
+    * collision set for assigning fresh physical names (driver-side metadata
+    * walk over cached manifests; only consulted when a commit or
+    * [[addColumn]] introduces a column name not in the current schema).
+    */
+  private def historicalPhysicalNames: Set[String] =
+    allSnapshots.flatMap(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+      .fields.map(Icebox.physicalName)).toSet
+
+  /** The schema to STORE for a commit of `s` (logical, hidden dirs already
+    * excluded): existing columns keep their physical mapping from the
+    * current schema; brand-new columns get a fresh suffixed physical name
+    * iff their logical name was ever used physically before (otherwise a
+    * re-added column would read the DROPPED column's bytes out of old
+    * files).
+    */
+  private def evolvedStoredSchema(s: StructType): StructType = currentSnapshot match {
+    case None => s
+    case Some(cur) =>
+      val curByName = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f).toMap
+      lazy val usedPhysical = historicalPhysicalNames
+      def withPhysical(f: StructField, physical: String): StructField =
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(Icebox.PhysicalKey, physical).build())
+      StructType(s.fields.map { f =>
+        curByName.get(f.name) match {
+          case Some(cf) if Icebox.physicalName(cf) != f.name =>
+            withPhysical(f, Icebox.physicalName(cf))
+          case Some(_) => f
+          case None if usedPhysical.contains(f.name) =>
+            withPhysical(f, s"${f.name}__r${cur.id + 1}")
+          case None => f
+        }
+      })
+  }
+
+  // ------------------------------------------------- ALTER TABLE evolution
+
+  /** Rename a column — METADATA-ONLY (Iceberg/Delta column-mapping): the
+    * stored schema's field takes the new logical name and records the old
+    * physical name; no file is touched, and every older snapshot keeps the
+    * name that was current then. Renaming a column referenced by the hidden
+    * `partition.spec` is rejected (the spec text names source columns).
+    */
+  def renameColumn(oldName: String, newName: String): Snapshot = this.synchronized {
+    val schema = currentSchemaStruct.getOrElse(sys.error(s"no table at $tableDir"))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      sys.error(s"no such column: $oldName"))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    require(!partitionSpec.exists(_.source.equalsIgnoreCase(oldName)),
+      s"cannot rename $oldName: referenced by partition.spec '${properties.getOrElse("partition.spec", "")}'")
+    val renamed = f.copy(name = newName,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(Icebox.PhysicalKey, Icebox.physicalName(f)).build())
+    val next = StructType(schema.fields.map(x => if (x eq f) renamed else x))
+    commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
+  }
+
+  /** Drop a column — metadata-only: the field leaves the schema, readers
+    * stop projecting it, and the on-disk bytes are reclaimed by the next
+    * compaction. Identity-partition and `partition.spec` source columns
+    * cannot be dropped (the file layout depends on them).
+    */
+  def dropColumn(name: String): Snapshot = this.synchronized {
+    val schema = currentSchemaStruct.getOrElse(sys.error(s"no table at $tableDir"))
+    require(schema.fields.exists(_.name.equalsIgnoreCase(name)), s"no such column: $name")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    require(!partitionColumns.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop partition column $name")
+    require(!partitionSpec.exists(_.source.equalsIgnoreCase(name)),
+      s"cannot drop $name: referenced by partition.spec")
+    val next = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
+  }
+
+  /** Add a nullable column — metadata-only: files written before it read
+    * the column as NULL. If the name was ever used physically before (a
+    * dropped column), the new column maps to a fresh physical name so the
+    * old bytes stay dead.
+    */
+  def addColumn(name: String, dataType: DataType): Snapshot = this.synchronized {
+    val schema = currentSchemaStruct.getOrElse(sys.error(s"no table at $tableDir"))
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val field =
+      if (historicalPhysicalNames.contains(name))
+        StructField(name, dataType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(Icebox.PhysicalKey, s"${name}__r${currentSnapshotId + 1}").build())
+      else StructField(name, dataType, nullable = true)
+    commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil),
+      StructType(schema.fields :+ field).json)
+  }
+
+  /** Widen a column's type in place — metadata-only. Allowed promotions are
+    * the ones Spark's parquet readers apply losslessly at scan time
+    * (verified on this build) and Iceberg's evolution rules permit:
+    * int→long, int→double, float→double. Old files keep their narrow
+    * physical type; the scan up-casts.
+    */
+  def widenColumn(name: String, newType: DataType): Snapshot = this.synchronized {
+    val schema = currentSchemaStruct.getOrElse(sys.error(s"no table at $tableDir"))
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      sys.error(s"no such column: $name"))
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val ok = (f.dataType, newType) match {
+      case (IntegerType, LongType) | (IntegerType, DoubleType) |
+           (FloatType, DoubleType) => true
+      case (a, b) => a == b
+    }
+    require(ok, s"cannot widen ${f.dataType.simpleString} to ${newType.simpleString} " +
+      "(allowed: int->bigint, int->double, float->double)")
+    val next = StructType(schema.fields.map(x =>
+      if (x eq f) x.copy(dataType = newType) else x))
+    commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
   }
 
   /** Metadata commit with optimistic concurrency across table handles: the
@@ -1376,6 +1547,34 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** StructField metadata key holding a column's PHYSICAL (on-disk) name.
+    * Column-mapping schema evolution (Delta's name-mapping / Iceberg's
+    * field-id analog): files always store the physical name a column was
+    * CREATED with; renames only change the logical name in the snapshot
+    * schema, so they are metadata-only commits and time travel reads every
+    * snapshot with the mapping that was current then. Absent metadata means
+    * logical == physical (the common un-evolved case pays nothing).
+    */
+  val PhysicalKey = "icx.physical"
+
+  /** A field's on-disk column name (its logical name unless mapped). */
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  /** `schema` with every field renamed to its physical name — the schema
+    * files are actually read/written with.
+    */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** True iff any field is renamed (guards the extra projection). */
+  def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** logical name → physical name for every field of `schema`. */
+  def logicalToPhysical(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
 
   /** Apply BOTH delete kinds — position then equality — to a raw
     * file-relation DataFrame. Position deletes anti-join on

@@ -490,6 +490,26 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Snapshot refs (Iceberg branches/tags): a TAG pins history while main
+    // moves on; a BRANCH takes appends on a divergent lineage without
+    // touching the main head (write-audit-publish). The requires prove
+    // isolation in both directions; the result is the branch read.
+    "q_icebox_branch" -> ((s, dir) => {
+      val table = Icebox(tmp("qbr"))
+      val n = t(s, dir, "nation")
+      table.append(n)
+      table.createTag("base")
+      table.createBranch("audit")
+      table.appendToBranch("audit",
+        n.withColumn("n_nationkey", col("n_nationkey") + 1000))
+      table.append(n.withColumn("n_nationkey", col("n_nationkey") + 5000))
+      val base = n.count()
+      require(table.readRef(s, "base").count() == base, "tag drifted with main")
+      require(table.read(s).count() == 2 * base, "branch append leaked into main")
+      require(table.readRef(s, "audit").count() == 2 * base, "main append leaked into branch")
+      table.readRef(s, "audit")
+    }),
+
     // Column-mapping schema evolution: RENAME / DROP / ADD are metadata-only
     // commits (the requires prove zero data-file churn); files keep their
     // physical column names, reads alias to the logical schema, and appends
@@ -1345,6 +1365,13 @@ object SparkEntry {
     // merge-on-read DELETE longhand: survivors are the predicate complement
     "q_delete_mor" ->
       "SELECT * FROM lineitem WHERE NOT (l_orderkey % 1000 = 7)",
+
+    // branch read longhand: the base table plus the branch's appended rows
+    // (the main lineage's +5000 append is absent)
+    "q_icebox_branch" ->
+      """SELECT * FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 1000, n_name, n_regionkey FROM nation""".stripMargin,
 
     // schema evolution longhand: original rows under renamed/dropped/added
     // columns (added column NULL), plus the post-evolution appended batch

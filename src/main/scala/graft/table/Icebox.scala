@@ -174,7 +174,15 @@ final class Icebox(val tableDir: String) {
     * calls serialize instead of losing one's update. A lock left by a
     * crashed holder is broken after 10 s.
     */
-  def setProperties(kv: Map[String, String]): Unit = this.synchronized {
+  def setProperties(kv: Map[String, String]): Unit = updateProperties(_ ++ kv)
+
+  /** Remove table properties (no-op for absent keys). Same locking as
+    * [[setProperties]].
+    */
+  def removeProperties(keys: Seq[String]): Unit = updateProperties(_ -- keys)
+
+  private def updateProperties(f: Map[String, String] => Map[String, String]): Unit =
+      this.synchronized {
     Files.createDirectories(Paths.get(tableDir))
     val lock = Paths.get(tableDir, "_properties.lock")
     val myToken = UUID.randomUUID().toString
@@ -186,7 +194,7 @@ final class Icebox(val tableDir: String) {
         Files.write(lock, myToken.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
         try {
-          val merged = properties ++ kv
+          val merged = f(properties)
           val node = mapper.createObjectNode()
           merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
           val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
@@ -255,6 +263,105 @@ final class Icebox(val tableDir: String) {
     else None
   }
 
+  // -------------------------------------------------------- refs (branches/tags)
+
+  private val TagPrefix = "ref.tag."
+  private val BranchPrefix = "ref.branch."
+
+  /** Named snapshot refs (Iceberg branches/tags): `name → Ref(kind, id)`.
+    * TAGS are immutable bookmarks; BRANCHES accept [[appendToBranch]]
+    * commits that advance the branch pointer without moving the main head.
+    * Stored as reserved `ref.*` table properties — same cross-process
+    * locking as any property update; snapshot expiry and orphan cleanup
+    * treat every ref-rooted chain as live.
+    */
+  def refs: Map[String, Icebox.Ref] = properties.collect {
+    case (k, v) if k.startsWith(TagPrefix) =>
+      k.stripPrefix(TagPrefix) -> Icebox.Ref("tag", v.toLong)
+    case (k, v) if k.startsWith(BranchPrefix) =>
+      k.stripPrefix(BranchPrefix) -> Icebox.Ref("branch", v.toLong)
+  }
+
+  private def requireRefFree(name: String): Unit =
+    require(!refs.contains(name), s"ref '$name' already exists")
+
+  private def requireSnapshotExists(id: Long): Unit =
+    require(Files.exists(snapshotsDir.resolve(s"$id.json")), s"no snapshot $id")
+
+  /** Create an immutable tag at `snapshotId` (default: current head). */
+  def createTag(name: String, snapshotId: Long = -1L): Unit = this.synchronized {
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    requireRefFree(name); requireSnapshotExists(id)
+    setProperties(Map(s"$TagPrefix$name" -> id.toString))
+  }
+
+  /** Create a writable branch at `snapshotId` (default: current head). */
+  def createBranch(name: String, snapshotId: Long = -1L): Unit = this.synchronized {
+    val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
+    requireRefFree(name); requireSnapshotExists(id)
+    setProperties(Map(s"$BranchPrefix$name" -> id.toString))
+  }
+
+  /** Drop a tag or branch (its snapshots become expirable unless reachable
+    * from another ref or the main chain).
+    */
+  def dropRef(name: String): Unit =
+    removeProperties(Seq(s"$TagPrefix$name", s"$BranchPrefix$name"))
+
+  /** Read the table as of a ref (either kind). */
+  def readRef(spark: SparkSession, name: String): DataFrame = {
+    val r = refs.getOrElse(name, sys.error(s"no such ref: $name"))
+    readSnapshotId(spark, r.snapshotId)
+  }
+
+  /** The snapshot a branch points at. */
+  def branchSnapshot(name: String): Snapshot = {
+    val r = refs.getOrElse(name, sys.error(s"no such ref: $name"))
+    require(r.kind == "branch", s"'$name' is a ${r.kind}, not a branch")
+    readSnapshot(r.snapshotId)
+  }
+
+  /** Append to a BRANCH: a data commit whose parent is the branch head and
+    * whose publication advances the branch pointer — the main head never
+    * moves (Iceberg's write-audit-publish pattern: land risky data on a
+    * branch, validate, then [[fastForward]]). Snapshot ids stay globally
+    * unique across lineages.
+    */
+  def appendToBranch(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      collectStats: Seq[String] = Nil): Snapshot = {
+    require(refs.get(name).exists(_.kind == "branch"),
+      s"'$name' is not a branch (tags are immutable)")
+    commit(df, partitionBy, "append", collectStats, onBranch = Some(name)) {
+      (parent, newFiles) => parent.map(_.files).getOrElse(Nil) ++ newFiles
+    }
+  }
+
+  /** True iff `ancestorId` is on `descendantId`'s parent chain (or equal). */
+  def isAncestor(ancestorId: Long, descendantId: Long): Boolean = {
+    var id = descendantId
+    while (id >= 0 && Files.exists(snapshotsDir.resolve(s"$id.json"))) {
+      if (id == ancestorId) return true
+      id = readSnapshot(id).parentId
+    }
+    false
+  }
+
+  /** Fast-forward the MAIN head to a branch's head. Requires the current
+    * head to be an ancestor of the branch head (no history is discarded —
+    * the branch's commits extend the main chain linearly).
+    */
+  def fastForward(name: String): Snapshot = this.synchronized {
+    val target = branchSnapshot(name)
+    val cur = currentSnapshotId
+    require(cur < 0 || isAncestor(cur, target.id),
+      s"cannot fast-forward: current head $cur is not an ancestor of branch '$name' head ${target.id}")
+    val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, target.id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
   def currentSnapshotId: Long = {
     if (!exists) -1L
     else new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong
@@ -274,10 +381,14 @@ final class Icebox(val tableDir: String) {
     * are deliberately invisible here — time-travel can never surface data
     * that was never committed.
     */
-  def allSnapshots: Seq[Snapshot] = {
+  def allSnapshots: Seq[Snapshot] = chainFrom(currentSnapshotId)
+
+  /** The parent chain from `startId` down, newest first, stopping at the
+    * first expired (deleted) manifest — history below it is gone.
+    */
+  private def chainFrom(startId: Long): Seq[Snapshot] = {
     val out = Seq.newBuilder[Snapshot]
-    var id = currentSnapshotId
-    // stop at the first expired (deleted) manifest — history below it is gone
+    var id = startId
     while (id >= 0 && Files.exists(snapshotsDir.resolve(s"$id.json"))) {
       val s = readSnapshot(id)
       out += s
@@ -693,20 +804,31 @@ final class Icebox(val tableDir: String) {
     * synchronized against commit() on this instance.
     */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 10): Seq[Long] = this.synchronized {
-    val all = allSnapshots // committed chain, newest first
+    val all = allSnapshots // committed main chain, newest first
     val currentId = currentSnapshotId
+    // every snapshot reachable from a ref (branch/tag) is live, INCLUDING
+    // its main-chain ancestors — expiring a fork point would break the
+    // ref's delta replay
+    val refChains: Seq[Snapshot] = refs.values.toSeq.flatMap(r => chainFrom(r.snapshotId))
+    val refIds = refChains.map(_.id).toSet
     val keep = all.zipWithIndex.filter { case (s, i) =>
-      i < retainLast || s.timestampMs >= olderThanMs || s.id == currentId
+      i < retainLast || s.timestampMs >= olderThanMs || s.id == currentId || refIds(s.id)
     }.map(_._1).toList
     val keepIds = keep.map(_.id).toSet
-    val reachable = all.map(_.id).toSet
+    val reachable = all.map(_.id).toSet ++ refIds
     val expired = all.filterNot(s => keepIds(s.id))
-    // Rebase the OLDEST kept snapshot to a full manifest before its
-    // ancestors disappear: the kept set is always a newest-first prefix of
-    // the chain, so this is the only snapshot whose delta replay could
-    // reach into the expired range. Content-equivalent rewrite via
-    // write-temp + atomic rename (caches stay valid).
-    if (expired.nonEmpty) keep.lastOption.foreach { oldest =>
+    val expiredIds = expired.map(_.id).toSet
+    // Rebase to a full manifest every LIVE snapshot whose parent is being
+    // expired: any delta replay entering the expired range passes through
+    // such a snapshot first, so rebasing them all keeps every live chain
+    // self-contained. Without refs the kept set is a newest-first prefix
+    // and this degenerates to the oldest kept snapshot; a ref-kept fork
+    // point can make the set non-contiguous. Content-equivalent rewrite
+    // via write-temp + atomic rename (caches stay valid).
+    if (expired.nonEmpty)
+      (keep ++ refChains).filter(s => s.parentId >= 0 && expiredIds(s.parentId))
+        .distinctBy(_.id)
+      .foreach { oldest =>
       val m = manifest(oldest.id)
       if (m.full.isEmpty) {
         val fs = resolveFiles(oldest.id)
@@ -721,7 +843,7 @@ final class Icebox(val tableDir: String) {
     }
     // resolve kept file sets BEFORE deleting any expired manifest a delta
     // replay might still walk through
-    val liveFiles = keep.flatMap(_.files.map(_.path)).toSet
+    val liveFiles = (keep ++ refChains).flatMap(_.files.map(_.path)).toSet
     // delete expired manifests, plus unreachable (crash-orphaned) manifests old enough
     expired.foreach { s =>
       Files.deleteIfExists(snapshotsDir.resolve(s"${s.id}.json"))
@@ -743,7 +865,8 @@ final class Icebox(val tableDir: String) {
     // with an mtime grace period so an in-flight commit is never corrupted
     deleteUnreferenced(liveFiles, olderThanMs)
     deleteUnreferencedDeleteDirs(
-      keep.flatMap(_.files.flatMap(f => f.deletes ++ f.eqDeletes)).toSet, olderThanMs)
+      (keep ++ refChains).flatMap(_.files.flatMap(f => f.deletes ++ f.eqDeletes)).toSet,
+      olderThanMs)
     expired.map(_.id)
   }
 
@@ -805,7 +928,7 @@ final class Icebox(val tableDir: String) {
     * days for the same reason. Returns deleted paths.
     */
   def removeOrphans(graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = this.synchronized {
-    val snaps = allSnapshots
+    val snaps = allSnapshots ++ refs.values.toSeq.flatMap(r => chainFrom(r.snapshotId))
     val referenced = snaps.flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     deleteUnreferenced(referenced, cutoff) ++
@@ -1044,9 +1167,11 @@ final class Icebox(val tableDir: String) {
     * set is derived by `resolve(parent, newFiles)`.
     */
   private def commit(df0: DataFrame, partitionBy: Seq[String], op: String,
-      collectStats: Seq[String] = Nil)(
+      collectStats: Seq[String] = Nil, onBranch: Option[String] = None)(
       resolve: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = this.synchronized {
     require(!df0.columns.contains(CommitCol), s"column name $CommitCol is reserved")
+    // the lineage this commit extends: a branch head, or the main head
+    val base: Option[Snapshot] = onBranch.map(branchSnapshot).orElse(currentSnapshot)
     // HIDDEN partitions: derive any spec-defined partition column the
     // caller's frame doesn't carry (compaction and DML rewrites read the
     // schema-only view, so they re-derive here); the STORED schema excludes
@@ -1058,7 +1183,7 @@ final class Icebox(val tableDir: String) {
     // physically before (dropped then re-added) gets a fresh physical name
     // so the dropped column's on-disk data can't resurrect
     val storedSchema = evolvedStoredSchema(StructType(
-      df0.schema.fields.filterNot(f => hiddenNames.contains(f.name))))
+      df0.schema.fields.filterNot(f => hiddenNames.contains(f.name))), base)
     val schemaJsonStored = storedSchema.json
     val l2p = Icebox.logicalToPhysical(storedSchema)
     def phys(n: String): String = l2p.getOrElse(n, n)
@@ -1072,7 +1197,7 @@ final class Icebox(val tableDir: String) {
     val partitionByPhys = partitionBy.map(phys)
     // Keep one consistent partitioning across live commits: a single-relation
     // read requires every live file to agree on partition directory structure.
-    currentSnapshot.filter(_ => op == "append").foreach { parent =>
+    base.filter(_ => op == "append").foreach { parent =>
       // compare case-insensitively on BOTH sides: directory names preserve
       // the column's written case, so lowercasing only one side spuriously
       // rejects every append after the first for uppercase partition columns
@@ -1106,7 +1231,7 @@ final class Icebox(val tableDir: String) {
     // table-wide without every caller re-opting-in.
     // stats are keyed by PHYSICAL name throughout (files, manifests, and
     // the pruning paths all live below the logical aliasing)
-    val sticky = currentSnapshot.map(_.files.flatMap(_.stats.keys).distinct
+    val sticky = base.map(_.files.flatMap(_.stats.keys).distinct
       .filter(df.columns.contains)).getOrElse(Nil)
     val footerDefaults = df0.schema.fields.toSeq
       .filter(f => Icebox.footerDecodable(f.dataType)).map(f => phys(f.name))
@@ -1119,7 +1244,7 @@ final class Icebox(val tableDir: String) {
       val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
       f.copy(rows = rows, stats = stats)
     }
-    commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored)
+    commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch)
   }
 
   /** The current snapshot's schema as a StructType (logical names). */
@@ -1150,7 +1275,8 @@ final class Icebox(val tableDir: String) {
     * re-added column would read the DROPPED column's bytes out of old
     * files).
     */
-  private def evolvedStoredSchema(s: StructType): StructType = currentSnapshot match {
+  private def evolvedStoredSchema(s: StructType,
+      base: Option[Snapshot] = currentSnapshot): StructType = base match {
     case None => s
     case Some(cur) =>
       val curByName = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
@@ -1264,32 +1390,67 @@ final class Icebox(val tableDir: String) {
     * writes also stay `synchronized` for in-process callers.
     */
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
-      schemaJson: String): Snapshot = this.synchronized {
+      schemaJson: String, onBranch: Option[String] = None): Snapshot = this.synchronized {
     Files.createDirectories(snapshotsDir)
     var attempt = 0
-    while (true) {
-      val parent = currentSnapshot
-      val id = parent.map(_.id + 1).getOrElse(0L)
+    // Snapshot ids are claimed across ALL lineages by CREATE_NEW on
+    // `<id>.json`, so a collision has two causes: a concurrent commit on
+    // OUR lineage (head moved — re-resolve on top of it) or a commit on
+    // ANOTHER lineage that took the number (head unchanged — bump the
+    // candidate id past it; ids need not be consecutive, parentId carries
+    // the lineage).
+    var bumpId = 0L
+    while (attempt < 1000) {
+      val parent = onBranch match {
+        case Some(b) => Some(branchSnapshot(b))
+        case None    => currentSnapshot
+      }
+      val id = math.max(parent.map(_.id + 1).getOrElse(0L), bumpId)
       val (m, canonical) = buildManifest(id, parent, op, resolve(parent), schemaJson)
-      try {
-        Files.write(snapshotsDir.resolve(s"$id.json"),
-          manifestJson(m).getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-        Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        manifestCache.put(id, m)
-        filesCache.put(id, canonical)
-        return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJson,
-          m.fileCount, m.totalBytes, () => canonical)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1
-          require(attempt < 1000, s"commit contention exhausted at $tableDir")
+      val claimed =
+        try {
+          Files.write(snapshotsDir.resolve(s"$id.json"),
+            manifestJson(m).getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1; bumpId = id + 1; false
+        }
+      if (claimed) {
+        val published = onBranch match {
+          case None =>
+            val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
+            Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            true
+          case Some(b) =>
+            // advance the branch pointer ONLY if it still points at our
+            // parent (guarded read-merge-write under the properties lock);
+            // a concurrent branch commit wins the race and we re-resolve
+            val expected = parent.map(_.id.toString)
+            var ok = false
+            updateProperties { props =>
+              if (props.get(s"$BranchPrefix$b") != expected) props
+              else { ok = true; props + (s"$BranchPrefix$b" -> id.toString) }
+            }
+            if (!ok) { // orphaned claim: release the manifest and retry
+              Files.deleteIfExists(snapshotsDir.resolve(s"$id.json"))
+              attempt += 1; bumpId = id + 1
+            }
+            ok
+        }
+        if (published) {
+          manifestCache.put(id, m)
+          filesCache.put(id, canonical)
+          return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJson,
+            m.fileCount, m.totalBytes, () => canonical)
+        }
       }
     }
-    sys.error("unreachable")
+    sys.error(s"commit contention exhausted at $tableDir")
   }
 
   /** Per-file metadata for freshly written files: ROW COUNT (always) plus
@@ -1547,6 +1708,9 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** A named snapshot ref: `kind` is "tag" (immutable) or "branch" (writable). */
+  final case class Ref(kind: String, snapshotId: Long)
 
   /** StructField metadata key holding a column's PHYSICAL (on-disk) name.
     * Column-mapping schema evolution (Delta's name-mapping / Iceberg's

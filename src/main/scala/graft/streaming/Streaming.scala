@@ -44,14 +44,21 @@ object Streaming {
     val reader = spark.readStream.format(format).schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.load(sourceDir)
+    // stable across restarts: derived from the checkpoint path, which IS the
+    // stream's identity (Spark's queryId lives under it)
+    val streamId = "ingest-" + Integer.toHexString(checkpointDir.hashCode)
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // pk path: the merge is content-idempotent (latest-wins dedupe is
+          // deterministic), so a replayed batch converges without a marker;
+          // append path: EXACTLY-ONCE via the committed (streamId, batchId)
+          // marker — a replay after crash-before-checkpoint skips instead
+          // of duplicating rows
           if (pk.nonEmpty) Upsert.intoTable(table, batch, pk, orderCol)
-          else if (table.exists) { table.append(batch); () }
-          else { table.overwrite(batch); () }
+          else { table.appendStreamBatch(streamId, batchId, batch); () }
         }
       }
       .start()

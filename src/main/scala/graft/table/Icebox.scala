@@ -477,6 +477,37 @@ final class Icebox(val tableDir: String) {
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
 
+  /** EXACTLY-ONCE streaming append (Iceberg sink semantics): the
+    * `(streamId, batchId)` marker rides the op string of the atomic
+    * manifest commit, so a foreachBatch retry after a crash BETWEEN the
+    * table commit and Spark's checkpoint write finds the marker and skips —
+    * the duplicate-append window plain `append` leaves open. Returns None
+    * when the batch was already committed. `batchId`s must be monotonic per
+    * stream (Spark's foreachBatch contract). The check-then-commit pair is
+    * atomic per handle; Structured Streaming replays batches from ONE
+    * driver sequentially, which is the contract this guards.
+    */
+  def appendStreamBatch(streamId: String, batchId: Long, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Option[Snapshot] = this.synchronized {
+    require(streamId.nonEmpty && !streamId.contains(":"),
+      s"streamId must be non-empty without ':' (got '$streamId')")
+    if (lastStreamBatch(streamId).exists(_ >= batchId)) None
+    else Some(commit(df, partitionBy, s"stream-append:$streamId:$batchId") {
+      (parent, newFiles) => parent.map(_.files).getOrElse(Nil) ++ newFiles
+    })
+  }
+
+  /** Highest batchId committed for `streamId` (newest-first chain walk over
+    * cached manifests; the marker refreshes every batch, so the walk stops
+    * within a few snapshots in steady state).
+    */
+  def lastStreamBatch(streamId: String): Option[Long] = {
+    val prefix = s"stream-append:$streamId:"
+    allSnapshots.iterator.map(_.operation).collectFirst {
+      case op if op.startsWith(prefix) => op.stripPrefix(prefix).toLong
+    }
+  }
+
   /** The table's hidden-partition transform spec (`partition.spec` table
     * property, e.g. `"bucket(8, id), days(ts)"`), empty for identity-only
     * tables. See [[PartitionTransform]].

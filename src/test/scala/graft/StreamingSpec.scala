@@ -67,4 +67,24 @@ class StreamingSpec extends SparkSpec {
     val seen = Streaming.microBatchLoop(intervalMs = 1, maxCycles = 3)(i => i * 10)
     seen shouldBe Seq(0, 10, 20)
   }
+
+  test("appendStreamBatch is exactly-once: a replayed batchId commits nothing") {
+    val t = graft.table.Icebox(tmpDir("stream-once"))
+    t.appendStreamBatch("s1", 0L, Seq((1L, "a")).toDF("id", "s")) shouldBe defined
+    t.appendStreamBatch("s1", 1L, Seq((2L, "b")).toDF("id", "s")) shouldBe defined
+    val head = t.currentSnapshotId
+    // crash-before-checkpoint replay: same stream, same batch
+    t.appendStreamBatch("s1", 1L, Seq((2L, "b")).toDF("id", "s")) shouldBe None
+    t.currentSnapshotId shouldBe head // no snapshot, no rows
+    t.read(spark).count() shouldBe 2L
+    // a DIFFERENT stream's batch 1 is independent
+    t.appendStreamBatch("s2", 1L, Seq((3L, "c")).toDF("id", "s")) shouldBe defined
+    t.read(spark).count() shouldBe 3L
+    // markers survive interleaved non-stream commits
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    t.appendStreamBatch("s1", 1L, Seq((2L, "b")).toDF("id", "s")) shouldBe None
+    t.appendStreamBatch("s1", 2L, Seq((5L, "e")).toDF("id", "s")) shouldBe defined
+    t.read(spark).count() shouldBe 5L
+    t.lastStreamBatch("s1") shouldBe Some(2L)
+  }
 }

@@ -56,7 +56,36 @@ object DmlSql {
     * over registered views, SHOW, VALUES, ...) runs through `spark.sql`
     * unchanged. CTAS requires [[setWarehouse]] first.
     */
-  def run(spark: SparkSession, sqlText: String): DataFrame =
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+
+  def run(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
+    // maintenance verbs (Delta-style syntax; not in Spark's grammar, so
+    // matched on the text before the parser sees it)
+    case VacuumRe(name, hours) =>
+      val t = MergeSql.lookup(name).getOrElse(
+        sys.error(s"VACUUM target '$name' is not a registered Icebox table"))
+      val retainMs = Option(hours).map(_.toLong).getOrElse(168L) * 3600L * 1000L
+      val expired = t.expireSnapshots(System.currentTimeMillis() - retainMs)
+      if (spark.catalog.tableExists(name)) t.registerView(spark, name)
+      spark.createDataFrame(Seq(("vacuum", expired.size.toLong)))
+        .toDF("operation", "snapshot_id")
+    case OptimizeRe(name, zorder) =>
+      val t = MergeSql.lookup(name).getOrElse(
+        sys.error(s"OPTIMIZE target '$name' is not a registered Icebox table"))
+      val snap = Option(zorder) match {
+        case Some(cols) =>
+          t.compactSorted(spark, cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        case None => t.compact(spark)
+      }
+      if (spark.catalog.tableExists(name)) t.registerView(spark, name)
+      summary(spark, snap)
+    case _ => runParsed(spark, sqlText)
+  }
+
+  private def runParsed(spark: SparkSession, sqlText: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case _: MergeIntoTable | _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
            _: RenameColumn | _: DropColumns | _: AddColumns | _: AlterColumns =>

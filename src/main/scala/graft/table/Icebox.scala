@@ -639,6 +639,10 @@ final class Icebox(val tableDir: String) {
     */
   def registerView(spark: SparkSession, name: String): Unit = {
     readIndexed(spark).createOrReplaceTempView(name)
+    // metadata tables, Iceberg's `t.snapshots` / `t.files` analog (dots
+    // aren't valid in temp-view names, so underscore-suffixed)
+    snapshotsDf(spark).createOrReplaceTempView(s"${name}_snapshots")
+    filesDf(spark).createOrReplaceTempView(s"${name}_files")
     graft.sql.MergeSql.register(name, this)
   }
 

@@ -271,6 +271,29 @@ class DmlSqlSpec extends SparkSpec {
     rows.forall(_.getAs[Map[String, String]]("stats").contains("id")) shouldBe true
   }
 
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters; VACUUM expires old snapshots") {
+    val t = Icebox(tmpDir("dml-maint"))
+    (0 until 6).foreach(i => t.append((1 to 50).map(j => (i * 50L + j, j % 5)).toDF("id", "g")))
+    t.registerView(spark, "maint_t")
+    val before = t.currentSnapshot.get.files.size
+    DmlSql.run(spark, "OPTIMIZE maint_t ZORDER BY (id, g)")
+    t.currentSnapshot.get.files.size should be < before
+    t.read(spark).count() shouldBe 300L
+    DmlSql.run(spark, "VACUUM maint_t RETAIN 0 HOURS")
+    // history trimmed; current state intact
+    t.read(spark).count() shouldBe 300L
+    spark.sql("SELECT count(*) FROM maint_t").as[Long].head() shouldBe 300L
+  }
+
+  test("registerView exposes metadata views: <name>_snapshots and <name>_files") {
+    val t = Icebox(tmpDir("dml-meta"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    t.registerView(spark, "meta_t")
+    spark.sql("SELECT count(*) FROM meta_t_snapshots").as[Long].head() shouldBe 2L
+    spark.sql("SELECT sum(rows) FROM meta_t_files").as[Long].head() shouldBe 3L
+  }
+
   test("sql() dispatches DELETE, UPDATE, and MERGE") {
     val t = Icebox(tmpDir("dml-sql"))
     t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))

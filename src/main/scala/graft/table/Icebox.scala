@@ -1171,13 +1171,45 @@ final class Icebox(val tableDir: String) {
         scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
       }
     }
+    // READ-AMPLIFICATION BOUND: every attached eq-delete adds a broadcast
+    // join to reads of that file, so depth must not grow without limit on a
+    // hot file. Files whose depth would EXCEED `write.merge-on-read
+    // .max-delete-files` are rewritten copy-on-write in this same commit
+    // (all stacked deletes + the new keys applied), resetting their depth
+    // to zero — the hybrid that keeps O(batch) writes for the common case
+    // and bounded join fan-in forever (Delta's DV-compaction analog).
+    val maxDepth = properties.get("write.merge-on-read.max-delete-files")
+      .map(_.toInt).getOrElse(8)
+    val wouldAttach = cur.files.filter(f => !disjoint(f))
+    val overFiles = wouldAttach.filter(_.eqDeletes.size >= maxDepth)
+    val overPaths = overFiles.map(_.path).toSet
+    val rewritten: Option[DataFrame] =
+      if (overFiles.isEmpty) None
+      else {
+        val spark = keys.sparkSession
+        // survivors of the over-depth files: stacked deletes applied by the
+        // read, the NEW keys anti-joined here
+        Some(readFiles(spark, overFiles, Some(cur.schemaJson))
+          .join(broadcast(keys.dropDuplicates()), logicalKeyCols, "left_anti"))
+      }
     val dir = writeEqDeleteFile(keysPhys)
-    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.map(f =>
-      if (preExisting(f.path) && !disjoint(f)) f.copy(eqDeletes = f.eqDeletes :+ dir) else f)
-    newData match {
+    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.flatMap {
+      case f if overPaths(f.path) => None // replaced by this commit's rewrite
+      case f if preExisting(f.path) && !disjoint(f) =>
+        Some(f.copy(eqDeletes = f.eqDeletes :+ dir))
+      case f => Some(f)
+    }
+    val payload: Option[DataFrame] = (newData, rewritten) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+    // rewritten rows must land in the table's partition layout even when
+    // the caller (deleteByKeys) passes no partitioning
+    val payloadParts = if (partitionBy.nonEmpty) partitionBy else partitionColumns
+    payload match {
       case None => commitMetaResolved(op,
         parent => attach(parent.map(_.files).getOrElse(Nil)), cur.schemaJson)
-      case Some(df) => commit(df, partitionBy, op) { (parent, newFiles) =>
+      case Some(df) => commit(df, payloadParts, op) { (parent, newFiles) =>
         attach(parent.map(_.files).getOrElse(Nil)) ++ newFiles
       }
     }

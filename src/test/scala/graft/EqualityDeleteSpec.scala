@@ -100,6 +100,34 @@ class EqualityDeleteSpec extends SparkSpec {
     t.read(spark).count() shouldBe 48L
   }
 
+  test("attach depth is bounded: over-threshold files rewrite copy-on-write") {
+    val t = Icebox(tmpDir("eqdel-depth"))
+    t.append((1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    t.setProperties(Map("write.merge-on-read.max-delete-files" -> "3"))
+    (1 to 3).foreach(i => t.deleteByKeys(Seq(i.toLong).toDF("id")))
+    val stacked = t.currentSnapshot.get.files
+    stacked.map(_.eqDeletes.size).max shouldBe 3
+    // only the file(s) carrying the stack get rewritten; disjoint
+    // (stats-pruned) files keep their paths
+    val stackedPaths = stacked.filter(_.eqDeletes.nonEmpty).map(_.path).toSet
+    // 4th delete on the same file exceeds the bound -> hybrid copy-on-write
+    t.deleteByKeys(Seq(4L).toDF("id"))
+    val after = t.currentSnapshot.get.files
+    after.map(_.eqDeletes.size).max shouldBe 0 // depth reset by the rewrite
+    after.map(_.path).toSet.intersect(stackedPaths) shouldBe Set.empty
+    t.read(spark).count() shouldBe 36L
+    t.read(spark).filter($"id" <= 4).count() shouldBe 0L
+    // partitioned table: the rewrite lands in the partition layout
+    val p = Icebox(tmpDir("eqdel-depth-part"))
+    p.append((1 to 40).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "g"), Seq("g"))
+    p.setProperties(Map("write.merge-on-read.max-delete-files" -> "1"))
+    p.deleteByKeys(Seq(1L).toDF("id"))
+    p.deleteByKeys(Seq(2L).toDF("id")) // triggers rewrite
+    p.read(spark).count() shouldBe 38L
+    p.partitionColumns shouldBe Seq("g")
+    p.read(spark).filter($"g" === "g1").count() shouldBe 19L
+  }
+
   test("time travel: the pre-delete snapshot still shows deleted rows") {
     val t = freshTable("eqdel-tt")
     val preId = t.currentSnapshotId

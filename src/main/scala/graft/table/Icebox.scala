@@ -1086,29 +1086,68 @@ final class Icebox(val tableDir: String) {
     * readers anti-join the positions away; compaction materializes them.
     */
   private[graft] def commitPositionDeletes(spark: SparkSession, op: String,
-      positions: DataFrame): Snapshot = {
-    val schemaJson = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir")).schemaJson
-    val affected = affectedPaths(positions)
-    if (affected.isEmpty) // no matching rows: commit an explicit no-op snapshot
-      return commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
-    val dir = writeDeleteFile(positions)
-    commitMetaResolved(op, parent => parent.map(_.files).getOrElse(Nil).map(f =>
-      if (affected(f.path)) f.copy(deletes = f.deletes :+ dir) else f), schemaJson)
-  }
+      positions: DataFrame): Snapshot =
+    commitPositionDeletesImpl(spark, op, positions, None, Nil)
 
   /** Merge-on-read UPDATE: position-delete the matched rows AND append
     * their updated images in ONE atomic commit.
     */
   private[graft] def commitPositionDeletesWithData(op: String, positions: DataFrame,
-      newData: DataFrame, partitionBy: Seq[String]): Snapshot = {
-    val schemaJson = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir")).schemaJson
+      newData: DataFrame, partitionBy: Seq[String]): Snapshot =
+    commitPositionDeletesImpl(newData.sparkSession, op, positions, Some(newData), partitionBy)
+
+  /** Shared position-delete commit. The same READ-AMPLIFICATION BOUND as
+    * equality deletes: a file whose `deletes` list would exceed
+    * `write.merge-on-read.max-delete-files` is rewritten copy-on-write in
+    * this commit (stacked position deletes + the new positions applied),
+    * so the per-read count of delete dirs to open stays bounded no matter
+    * how many sparse DMLs hit a hot file.
+    */
+  private def commitPositionDeletesImpl(spark: SparkSession, op: String,
+      positions: DataFrame, newData: Option[DataFrame],
+      partitionBy: Seq[String]): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    val schemaJson = cur.schemaJson
     val affected = affectedPaths(positions)
-    if (affected.isEmpty)
+    if (affected.isEmpty) // no matching rows: commit an explicit no-op snapshot
       return commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
+    val maxDepth = properties.get("write.merge-on-read.max-delete-files")
+      .map(_.toInt).getOrElse(8)
+    val overFiles = cur.files.filter(f => affected(f.path) && f.deletes.size >= maxDepth)
+    val overPaths = overFiles.map(_.path).toSet
+    val rewritten: Option[DataFrame] =
+      if (overFiles.isEmpty) None
+      else {
+        // survivors of the over-depth files: stacked deletes applied by the
+        // read, the NEW positions anti-joined here
+        def norm(c: Column): Column =
+          regexp_replace(c, "^[a-zA-Z][\\w+.-]*:(//[^/]*)?", "")
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val withPos = readDataFilesWithPos(spark, overFiles, "__icx_rw_fp", "__icx_rw_pos")
+        val dels = positions.select(norm(col("file_path")).as("__del_fp"),
+          col("pos").as("__del_pos"))
+        Some(withPos.join(dels,
+            norm(col("__icx_rw_fp")) === col("__del_fp") &&
+              col("__icx_rw_pos") === col("__del_pos"), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      }
     val dir = writeDeleteFile(positions)
-    commit(newData, partitionBy, op) { (parent, newFiles) =>
-      parent.map(_.files).getOrElse(Nil).map(f =>
-        if (affected(f.path)) f.copy(deletes = f.deletes :+ dir) else f) ++ newFiles
+    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.flatMap {
+      case f if overPaths(f.path) => None // replaced by this commit's rewrite
+      case f if affected(f.path)  => Some(f.copy(deletes = f.deletes :+ dir))
+      case f => Some(f)
+    }
+    val payload: Option[DataFrame] = (newData, rewritten) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+    val payloadParts = if (partitionBy.nonEmpty) partitionBy else partitionColumns
+    payload match {
+      case None => commitMetaResolved(op,
+        parent => attach(parent.map(_.files).getOrElse(Nil)), schemaJson)
+      case Some(df) => commit(df, payloadParts, op) { (parent, newFiles) =>
+        attach(parent.map(_.files).getOrElse(Nil)) ++ newFiles
+      }
     }
   }
 

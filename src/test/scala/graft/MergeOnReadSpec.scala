@@ -48,6 +48,32 @@ class MergeOnReadSpec extends SparkSpec {
     t.read(spark).agg(min("id")).as[Long].head() shouldBe 3L
   }
 
+  test("position-delete depth is bounded: over-threshold files rewrite copy-on-write") {
+    val (t, name) = freshTable("mor-depth")
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read",
+      "write.merge-on-read.max-delete-files" -> "2"))
+    DmlSql.delete(spark, s"DELETE FROM $name WHERE id = 1")
+    DmlSql.delete(spark, s"DELETE FROM $name WHERE id = 2")
+    val stacked = t.currentSnapshot.get.files.filter(_.deletes.nonEmpty).map(_.path).toSet
+    stacked should not be empty
+    // third sparse delete on the same file exceeds the bound -> that file
+    // rewrites with all deletes applied; depth resets
+    DmlSql.delete(spark, s"DELETE FROM $name WHERE id = 3")
+    val after = t.currentSnapshot.get.files
+    after.map(_.path).toSet.intersect(stacked) shouldBe Set.empty
+    after.map(_.deletes.size).max shouldBe 0
+    t.read(spark).count() shouldBe 77L
+    t.read(spark).agg(min("id")).as[Long].head() shouldBe 4L
+    // merge-on-read UPDATE path honors the bound too
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    DmlSql.update(spark, s"UPDATE $name SET s = 'u' WHERE id = 10")
+    DmlSql.update(spark, s"UPDATE $name SET s = 'v' WHERE id = 11")
+    DmlSql.update(spark, s"UPDATE $name SET s = 'w' WHERE id = 12")
+    t.currentSnapshot.get.files.map(_.deletes.size).max should be <= 2
+    t.read(spark).filter($"s".isin("u", "v", "w")).count() shouldBe 3L
+    t.read(spark).count() shouldBe 77L
+  }
+
   test("merge-on-read UPDATE position-deletes old rows and appends new images atomically") {
     val (t, name) = freshTable("mor-upd")
     val before = t.currentSnapshot.get.files.map(_.path).toSet

@@ -490,6 +490,23 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // SQL maintenance verbs through the unified entry point: OPTIMIZE
+    // ZORDER BY rewrites into clustered files (the require proves file-count
+    // change and row preservation), VACUUM trims history — and the row
+    // multiset is untouched by both
+    "q_maintenance_sql" -> ((s, dir) => {
+      val table = Icebox(tmp("qmnt"))
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach(i => table.append(o.filter(col("o_orderkey") % 4 === i)))
+      table.registerView(s, "qmnt_t")
+      val before = table.currentSnapshot.get.files.size
+      graft.sql.DmlSql.run(s, "OPTIMIZE qmnt_t ZORDER BY (o_custkey, o_totalprice)")
+      require(table.currentSnapshot.get.files.size != before, "OPTIMIZE was a no-op")
+      graft.sql.DmlSql.run(s, "VACUUM qmnt_t RETAIN 0 HOURS")
+      require(table.allSnapshots.nonEmpty, "VACUUM destroyed the head")
+      table.read(s)
+    }),
+
     // Snapshot refs (Iceberg branches/tags): a TAG pins history while main
     // moves on; a BRANCH takes appends on a divergent lineage without
     // touching the main head (write-audit-publish). The requires prove
@@ -1365,6 +1382,9 @@ object SparkEntry {
     // merge-on-read DELETE longhand: survivors are the predicate complement
     "q_delete_mor" ->
       "SELECT * FROM lineitem WHERE NOT (l_orderkey % 1000 = 7)",
+
+    // maintenance is row-preserving: OPTIMIZE + VACUUM leave the multiset
+    "q_maintenance_sql" -> "SELECT * FROM orders",
 
     // branch read longhand: the base table plus the branch's appended rows
     // (the main lineage's +5000 append is absent)

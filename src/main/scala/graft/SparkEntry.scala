@@ -490,6 +490,29 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // Partition-spec EVOLUTION: change the identity partitioning for future
+    // writes; the old (unpartitioned) and new (segment-partitioned) file
+    // generations coexist and read as one table with per-generation
+    // pruning, and compaction migrates everything to the current spec
+    "q_partition_evolve" -> ((s, dir) => {
+      val table = Icebox(tmp("qpev"))
+      val c = t(s, dir, "customer")
+      table.append(c.filter(col("c_custkey") % 2 === 0))
+      table.setPartitionSpec(Seq("c_mktsegment"))
+      table.append(c.filter(col("c_custkey") % 2 === 1))
+      val files = table.currentSnapshot.get.files
+      require(files.map(_.partition.keys.toSet).distinct.size == 2,
+        "expected two coexisting layout generations")
+      require(table.prunedFiles("c_mktsegment", Set("BUILDING")).size < files.size,
+        "no partition pruning on the evolved generation")
+      require(table.read(s).count() == c.count(), "generations did not union")
+      table.compact(s)
+      val after = table.currentSnapshot.get.files
+      require(after.nonEmpty && after.forall(_.partition.contains("c_mktsegment")),
+        "compaction did not migrate to the evolved spec")
+      table.read(s)
+    }),
+
     // SQL maintenance verbs through the unified entry point: OPTIMIZE
     // ZORDER BY rewrites into clustered files (the require proves file-count
     // change and row preservation), VACUUM trims history — and the row
@@ -1385,6 +1408,9 @@ object SparkEntry {
 
     // maintenance is row-preserving: OPTIMIZE + VACUUM leave the multiset
     "q_maintenance_sql" -> "SELECT * FROM orders",
+
+    // partition evolution is row-preserving across generations + migration
+    "q_partition_evolve" -> "SELECT * FROM customer",
 
     // branch read longhand: the base table plus the branch's appended rows
     // (the main lineage's +5000 append is absent)

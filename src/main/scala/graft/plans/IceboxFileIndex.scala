@@ -294,6 +294,14 @@ object IceboxFileIndex {
     * so an old snapshot with a different layout still reads correctly.
     */
   def readSnapshot(spark: SparkSession, table: Icebox, snap: Snapshot): DataFrame = {
+    // partition-spec evolution: one manifest-backed relation per directory-
+    // layout generation (each keeps its own partition pruning), unioned
+    val layouts = snap.files.groupBy(_.partition.keys.toSet)
+    if (layouts.size > 1)
+      return layouts.values.map { g =>
+        readSnapshot(spark, table, Snapshot(snap.id, snap.parentId, snap.timestampMs,
+          snap.operation, g, snap.schemaJson))
+      }.reduce(_.unionByName(_))
     // nullable-normalize like DataFrameReader does to user schemas — files
     // written before a column was added must read as nulls, not fail.
     // Hidden (transform-derived) partition dirs are not schema columns and

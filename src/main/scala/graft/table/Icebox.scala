@@ -473,9 +473,41 @@ final class Icebox(val tableDir: String) {
     */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
       collectStats: Seq[String] = Nil): Snapshot =
-    commit(df, partitionBy, "append", collectStats) { (parent, newFiles) =>
+    commit(df, effectiveParts(partitionBy), "append", collectStats) { (parent, newFiles) =>
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec analog): change the
+    * table's identity partitioning for FUTURE writes — existing files keep
+    * their old directory layout and stay readable (reads union one
+    * relation per layout generation; manifest pruning stays exact per
+    * generation, and files from a generation not partitioned by a pruned
+    * column are kept conservatively). The next full compaction rewrites
+    * everything into the current spec, completing the migration. Pass Nil
+    * to evolve to unpartitioned.
+    */
+  def setPartitionSpec(cols: Seq[String]): Unit = {
+    currentSchemaStruct.foreach { schema =>
+      cols.foreach(c => require(schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"no such column: $c"))
+    }
+    setProperties(Map("partition.columns" -> cols.mkString(",")))
+  }
+
+  /** The identity-partition columns future writes use: the evolved spec if
+    * [[setPartitionSpec]] was called, else the current files' layout.
+    */
+  def currentPartitionSpec: Seq[String] =
+    properties.get("partition.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+
+  /** Caller-supplied partitioning wins; otherwise the table's current spec
+    * applies automatically (so `append(df)` keeps honoring an evolved
+    * spec without every caller threading it through).
+    */
+  private def effectiveParts(partitionBy: Seq[String]): Seq[String] =
+    if (partitionBy.nonEmpty) partitionBy else currentPartitionSpec
 
   /** EXACTLY-ONCE streaming append (Iceberg sink semantics): the
     * `(streamId, batchId)` marker rides the op string of the atomic
@@ -558,7 +590,14 @@ final class Icebox(val tableDir: String) {
 
   /** W2/W3: overwrite — new snapshot = new files only. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Snapshot =
-    commit(df, partitionBy, "overwrite") { (_, newFiles) => newFiles }
+    // an explicitly evolved spec applies to overwrites too; without one,
+    // Nil means "unpartitioned" (the caller's call — overwrite replaces
+    // the table, so the parent layout carries no authority)
+    commit(df,
+      if (partitionBy.nonEmpty) partitionBy
+      else properties.get("partition.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      "overwrite") { (_, newFiles) => newFiles }
 
   /** Overwrite that records its operation as "upsert" (so cherry-pick and
     * lineage reporting can distinguish CDC merges from blind overwrites).
@@ -724,7 +763,10 @@ final class Icebox(val tableDir: String) {
     */
   def prunedFiles(column: String, values: Set[String]): Seq[DataFile] = {
     val key = toPhysical(column) // partition dirs carry physical names
-    currentSnapshot.map(_.files.filter(f => f.partition.get(key).exists(values))).getOrElse(Nil)
+    // a file from a spec generation NOT partitioned by `column` has no
+    // recorded value — keep it (it may contain any value; conservative
+    // under partition-spec evolution)
+    currentSnapshot.map(_.files.filter(f => f.partition.get(key).forall(values))).getOrElse(Nil)
   }
 
   /** Read only the partitions matching `values` (prunes via the manifest
@@ -747,7 +789,9 @@ final class Icebox(val tableDir: String) {
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val partCols = partitionColumns
+    // compact to the CURRENT spec — after partition evolution this is the
+    // migration step that retires old layout generations
+    val partCols = currentPartitionSpec
     val df = withHiddenPartitions(read(spark)) // re-derive hidden dirs for the shuffle key
     val repacked =
       if (partCols.nonEmpty) {
@@ -801,7 +845,7 @@ final class Icebox(val tableDir: String) {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
       }
-    commit(df, partitionColumns, "compact", collectStats = sortBy) { (_, newFiles) => newFiles }
+    commit(df, currentPartitionSpec, "compact", collectStats = sortBy) { (_, newFiles) => newFiles }
   }
 
   /** M1 partition-scoped: compact ONLY partitions with more than
@@ -1023,6 +1067,15 @@ final class Icebox(val tableDir: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(schema.fields.map(f => f.copy(metadata =
           org.apache.spark.sql.types.Metadata.empty))))
+    // PARTITION-SPEC EVOLUTION: files from different spec generations have
+    // different directory layouts, which one parquet relation can't span —
+    // read one relation per layout generation and union (generation count
+    // is the number of spec changes since the last full compaction, i.e.
+    // small)
+    val layouts = files.groupBy(_.partition.keys.toSet)
+    if (layouts.size > 1)
+      return layouts.values.map(g => readFiles(spark, g, schemaJson))
+        .reduce(_.unionByName(_))
     // scan with PHYSICAL names (what the files store); the final projection
     // aliases back to the snapshot's logical names — pushed-down filters are
     // rewritten through the aliases by Catalyst, so pruning sees physical
@@ -1301,17 +1354,24 @@ final class Icebox(val tableDir: String) {
         df1.select(df1.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
       else df1
     val partitionByPhys = partitionBy.map(phys)
-    // Keep one consistent partitioning across live commits: a single-relation
-    // read requires every live file to agree on partition directory structure.
+    // An append must use either the parent files' layout or the table's
+    // EVOLVED spec (`partition.columns` property) — anything else is a
+    // caller error. Mixed layout generations are supported on read (one
+    // relation per generation), so spec evolution doesn't rewrite history.
+    // Compare case-insensitively on BOTH sides: directory names preserve
+    // the column's written case, so lowercasing only one side spuriously
+    // rejects every append after the first for uppercase partition columns.
     base.filter(_ => op == "append").foreach { parent =>
-      // compare case-insensitively on BOTH sides: directory names preserve
-      // the column's written case, so lowercasing only one side spuriously
-      // rejects every append after the first for uppercase partition columns
       val existing = parent.files.headOption
         .map(_.partition.keys.toSeq.map(_.toLowerCase).sorted).getOrElse(Nil)
+      val mine = partitionByPhys.map(_.toLowerCase).sorted
+      val spec = properties.get("partition.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          .map(c => phys(c).toLowerCase).sorted)
       if (parent.files.nonEmpty)
-        require(existing == partitionByPhys.map(_.toLowerCase).sorted,
-          s"append partitioning ${partitionByPhys.mkString(",")} != table partitioning ${existing.mkString(",")}")
+        require(mine == existing || spec.contains(mine),
+          s"append partitioning ${partitionByPhys.mkString(",")} matches neither the " +
+            s"table layout ${existing.mkString(",")} nor an evolved partition.columns spec")
     }
     Files.createDirectories(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)

@@ -787,6 +787,12 @@ final class Icebox(val tableDir: String) {
     */
   def compact(spark: SparkSession, targetFileMb: Int = 512): Snapshot = {
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    // a declared table sort order (`write.sort.columns`) makes the plain
+    // compaction a SORTED rewrite — Iceberg's "rewrite honors the table
+    // sort order" behavior, so maintenance never destroys clustering
+    val sortCols = properties.get("write.sort.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    if (sortCols.isDefined) return compactSorted(spark, sortCols.get, targetFileMb)
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(totalBytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
     // compact to the CURRENT spec — after partition evolution this is the
@@ -1377,10 +1383,35 @@ final class Icebox(val tableDir: String) {
     val commitId = UUID.randomUUID().toString.take(12)
     val commitDir = dataDir.resolve(s"$CommitCol=$commitId")
     val props = properties
+    // WRITE SHAPING (Iceberg table-property analogs), applied after
+    // physicalization so the columns are the on-disk names:
+    //  - write.distribution-mode = hash | range: repartition by the
+    //    partition columns before the write, so each partition's data is
+    //    produced by few tasks instead of EVERY task writing a sliver into
+    //    every partition — without this, N tasks x P partitions = N*P tiny
+    //    files per commit, the classic small-file explosion at 100 TB;
+    //  - write.sort.columns: sort within tasks before writing, so each
+    //    file covers a narrow range of the sort key and per-file min/max
+    //    stats prune effectively WITHOUT waiting for a sorted compaction.
+    val distributed = props.get("write.distribution-mode") match {
+      case Some("hash") if partitionByPhys.nonEmpty =>
+        df.repartition(partitionByPhys.map(col): _*)
+      case Some("range") if partitionByPhys.nonEmpty =>
+        df.repartitionByRange(partitionByPhys.map(col): _*)
+      case Some(m) if !Set("none", "hash", "range").contains(m) =>
+        sys.error(s"write.distribution-mode=$m (expected none | hash | range)")
+      case _ => df
+    }
+    val shaped = props.get("write.sort.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(cols) if cols.nonEmpty =>
+        distributed.sortWithinPartitions(cols.map(c => col(phys(c))): _*)
+      case _ => distributed
+    }
     val bloomCols = props.get("write.bloom.columns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val writer = bloomCols.foldLeft(
-      df.write.mode("overwrite")
+      shaped.write.mode("overwrite")
         .option("compression", props.getOrElse("write.compression", "zstd"))) { // reference: spark_builder.py:248
       (w, c) => w.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
     }

@@ -67,6 +67,52 @@ class PartitionEvolutionSpec extends SparkSpec {
     t.read(spark).agg(min("id"), max("id")).as[(Long, Long)].head() shouldBe ((6L, 35L))
   }
 
+  test("write.distribution-mode=hash bounds files per partition") {
+    val t = Icebox(tmpDir("pevo-dist"))
+    val df = (1 to 4000).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "p")
+      .repartition(8) // 8 tasks, each holding all 4 partition values
+    t.append(df, Seq("p"))
+    val naive = t.currentSnapshot.get.files.groupBy(_.partition).values.map(_.size).max
+    naive should be > 1 // every task wrote a sliver into every partition
+    val h = Icebox(tmpDir("pevo-dist-h"))
+    h.setProperties(Map("write.distribution-mode" -> "hash"))
+    h.append(df, Seq("p"))
+    val hashed = h.currentSnapshot.get.files.groupBy(_.partition).values.map(_.size).max
+    hashed shouldBe 1 // one file per partition
+    h.read(spark).count() shouldBe 4000L
+    an[Exception] should be thrownBy {
+      h.setProperties(Map("write.distribution-mode" -> "bogus"))
+      h.append(df, Seq("p"))
+    }
+  }
+
+  test("write.sort.columns: sorted appends tighten per-file stats; compact() honors it") {
+    val unsorted = Icebox(tmpDir("pevo-sort-no"))
+    val df = (1 to 8000).map(i => ((i * 2654435761L) % 100000, i)).toDF("k", "v")
+      .repartition(8)
+    unsorted.append(df)
+    val s = Icebox(tmpDir("pevo-sort-yes"))
+    s.setProperties(Map("write.sort.columns" -> "k"))
+    s.append(df.repartitionByRange(8, col("k"))) // distribute THEN in-task sort
+    val lo = Some(0.0); val hi = Some(1000.0)
+    val keptSorted = s.prunedFilesByStats("k", lo, hi).size
+    val keptUnsorted = unsorted.prunedFilesByStats("k", lo, hi).size
+    keptSorted should be < keptUnsorted // narrow ranges -> real skipping
+    // compact() on a table with a declared sort order stays clustered:
+    // bulk the table up so compaction yields multiple files, then check a
+    // narrow range still skips most of them
+    val bulk = (1 to 60000).map(i => ((i * 2654435761L) % 100000, i))
+      .toDF("k", "v")
+      .withColumn("pad", expr("repeat(md5(cast(v as string)), 8)")) // incompressible
+      .repartition(8)
+    s.append(bulk)
+    s.compact(spark, targetFileMb = 1)
+    val files = s.currentSnapshot.get.files.size
+    files should be > 1
+    s.prunedFilesByStats("k", lo, hi).size should be < files
+    s.read(spark).count() shouldBe 68000L // 8000 sorted append + 60000 bulk
+  }
+
   test("time travel reads pre-evolution snapshots with their own layout") {
     val t = Icebox(tmpDir("pevo-tt"))
     t.append((1 to 20).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"), Seq("grp"))

@@ -60,6 +60,12 @@ object DmlSql {
     """(?is)\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+  private val CreateRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  private val DropRefRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  private val FastForwardRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*;?\s*""".r
 
   def run(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
     // maintenance verbs (Delta-style syntax; not in Spark's grammar, so
@@ -82,8 +88,28 @@ object DmlSql {
       }
       if (spark.catalog.tableExists(name)) t.registerView(spark, name)
       summary(spark, snap)
+    // snapshot refs (Iceberg's ALTER TABLE extension grammar, text-matched)
+    case CreateRefRe(name, kind, ref) =>
+      val t = lookupRegistered(name, "ALTER")
+      if (kind.equalsIgnoreCase("branch")) t.createBranch(ref) else t.createTag(ref)
+      spark.createDataFrame(Seq((s"create-${kind.toLowerCase}", t.refs(ref).snapshotId)))
+        .toDF("operation", "snapshot_id")
+    case DropRefRe(name, ref) =>
+      val t = lookupRegistered(name, "ALTER")
+      t.dropRef(ref)
+      spark.createDataFrame(Seq(("drop-ref", t.currentSnapshotId)))
+        .toDF("operation", "snapshot_id")
+    case FastForwardRe(name, ref) =>
+      val t = lookupRegistered(name, "ALTER")
+      val snap = t.fastForward(ref)
+      if (spark.catalog.tableExists(name)) t.registerView(spark, name)
+      spark.createDataFrame(Seq(("fast-forward", snap.id))).toDF("operation", "snapshot_id")
     case _ => runParsed(spark, sqlText)
   }
+
+  private def lookupRegistered(name: String, verb: String): Icebox =
+    MergeSql.lookup(name).getOrElse(
+      sys.error(s"$verb target '$name' is not a registered Icebox table"))
 
   private def runParsed(spark: SparkSession, sqlText: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {

@@ -182,26 +182,44 @@ final class Icebox(val tableDir: String) {
   def removeProperties(keys: Seq[String]): Unit = updateProperties(_ -- keys)
 
   private def updateProperties(f: Map[String, String] => Map[String, String]): Unit =
-      this.synchronized {
+    withTableLock {
+      val merged = f(properties)
+      val node = mapper.createObjectNode()
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+      val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, mapper.writeValueAsBytes(node))
+      Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Run `body` under the table's cross-process lock file (CREATE_NEW
+    * claim — the same atomic primitive the commit path uses). Serializes
+    * property updates, branch-pointer CAS, and main-head publication
+    * across handles and processes. A lock left by a crashed holder is
+    * broken after 10 s; the lock carries its owner's token so a breaker
+    * can verify WHICH lock instance it is removing.
+    */
+  private def withTableLock[T](body: => T): T = this.synchronized {
     Files.createDirectories(Paths.get(tableDir))
     val lock = Paths.get(tableDir, "_properties.lock")
     val myToken = UUID.randomUUID().toString
     var attempt = 0
     while (attempt < 4000) {
-      try {
-        // the lock carries its owner's token so a breaker can verify WHICH
-        // lock instance it is removing (a bare path delete can't)
-        Files.write(lock, myToken.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+      val claimed =
         try {
-          val merged = f(properties)
-          val node = mapper.createObjectNode()
-          merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-          val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
-          Files.write(tmp, mapper.writeValueAsBytes(node))
-          Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        } finally {
+          Files.write(lock, myToken.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            breakStaleLock(lock)
+            Thread.sleep(5)
+            false
+        }
+      if (claimed)
+        try return body
+        finally {
           // only delete the lock if it is still OURS — if we stalled >10 s a
           // breaker may have replaced it, and deleting blindly would evict
           // the new holder's live lock
@@ -210,15 +228,8 @@ final class Icebox(val tableDir: String) {
             if (owner == myToken) Files.deleteIfExists(lock)
           } catch { case _: java.io.IOException => () }
         }
-        return
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1
-          breakStaleLock(lock)
-          Thread.sleep(5)
-      }
     }
-    sys.error(s"setProperties lock contention exhausted at $tableDir")
+    sys.error(s"table lock contention exhausted at $tableDir")
   }
 
   /** Break a lock whose holder appears dead (mtime >10 s old) WITHOUT the
@@ -350,7 +361,7 @@ final class Icebox(val tableDir: String) {
     * head to be an ancestor of the branch head (no history is discarded —
     * the branch's commits extend the main chain linearly).
     */
-  def fastForward(name: String): Snapshot = this.synchronized {
+  def fastForward(name: String): Snapshot = withTableLock {
     val target = branchSnapshot(name)
     val cur = currentSnapshotId
     require(cur < 0 || isAncestor(cur, target.id),
@@ -1618,11 +1629,30 @@ final class Icebox(val tableDir: String) {
       if (claimed) {
         val published = onBranch match {
           case None =>
-            val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-            Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-            Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-            true
+            // publish the main head ONLY if it still equals our parent —
+            // a guarded compare-and-set under the table lock. Snapshot ids
+            // are no longer consecutive per lineage (branches share the id
+            // space), so the id claim alone doesn't linearize main commits:
+            // without this check, two same-parent committers could both
+            // claim (different) ids and the second _current move would
+            // orphan the first commit.
+            val expected = parent.map(_.id).getOrElse(-1L)
+            val ok = withTableLock {
+              if (currentSnapshotId != expected) false
+              else {
+                val tmp = Paths.get(tableDir,
+                  s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
+                Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+                Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+                  StandardCopyOption.REPLACE_EXISTING)
+                true
+              }
+            }
+            if (!ok) { // head moved: release the claim, rebuild on the new head
+              Files.deleteIfExists(snapshotsDir.resolve(s"$id.json"))
+              attempt += 1; bumpId = id + 1
+            }
+            ok
           case Some(b) =>
             // advance the branch pointer ONLY if it still points at our
             // parent (guarded read-merge-write under the properties lock);

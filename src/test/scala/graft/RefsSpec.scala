@@ -69,6 +69,21 @@ class RefsSpec extends SparkSpec {
     an[Exception] should be thrownBy t.readRef(spark, "ghost")
   }
 
+  test("SQL-text ref verbs: CREATE/DROP BRANCH|TAG, FAST FORWARD") {
+    val t = fresh("refs-sql")
+    t.registerView(spark, "refs_sql_t")
+    import graft.sql.DmlSql
+    DmlSql.run(spark, "ALTER TABLE refs_sql_t CREATE TAG v1")
+    DmlSql.run(spark, "ALTER TABLE refs_sql_t CREATE BRANCH audit")
+    t.refs.keySet shouldBe Set("v1", "audit")
+    t.appendToBranch("audit", Seq((21L, "b")).toDF("id", "s"))
+    DmlSql.run(spark, "ALTER TABLE refs_sql_t FAST FORWARD TO audit")
+    spark.sql("SELECT count(*) FROM refs_sql_t").as[Long].head() shouldBe 21L
+    DmlSql.run(spark, "ALTER TABLE refs_sql_t DROP BRANCH audit")
+    DmlSql.run(spark, "ALTER TABLE refs_sql_t DROP TAG v1")
+    t.refs shouldBe empty
+  }
+
   test("expiry keeps the fork point a live branch still replays through") {
     val t = fresh("refs-fork")
     t.createBranch("wip") // fork at snapshot 0

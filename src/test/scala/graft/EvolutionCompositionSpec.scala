@@ -76,6 +76,33 @@ class EvolutionCompositionSpec extends SparkSpec {
     diff.filter($"_change_type" === "delete").count() shouldBe 0L
   }
 
+  test("cold-handle reopen: evolution metadata, deletes, and refs all survive the JSON round-trip") {
+    val dir = tmpDir("comp-reopen")
+    val t = Icebox(dir)
+    t.append((1 to 20).map(i => (i.toLong, i * 10, s"g${i % 2}")).toDF("id", "amount", "grp"),
+      Seq("grp"))
+    t.renameColumn("amount", "price")
+    t.createTag("v1")
+    t.createBranch("wip")
+    t.deleteByKeys(Seq(3L).toDF("id"))
+    t.setPartitionSpec(Seq("grp"))
+    // a FRESH handle reconstructs everything from disk alone
+    val cold = Icebox(dir)
+    cold.read(spark).columns.toSeq should contain("price")
+    cold.read(spark).count() shouldBe 19L // eq delete survives reopen
+    cold.read(spark).agg(sum("price")).as[Long].head() shouldBe ((1 to 20).map(_ * 10).sum - 30L)
+    cold.refs.keySet shouldBe Set("v1", "wip")
+    cold.readRef(spark, "v1").count() shouldBe 20L // tag predates the delete
+    cold.partitionColumns shouldBe Seq("grp")
+    cold.currentPartitionSpec shouldBe Seq("grp")
+    // stats pruning under the renamed logical name, from the cold handle
+    cold.prunedFilesByStats("price", Some(190.0), None)
+      .size should be < cold.currentSnapshot.get.files.size
+    // and the cold handle can keep writing
+    cold.append(Seq((21L, 210, "g1")).toDF("id", "price", "grp"))
+    cold.read(spark).count() shouldBe 20L
+  }
+
   test("equality delete on a branch is isolated from main") {
     val t = Icebox(tmpDir("comp-eq-br"))
     t.append((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "s"))

@@ -14,9 +14,10 @@ import graft.table.Icebox
 class MorModelSpec extends SparkSpec {
   import spark.implicits._
 
-  test("randomized append/upsert/delete/DML/compact agrees with an in-memory model") {
-    val rnd = new scala.util.Random(42)
-    val t = Icebox(tmpDir("mor-model"))
+  for (rndSeed <- Seq(42, 1337))
+  test(s"randomized append/upsert/delete/DML/compact agrees with an in-memory model (seed $rndSeed)") {
+    val rnd = new scala.util.Random(rndSeed)
+    val t = Icebox(tmpDir(s"mor-model-$rndSeed"))
     t.setProperties(Map(
       "write.upsert.mode" -> "merge-on-read",
       "write.delete.mode" -> "merge-on-read",

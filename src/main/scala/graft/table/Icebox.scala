@@ -299,6 +299,16 @@ final class Icebox(val tableDir: String) {
   private def requireSnapshotExists(id: Long): Unit =
     require(Files.exists(snapshotsDir.resolve(s"$id.json")), s"no snapshot $id")
 
+  /** Metadata table of refs: `(name, kind, snapshot_id)` — the
+    * `t.refs` listing analog of [[snapshotsDf]]/[[filesDf]].
+    */
+  def refsDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(refs.toSeq.map { case (n, r) => (n, r.kind, r.snapshotId) })(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
+      .toDF("name", "kind", "snapshot_id")
+  }
+
   /** Create an immutable tag at `snapshotId` (default: current head). */
   def createTag(name: String, snapshotId: Long = -1L): Unit = this.synchronized {
     val id = if (snapshotId >= 0) snapshotId else currentSnapshotId
@@ -689,10 +699,11 @@ final class Icebox(val tableDir: String) {
     */
   def registerView(spark: SparkSession, name: String): Unit = {
     readIndexed(spark).createOrReplaceTempView(name)
-    // metadata tables, Iceberg's `t.snapshots` / `t.files` analog (dots
-    // aren't valid in temp-view names, so underscore-suffixed)
+    // metadata tables, Iceberg's `t.snapshots` / `t.files` / `t.refs`
+    // analog (dots aren't valid in temp-view names, so underscore-suffixed)
     snapshotsDf(spark).createOrReplaceTempView(s"${name}_snapshots")
     filesDf(spark).createOrReplaceTempView(s"${name}_files")
+    refsDf(spark).createOrReplaceTempView(s"${name}_refs")
     graft.sql.MergeSql.register(name, this)
   }
 

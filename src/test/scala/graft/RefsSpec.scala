@@ -79,6 +79,11 @@ class RefsSpec extends SparkSpec {
     t.appendToBranch("audit", Seq((21L, "b")).toDF("id", "s"))
     DmlSql.run(spark, "ALTER TABLE refs_sql_t FAST FORWARD TO audit")
     spark.sql("SELECT count(*) FROM refs_sql_t").as[Long].head() shouldBe 21L
+    // refs metadata view
+    t.registerView(spark, "refs_sql_t")
+    spark.sql("SELECT name, kind FROM refs_sql_t_refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("audit", "branch"), ("v1", "tag"))
     DmlSql.run(spark, "ALTER TABLE refs_sql_t DROP BRANCH audit")
     DmlSql.run(spark, "ALTER TABLE refs_sql_t DROP TAG v1")
     t.refs shouldBe empty

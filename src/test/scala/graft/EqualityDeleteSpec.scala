@@ -128,6 +128,16 @@ class EqualityDeleteSpec extends SparkSpec {
     p.read(spark).filter($"g" === "g1").count() shouldBe 19L
   }
 
+  test("changeDiff across an equality-delete commit emits the deleted rows as CDF deletes") {
+    val t = freshTable("eqdel-cdf")
+    val from = t.currentSnapshotId
+    t.deleteByKeys(Seq(7L, 13L).toDF("id"))
+    val diff = t.changeDiff(spark, from, t.currentSnapshotId)
+    diff.filter($"_change_type" === "delete").select("id").as[Long].collect().sorted shouldBe
+      Array(7L, 13L)
+    diff.filter($"_change_type" === "insert").count() shouldBe 0L
+  }
+
   test("time travel: the pre-delete snapshot still shows deleted rows") {
     val t = freshTable("eqdel-tt")
     val preId = t.currentSnapshotId

@@ -45,8 +45,13 @@ object Streaming {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.load(sourceDir)
     // stable across restarts: derived from the checkpoint path, which IS the
-    // stream's identity (Spark's queryId lives under it)
-    val streamId = "ingest-" + Integer.toHexString(checkpointDir.hashCode)
+    // stream's identity (Spark's queryId lives under it). SHA-256, not
+    // String.hashCode — two distinct streams appending to the same table
+    // with colliding 32-bit hashes would share exactly-once markers, and
+    // appendStreamBatch's monotonic batchId check would silently DROP one
+    // stream's batches
+    val streamId = "ingest-" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -147,7 +152,10 @@ object Streaming {
             // of silently turning into a surprise full re-read.
             try table.changesSince(spark, id)
             catch {
-              case e: java.nio.file.NoSuchFileException =>
+              // nio-local stores raise NoSuchFileException, Hadoop-backed
+              // stores FileNotFoundException — both mean "manifest gone"
+              case e @ (_: java.nio.file.NoSuchFileException |
+                        _: java.io.FileNotFoundException) =>
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
                   s"changeFeed cursor snapshot $id expired (${e.getMessage}); " +
                     "falling back to full-table redelivery")

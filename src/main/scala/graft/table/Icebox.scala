@@ -1,11 +1,11 @@
 package graft.table
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructField, StructType}
@@ -125,10 +125,24 @@ final class Icebox(val tableDir: String) {
   import Icebox.{CommitCol, unescapePathSegment}
 
   private val mapper = new ObjectMapper()
-  private def snapshotsDir: Path = Paths.get(tableDir, "_snapshots")
-  private def currentPtr: Path = Paths.get(tableDir, "_current")
-  private def dataDir: Path = Paths.get(tableDir, "data")
-  private def deletesDir: Path = Paths.get(tableDir, "deletes")
+
+  /** All metadata/maintenance I/O resolves through the Hadoop FileSystem
+    * API from the table URI ([[TableStore]]): `tableDir` may be a plain
+    * local path, `file://`, `hdfs://`, `s3a://`, or any registered scheme.
+    * Lazy — resolved once per handle against the active session's Hadoop
+    * conf (so `spark.hadoop.*` settings and runtime-registered schemes
+    * apply).
+    */
+  private[table] lazy val store: TableStore = new TableStore(new HPath(tableDir),
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  private def snapshotsDir: HPath = store.child("_snapshots")
+  private def currentPtr: HPath = store.child("_current")
+  private def dataDir: HPath = store.child("data")
+  private def deletesDir: HPath = store.child("deletes")
+  private def manifestPath(id: Long): HPath = new HPath(snapshotsDir, s"$id.json")
 
   /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
     * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
@@ -149,7 +163,7 @@ final class Icebox(val tableDir: String) {
 
   // ---------------------------------------------------------------- metadata
 
-  private def propsPath: Path = Paths.get(tableDir, "_properties.json")
+  private def propsPath: HPath = store.child("_properties.json")
 
   /** Iceberg-style table properties (flat string map). Recognized keys:
     * `write.bloom.columns` — comma-separated columns for which every data
@@ -160,8 +174,8 @@ final class Icebox(val tableDir: String) {
     * `write.compression` — parquet codec (default zstd).
     */
   def properties: Map[String, String] = {
-    if (!Files.exists(propsPath)) return Map.empty
-    val node = mapper.readTree(Files.readAllBytes(propsPath))
+    if (!store.exists(propsPath)) return Map.empty
+    val node = mapper.readTree(store.readBytes(propsPath))
     val out = Map.newBuilder[String, String]
     node.properties().iterator().asScala.foreach(e => out += e.getKey -> e.getValue.asText)
     out.result()
@@ -186,10 +200,7 @@ final class Icebox(val tableDir: String) {
       val merged = f(properties)
       val node = mapper.createObjectNode()
       merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-      val tmp = Paths.get(tableDir, s"_properties.tmp.${UUID.randomUUID().toString.take(8)}")
-      Files.write(tmp, mapper.writeValueAsBytes(node))
-      Files.move(tmp, propsPath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      store.atomicReplace(propsPath, mapper.writeValueAsBytes(node))
     }
 
   /** Run `body` under the table's cross-process lock file (CREATE_NEW
@@ -200,32 +211,25 @@ final class Icebox(val tableDir: String) {
     * can verify WHICH lock instance it is removing.
     */
   private def withTableLock[T](body: => T): T = this.synchronized {
-    Files.createDirectories(Paths.get(tableDir))
-    val lock = Paths.get(tableDir, "_properties.lock")
+    store.mkdirs(store.root)
+    val lock = store.child("_properties.lock")
     val myToken = UUID.randomUUID().toString
     var attempt = 0
     while (attempt < 4000) {
-      val claimed =
-        try {
-          Files.write(lock, myToken.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW, java.nio.file.StandardOpenOption.WRITE)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1
-            breakStaleLock(lock)
-            Thread.sleep(5)
-            false
-        }
-      if (claimed)
+      val claimed = store.createNew(lock, myToken.getBytes(StandardCharsets.UTF_8))
+      if (!claimed) {
+        attempt += 1
+        breakStaleLock(lock)
+        Thread.sleep(5)
+      } else
         try return body
         finally {
           // only delete the lock if it is still OURS — if we stalled >10 s a
           // breaker may have replaced it, and deleting blindly would evict
           // the new holder's live lock
           try {
-            val owner = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
-            if (owner == myToken) Files.deleteIfExists(lock)
+            val owner = new String(store.readBytes(lock), StandardCharsets.UTF_8)
+            if (owner == myToken) store.deleteIfExists(lock)
           } catch { case _: java.io.IOException => () }
         }
     }
@@ -240,24 +244,24 @@ final class Icebox(val tableDir: String) {
     * fresh lock replaced the stale one between check and rename (we stole a
     * live lock); it is atomically restored.
     */
-  private def breakStaleLock(lock: Path): Unit = {
+  private def breakStaleLock(lock: HPath): Unit = {
     try {
-      if (!Files.exists(lock) ||
-          System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis <= 10000) return
-      val observed = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
-      val grave = lock.resolveSibling(s"_properties.lock.broken.${UUID.randomUUID().toString.take(8)}")
-      Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
-      val moved = new String(Files.readAllBytes(grave), StandardCharsets.UTF_8)
-      if (moved == observed) Files.deleteIfExists(grave) // confirmed stale — broken
+      if (!store.exists(lock) ||
+          System.currentTimeMillis() - store.mtime(lock) <= 10000) return
+      val observed = new String(store.readBytes(lock), StandardCharsets.UTF_8)
+      val grave = new HPath(lock.getParent,
+        s"_properties.lock.broken.${UUID.randomUUID().toString.take(8)}")
+      if (!store.renameNoReplace(lock, grave)) return // lost the break race
+      val moved = new String(store.readBytes(grave), StandardCharsets.UTF_8)
+      if (moved == observed) store.deleteIfExists(grave) // confirmed stale — broken
       else {
         // a fresh lock slid in after the staleness check; put it back
-        try Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(grave) }
+        if (!store.renameNoReplace(grave, lock)) store.deleteIfExists(grave)
       }
     } catch { case _: java.io.IOException => () } // lost a race — retry loop handles it
   }
 
-  def exists: Boolean = Files.exists(currentPtr)
+  def exists: Boolean = store.exists(currentPtr)
 
   /** Metadata-only COUNT(*): the sum of per-file row counts recorded in the
     * manifest at write time (parquet footer block counts — exact, not an
@@ -297,7 +301,7 @@ final class Icebox(val tableDir: String) {
     require(!refs.contains(name), s"ref '$name' already exists")
 
   private def requireSnapshotExists(id: Long): Unit =
-    require(Files.exists(snapshotsDir.resolve(s"$id.json")), s"no snapshot $id")
+    require(store.exists(manifestPath(id)), s"no snapshot $id")
 
   /** Metadata table of refs: `(name, kind, snapshot_id)` — the
     * `t.refs` listing analog of [[snapshotsDf]]/[[filesDf]].
@@ -352,7 +356,16 @@ final class Icebox(val tableDir: String) {
       collectStats: Seq[String] = Nil): Snapshot = {
     require(refs.get(name).exists(_.kind == "branch"),
       s"'$name' is not a branch (tags are immutable)")
-    commit(df, partitionBy, "append", collectStats, onBranch = Some(name)) {
+    // same partitionBy defaulting as append(): the evolved spec or the
+    // BRANCH head's own layout applies when the caller passes Nil — without
+    // this, appending to a branch of a partitioned table trips the
+    // append-layout require instead of inheriting the layout
+    val parts =
+      if (partitionBy.nonEmpty) partitionBy
+      else properties.get("partition.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(layoutColumns(Some(branchSnapshot(name))))
+    commit(df, parts, "append", collectStats, onBranch = Some(name)) {
       (parent, newFiles) => parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
   }
@@ -360,7 +373,7 @@ final class Icebox(val tableDir: String) {
   /** True iff `ancestorId` is on `descendantId`'s parent chain (or equal). */
   def isAncestor(ancestorId: Long, descendantId: Long): Boolean = {
     var id = descendantId
-    while (id >= 0 && Files.exists(snapshotsDir.resolve(s"$id.json"))) {
+    while (id >= 0 && store.exists(manifestPath(id))) {
       if (id == ancestorId) return true
       id = readSnapshot(id).parentId
     }
@@ -376,16 +389,13 @@ final class Icebox(val tableDir: String) {
     val cur = currentSnapshotId
     require(cur < 0 || isAncestor(cur, target.id),
       s"cannot fast-forward: current head $cur is not an ancestor of branch '$name' head ${target.id}")
-    val tmp = Paths.get(tableDir, s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, target.id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    store.atomicReplace(currentPtr, target.id.toString.getBytes(StandardCharsets.UTF_8))
     target
   }
 
   def currentSnapshotId: Long = {
     if (!exists) -1L
-    else new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong
+    else new String(store.readBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong
   }
 
   def snapshot(id: Long): Snapshot = readSnapshot(id)
@@ -410,7 +420,7 @@ final class Icebox(val tableDir: String) {
   private def chainFrom(startId: Long): Seq[Snapshot] = {
     val out = Seq.newBuilder[Snapshot]
     var id = startId
-    while (id >= 0 && Files.exists(snapshotsDir.resolve(s"$id.json"))) {
+    while (id >= 0 && store.exists(manifestPath(id))) {
       val s = readSnapshot(id)
       out += s
       id = s.parentId
@@ -477,10 +487,17 @@ final class Icebox(val tableDir: String) {
     * (partition dirs store physical names; callers speak logical). Empty if
     * unpartitioned or the table is empty.
     */
-  def partitionColumns: Seq[String] = {
-    val physToLogical = currentSchemaStruct.map(_.fields.map(f =>
-      Icebox.physicalName(f) -> f.name).toMap).getOrElse(Map.empty[String, String])
-    currentSnapshot.flatMap(_.files.headOption)
+  def partitionColumns: Seq[String] = layoutColumns(currentSnapshot)
+
+  /** Partition columns of `snap`'s file layout in LOGICAL names, resolved
+    * through that snapshot's own schema mapping (branch heads may differ
+    * from the main head).
+    */
+  private def layoutColumns(snap: Option[Snapshot]): Seq[String] = {
+    val physToLogical = snap.map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType].fields.map(f =>
+        Icebox.physicalName(f) -> f.name).toMap).getOrElse(Map.empty[String, String])
+    snap.flatMap(_.files.headOption)
       .map(_.partition.keys.toSeq.map(k => physToLogical.getOrElse(k, k)).sorted)
       .getOrElse(Nil)
   }
@@ -792,10 +809,21 @@ final class Icebox(val tableDir: String) {
   }
 
   /** Read only the partitions matching `values` (prunes via the manifest
-    * before Spark lists anything).
+    * before Spark lists anything). On a MIXED-GENERATION table (partition
+    * spec evolved, not yet compacted) files from a generation not
+    * partitioned by `column` are kept conservatively by [[prunedFiles]] —
+    * those may hold rows outside the requested partitions, so the exact
+    * filter is applied whenever such a file is present (single-generation
+    * tables pay zero plan overhead). Values compare in partition-directory
+    * string form, the same rendering `values` uses.
     */
-  def readPartitions(spark: SparkSession, column: String, values: Set[String]): DataFrame =
-    readFiles(spark, prunedFiles(column, values), currentSnapshot.map(_.schemaJson))
+  def readPartitions(spark: SparkSession, column: String, values: Set[String]): DataFrame = {
+    val key = toPhysical(column)
+    val files = prunedFiles(column, values)
+    val base = readFiles(spark, files, currentSnapshot.map(_.schemaJson))
+    if (files.forall(_.partition.contains(key))) base
+    else base.filter(col(column).cast(StringType).isin(values.toSeq: _*))
+  }
 
   // ------------------------------------------------------------- maintenance
 
@@ -807,7 +835,7 @@ final class Icebox(val tableDir: String) {
     * collapsing into one (skew safety at scale); the writer's `partitionBy`
     * re-routes rows to their partition dirs regardless.
     */
-  def compact(spark: SparkSession, targetFileMb: Int = 512): Snapshot = {
+  def compact(spark: SparkSession, targetFileMb: Int = 512): Snapshot = retryOnStaleHead {
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     // a declared table sort order (`write.sort.columns`) makes the plain
     // compaction a SORTED rewrite — Iceberg's "rewrite honors the table
@@ -826,7 +854,14 @@ final class Icebox(val tableDir: String) {
         val perPart = math.max(1, n / math.max(1, snap.files.map(_.partition).distinct.size))
         df.repartition(n, (partCols.map(col) :+ pmod(spark_partition_id(), lit(perPart))): _*)
       } else df.repartition(n)
-    commit(repacked, partCols, "compact") { (_, newFiles) => newFiles }
+    commit(repacked, partCols, "compact") { (parent, newFiles) =>
+      // MAINTENANCE must never drop a concurrent commit: the rewrite was
+      // computed from `snap` — if the head moved (a delete landed mid-
+      // rewrite), publishing newFiles-only would silently discard it.
+      // Recompute from the new head instead (Iceberg's rewrite-validation).
+      if (!parent.map(_.id).contains(snap.id)) throw Icebox.StaleCommitState
+      newFiles
+    }
   }
 
   /** M1 + clustering: sort-ordered compaction — rewrite the table
@@ -850,7 +885,7 @@ final class Icebox(val tableDir: String) {
     * numeric nor string.
     */
   def compactSorted(spark: SparkSession, sortBy: Seq[String],
-      targetFileMb: Int = 512, numFiles: Option[Int] = None): Snapshot = {
+      targetFileMb: Int = 512, numFiles: Option[Int] = None): Snapshot = retryOnStaleHead {
     require(sortBy.nonEmpty, "compactSorted needs sort columns")
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val totalBytes = snap.files.map(_.sizeBytes).sum
@@ -873,7 +908,10 @@ final class Icebox(val tableDir: String) {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
       }
-    commit(df, currentPartitionSpec, "compact", collectStats = sortBy) { (_, newFiles) => newFiles }
+    commit(df, currentPartitionSpec, "compact", collectStats = sortBy) { (parent, newFiles) =>
+      if (!parent.map(_.id).contains(snap.id)) throw Icebox.StaleCommitState // see compact()
+      newFiles
+    }
   }
 
   /** M1 partition-scoped: compact ONLY partitions with more than
@@ -884,20 +922,26 @@ final class Icebox(val tableDir: String) {
     * partitions rewritten.
     */
   def compactPartitions(spark: SparkSession, targetFileMb: Int = 512,
-      minFiles: Int = 4): Seq[Map[String, String]] = {
+      minFiles: Int = 4): Seq[Map[String, String]] = retryOnStaleHead {
     val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val partCols = partitionColumns
     require(partCols.nonEmpty, "compactPartitions needs a partitioned table; use compact()")
     val byPartition = snap.files.groupBy(_.partition)
     val hot = byPartition.filter(_._2.size > minFiles)
-    if (hot.isEmpty) return Nil
-    val hotFiles = hot.values.flatten.toSeq
-    val bytes = hotFiles.map(_.sizeBytes).sum
-    val n = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
-    val df = withHiddenPartitions(readFiles(spark, hotFiles, Some(snap.schemaJson)))
-      .repartition(n, partCols.map(col): _*)
-    overwritePartitions(df, partCols)
-    hot.keys.toSeq
+    if (hot.isEmpty) Nil
+    else {
+      val hotFiles = hot.values.flatten.toSeq
+      val bytes = hotFiles.map(_.sizeBytes).sum
+      val n = math.max(1, math.ceil(bytes / (targetFileMb * 1024.0 * 1024.0)).toInt)
+      val df = withHiddenPartitions(readFiles(spark, hotFiles, Some(snap.schemaJson)))
+        .repartition(n, partCols.map(col): _*)
+      commit(df, partCols, "overwrite") { (parent, newFiles) =>
+        if (!parent.map(_.id).contains(snap.id)) throw Icebox.StaleCommitState // see compact()
+        val touched = newFiles.map(_.partition).toSet
+        parent.map(_.files).getOrElse(Nil).filterNot(f => touched(f.partition)) ++ newFiles
+      }
+      hot.keys.toSeq
+    }
   }
 
   /** M2: snapshot expiry — drop snapshots older than `olderThanMs`, always
@@ -941,10 +985,8 @@ final class Icebox(val tableDir: String) {
         val fs = resolveFiles(oldest.id)
         val fullM = m.copy(fileCount = fs.size.toLong, totalBytes = fs.map(_.sizeBytes).sum,
           deltaDepth = 0, full = Some(fs), added = Nil, removedPaths = Nil)
-        val tmp = snapshotsDir.resolve(s"${oldest.id}.json.tmp")
-        Files.write(tmp, manifestJson(fullM).getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, snapshotsDir.resolve(s"${oldest.id}.json"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        store.atomicReplace(manifestPath(oldest.id),
+          manifestJson(fullM).getBytes(StandardCharsets.UTF_8))
         manifestCache.put(oldest.id, fullM)
       }
     }
@@ -953,20 +995,17 @@ final class Icebox(val tableDir: String) {
     val liveFiles = (keep ++ refChains).flatMap(_.files.map(_.path)).toSet
     // delete expired manifests, plus unreachable (crash-orphaned) manifests old enough
     expired.foreach { s =>
-      Files.deleteIfExists(snapshotsDir.resolve(s"${s.id}.json"))
+      store.deleteIfExists(manifestPath(s.id))
       manifestCache.remove(s.id) // expired ids must fail reads like a fresh handle's
       filesCache.remove(s.id)
     }
-    if (Files.exists(snapshotsDir)) {
-      val orphanManifests = Using.resource(Files.list(snapshotsDir)) { st =>
-        st.iterator().asScala.filter { p =>
-          val name = p.getFileName.toString
-          name.endsWith(".json") &&
-            name.stripSuffix(".json").toLongOption.exists(!reachable(_)) &&
-            Files.getLastModifiedTime(p).toMillis < olderThanMs
-        }.toList
-      }
-      orphanManifests.foreach(Files.deleteIfExists(_))
+    if (store.exists(snapshotsDir)) {
+      store.list(snapshotsDir).filter { st =>
+        val name = st.getPath.getName
+        name.endsWith(".json") &&
+          name.stripSuffix(".json").toLongOption.exists(!reachable(_)) &&
+          st.getModificationTime < olderThanMs
+      }.foreach(st => store.deleteIfExists(st.getPath))
     }
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
@@ -982,16 +1021,11 @@ final class Icebox(val tableDir: String) {
     * commit writes its delete file BEFORE publishing the manifest).
     */
   private def deleteUnreferencedDeleteDirs(referenced: Set[String], cutoffMs: Long): Seq[String] = {
-    if (!Files.exists(deletesDir)) return Nil
-    val dead = Using.resource(Files.list(deletesDir)) { st =>
-      st.iterator().asScala.filter(d => !referenced(d.toString) &&
-        Files.getLastModifiedTime(d).toMillis < cutoffMs).toList
-    }
-    dead.flatMap { d =>
-      val inner = Using.resource(Files.walk(d))(_.iterator().asScala.toSeq)
-      inner.reverse.foreach(Files.deleteIfExists(_))
-      Some(d.toString)
-    }
+    if (!store.exists(deletesDir)) return Nil
+    store.list(deletesDir)
+      .filter(st => !referenced(store.render(st.getPath)) &&
+        st.getModificationTime < cutoffMs)
+      .map { st => store.deleteRecursive(st.getPath); store.render(st.getPath) }
   }
 
   /** Delete files under data/ that are dead relative to `referenced`, if
@@ -1001,26 +1035,28 @@ final class Icebox(val tableDir: String) {
     * and checksums are never touched. Empty directories are pruned.
     */
   private def deleteUnreferenced(referenced: Set[String], cutoffMs: Long): Seq[String] = {
-    if (!Files.exists(dataDir)) return Nil
+    if (!store.exists(dataDir)) return Nil
+    val dataDirStr = store.render(dataDir)
+    def underData(d: String): Boolean =
+      d == dataDirStr || d.startsWith(dataDirStr + "/")
     // every ancestor directory between a referenced file and dataDir is
     // live: partitioned writes put parquet in data/__commit=N/part=v/ while
     // _SUCCESS markers sit at the commit root data/__commit=N/
     val refDirs = referenced.flatMap { p =>
-      Iterator.iterate(Paths.get(p).getParent)(_.getParent)
-        .takeWhile(d => d != null && d.startsWith(dataDir))
-        .map(_.toString)
+      Iterator.iterate(new HPath(p).getParent)(_.getParent)
+        .takeWhile(d => d != null && underData(store.render(d)))
+        .map(store.render)
     }
-    val walked = Using.resource(Files.walk(dataDir))(_.iterator().asScala.toSeq)
     val deleted = Seq.newBuilder[String]
-    walked.reverse.foreach { p =>
-      if (Files.isRegularFile(p) && Files.getLastModifiedTime(p).toMillis < cutoffMs) {
+    store.walk(dataDir).reverse.foreach { st =>
+      val p = st.getPath
+      if (st.isFile && st.getModificationTime < cutoffMs) {
         val dead =
-          if (p.getFileName.toString.endsWith(".parquet")) !referenced(p.toString)
-          else !refDirs(p.getParent.toString)
-        if (dead) { Files.deleteIfExists(p); deleted += p.toString }
-      } else if (Files.isDirectory(p) && p != dataDir &&
-          Using.resource(Files.list(p))(s => !s.iterator().hasNext))
-        Files.deleteIfExists(p)
+          if (p.getName.endsWith(".parquet")) !referenced(store.render(p))
+          else !refDirs(store.render(p.getParent))
+        if (dead) { store.deleteIfExists(p); deleted += store.render(p) }
+      } else if (st.isDirectory && store.render(p) != dataDirStr && store.list(p).isEmpty)
+        store.deleteIfExists(p)
     }
     deleted.result()
   }
@@ -1111,7 +1147,7 @@ final class Icebox(val tableDir: String) {
     val readSchema = StructType(phys.fields :+ StructField(CommitCol, StringType))
     val base = spark.read
       .schema(readSchema)
-      .option("basePath", dataDir.toString)
+      .option("basePath", store.render(dataDir))
       .parquet(files.map(_.path): _*)
     Icebox.applyDeletes(spark, base, files)
       .drop(CommitCol)
@@ -1136,7 +1172,7 @@ final class Icebox(val tableDir: String) {
     val readSchema = StructType(phys.fields :+ StructField(CommitCol, StringType))
     val base = spark.read
       .schema(readSchema)
-      .option("basePath", dataDir.toString)
+      .option("basePath", store.render(dataDir))
       .parquet(files.map(_.path): _*)
       .select(col("*"), col("_metadata.file_path").as(fpCol), col("_metadata.row_index").as(posCol))
     val posApplied =
@@ -1154,10 +1190,10 @@ final class Icebox(val tableDir: String) {
     * output file keeps the read-side anti-join broadcastable.
     */
   private def writeDeleteFile(positions: DataFrame): String = {
-    Files.createDirectories(deletesDir)
-    val dir = deletesDir.resolve(s"delete-${UUID.randomUUID().toString.take(12)}")
-    positions.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    dir.toString
+    store.mkdirs(deletesDir)
+    val dir = store.render(new HPath(deletesDir, s"delete-${UUID.randomUUID().toString.take(12)}"))
+    positions.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
   }
 
   /** Merge-on-read row-level DELETE: records `positions` (in
@@ -1186,15 +1222,17 @@ final class Icebox(val tableDir: String) {
     */
   private def commitPositionDeletesImpl(spark: SparkSession, op: String,
       positions: DataFrame, newData: Option[DataFrame],
-      partitionBy: Seq[String]): Snapshot = {
+      partitionBy: Seq[String]): Snapshot = retryOnStaleHead {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val schemaJson = cur.schemaJson
     val affected = affectedPaths(positions)
     if (affected.isEmpty) // no matching rows: commit an explicit no-op snapshot
-      return commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
+      commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
+    else {
     val maxDepth = properties.get("write.merge-on-read.max-delete-files")
       .map(_.toInt).getOrElse(8)
-    val overFiles = cur.files.filter(f => affected(f.path) && f.deletes.size >= maxDepth)
+    val overFiles = cur.files.filter(f =>
+      affected(pathOnly(f.path)) && f.deletes.size >= maxDepth)
     val overPaths = overFiles.map(_.path).toSet
     val rewritten: Option[DataFrame] =
       if (overFiles.isEmpty) None
@@ -1213,10 +1251,17 @@ final class Icebox(val tableDir: String) {
           .select(schema.fieldNames.map(col).toIndexedSeq: _*))
       }
     val dir = writeDeleteFile(positions)
-    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.flatMap {
-      case f if overPaths(f.path) => None // replaced by this commit's rewrite
-      case f if affected(f.path)  => Some(f.copy(deletes = f.deletes :+ dir))
-      case f => Some(f)
+    def attach(parent: Option[Snapshot]): Seq[DataFile] = {
+      // DRIFT GUARD: affected/overPaths and the rewrite payload were all
+      // derived from `cur` — a cross-process commit that moved the head
+      // (e.g. a compaction replacing an over-depth file) would make the
+      // attach double-commit rewritten rows; recompute from scratch instead
+      if (!parent.map(_.id).contains(cur.id)) throw Icebox.StaleCommitState
+      parent.map(_.files).getOrElse(Nil).flatMap {
+        case f if overPaths(f.path) => None // replaced by this commit's rewrite
+        case f if affected(pathOnly(f.path)) => Some(f.copy(deletes = f.deletes :+ dir))
+        case f => Some(f)
+      }
     }
     val payload: Option[DataFrame] = (newData, rewritten) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -1224,11 +1269,11 @@ final class Icebox(val tableDir: String) {
     }
     val payloadParts = if (partitionBy.nonEmpty) partitionBy else partitionColumns
     payload match {
-      case None => commitMetaResolved(op,
-        parent => attach(parent.map(_.files).getOrElse(Nil)), schemaJson)
+      case None => commitMetaResolved(op, attach(_), schemaJson)
       case Some(df) => commit(df, payloadParts, op) { (parent, newFiles) =>
-        attach(parent.map(_.files).getOrElse(Nil)) ++ newFiles
+        attach(parent) ++ newFiles
       }
+    }
     }
   }
 
@@ -1238,10 +1283,10 @@ final class Icebox(val tableDir: String) {
     * read-side joins broadcast.
     */
   private def writeEqDeleteFile(keys: DataFrame): String = {
-    Files.createDirectories(deletesDir)
-    val dir = deletesDir.resolve(s"eqdelete-${UUID.randomUUID().toString.take(12)}")
-    keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    dir.toString
+    store.mkdirs(deletesDir)
+    val dir = store.render(new HPath(deletesDir, s"eqdelete-${UUID.randomUUID().toString.take(12)}"))
+    keys.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
   }
 
   /** EQUALITY-delete commit (Iceberg v2's other merge-on-read delete type):
@@ -1259,7 +1304,8 @@ final class Icebox(val tableDir: String) {
     * of a deleted key survive.
     */
   private[graft] def commitEqualityDeletes(op: String, keys: DataFrame,
-      newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil): Snapshot = {
+      newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil): Snapshot =
+      retryOnStaleHead {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val tableCols = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType].fieldNames.toSet
     val logicalKeyCols = keys.columns.toSeq
@@ -1313,11 +1359,20 @@ final class Icebox(val tableDir: String) {
           .join(broadcast(keys.dropDuplicates()), logicalKeyCols, "left_anti"))
       }
     val dir = writeEqDeleteFile(keysPhys)
-    def attach(parentFiles: Seq[DataFile]): Seq[DataFile] = parentFiles.flatMap {
-      case f if overPaths(f.path) => None // replaced by this commit's rewrite
-      case f if preExisting(f.path) && !disjoint(f) =>
-        Some(f.copy(eqDeletes = f.eqDeletes :+ dir))
-      case f => Some(f)
+    def attach(parent: Option[Snapshot]): Seq[DataFile] = {
+      // DRIFT GUARD: preExisting/overPaths and the rewrite payload were all
+      // derived from `cur` — if a cross-process commit moved the head (a
+      // compaction already replacing an over-depth file, an append whose
+      // rows match a batch key), attaching against the new parent would
+      // double-commit rewritten rows or let matching rows escape the
+      // delete; recompute everything against the new head instead
+      if (!parent.map(_.id).contains(cur.id)) throw Icebox.StaleCommitState
+      parent.map(_.files).getOrElse(Nil).flatMap {
+        case f if overPaths(f.path) => None // replaced by this commit's rewrite
+        case f if preExisting(f.path) && !disjoint(f) =>
+          Some(f.copy(eqDeletes = f.eqDeletes :+ dir))
+        case f => Some(f)
+      }
     }
     val payload: Option[DataFrame] = (newData, rewritten) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -1327,10 +1382,9 @@ final class Icebox(val tableDir: String) {
     // the caller (deleteByKeys) passes no partitioning
     val payloadParts = if (partitionBy.nonEmpty) partitionBy else partitionColumns
     payload match {
-      case None => commitMetaResolved(op,
-        parent => attach(parent.map(_.files).getOrElse(Nil)), cur.schemaJson)
+      case None => commitMetaResolved(op, attach(_), cur.schemaJson)
       case Some(df) => commit(df, payloadParts, op) { (parent, newFiles) =>
-        attach(parent.map(_.files).getOrElse(Nil)) ++ newFiles
+        attach(parent) ++ newFiles
       }
     }
   }
@@ -1343,12 +1397,38 @@ final class Icebox(val tableDir: String) {
     */
   def deleteByKeys(keys: DataFrame): Snapshot = commitEqualityDeletes("eqdelete", keys)
 
-  /** Distinct data files hit by `positions`, as manifest-form plain paths
-    * (bounded driver collect: ≤ one row per candidate FILE, not per row).
+  /** Distinct data files hit by `positions`, as SCHEME-FREE paths (bounded
+    * driver collect: ≤ one row per candidate FILE, not per row). Compare
+    * manifest paths through [[pathOnly]] — `_metadata.file_path` carries a
+    * scheme through `spark.read` but manifests may or may not, depending on
+    * the table's filesystem.
     */
   private def affectedPaths(positions: DataFrame): Set[String] =
     positions.select("file_path").distinct().collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+
+  /** A path string reduced to its filesystem path — scheme/authority
+    * stripped — for comparisons against `_metadata.file_path` /
+    * `input_file_name` values, which carry a scheme on some read paths and
+    * not others.
+    */
+  private def pathOnly(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Re-run `body` when a merge-on-read commit observes that the head moved
+    * past the state its delete computation captured (cross-process only —
+    * in-process commits serialize on the handle). Each retry recomputes
+    * everything against the new head; data files written by an abandoned
+    * attempt become orphans and are collected by [[removeOrphans]].
+    */
+  private def retryOnStaleHead[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch { case Icebox.StaleCommitState if attempt < 8 => attempt += 1 }
+    }
+    sys.error("unreachable")
+  }
 
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
     * set is derived by `resolve(parent, newFiles)`.
@@ -1401,9 +1481,9 @@ final class Icebox(val tableDir: String) {
           s"append partitioning ${partitionByPhys.mkString(",")} matches neither the " +
             s"table layout ${existing.mkString(",")} nor an evolved partition.columns spec")
     }
-    Files.createDirectories(dataDir)
+    store.mkdirs(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)
-    val commitDir = dataDir.resolve(s"$CommitCol=$commitId")
+    val commitDir = new HPath(dataDir, s"$CommitCol=$commitId")
     val props = properties
     // WRITE SHAPING (Iceberg table-property analogs), applied after
     // physicalization so the columns are the on-disk names:
@@ -1438,7 +1518,7 @@ final class Icebox(val tableDir: String) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
     }
     (if (partitionByPhys.nonEmpty) writer.partitionBy(partitionByPhys: _*) else writer)
-      .parquet(commitDir.toString)
+      .parquet(store.render(commitDir))
     val listedRaw = listDataFiles(commitDir)
     // Footer-decodable primitive columns are stats-tracked BY DEFAULT: the
     // footer pass already runs once per commit for row counts, so their
@@ -1537,7 +1617,19 @@ final class Icebox(val tableDir: String) {
         .withMetadata(f.metadata)
         .putString(Icebox.PhysicalKey, Icebox.physicalName(f)).build())
     val next = StructType(schema.fields.map(x => if (x eq f) renamed else x))
-    commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
+    val snap = commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
+    // an evolved identity spec (`partition.columns`) speaks LOGICAL names —
+    // carry the rename, or the next append would auto-apply a ghost column
+    // and die AFTER the schema commit landed. The property write follows
+    // the schema commit; a crash between the two makes the next append fail
+    // loudly (unknown column), never corrupt data.
+    properties.get("partition.columns").foreach { spec =>
+      val cols = spec.split(',').map(_.trim).filter(_.nonEmpty)
+      if (cols.exists(_.equalsIgnoreCase(oldName)))
+        setProperties(Map("partition.columns" -> cols.map(c =>
+          if (c.equalsIgnoreCase(oldName)) newName else c).mkString(",")))
+    }
+    snap
   }
 
   /** Drop a column — metadata-only: the field leaves the schema, readers
@@ -1553,6 +1645,11 @@ final class Icebox(val tableDir: String) {
       s"cannot drop partition column $name")
     require(!partitionSpec.exists(_.source.equalsIgnoreCase(name)),
       s"cannot drop $name: referenced by partition.spec")
+    // the EVOLVED identity spec counts too: future appends auto-partition
+    // by `partition.columns`, so dropping a column named there would break
+    // every subsequent write after the metadata commit already landed
+    require(!currentPartitionSpec.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop $name: named by the evolved partition.columns spec")
     val next = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
   }
@@ -1610,7 +1707,7 @@ final class Icebox(val tableDir: String) {
     */
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
       schemaJson: String, onBranch: Option[String] = None): Snapshot = this.synchronized {
-    Files.createDirectories(snapshotsDir)
+    store.mkdirs(snapshotsDir)
     var attempt = 0
     // Snapshot ids are claimed across ALL lineages by CREATE_NEW on
     // `<id>.json`, so a collision has two causes: a concurrent commit on
@@ -1626,17 +1723,9 @@ final class Icebox(val tableDir: String) {
       }
       val id = math.max(parent.map(_.id + 1).getOrElse(0L), bumpId)
       val (m, canonical) = buildManifest(id, parent, op, resolve(parent), schemaJson)
-      val claimed =
-        try {
-          Files.write(snapshotsDir.resolve(s"$id.json"),
-            manifestJson(m).getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1; bumpId = id + 1; false
-        }
+      val claimed = store.createNew(manifestPath(id),
+        manifestJson(m).getBytes(StandardCharsets.UTF_8))
+      if (!claimed) { attempt += 1; bumpId = id + 1 }
       if (claimed) {
         val published = onBranch match {
           case None =>
@@ -1651,16 +1740,12 @@ final class Icebox(val tableDir: String) {
             val ok = withTableLock {
               if (currentSnapshotId != expected) false
               else {
-                val tmp = Paths.get(tableDir,
-                  s"_current.tmp.${UUID.randomUUID().toString.take(8)}")
-                Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-                Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
-                  StandardCopyOption.REPLACE_EXISTING)
+                store.atomicReplace(currentPtr, id.toString.getBytes(StandardCharsets.UTF_8))
                 true
               }
             }
             if (!ok) { // head moved: release the claim, rebuild on the new head
-              Files.deleteIfExists(snapshotsDir.resolve(s"$id.json"))
+              store.deleteIfExists(manifestPath(id))
               attempt += 1; bumpId = id + 1
             }
             ok
@@ -1675,7 +1760,7 @@ final class Icebox(val tableDir: String) {
               else { ok = true; props + (s"$BranchPrefix$b" -> id.toString) }
             }
             if (!ok) { // orphaned claim: release the manifest and retry
-              Files.deleteIfExists(snapshotsDir.resolve(s"$id.json"))
+              store.deleteIfExists(manifestPath(id))
               attempt += 1; bumpId = id + 1
             }
             ok
@@ -1750,13 +1835,17 @@ final class Icebox(val tableDir: String) {
   private def fileStats(spark: SparkSession, paths: Seq[String],
       cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
     if (paths.isEmpty) return Map.empty
+    // input_file_name renders a URI; manifest paths may or may not carry a
+    // scheme — key the result by the CALLER's path form so lookups hit
+    val byPathOnly = paths.map(p => pathOnly(p) -> p).toMap
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val file = new java.net.URI(r.getAs[String]("__f")).getPath
+        val uriPath = new java.net.URI(r.getAs[String]("__f")).getPath
+        val file = byPathOnly.getOrElse(uriPath, uriPath)
         val st = cols.flatMap { c =>
           (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
             case (Some(mn), Some(mx)) => Some(c -> (mn.toString, mx.toString))
@@ -1802,22 +1891,22 @@ final class Icebox(val tableDir: String) {
     }
   }
 
-  private def listDataFiles(commitDir: Path): Seq[DataFile] = {
-    if (!Files.exists(commitDir)) return Nil
-    Using.resource(Files.walk(commitDir)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .map { p =>
-          val rel = commitDir.relativize(p)
-          val partition = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-            .filter(_.contains("="))
-            .map { seg =>
-              val Array(k, v) = seg.split("=", 2)
-              k -> unescapePathSegment(v)
-            }.toMap
-          DataFile(p.toString, Files.size(p), partition)
-        }.toSeq.sortBy(_.path)
-    }
+  private def listDataFiles(commitDir: HPath): Seq[DataFile] = {
+    if (!store.exists(commitDir)) return Nil
+    val prefix = store.render(commitDir)
+    store.walk(commitDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = store.render(st.getPath).stripPrefix(prefix).stripPrefix("/")
+        val segs = rel.split('/')
+        val partition = segs.dropRight(1).toSeq
+          .filter(_.contains("="))
+          .map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> unescapePathSegment(v)
+          }.toMap
+        DataFile(store.render(st.getPath), st.getLen, partition)
+      }.sortBy(_.path)
   }
 
   // ------------------------------------------------- manifest serialization
@@ -1870,7 +1959,7 @@ final class Icebox(val tableDir: String) {
   private def manifest(id: Long): Icebox.Manifest = {
     val cached = manifestCache.get(id)
     if (cached != null) return cached
-    val node = mapper.readTree(Files.readAllBytes(snapshotsDir.resolve(s"$id.json")))
+    val node = mapper.readTree(store.readBytes(manifestPath(id)))
     def readFiles(name: String): Seq[DataFile] =
       Option(node.get(name)).map(_.elements().asScala.map { f =>
         val pm = f.get("partition")
@@ -1949,6 +2038,14 @@ object Icebox {
 
   /** A named snapshot ref: `kind` is "tag" (immutable) or "branch" (writable). */
   final case class Ref(kind: String, snapshotId: Long)
+
+  /** Control signal thrown by a merge-on-read commit's resolve closure when
+    * the head moved past the state its delete computation captured; the
+    * commit recomputes against the new head (see `retryOnStaleHead`).
+    */
+  private[table] object StaleCommitState extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
 
   /** StructField metadata key holding a column's PHYSICAL (on-disk) name.
     * Column-mapping schema evolution (Delta's name-mapping / Iceberg's
@@ -2218,11 +2315,15 @@ object Icebox {
 
   def apply(tableDir: String): Icebox = new Icebox(tableDir)
 
-  /** W8 analog: namespace = a directory of tables. */
+  /** W8 analog: namespace = a directory of tables (any Hadoop-resolvable
+    * warehouse URI).
+    */
   def table(warehouseDir: String, namespace: String, name: String): Icebox = {
-    val dir = Paths.get(warehouseDir, namespace, name)
-    Files.createDirectories(dir.getParent)
-    new Icebox(dir.toString)
+    val dir = new HPath(new HPath(warehouseDir, namespace), name)
+    val t = new Icebox(
+      if (dir.toUri.getScheme == null) dir.toUri.getPath else dir.toString)
+    t.store.mkdirs(dir.getParent)
+    t
   }
 
   /** Decode ONLY %XX escapes in a hive partition path segment — unlike

@@ -1,0 +1,167 @@
+package graft.table
+
+import java.io.IOException
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileStatus, FileSystem, Options, Path => HPath}
+
+/** Storage layer for [[Icebox]] metadata and maintenance I/O, resolved from
+  * the table URI through the Hadoop FileSystem API — a table lives on
+  * `file://` (or a plain local path), `hdfs://`, `s3a://`, or any other
+  * registered scheme (the reference's warehouse is MinIO/S3 behind the same
+  * API: utils/minio_manager.py:7-44, utils/catalog_manager.py:8-26).
+  *
+  * All listing/reading/writing/deleting goes through the resolved
+  * `FileSystem` (the checksummed local FS is unwrapped to its raw form so
+  * metadata writes don't shed `.crc` sidecars). The THREE primitives the
+  * commit protocol's correctness rests on are abstracted here, because
+  * their atomicity is filesystem-specific:
+  *
+  *  - '''createNew''' — the CAS claim (lock acquisition, snapshot-id
+  *    claims). Local: `O_EXCL` via java.nio `CREATE_NEW` — kernel-atomic.
+  *    HDFS: `create(overwrite=false)` — atomic on the NameNode. Raw-local
+  *    Hadoop and S3A check-then-create (TOCTOU): S3 deployments should
+  *    enable conditional writes (`fs.s3a.create.conditional.enabled`,
+  *    Hadoop 3.4.1+ If-None-Match PUT) or front the claim with a DynamoDB/
+  *    catalog CAS, which is exactly how Iceberg's S3 commit works.
+  *  - '''atomicReplace''' — publish (`_current` flip, properties update,
+  *    manifest rebase): write-temp + rename-overwrite. Local: nio
+  *    `ATOMIC_MOVE`. Others: `FileContext.rename(OVERWRITE)` (atomic on
+  *    HDFS) with a delete+rename fallback for filesystems exposing no
+  *    AbstractFileSystem binding (non-atomic — the crash window leaves no
+  *    `_current`, which readers surface loudly as "table missing", never as
+  *    a stale-but-plausible state).
+  *  - '''renameNoReplace''' — the stale-lock break protocol's grave move.
+  *    Local: nio move sans REPLACE. Others: exists-check + rename
+  *    (best-effort; the protocol it serves is itself a crash-recovery
+  *    fallback and tolerates a lost race by retrying).
+  *
+  * Paths are RENDERED back to strings (for manifests, Spark reads, and
+  * returned file lists) with [[render]]: a table rooted at a schemeless
+  * local path keeps schemeless paths — byte-compatible with pre-round-9
+  * manifests — while a URI-rooted table keeps its scheme+authority so a
+  * manifest path alone resolves the right FileSystem on any reader.
+  */
+final class TableStore(val root: HPath, conf: Configuration) {
+
+  private val fs: FileSystem = root.getFileSystem(conf)
+
+  /** Metadata filesystem: the checksummed local FS writes a `.crc` sidecar
+    * next to every file, which would litter `_snapshots/` and break
+    * byte-parity with the nio-era layout — unwrap to the raw FS.
+    */
+  private val mfs: FileSystem = fs match {
+    case c: ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  // via the FS URI, not getScheme() — RawLocalFileSystem inherits the
+  // base getScheme, which throws UnsupportedOperationException
+  private val isLocal: Boolean = Option(mfs.getUri.getScheme).contains("file")
+  private val schemeless: Boolean = root.toUri.getScheme == null
+
+  private def nio(p: HPath): java.nio.file.Path = Paths.get(p.toUri.getPath)
+
+  /** `root`/`name` (multi-segment names allowed). */
+  def child(name: String): HPath = new HPath(root, name)
+
+  /** Canonical string form of `p` for manifests and Spark reads (see class
+    * doc: schemeless tables render schemeless).
+    */
+  def render(p: HPath): String = if (schemeless) p.toUri.getPath else p.toString
+
+  def exists(p: HPath): Boolean = mfs.exists(p)
+
+  def readBytes(p: HPath): Array[Byte] = {
+    val in = mfs.open(p)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  def mkdirs(p: HPath): Unit = mfs.mkdirs(p)
+
+  /** Delete a file or EMPTY directory; false if absent. */
+  def deleteIfExists(p: HPath): Boolean =
+    try mfs.delete(p, false)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  def deleteRecursive(p: HPath): Boolean =
+    try mfs.delete(p, true)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  def mtime(p: HPath): Long = mfs.getFileStatus(p).getModificationTime
+
+  def list(p: HPath): Seq[FileStatus] = mfs.listStatus(p).toSeq
+
+  /** Recursive preorder listing (`p` itself first, parents before children
+    * — reverse for leaf-first deletion), files and directories both.
+    */
+  def walk(p: HPath): Seq[FileStatus] = {
+    val self = mfs.getFileStatus(p)
+    if (self.isFile) Seq(self)
+    else self +: list(p).flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st))
+  }
+
+  /** CAS create: write `bytes` to `p` iff `p` does not exist; false when it
+    * does (see class doc for per-filesystem atomicity).
+    */
+  def createNew(p: HPath, bytes: Array[Byte]): Boolean =
+    if (isLocal) {
+      try {
+        Files.write(nio(p), bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = mfs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+
+  /** Atomically replace `p`'s content with `bytes` (write-temp + rename;
+    * see class doc for per-filesystem atomicity).
+    */
+  def atomicReplace(p: HPath, bytes: Array[Byte]): Unit = {
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp.${UUID.randomUUID().toString.take(8)}")
+    if (isLocal) {
+      Files.write(nio(tmp), bytes)
+      Files.move(nio(tmp), nio(p), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = mfs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        val fc = FileContext.getFileContext(p.toUri, conf)
+        fc.rename(tmp, p, Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // raw-local rename is POSIX rename(2) — atomic overwrite; only a
+          // strict dst-exists filesystem needs the (non-atomic) delete first
+          if (!mfs.rename(tmp, p)) {
+            mfs.delete(p, false)
+            if (!mfs.rename(tmp, p)) throw new IOException(s"rename $tmp -> $p failed")
+          }
+      }
+    }
+  }
+
+  /** Rename `src` to `dst` iff `dst` does not exist; false on any lost
+    * race (see class doc).
+    */
+  def renameNoReplace(src: HPath, dst: HPath): Boolean =
+    if (isLocal) {
+      try { Files.move(nio(src), nio(dst)); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else {
+      try !mfs.exists(dst) && mfs.rename(src, dst)
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+}

@@ -254,6 +254,56 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // MERGE INTO in merge-on-read mode: the same statement as q_merge_into,
+    // but the commit is ONE equality-delete file + the matched images /
+    // inserts — the requires prove zero pre-existing data files were
+    // removed or rewritten (write cost O(batch), not O(table))
+    "q_merge_mor" -> ((s, dir) => {
+      val table = Icebox(tmp("qmm"))
+      val o = t(s, dir, "orders")
+      table.overwrite(o)
+      table.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+      graft.sql.MergeSql.register("qmm_target", table)
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000))
+        .createOrReplaceTempView("qmm_source")
+      val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
+      val snap = graft.sql.MergeSql.merge(s,
+        """MERGE INTO qmm_target t USING qmm_source s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(snap.operation == "merge-mor", s"expected merge-mor, got ${snap.operation}")
+      require(beforePaths.subsetOf(table.currentSnapshot.get.files.map(_.path).toSet),
+        "merge-on-read MERGE removed pre-existing data files")
+      table.read(s)
+    }),
+
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF through DmlSql.run):
+    // the pinned earlier state re-reads exactly; the requires prove the
+    // timestamp spelling and the FOR SYSTEM_VERSION alias agree with it
+    "q_timetravel_sql" -> ((s, dir) => {
+      val table = Icebox(tmp("qtts"))
+      val o = t(s, dir, "orders")
+      val s0 = table.append(o.filter(col("o_orderstatus") === "O"))
+      Thread.sleep(5)
+      val afterFirst = System.currentTimeMillis()
+      Thread.sleep(5)
+      table.append(o.filter(col("o_orderstatus") =!= "O"))
+      table.registerView(s, "qtts_t")
+      val pinned = graft.sql.DmlSql.run(s, s"SELECT * FROM qtts_t VERSION AS OF ${s0.id}")
+      val n = pinned.count()
+      require(graft.sql.DmlSql.run(s,
+        s"SELECT * FROM qtts_t TIMESTAMP AS OF $afterFirst").count() == n,
+        "TIMESTAMP AS OF disagrees with VERSION AS OF")
+      require(graft.sql.DmlSql.run(s,
+        s"SELECT * FROM qtts_t FOR SYSTEM_VERSION AS OF ${s0.id}").count() == n,
+        "FOR SYSTEM_VERSION AS OF disagrees with VERSION AS OF")
+      pinned
+    }),
+
     // SQL-text INSERT INTO ... SELECT: appended through the same atomic
     // snapshot commit as the programmatic faces
     "q_insert_sql" -> ((s, dir) => {
@@ -1262,6 +1312,24 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
       Multimodal.decodeAudit(media)
+    }),
+
+    // LLM: REAL image decode (javax.imageio) — deterministic synthetic PNGs
+    // are ENCODED per doc, then the kernel parses the actual bytes back to
+    // dimensions / channel count / mean pixel value, each of which the
+    // DuckDB oracle predicts arithmetically. A fake decode cannot pass:
+    // the values only match if the raster was genuinely decoded.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            (id, Multimodal.syntheticPng(
+              width = (8 + id % 24).toInt, height = (8 + id % 16).toInt,
+              v = (id % 256).toInt))
+          }
+        }.toDF("doc_id", "media_bytes")
+      Multimodal.decodeImageMeta(pngs)
     })
   )
 
@@ -1326,6 +1394,8 @@ object SparkEntry {
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
     "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
+
+    "q_timetravel_sql" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
 
     // append = union of both halves
     "q_insert_sql" -> "SELECT * FROM orders",
@@ -1455,6 +1525,19 @@ object SparkEntry {
     // the MERGE semantics written out longhand: matched F-status rows
     // deleted, other matched rows repriced, +1M-key source rows inserted
     "q_merge_into" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
+    // identical statement & semantics to q_merge_into — merge-on-read must
+    // produce byte-identical results while touching no data file
+    "q_merge_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
         |       o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
@@ -1949,6 +2032,15 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | CAST(8 AS BIGINT) AS n_features, TRUE AS features_ok
+        | FROM documents""".stripMargin,
+
+    // the oracle predicts what a GENUINE raster decode must return for the
+    // synthetic uniform-gray PNGs (mean_intensity on the raw 0-255 sample
+    // scale; exact in double — every sample equals doc_id % 256)
+    "q_image_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width,
+        | CAST(8 + doc_id % 16 AS INT) AS height, CAST(3 AS INT) AS channels,
+        | CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
         | FROM documents""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )

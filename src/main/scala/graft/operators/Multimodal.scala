@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch decode / feature-extract plumbing.
   *
-  * The decode kernels themselves are STUBS — no image/audio codecs ship in
-  * this environment — replaced by a deterministic fake that derives
-  * "features" from the bytes (`decodeStub`). Everything around them is real
-  * and tested: the schema contract, the binary column plumbing, partition
-  * sizing for large blobs, and the `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas`: one iterator per partition, amortized per-batch
-  * setup, bounded memory).
+  * The IMAGE decode kernel is REAL ([[decodeImage]] — `javax.imageio`,
+  * which ships in every JVM: PNG/JPEG/GIF/BMP bytes are actually parsed to
+  * dimensions, channel count, and pixel statistics). Audio/video kernels
+  * remain STUBS — no such codecs ship in this environment — replaced by a
+  * deterministic fake deriving "features" from the bytes (`decodeStub`).
+  * Everything around both is real and tested: the schema contract, the
+  * binary column plumbing, partition sizing for large blobs, and the
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`: one
+  * iterator per partition, amortized per-batch setup, bounded memory).
   *
   * Scale notes for 100 TB of media:
   *  - blobs ride in parquet binary columns; `maxRecordsPerFile`/partition
@@ -51,24 +53,104 @@ object Multimodal {
       .withColumn("content_hash", sha2(col(binCol), 256))
       .withColumn("magic", hex(substring(col(binCol), 1, 4)))
 
-  /** STUB decode kernel: a real deployment would replace this body with an
-    * actual codec call (JNI / javacv / a sidecar service). Deterministic
-    * fake: 8 pseudo-features derived from byte content. The signature — one
-    * partition-iterator in, one out, batch-amortized — is the real contract.
+  /** STUB decode kernel for AUDIO/VIDEO (no such codecs in this
+    * environment; a real deployment swaps in JNI / javacv / a sidecar
+    * service — images use the real [[decodeImage]]). Deterministic fake: 8
+    * pseudo-features derived from byte content. The signature — one
+    * partition-iterator in, one out, batch-amortized — is the real
+    * contract.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below keeps the
-    // pipeline testable end-to-end without media libraries
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
     Array.tabulate(8)(j => (((h >>> (j * 8)) & 0xFF).toFloat) / 255.0f)
   }
 
+  /** Decoded image facts — every field computed from the actually-parsed
+    * pixel data, not from metadata.
+    */
+  final case class ImageMeta(width: Int, height: Int, channels: Int, meanIntensity: Double)
+
+  /** REAL image decode (`javax.imageio`): parse `bytes` as PNG/JPEG/GIF/BMP
+    * and compute dimensions, raster channel count, and the mean sample
+    * value over every pixel of every band. None when the bytes are not a
+    * decodable image (callers fall back or null out). Thread-safe;
+    * `ImageIO.setUseCache(false)` keeps decode in-memory (no temp files on
+    * executors).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageMeta(w, h, bands, sum / (w.toLong * h * bands)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic PNG: `width`×`height`, every pixel the uniform
+    * gray `(v, v, v)` — the ENCODE side of the round-trip the decode oracle
+    * verifies (an external oracle can predict exactly what [[decodeImage]]
+    * must return: dimensions, 3 bands, mean intensity v).
+    */
+  def syntheticPng(width: Int, height: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v & 0xFF, v & 0xFF, v & 0xFF))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Batched REAL image decode over partitions: (id, binary) in →
+    * `(id, width, height, channels, mean_intensity)` out, every output
+    * column computed from the decoded raster. Rows whose bytes don't parse
+    * as an image yield nulls (width == null marks them). Narrow op — no
+    * shuffle; per-partition kernel setup amortized like `decodeFeatures`.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        decodeImage(bytes) match {
+          case Some(m) => (id, Option(m.width), Option(m.height), Option(m.channels),
+            Option(m.meanIntensity))
+          case None => (id, None: Option[Int], None: Option[Int], None: Option[Int],
+            None: Option[Double])
+        }
+      }
+    }.toDF(idCol, "width", "height", "channels", "mean_intensity")
+  }
+
   /** Batched decode / feature extraction over partitions — the `mapInPandas`
     * analog. Input must contain (`idCol`: long, `binCol`: binary); output is
-    * (id, features array<float>). Narrow op: no shuffle, bounded memory (one
-    * row at a time off the iterator, per-partition setup done once).
+    * (id, features array<float>). Blobs that parse as a real image get
+    * pixel-derived features from [[decodeImage]]; anything else falls back
+    * to the deterministic stub (audio/video placeholder). Narrow op: no
+    * shuffle, bounded memory (one row at a time off the iterator,
+    * per-partition setup done once).
     */
   def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "media_bytes"): DataFrame = {
@@ -80,7 +162,16 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        (id, decodeStub(bytes))
+        val feats = decodeImage(bytes) match {
+          case Some(m) => Array(
+            m.width / 4096f, m.height / 4096f, m.channels / 4f,
+            (m.meanIntensity / 255.0).toFloat,
+            m.width.toFloat / (m.width + m.height),
+            math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat,
+            0f, 1f) // trailing flags: reserved, is-image
+          case None => decodeStub(bytes)
+        }
+        (id, feats)
       }
     }.toDF(idCol, "features")
   }
@@ -101,7 +192,14 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        val feats = decodeStub(bytes)
+        // same kernel selection as decodeFeatures: real image decode when
+        // the bytes parse, stub otherwise
+        val feats = decodeImage(bytes) match {
+          case Some(m) => Array(m.width / 4096f, m.height / 4096f, m.channels / 4f,
+            (m.meanIntensity / 255.0).toFloat, m.width.toFloat / (m.width + m.height),
+            math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat, 0f, 1f)
+          case None => decodeStub(bytes)
+        }
         (id, bytes.length.toLong, feats.length.toLong,
           feats.forall(f => f >= 0.0f && f <= 1.0f))
       }

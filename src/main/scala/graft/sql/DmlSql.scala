@@ -67,7 +67,18 @@ object DmlSql {
   private val FastForwardRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*;?\s*""".r
 
-  def run(spark: SparkSession, sqlText: String): DataFrame = sqlText match {
+  /** `t VERSION AS OF n` / `t TIMESTAMP AS OF ts` (and the `FOR
+    * SYSTEM_VERSION` / `FOR SYSTEM_TIME` spellings) on a registered Icebox
+    * table, anywhere in a query. Group layout: (1,2) = version form,
+    * (3,4,5) = timestamp form (quoted literal or epoch millis).
+    */
+  private val TimeTravelRe =
+    ("""(?is)\b(\w+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)\s+(\d+)""" +
+     """|\b(\w+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+(?:'([^']+)'|(\d+))""").r
+
+  def run(spark: SparkSession, sqlText0: String): DataFrame = {
+  val sqlText = rewriteTimeTravel(spark, sqlText0)
+  sqlText match {
     // maintenance verbs (Delta-style syntax; not in Spark's grammar, so
     // matched on the text before the parser sees it)
     case VacuumRe(name, hours) =>
@@ -105,6 +116,49 @@ object DmlSql {
       if (spark.catalog.tableExists(name)) t.registerView(spark, name)
       spark.createDataFrame(Seq(("fast-forward", snap.id))).toDF("operation", "snapshot_id")
     case _ => runParsed(spark, sqlText)
+  }
+  }
+
+  /** SQL time travel (the first Iceberg-SQL idiom a user types; the
+    * reference reads snapshots only via operator —
+    * maintenance/iceberg_snapshot_operator.py:130-156): each `t VERSION AS
+    * OF n` / `t TIMESTAMP AS OF ts` span over a REGISTERED Icebox table is
+    * replaced by a temp view pinned to [[Icebox.readSnapshotId]] /
+    * [[Icebox.readAsOf]] — so the pinned read composes with any
+    * surrounding SELECT (joins, aggregates, CTEs) and still plans through
+    * the manifest-backed FileIndex. Unregistered names pass through
+    * untouched (Spark's own error surfaces them).
+    */
+  private def rewriteTimeTravel(spark: SparkSession, sqlText: String): String =
+    TimeTravelRe.replaceAllIn(sqlText, m => {
+      val (name, pin) =
+        if (m.group(1) != null) (m.group(1), Left(m.group(2).toLong))
+        else (m.group(3), Right(
+          Option(m.group(4)).map(parseTsMillis(spark, _)).getOrElse(m.group(5).toLong)))
+      MergeSql.lookup(name) match {
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+        case Some(t) =>
+          val (df, tag) = pin match {
+            case Left(v)   => (t.readSnapshotId(spark, v), s"v$v")
+            case Right(ms) => (t.readAsOf(spark, ms), s"t$ms")
+          }
+          val view = s"${name}__asof_$tag"
+          df.createOrReplaceTempView(view)
+          view
+      }
+    })
+
+  /** Parse a time-travel timestamp literal in the session time zone:
+    * `yyyy-MM-dd[ HH:mm:ss[.f]]` or ISO instant.
+    */
+  private def parseTsMillis(spark: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    scala.util.Try(java.time.LocalDateTime.parse(s.replaceFirst(" ", "T")))
+      .map(_.atZone(zone).toInstant)
+      .orElse(scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant))
+      .orElse(scala.util.Try(java.time.Instant.parse(s)))
+      .getOrElse(sys.error(s"cannot parse time-travel timestamp '$s'"))
+      .toEpochMilli
   }
 
   private def lookupRegistered(name: String, verb: String): Icebox =

@@ -109,7 +109,7 @@ object MergeSql {
       kept.select(outCols: _*)
     }
 
-    val mergedMatched =
+    lazy val mergedMatched =
       if (m.matchedActions.isEmpty)
         // left_semi, NOT the inner join: with no matched action each matched
         // target row passes through exactly once, however many source rows
@@ -117,11 +117,13 @@ object MergeSql {
         tgt.join(src, cond, "left_semi").select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
       else applyActions(matched, m.matchedActions)
 
-    val unmatchedTarget = tgt.join(src, cond, "left_anti")
-    val mergedUnmatched =
+    // the whole-table side — only the copy-on-write path pays for it
+    lazy val mergedUnmatched = {
+      val unmatchedTarget = tgt.join(src, cond, "left_anti")
       if (m.notMatchedBySourceActions.isEmpty)
         unmatchedTarget.select(targetCols.map(c => col(s"$targetAlias.$c")): _*)
       else applyActions(unmatchedTarget, m.notMatchedBySourceActions)
+    }
 
     val inserts: Option[DataFrame] =
       if (m.notMatchedActions.isEmpty) None
@@ -144,12 +146,85 @@ object MergeSql {
         Some(unmatchedSource.select(outCols: _*))
       }
 
-    val result = inserts.foldLeft(mergedMatched.unionByName(mergedUnmatched))(_ unionByName _)
-    val snap = icebox.overwrite(result, icebox.partitionColumns)
+    // MERGE-ON-READ mode (`write.merge.mode = merge-on-read`): instead of
+    // rewriting the table copy-on-write, commit ONE equality-delete file
+    // (the source's key tuples — deleting an absent key is a no-op, so the
+    // distinct source keys stand in for "matched keys" without an extra
+    // join) plus the post-action images of matched rows and the inserts, in
+    // one atomic snapshot. Write cost is O(matched + inserted) regardless
+    // of table size — the reference's documented upsert contract
+    // (README.md:509-510) at CDC-batch cost. Falls back to copy-on-write
+    // when the ON condition is not a pure target=source equality
+    // conjunction (no key columns to delete by) or when WHEN NOT MATCHED BY
+    // SOURCE is present (that clause edits the unmatched-target side, which
+    // only a rewrite can express).
+    val mergeMode = props(icebox)
+    val morKeys: Option[DataFrame] =
+      if (mergeMode != "merge-on-read" || m.notMatchedBySourceActions.nonEmpty ||
+          m.matchedActions.isEmpty) None
+      else equiKeys(m.mergeCondition, targetAlias, sourceAlias).map { pairs =>
+        src.select(pairs.map { case (tc, sc) => col(s"$sourceAlias.$sc").as(tc) }: _*)
+          .dropDuplicates()
+      }
+    val insertOnlyMor = mergeMode == "merge-on-read" && m.matchedActions.isEmpty &&
+      m.notMatchedBySourceActions.isEmpty && inserts.isDefined
+    val snap = morKeys match {
+      case _ if insertOnlyMor =>
+        // no matched/by-source action → matched target rows stay in place;
+        // the merge degenerates to an append of the unmatched source rows
+        icebox.append(inserts.get, icebox.partitionColumns)
+      case Some(keys) =>
+        val newData = inserts.foldLeft(mergedMatched)(_ unionByName _)
+        icebox.commitEqualityDeletes("merge-mor", keys, Some(newData),
+          icebox.partitionColumns)
+      case None =>
+        val result = inserts.foldLeft(mergedMatched.unionByName(mergedUnmatched))(_ unionByName _)
+        icebox.overwrite(result, icebox.partitionColumns)
+    }
     // a registerView temp view is pinned to the pre-merge snapshot's file
     // set — repoint it so SELECT → MERGE → SELECT composes on one name
     if (spark.catalog.tableExists(targetName)) icebox.registerView(spark, targetName)
     snap
+  }
+
+  private def props(icebox: Icebox): String = {
+    val mode = icebox.properties.getOrElse("write.merge.mode", "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"write.merge.mode=$mode (expected copy-on-write | merge-on-read)")
+    mode
+  }
+
+  /** Extract `(targetCol, sourceCol)` pairs from an ON condition that is a
+    * pure conjunction of `target.c = source.c` equalities (either operand
+    * order); None for any other shape — the merge-on-read path needs exact
+    * key columns to delete by, so anything fancier falls back to
+    * copy-on-write.
+    */
+  private def equiKeys(cond: Expression, targetAlias: String,
+      sourceAlias: String): Option[Seq[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    def attr(e: Expression): Option[(String, String)] = e match {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, c) => Some((q, c))
+        case _ => None
+      }
+      case _ => None
+    }
+    def go(e: Expression): Option[Seq[(String, String)]] = e match {
+      case And(l, r) => for { a <- go(l); b <- go(r) } yield a ++ b
+      case EqualTo(l, r) => (attr(l), attr(r)) match {
+        case (Some((ql, cl)), Some((qr, cr)))
+            if ql.equalsIgnoreCase(targetAlias) && qr.equalsIgnoreCase(sourceAlias) =>
+          Some(Seq((cl, cr)))
+        case (Some((ql, cl)), Some((qr, cr)))
+            if qr.equalsIgnoreCase(targetAlias) && ql.equalsIgnoreCase(sourceAlias) =>
+          Some(Seq((cr, cl)))
+        case _ => None
+      }
+      case _ => None
+    }
+    go(cond)
   }
 
   /** Reject merges where a target row matches more than one source row

@@ -308,4 +308,30 @@ class DmlSqlSpec extends SparkSpec {
     // the registered view repointed after each commit
     spark.sql("SELECT v FROM disp_t WHERE id = 1").as[Double].head() shouldBe 9.0
   }
+
+  test("VERSION AS OF / TIMESTAMP AS OF read pinned snapshots through SQL text") {
+    val t = Icebox(tmpDir("dml-tt"))
+    val s0 = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Thread.sleep(10)
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(10)
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    t.registerView(spark, "tt_t")
+    DmlSql.run(spark, s"SELECT * FROM tt_t VERSION AS OF ${s0.id}").count() shouldBe 2L
+    DmlSql.run(spark, s"SELECT * FROM tt_t FOR SYSTEM_VERSION AS OF ${s0.id}")
+      .count() shouldBe 2L
+    DmlSql.run(spark, s"SELECT * FROM tt_t TIMESTAMP AS OF $afterFirst").count() shouldBe 2L
+    // composes with aggregation and with the CURRENT-state view in one query
+    DmlSql.run(spark,
+      s"SELECT count(*) AS c FROM tt_t VERSION AS OF ${s0.id}").as[Long].head() shouldBe 2L
+    DmlSql.run(spark,
+      s"""SELECT cur.id FROM tt_t cur LEFT ANTI JOIN tt_t VERSION AS OF ${s0.id} old
+          ON cur.id = old.id""").as[Long].collect() shouldBe Array(3L)
+    // quoted timestamp literal (session zone = UTC in specs)
+    val iso = java.time.Instant.ofEpochMilli(afterFirst).toString
+    DmlSql.run(spark, s"SELECT * FROM tt_t TIMESTAMP AS OF '$iso'").count() shouldBe 2L
+    // a time-travel clause over an UNREGISTERED name passes through to Spark
+    an[Exception] should be thrownBy
+      DmlSql.run(spark, "SELECT * FROM no_such_tt VERSION AS OF 0").collect()
+  }
 }

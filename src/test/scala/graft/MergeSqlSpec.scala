@@ -154,4 +154,63 @@ class MergeSqlSpec extends SparkSpec {
     t.rollbackTo(before)
     t.read(spark).filter($"id" === 1L).select("name").as[String].head() shouldBe "a"
   }
+
+  test("merge-on-read MERGE rewrites zero data files and matches copy-on-write results") {
+    val t = freshTarget("t_mor")
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val before = t.currentSnapshot.get.files.map(_.path).toSet
+    Seq((2L, "B", 200.0), (3L, "del", 0.0), (4L, "d", 40.0))
+      .toDF("id", "name", "amount").createOrReplaceTempView("src_mor")
+    val snap = MergeSql.merge(spark,
+      """MERGE INTO t_mor t USING src_mor s ON t.id = s.id
+        |WHEN MATCHED AND s.name = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    snap.operation shouldBe "merge-mor"
+    // ZERO-REWRITE: every pre-existing data file survives by path (entries
+    // gain eq-delete attachments; none is read or rewritten)
+    val afterPaths = t.currentSnapshot.get.files.map(_.path).toSet
+    require(before.subsetOf(afterPaths), "merge-on-read MERGE rewrote data files")
+    t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1) shouldBe
+      Array((1L, "a", 10.0), (2L, "B", 200.0), (4L, "d", 40.0))
+    // changeDiff CONSISTENCY across the merge-mor commit: the row-level diff
+    // shows exactly the update (delete+insert pair), the delete, and the
+    // insert — carried-over entries contribute nothing
+    val diff = t.changeDiff(spark, snap.parentId, snap.id)
+      .as[(Long, String, Double, String)].collect().sortBy(r => (r._1, r._4))
+    diff shouldBe Array(
+      (2L, "b", 20.0, "delete"), (2L, "B", 200.0, "insert"),
+      (3L, "c", 30.0, "delete"), (4L, "d", 40.0, "insert"))
+  }
+
+  test("merge-on-read falls back to copy-on-write for non-equi ON and BY SOURCE clauses") {
+    val t = freshTarget("t_mor_fb")
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    Seq((2L, "B", 200.0)).toDF("id", "name", "amount").createOrReplaceTempView("src_fb")
+    // WHEN NOT MATCHED BY SOURCE edits the unmatched-target side — only a
+    // rewrite expresses it; the result must still be correct
+    val snap = MergeSql.merge(spark,
+      """MERGE INTO t_mor_fb t USING src_fb s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE AND t.amount < 15 THEN DELETE""".stripMargin)
+    snap.operation should not be "merge-mor"
+    t.read(spark).as[(Long, String, Double)].collect().sortBy(_._1) shouldBe
+      Array((2L, "B", 200.0), (3L, "c", 30.0)) // id=1 deleted by the BY SOURCE clause
+  }
+
+  test("insert-only MERGE in merge-on-read mode commits an append, not a rewrite") {
+    val t = freshTarget("t_mor_ins")
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    val before = t.currentSnapshot.get.files.toSet
+    Seq((1L, "dup", 0.0), (9L, "new", 90.0)).toDF("id", "name", "amount")
+      .createOrReplaceTempView("src_ins")
+    val snap = MergeSql.merge(spark,
+      """MERGE INTO t_mor_ins t USING src_ins s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    snap.operation shouldBe "append"
+    // pre-existing ENTRIES untouched — not even an eq-delete attachment
+    before.subsetOf(t.currentSnapshot.get.files.toSet) shouldBe true
+    t.read(spark).count() shouldBe 4L
+    t.read(spark).filter($"id" === 1L).select("name").as[String].head() shouldBe "a"
+  }
 }

@@ -57,4 +57,43 @@ class MultimodalSpec extends SparkSpec {
       .filter($"doc_id" === 1).select("frame_ts_ms").as[Long].collect()
     frames shouldBe Array(0L, 50L, 100L) // duration 110ms
   }
+
+  test("decodeImage genuinely parses PNG bytes: dimensions, bands, exact pixel mean") {
+    val m = Multimodal.decodeImage(Multimodal.syntheticPng(20, 12, 77)).get
+    (m.width, m.height, m.channels) shouldBe ((20, 12, 3))
+    m.meanIntensity shouldBe 77.0 // every sample is 77 — mean is exact
+    // non-uniform image: top half 10, bottom half 30 → mean 20
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(10, 10, 10)); g.fillRect(0, 0, 4, 2)
+    g.setColor(new java.awt.Color(30, 30, 30)); g.fillRect(0, 2, 4, 2)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    Multimodal.decodeImage(out.toByteArray).get.meanIntensity shouldBe 20.0
+    // undecodable inputs
+    Multimodal.decodeImage("definitely not an image".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodeImage(Array.emptyByteArray) shouldBe None
+    Multimodal.decodeImage(null) shouldBe None
+  }
+
+  test("decodeImageMeta decodes per row; undecodable blobs null out") {
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(10, 8, 200)),
+      (2L, "nope".getBytes("UTF-8"))).toDF("doc_id", "media_bytes")
+    val r = Multimodal.decodeImageMeta(df).orderBy("doc_id").collect()
+    (r(0).getInt(1), r(0).getInt(2), r(0).getInt(3), r(0).getDouble(4)) shouldBe
+      ((10, 8, 3, 200.0))
+    (1 to 4).foreach(i => r(1).isNullAt(i) shouldBe true)
+  }
+
+  test("decodeFeatures switches to pixel-derived features for real images") {
+    val df = Seq((1L, Multimodal.syntheticPng(16, 16, 128))).toDF("doc_id", "media_bytes")
+    val f = Multimodal.decodeFeatures(df).select("features").as[Array[Float]].head()
+    f.length shouldBe 8
+    f(0) shouldBe 16 / 4096f           // width
+    f(3) shouldBe (128 / 255.0).toFloat // mean intensity, normalized
+    f(7) shouldBe 1f                   // is-image flag
+  }
 }

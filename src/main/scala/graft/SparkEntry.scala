@@ -1035,6 +1035,38 @@ object SparkEntry {
       table.read(s)
     }),
 
+    // W7/W8 under an exact oracle: namespace + table AUTO-CREATE on first
+    // write, driven through a pipeline task — create-on-first-write, then a
+    // fresh handle re-reads what landed (the requires pin not-exists →
+    // exists around the write)
+    "q_autocreate" -> ((s, dir) => {
+      val wh = tmp("qac")
+      val table = Icebox.table(wh, "analytics", "cust") // namespace dir created
+      require(!table.exists, "table must not pre-exist")
+      Pipeline(Seq(Pipeline.transform("load-cust",
+        sp => t(sp, dir, "customer"),
+        df => df.filter(col("c_mktsegment") === "BUILDING"),
+        df => { table.append(df); () }))).run(s, Config())
+      val reopened = Icebox.table(wh, "analytics", "cust")
+      require(reopened.exists, "first write did not create the table")
+      reopened.read(s)
+    }),
+
+    // F7 under an exact oracle: LAYERED CONFIG drives the query parameters —
+    // runtime overrides operator overrides env. The oracle pins the RESULT
+    // of correct precedence: a wrong layer winning changes the filter
+    // values and the row hash with it.
+    "q_config_layered" -> ((s, dir) => {
+      val cfg = Config(
+        operator = Map("segment" -> "AUTOMOBILE", "min_bal" -> "0"),
+        env = Map("segment" -> "HOUSEHOLD", "min_bal" -> "-1"))
+        .withRuntime("min_bal" -> "1000")
+      require(cfg("segment") == "AUTOMOBILE" && cfg("min_bal") == "1000",
+        "config precedence broken")
+      t(s, dir, "customer").filter(col("c_mktsegment") === cfg("segment") &&
+        col("c_acctbal") >= cfg("min_bal").toDouble)
+    }),
+
     // LLM: exact dedup by content hash (duplicates injected, lowest id wins)
     "q_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1630,6 +1662,11 @@ object SparkEntry {
         |   FROM events WHERE event_id >= 5000""".stripMargin,
 
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
+
+    "q_autocreate" -> "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "q_config_layered" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal >= 1000",
 
     // identical final state to q_file_cdc: partition a carries the rewrite
     "q_file_cdc_hash" ->

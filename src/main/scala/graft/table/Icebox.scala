@@ -952,9 +952,23 @@ final class Icebox(val tableDir: String) {
     * unreachable manifests (crashed writes) are also collected, but only when
     * older than `olderThanMs` — a concurrent in-flight commit's fresh dir is
     * never touched (it has a recent mtime), and the whole method is
-    * synchronized against commit() on this instance.
+    * synchronized against commit() on this instance. The
+    * `expire.min-snapshot-age-ms` table property additionally floors the
+    * cutoff (see the in-flight reader guard below).
     */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 10): Seq[Long] = this.synchronized {
+    // IN-FLIGHT READER GUARD: `expire.min-snapshot-age-ms` (default 0 —
+    // off) clamps the cutoff so snapshots younger than the grace window are
+    // never expired regardless of how aggressive `olderThanMs` is. A
+    // DataFrame pinned to a recent snapshot (time travel, a long scan, a
+    // changeFeed consumer mid-batch) keeps its files alive while a
+    // concurrent maintenance job runs with "expire everything" — the same
+    // contract removeOrphans' graceMs already gives crash debris. Iceberg's
+    // expire_snapshots pairs retention with exactly this kind of age floor.
+    val minAge = properties.get("expire.min-snapshot-age-ms").map(_.toLong).getOrElse(0L)
+    val cutoffMs =
+      if (minAge <= 0L) olderThanMs
+      else math.min(olderThanMs, System.currentTimeMillis() - minAge)
     val all = allSnapshots // committed main chain, newest first
     val currentId = currentSnapshotId
     // every snapshot reachable from a ref (branch/tag) is live, INCLUDING
@@ -963,7 +977,7 @@ final class Icebox(val tableDir: String) {
     val refChains: Seq[Snapshot] = refs.values.toSeq.flatMap(r => chainFrom(r.snapshotId))
     val refIds = refChains.map(_.id).toSet
     val keep = all.zipWithIndex.filter { case (s, i) =>
-      i < retainLast || s.timestampMs >= olderThanMs || s.id == currentId || refIds(s.id)
+      i < retainLast || s.timestampMs >= cutoffMs || s.id == currentId || refIds(s.id)
     }.map(_._1).toList
     val keepIds = keep.map(_.id).toSet
     val reachable = all.map(_.id).toSet ++ refIds
@@ -1004,15 +1018,15 @@ final class Icebox(val tableDir: String) {
         val name = st.getPath.getName
         name.endsWith(".json") &&
           name.stripSuffix(".json").toLongOption.exists(!reachable(_)) &&
-          st.getModificationTime < olderThanMs
+          st.getModificationTime < cutoffMs
       }.foreach(st => store.deleteIfExists(st.getPath))
     }
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
-    deleteUnreferenced(liveFiles, olderThanMs)
+    deleteUnreferenced(liveFiles, cutoffMs)
     deleteUnreferencedDeleteDirs(
       (keep ++ refChains).flatMap(_.files.flatMap(f => f.deletes ++ f.eqDeletes)).toSet,
-      olderThanMs)
+      cutoffMs)
     expired.map(_.id)
   }
 

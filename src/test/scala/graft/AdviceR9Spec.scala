@@ -57,6 +57,26 @@ class AdviceR9Spec extends SparkSpec {
     an[Exception] should be thrownBy t.dropColumn("zone")
   }
 
+  test("expire.min-snapshot-age-ms shields a pinned reader from aggressive expiry") {
+    val t = Icebox(tmpDir("advice-expire-grace"))
+    t.append((1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    val s0 = t.currentSnapshotId
+    t.overwrite((100 to 105).map(i => (i.toLong, s"w$i")).toDF("id", "s"))
+    // a reader pinned to s0 BEFORE maintenance runs (plan built lazily —
+    // the files must still exist when the action executes)
+    val pinned = t.readSnapshotId(spark, s0)
+    t.setProperties(Map("expire.min-snapshot-age-ms" -> "3600000"))
+    // "expire everything" from a concurrent maintenance job
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000000L,
+      retainLast = 1) shouldBe empty
+    pinned.count() shouldBe 40L // snapshot, manifest, and files all survived
+    // dropping the guard restores the aggressive behavior
+    t.removeProperties(Seq("expire.min-snapshot-age-ms"))
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000000L,
+      retainLast = 1) should not be empty
+    t.read(spark).count() shouldBe 6L
+  }
+
   test("merge-on-read deletes stay consistent under concurrent compaction (drift guard)") {
     val dir = tmpDir("advice-mor-drift")
     val t1 = Icebox(dir)

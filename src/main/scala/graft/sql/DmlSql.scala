@@ -407,7 +407,8 @@ object DmlSql {
         matchedCount <= morThreshold(icebox) * rows.sum
     }
 
-  private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult = {
+  private def executeDelete(spark: SparkSession, d: DeleteFromTable): DmlResult =
+      Icebox.retryingStaleHead {
     val (name, alias, icebox, snap, schema) = target(spark, d.table)
     val deleteMode = dmlMode(icebox, "write.delete.mode")
     if (deleteMode != "copy-on-write") {
@@ -432,17 +433,18 @@ object DmlSql {
         conditionText(d.condition), "__dml_hit")
       // keep rows where the predicate is NOT TRUE (false or null)
       val survivors = marked.filter(!col("__dml_hit")).drop("__dml_hit")
-      return commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors)
+      return commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors, snap.id)
     }
     val cond = expr(d.condition.sql)
     val (candidates, untouched) = split(spark, icebox, snap, alias, cond)
     // keep rows where the predicate is NOT TRUE (false or null)
     val survivors = icebox.readDataFiles(spark, candidates).alias(alias)
       .filter(!coalesce(cond, lit(false)))
-    commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors)
+    commitAndRepoint(spark, name, icebox, "delete", candidates, untouched, survivors, snap.id)
   }
 
-  private def executeUpdate(spark: SparkSession, u: UpdateTable): DmlResult = {
+  private def executeUpdate(spark: SparkSession, u: UpdateTable): DmlResult =
+      Icebox.retryingStaleHead {
     val (name, alias, icebox, snap, schema) = target(spark, u.table)
     u.assignments.foreach(a => noSubquery(a.value, "UPDATE SET"))
     validateAssignments(u.assignments, schema)
@@ -495,7 +497,7 @@ object DmlSql {
       }
     }
     val rewritten = source.select(outCols: _*)
-    commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten)
+    commitAndRepoint(spark, name, icebox, "update", candidates, untouched, rewritten, snap.id)
   }
 
   /** `CREATE [OR REPLACE] TABLE <name> [PARTITIONED BY (cols)] AS SELECT`
@@ -607,8 +609,12 @@ object DmlSql {
 
   private def commitAndRepoint(spark: SparkSession, name: String, icebox: Icebox,
       op: String, candidates: Seq[DataFile], untouched: Seq[DataFile],
-      replacement: DataFrame): DmlResult = {
-    val snap = icebox.rewriteFiles(op, candidates, replacement, icebox.partitionColumns)
+      replacement: DataFrame, classifiedHeadId: Long): DmlResult = {
+    // pass the head the classification ran against: a cross-process commit
+    // landing mid-DML makes rewriteFiles throw StaleCommitState, and the
+    // executeDelete/executeUpdate retry loop re-classifies from scratch
+    val snap = icebox.rewriteFiles(op, candidates, replacement, icebox.partitionColumns,
+      expectHeadId = classifiedHeadId)
     if (spark.catalog.tableExists(name)) icebox.registerView(spark, name)
     DmlResult(snap, candidates.size, untouched.size)
   }

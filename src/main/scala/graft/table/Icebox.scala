@@ -666,9 +666,18 @@ final class Icebox(val tableDir: String) {
     * pruning the read path uses, applied to the write path.
     */
   private[graft] def rewriteFiles(op: String, removed: Seq[DataFile],
-      replacement: DataFrame, partitionBy: Seq[String]): Snapshot = {
+      replacement: DataFrame, partitionBy: Seq[String],
+      expectHeadId: Long = -2L): Snapshot = {
     val removedPaths = removed.map(_.path).toSet
     commit(replacement, partitionBy, op) { (parent, newFiles) =>
+      // DRIFT GUARD (callers that pass the head id they classified
+      // against): `removed` and the replacement rows were computed from
+      // that head — a cross-process commit in between (an eq-delete attach
+      // on a candidate, a compaction replacing one) would make this rewrite
+      // resurrect deleted rows or duplicate compacted ones. Throwing makes
+      // the caller re-run its whole classification (see retryOnStaleHead).
+      if (expectHeadId != -2L && !parent.map(_.id).contains(expectHeadId))
+        throw Icebox.StaleCommitState
       parent.map(_.files).getOrElse(Nil).filterNot(f => removedPaths(f.path)) ++ newFiles
     }
   }
@@ -1435,14 +1444,8 @@ final class Icebox(val tableDir: String) {
     * everything against the new head; data files written by an abandoned
     * attempt become orphans and are collected by [[removeOrphans]].
     */
-  private def retryOnStaleHead[T](body: => T): T = {
-    var attempt = 0
-    while (true) {
-      try return body
-      catch { case Icebox.StaleCommitState if attempt < 8 => attempt += 1 }
-    }
-    sys.error("unreachable")
-  }
+  private[graft] def retryOnStaleHead[T](body: => T): T =
+    Icebox.retryingStaleHead(body)
 
   /** Write `df` as a fresh commit dir, then commit the snapshot whose file
     * set is derived by `resolve(parent, newFiles)`.
@@ -2057,8 +2060,21 @@ object Icebox {
     * the head moved past the state its delete computation captured; the
     * commit recomputes against the new head (see `retryOnStaleHead`).
     */
-  private[table] object StaleCommitState extends RuntimeException {
+  private[graft] object StaleCommitState extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Static face of the stale-head retry loop for callers outside the
+    * handle (the SQL DML executors re-run their whole classify → rewrite
+    * computation when a cross-process commit moves the head mid-statement).
+    */
+  private[graft] def retryingStaleHead[T](body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch { case StaleCommitState if attempt < 8 => attempt += 1 }
+    }
+    sys.error("unreachable")
   }
 
   /** StructField metadata key holding a column's PHYSICAL (on-disk) name.

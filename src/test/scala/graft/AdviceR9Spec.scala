@@ -102,4 +102,32 @@ class AdviceR9Spec extends SparkSpec {
     survivors.select("id").distinct().count() shouldBe 88L
     survivors.filter(col("id") <= 12).count() shouldBe 0L
   }
+
+  test("copy-on-write SQL DELETE stays consistent under concurrent compaction") {
+    val dir = tmpDir("advice-cow-drift")
+    val t1 = Icebox(dir)
+    t1.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    graft.sql.MergeSql.register("cow_drift", t1)
+    val t2 = Icebox(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // each DELETE classifies candidate files against the head it read; a
+    // compaction landing mid-statement must force a re-classification, not
+    // a rewrite that resurrects rows or duplicates compacted ones
+    val deleter = Future {
+      (1 to 10).foreach(i =>
+        graft.sql.DmlSql.delete(spark, s"DELETE FROM cow_drift WHERE id = $i"))
+    }
+    val compactor = Future {
+      (1 to 4).foreach { _ => t2.compact(spark, targetFileMb = 1); Thread.sleep(40) }
+    }
+    Await.result(Future.sequence(Seq(deleter, compactor)), 180.seconds)
+    pool.shutdown()
+    val survivors = Icebox(dir).read(spark)
+    survivors.count() shouldBe 90L
+    survivors.select("id").distinct().count() shouldBe 90L
+    survivors.filter(col("id") <= 10).count() shouldBe 0L
+  }
 }

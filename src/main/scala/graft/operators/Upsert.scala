@@ -56,7 +56,8 @@ object Upsert {
     * degrades a partitioned table to an unpartitioned one.
     */
   def intoTable(table: Icebox, incoming: DataFrame, pk: Seq[String],
-      orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
+      orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit =
+      Icebox.retryingStaleHead {
     val spark = incoming.sparkSession
     val parts = if (partitionBy.nonEmpty) partitionBy else table.partitionColumns
     val mode = table.properties.getOrElse("write.upsert.mode", "copy-on-write")
@@ -65,13 +66,17 @@ object Upsert {
     if (mode == "merge-on-read" && table.exists) {
       intoTableMor(table, incoming, pk, orderCol, parts); return
     }
+    // pin the head the merge reads, so a cross-process commit landing
+    // mid-merge forces a re-merge instead of being silently replaced
+    val head = table.currentSnapshotId
     val merged =
-      if (!table.exists) orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
-      else apply(table.read(spark), incoming, pk, orderCol)
+      if (head < 0) orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
+      else apply(table.readSnapshotId(spark, head), incoming, pk, orderCol)
     // Materialize before the commit touches metadata: `merged` reads the
-    // table's *current* files, and the new snapshot is only flipped in after
+    // pinned head's files, and the new snapshot is only flipped in after
     // the full result is durably written to a fresh commit dir.
-    table.overwriteAs("upsert", merged, parts)
+    table.overwriteAs("upsert", merged, parts, expectHeadId = head)
+    ()
   }
 
   /** Merge-on-read upsert (Iceberg v2 EQUALITY-delete analog): ONE atomic
@@ -105,17 +110,20 @@ object Upsert {
     * the touched partitions' files.
     */
   def intoTablePartitions(table: Icebox, incoming: DataFrame, pk: Seq[String],
-      partitionCol: String, orderCol: Option[String] = None): Unit = {
+      partitionCol: String, orderCol: Option[String] = None): Unit =
+      Icebox.retryingStaleHead {
     val spark = incoming.sparkSession
     if (!table.exists) {
       val src = orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
       table.overwriteAs("upsert", src, Seq(partitionCol))
       return
     }
+    val head = table.currentSnapshotId // the state this merge reads
     val values = incoming.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // small: one value per touched partition
     val target = table.readPartitions(spark, partitionCol, values)
     val merged = apply(target, incoming, pk, orderCol)
-    table.overwritePartitions(merged, Seq(partitionCol))
+    table.overwritePartitions(merged, Seq(partitionCol), expectHeadId = head)
+    ()
   }
 }

@@ -67,13 +67,15 @@ object DmlSql {
   private val FastForwardRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*;?\s*""".r
 
-  /** `t VERSION AS OF n` / `t TIMESTAMP AS OF ts` (and the `FOR
+  /** `t VERSION AS OF n` / `t VERSION AS OF 'ref'` (branch/tag — Iceberg's
+    * ref-read spelling) / `t TIMESTAMP AS OF ts` (and the `FOR
     * SYSTEM_VERSION` / `FOR SYSTEM_TIME` spellings) on a registered Icebox
-    * table, anywhere in a query. Group layout: (1,2) = version form,
-    * (3,4,5) = timestamp form (quoted literal or epoch millis).
+    * table, anywhere in a query. Group layout: (1,2,3) = version form
+    * (numeric snapshot id or quoted ref name), (4,5,6) = timestamp form
+    * (quoted literal or epoch millis).
     */
   private val TimeTravelRe =
-    ("""(?is)\b(\w+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)\s+(\d+)""" +
+    ("""(?is)\b(\w+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)\s+(?:(\d+)|'(\w+)')""" +
      """|\b(\w+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+(?:'([^']+)'|(\d+))""").r
 
   def run(spark: SparkSession, sqlText0: String): DataFrame = {
@@ -131,17 +133,21 @@ object DmlSql {
     */
   private def rewriteTimeTravel(spark: SparkSession, sqlText: String): String =
     TimeTravelRe.replaceAllIn(sqlText, m => {
-      val (name, pin) =
-        if (m.group(1) != null) (m.group(1), Left(m.group(2).toLong))
-        else (m.group(3), Right(
-          Option(m.group(4)).map(parseTsMillis(spark, _)).getOrElse(m.group(5).toLong)))
+      // pin: Left(snapshotId) | Left via ref resolution | Right(epochMs)
+      val name = if (m.group(1) != null) m.group(1) else m.group(4)
       MergeSql.lookup(name) match {
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
         case Some(t) =>
-          val (df, tag) = pin match {
-            case Left(v)   => (t.readSnapshotId(spark, v), s"v$v")
-            case Right(ms) => (t.readAsOf(spark, ms), s"t$ms")
-          }
+          val (df, tag) =
+            if (m.group(2) != null)
+              (t.readSnapshotId(spark, m.group(2).toLong), s"v${m.group(2)}")
+            else if (m.group(3) != null) // quoted ref: branch or tag
+              (t.readRef(spark, m.group(3)), s"r${m.group(3)}")
+            else {
+              val ms = Option(m.group(5)).map(parseTsMillis(spark, _))
+                .getOrElse(m.group(6).toLong)
+              (t.readAsOf(spark, ms), s"t$ms")
+            }
           val view = s"${name}__asof_$tag"
           df.createOrReplaceTempView(view)
           view

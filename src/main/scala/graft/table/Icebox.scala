@@ -639,9 +639,19 @@ final class Icebox(val tableDir: String) {
 
   /** Overwrite that records its operation as "upsert" (so cherry-pick and
     * lineage reporting can distinguish CDC merges from blind overwrites).
+    * `expectHeadId` (−2 = unguarded): the head the caller's merge was
+    * computed against — read-merge-replace callers pass it so a
+    * cross-process commit landing mid-merge forces a re-merge instead of
+    * being silently replaced (see `retryOnStaleHead`); −1 means "computed
+    * against an empty table".
     */
-  private[graft] def overwriteAs(op: String, df: DataFrame, partitionBy: Seq[String]): Snapshot =
-    commit(df, partitionBy, op) { (_, newFiles) => newFiles }
+  private[graft] def overwriteAs(op: String, df: DataFrame, partitionBy: Seq[String],
+      expectHeadId: Long = -2L): Snapshot =
+    commit(df, partitionBy, op) { (parent, newFiles) =>
+      if (expectHeadId != -2L && parent.map(_.id).getOrElse(-1L) != expectHeadId)
+        throw Icebox.StaleCommitState
+      newFiles
+    }
 
   /** W6 partition-scoped: dynamic partition overwrite — replaces only the
     * partitions present in `df` (Spark's
@@ -650,9 +660,14 @@ final class Icebox(val tableDir: String) {
     * rewriting a few partitions and rewriting the world: untouched
     * partitions' files carry over into the new snapshot by reference.
     */
-  def overwritePartitions(df: DataFrame, partitionBy: Seq[String]): Snapshot = {
+  def overwritePartitions(df: DataFrame, partitionBy: Seq[String],
+      expectHeadId: Long = -2L): Snapshot = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
     commit(df, partitionBy, "overwrite") { (parent, newFiles) =>
+      // guarded read-merge-replace (see overwriteAs): a concurrent commit
+      // touching the partitions this merge read must force a re-merge
+      if (expectHeadId != -2L && parent.map(_.id).getOrElse(-1L) != expectHeadId)
+        throw Icebox.StaleCommitState
       val touched = newFiles.map(_.partition).toSet
       parent.map(_.files).getOrElse(Nil).filterNot(f => touched(f.partition)) ++ newFiles
     }

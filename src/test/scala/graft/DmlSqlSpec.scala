@@ -333,5 +333,11 @@ class DmlSqlSpec extends SparkSpec {
     // a time-travel clause over an UNREGISTERED name passes through to Spark
     an[Exception] should be thrownBy
       DmlSql.run(spark, "SELECT * FROM no_such_tt VERSION AS OF 0").collect()
+    // VERSION AS OF 'ref' reads a branch/tag by name (Iceberg's spelling)
+    t.createTag("v1", s0.id)
+    t.createBranch("wip")
+    t.appendToBranch("wip", Seq((9L, "w")).toDF("id", "s"))
+    DmlSql.run(spark, "SELECT * FROM tt_t VERSION AS OF 'v1'").count() shouldBe 2L
+    DmlSql.run(spark, "SELECT * FROM tt_t VERSION AS OF 'wip'").count() shouldBe 4L
   }
 }

@@ -80,8 +80,33 @@ object MergeSql {
     val cond = asColumn(m.mergeCondition)
     validateAssignmentKeys(m, targetCols)
 
+    // pure target=source equality conjunction, when the ON shape admits one
+    // (drives both the cheap cardinality check and the merge-on-read path)
+    val equiPairs = equiKeys(m.mergeCondition, targetAlias, sourceAlias)
+
     val matched = tgt.join(src, cond, "inner")
-    if (m.matchedActions.nonEmpty) cardinalityCheck(matched, tgt, targetAlias, targetCols)
+    if (m.matchedActions.nonEmpty) equiPairs match {
+      case Some(pairs) =>
+        // EQUI fast path: a target row matches >1 source row iff some
+        // source key tuple repeats AND exists in the target — one
+        // aggregation over the (small) SOURCE, and only on repeated keys a
+        // semi-probe of the target. The generic check below aggregates the
+        // FULL target twice; at 100 TB that is the difference between a
+        // broadcast-sized check and two table-wide shuffles.
+        val keyCols = pairs.map { case (_, sc) => col(s"$sourceAlias.$sc") }
+        val dupKeys = src.groupBy(keyCols: _*).agg(count(lit(1)).as("__m"))
+          .filter(col("__m") > 1).drop("__m")
+          .toDF(pairs.map(_._1): _*) // rename to target-side names
+          .na.drop("any") // NULL keys never join-match, so they can't double-match
+        if (!dupKeys.isEmpty) {
+          val hit = tgt.join(broadcast(dupKeys),
+            pairs.map { case (tc, _) => col(s"$targetAlias.$tc") === dupKeys(tc) }
+              .reduce(_ && _), "left_semi").limit(1).count()
+          require(hit == 0L,
+            "MERGE cardinality violation: a target row matches more than one source row")
+        }
+      case None => cardinalityCheck(matched, tgt, targetAlias, targetCols)
+    }
 
     // first-match-wins action index; 0 = no clause applies (keep row as-is)
     def actionIndex(actions: Seq[MergeAction]): Column =
@@ -162,7 +187,7 @@ object MergeSql {
     val morKeys: Option[DataFrame] =
       if (mergeMode != "merge-on-read" || m.notMatchedBySourceActions.nonEmpty ||
           m.matchedActions.isEmpty) None
-      else equiKeys(m.mergeCondition, targetAlias, sourceAlias).map { pairs =>
+      else equiPairs.map { pairs =>
         src.select(pairs.map { case (tc, sc) => col(s"$sourceAlias.$sc").as(tc) }: _*)
           .dropDuplicates()
       }

@@ -198,6 +198,34 @@ class MergeSqlSpec extends SparkSpec {
       Array((2L, "B", 200.0), (3L, "c", 30.0)) // id=1 deleted by the BY SOURCE clause
   }
 
+  test("cardinality fast path: dup source keys absent from target pass; NULL keys never violate") {
+    val t = freshTarget("t_card_fast")
+    // key 10 repeats in the source but exists nowhere in the target — both
+    // rows take the NOT MATCHED branch; not a cardinality violation
+    Seq((10L, "n1", 1.0), (10L, "n2", 2.0)).toDF("id", "name", "amount")
+      .createOrReplaceTempView("src_cf")
+    MergeSql.merge(spark,
+      """MERGE INTO t_card_fast t USING src_cf s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.read(spark).filter($"id" === 10L).count() shouldBe 2L
+    // duplicate NULL keys: equality never matches NULL, so even a NULL-key
+    // target row cannot be double-matched
+    val t2 = Icebox(tmpDir("merge-card-null"))
+    t2.overwrite(Seq[(java.lang.Long, String, Double)]((null, "z", 0.0), (1L, "a", 1.0))
+      .toDF("id", "name", "amount"))
+    MergeSql.register("t_card_null", t2)
+    Seq[(java.lang.Long, String, Double)]((null, "x", 1.0), (null, "y", 2.0))
+      .toDF("id", "name", "amount").createOrReplaceTempView("src_cn")
+    MergeSql.merge(spark,
+      """MERGE INTO t_card_null t USING src_cn s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // NULL-key source rows are all unmatched inserts; the NULL target row survives
+    t2.read(spark).count() shouldBe 4L
+    t2.read(spark).filter($"name" === "z").count() shouldBe 1L
+  }
+
   test("insert-only MERGE in merge-on-read mode commits an append, not a rewrite") {
     val t = freshTarget("t_mor_ins")
     t.setProperties(Map("write.merge.mode" -> "merge-on-read"))

@@ -66,6 +66,10 @@ object DmlSql {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
   private val FastForwardRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
+  private val ShowTblPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*""".r
 
   /** `t VERSION AS OF n` / `t VERSION AS OF 'ref'` (branch/tag — Iceberg's
     * ref-read spelling) / `t TIMESTAMP AS OF ts` (and the `FOR
@@ -117,6 +121,14 @@ object DmlSql {
       val snap = t.fastForward(ref)
       if (spark.catalog.tableExists(name)) t.registerView(spark, name)
       spark.createDataFrame(Seq(("fast-forward", snap.id))).toDF("operation", "snapshot_id")
+    // metadata verbs (Delta's DESCRIBE HISTORY / Spark's SHOW TBLPROPERTIES
+    // spelling, answered from the snapshot log / properties file — no scan)
+    case DescribeHistoryRe(name) =>
+      lookupRegistered(name, "DESCRIBE HISTORY").snapshotsDf(spark)
+    case ShowTblPropsRe(name) =>
+      val t = lookupRegistered(name, "SHOW TBLPROPERTIES")
+      import spark.implicits._
+      t.properties.toSeq.sortBy(_._1).toDF("key", "value")
     case _ => runParsed(spark, sqlText)
   }
   }

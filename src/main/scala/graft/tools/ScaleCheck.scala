@@ -105,6 +105,23 @@ object ScaleCheck {
     r01.zip(r1).foreach { case ((k, a), (_, b)) =>
       println(f"  $k%-22s ${b / math.max(a, 1e-9)}%6.1fx")
     }
+
+    // ---- commit-COUNT scaling: the O(delta)+checkpoint manifest claim ----
+    // a fresh handle's head resolve must replay at most MaxDeltaChain (16)
+    // delta manifests regardless of history depth; listing never resolves
+    println("== deep history (60 vs 240 commits; cost must NOT scale with depth) ==")
+    import spark.implicits._
+    val tiny = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)
+    Seq(60, 240).foreach { depth =>
+      val hd = Icebox(java.nio.file.Files.createTempDirectory(s"scale-hist$depth").toString)
+      (1 to depth).foreach(_ => hd.append(tiny))
+      timed(s"resolve_head@$depth") {
+        require(Icebox(hd.tableDir).currentSnapshot.get.files.size == depth)
+      }
+      timed(s"list_snapshots@$depth") {
+        require(Icebox(hd.tableDir).allSnapshots.size == depth)
+      }
+    }
     spark.stop()
   }
 }

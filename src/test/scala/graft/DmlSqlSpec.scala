@@ -340,4 +340,18 @@ class DmlSqlSpec extends SparkSpec {
     DmlSql.run(spark, "SELECT * FROM tt_t VERSION AS OF 'v1'").count() shouldBe 2L
     DmlSql.run(spark, "SELECT * FROM tt_t VERSION AS OF 'wip'").count() shouldBe 4L
   }
+
+  test("DESCRIBE HISTORY and SHOW TBLPROPERTIES answer from metadata") {
+    val t = Icebox(tmpDir("dml-hist"))
+    t.append(Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.setProperties(Map("write.compression" -> "zstd"))
+    t.registerView(spark, "hist_t")
+    val h = DmlSql.run(spark, "DESCRIBE HISTORY hist_t")
+    h.columns should contain allOf ("snapshot_id", "operation", "timestamp_ms")
+    h.count() shouldBe 2L
+    val p = DmlSql.run(spark, "SHOW TBLPROPERTIES hist_t")
+      .as[(String, String)].collect().toMap
+    p("write.compression") shouldBe "zstd"
+  }
 }

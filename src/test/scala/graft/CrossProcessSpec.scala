@@ -47,4 +47,36 @@ class CrossProcessSpec extends SparkSpec {
     t.allSnapshots.size shouldBe 13
     t.read(spark).select("k").distinct().count() shouldBe 13L
   }
+
+  private def launch(args: Seq[String], tag: String): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    new ProcessBuilder(
+      (Seq(javaBin, "-Xmx1500m", "-cp", cp) ++ addOpens ++
+        Seq("graft.tools.ConcurrentAppender") ++ args): _*)
+      .redirectErrorStream(true)
+      .redirectOutput(java.io.File.createTempFile(tag, ".log"))
+      .start()
+  }
+
+  test("merge-on-read deletes vs compaction from SEPARATE processes stay consistent") {
+    val dir = tmpDir("xproc-drift")
+    val t0 = Icebox(dir)
+    t0.setProperties(Map("write.merge-on-read.max-delete-files" -> "2"))
+    t0.append((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "s"))
+    // the drift guard's actual claim: the deleting PROCESS and the
+    // compacting PROCESS coordinate only through the on-disk protocol —
+    // an over-depth rewrite computed against a head a compaction replaced
+    // must recompute, never double-commit
+    val del = launch(Seq(dir, "8", "d", "delete"), "xdel")
+    val cmp = launch(Seq(dir, "3", "c", "compact"), "xcmp")
+    Seq(del, cmp).foreach { p =>
+      assert(p.waitFor(240, TimeUnit.SECONDS), "process timed out")
+      assert(p.exitValue() == 0, s"process exited ${p.exitValue()}")
+    }
+    val survivors = Icebox(dir).read(spark)
+    survivors.count() shouldBe 92L // 100 - 8 deletes; nothing lost, nothing doubled
+    survivors.select("id").distinct().count() shouldBe 92L
+    survivors.filter(org.apache.spark.sql.functions.col("id") <= 8).count() shouldBe 0L
+  }
 }

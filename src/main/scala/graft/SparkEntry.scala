@@ -220,6 +220,26 @@ object SparkEntry {
       FileSource(Seq(s"$base/a", s"$base/b"), format = "orc").load(s)
     }),
 
+    // S9+: CSV and JSON-lines file sources with DECLARED schemas (no
+    // inference pass) — integer/string columns round-trip text formats
+    // exactly, so the DuckDB oracle hash-matches the re-read
+    "q_csv_scan" -> ((s, dir) => {
+      val base = tmp("qcsv")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      ev.filter(col("event_id") % 2 === 0).write.mode("overwrite")
+        .option("header", "true").csv(s"$base/a")
+      ev.filter(col("event_id") % 2 =!= 0).write.mode("overwrite")
+        .option("header", "true").csv(s"$base/b")
+      FileSource(Seq(s"$base/a", s"$base/b"), format = "csv",
+        options = Map("header" -> "true"), schema = Some(ev.schema)).load(s)
+    }),
+    "q_json_scan" -> ((s, dir) => {
+      val base = tmp("qjson")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      ev.write.mode("overwrite").json(base)
+      FileSource.json(base, ev.schema).load(s)
+    }),
+
     // file skipping: stats-pruned read after sort-clustered compaction
     "q_icebox_stats_skip" -> ((s, dir) => {
       val table = Icebox(tmp("qss"))
@@ -1420,6 +1440,10 @@ object SparkEntry {
     "q_icebox_timetravel" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_incremental" -> "SELECT * FROM orders WHERE o_orderstatus <> 'O'",
     "q_orc_scan" -> "SELECT * FROM events",
+
+    "q_csv_scan" -> "SELECT event_id, user_id, event_type FROM events",
+
+    "q_json_scan" -> "SELECT event_id, user_id, event_type FROM events",
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",

@@ -40,14 +40,20 @@ final case class FileSource(
     paths: Seq[String],
     format: String = "parquet",
     partitionColumn: Option[String] = None,
-    partitionValues: Seq[String] = Nil)
+    partitionValues: Seq[String] = Nil,
+    options: Map[String, String] = Map.empty,
+    schema: Option[org.apache.spark.sql.types.StructType] = None)
     extends Source {
 
   def load(spark: SparkSession): DataFrame = {
     // Multi-path scan: one DataFrame over N paths (S9,
     // hdfs_to_iceberg_operator.py:265-287 — the per-file fallback loop is
-    // unnecessary; Spark lists and schedules splits natively).
-    val df = spark.read.format(format).load(paths: _*)
+    // unnecessary; Spark lists and schedules splits natively). Text
+    // formats (csv/json) should pass an explicit `schema`: schema
+    // inference costs an extra full pass over the data and can mistype —
+    // at 100 TB a declared schema is the only sane contract.
+    val reader = spark.read.format(format).options(options)
+    val df = schema.fold(reader)(reader.schema).load(paths: _*)
     (partitionColumn, partitionValues) match {
       case (Some(c), vs) if vs.nonEmpty => df.filter(col(c).isin(vs: _*))
       case _                            => df
@@ -58,6 +64,15 @@ final case class FileSource(
 object FileSource {
   def parquet(path: String): FileSource = FileSource(Seq(path))
   def orc(path: String): FileSource = FileSource(Seq(path), format = "orc")
+
+  /** CSV with a DECLARED schema (no inference pass; header on). */
+  def csv(path: String, schema: org.apache.spark.sql.types.StructType): FileSource =
+    FileSource(Seq(path), format = "csv",
+      options = Map("header" -> "true"), schema = Some(schema))
+
+  /** JSON-lines with a DECLARED schema (no inference pass). */
+  def json(path: String, schema: org.apache.spark.sql.types.StructType): FileSource =
+    FileSource(Seq(path), format = "json", schema = Some(schema))
 
   /** One testdata table, e.g. `table(sfDir, "lineitem")`. */
   def table(sfDir: String, name: String): FileSource =

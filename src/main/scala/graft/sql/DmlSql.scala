@@ -70,6 +70,11 @@ object DmlSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
   private val ShowTblPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*""".r
+  private val SetTblPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val UnsetTblPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   /** `t VERSION AS OF n` / `t VERSION AS OF 'ref'` (branch/tag — Iceberg's
     * ref-read spelling) / `t TIMESTAMP AS OF ts` (and the `FOR
@@ -121,6 +126,22 @@ object DmlSql {
       val snap = t.fastForward(ref)
       if (spark.catalog.tableExists(name)) t.registerView(spark, name)
       spark.createDataFrame(Seq(("fast-forward", snap.id))).toDF("operation", "snapshot_id")
+    // table-property DDL (Spark's spelling; the cross-process-locked
+    // property update underneath — a user's write.* config lands here)
+    case SetTblPropsRe(name, pairs) =>
+      val t = lookupRegistered(name, "ALTER")
+      val kv = PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap
+      require(kv.nonEmpty, s"no 'k'='v' pairs in SET TBLPROPERTIES ($pairs)")
+      t.setProperties(kv)
+      spark.createDataFrame(Seq(("set-properties", kv.size.toLong)))
+        .toDF("operation", "snapshot_id")
+    case UnsetTblPropsRe(name, keys) =>
+      val t = lookupRegistered(name, "ALTER")
+      val ks = """'([^']+)'""".r.findAllMatchIn(keys).map(_.group(1)).toSeq
+      require(ks.nonEmpty, s"no 'k' keys in UNSET TBLPROPERTIES ($keys)")
+      t.removeProperties(ks)
+      spark.createDataFrame(Seq(("unset-properties", ks.size.toLong)))
+        .toDF("operation", "snapshot_id")
     // metadata verbs (Delta's DESCRIBE HISTORY / Spark's SHOW TBLPROPERTIES
     // spelling, answered from the snapshot log / properties file — no scan)
     case DescribeHistoryRe(name) =>

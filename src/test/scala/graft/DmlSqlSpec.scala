@@ -353,5 +353,16 @@ class DmlSqlSpec extends SparkSpec {
     val p = DmlSql.run(spark, "SHOW TBLPROPERTIES hist_t")
       .as[(String, String)].collect().toMap
     p("write.compression") shouldBe "zstd"
+    // SET / UNSET round-trip through SQL; the MoR write modes are the
+    // config a user actually sets this way
+    DmlSql.run(spark,
+      "ALTER TABLE hist_t SET TBLPROPERTIES ('write.upsert.mode'='merge-on-read', 'write.bloom.columns'='id')")
+    val p2 = DmlSql.run(spark, "SHOW TBLPROPERTIES hist_t")
+      .as[(String, String)].collect().toMap
+    p2("write.upsert.mode") shouldBe "merge-on-read"
+    p2("write.bloom.columns") shouldBe "id"
+    DmlSql.run(spark, "ALTER TABLE hist_t UNSET TBLPROPERTIES ('write.bloom.columns')")
+    DmlSql.run(spark, "SHOW TBLPROPERTIES hist_t")
+      .as[(String, String)].collect().toMap.get("write.bloom.columns") shouldBe None
   }
 }

@@ -1355,26 +1355,47 @@ final class Icebox(val tableDir: String) {
     val keysPhys = keys.select(logicalKeyCols.map(c => col(c).as(toPhysical(c))): _*)
     val keyCols = keysPhys.columns.toSeq
     val preExisting = cur.files.map(_.path).toSet
-    // batch key bounds for attach pruning: one tiny agg over the keys
+    // batch key bounds for attach pruning: one tiny agg over the keys.
+    // Numeric keys compare numerically; STRING keys compare in UTF8
+    // binary order — the order Spark's string min/max, the parquet footer
+    // stats, and prunedFilesByStatsString all use — so string-keyed CDC
+    // (uuids, natural keys) gets the same attach pruning on a
+    // range-clustered table instead of attach-everywhere
     val numericKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType.isInstanceOf[NumericType])
-    val bounds: Map[String, (Double, Double)] =
-      if (numericKeyCols.isEmpty) Map.empty
+    val stringKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType == StringType)
+    val boundedCols = numericKeyCols ++ stringKeyCols
+    val (bounds, strBounds) =
+      if (boundedCols.isEmpty) (Map.empty[String, (Double, Double)],
+        Map.empty[String, (String, String)])
       else {
         val aggs = numericKeyCols.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) ++
+          stringKeyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
         val r = keysPhys.agg(aggs.head, aggs.tail: _*).collect()(0)
-        numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
+        val num = numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
           else Some(c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
         }.toMap
+        val base = 2 * numericKeyCols.size
+        val str = stringKeyCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(base + 2 * i) || r.isNullAt(base + 2 * i + 1)) None
+          else Some(c -> (r.getString(base + 2 * i), r.getString(base + 2 * i + 1)))
+        }.toMap
+        (num, str)
       }
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     // a file needs no attach iff stats PROVE some key column disjoint from
-    // the batch's key range (missing/non-numeric stats keep the attach)
-    def disjoint(f: DataFile): Boolean = bounds.exists { case (c, (klo, khi)) =>
-      f.stats.get(c).exists { case (mn, mx) =>
-        scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
+    // the batch's key range (missing/untyped stats keep the attach)
+    def disjoint(f: DataFile): Boolean =
+      bounds.exists { case (c, (klo, khi)) =>
+        f.stats.get(c).exists { case (mn, mx) =>
+          scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
+        }
+      } || strBounds.exists { case (c, (klo, khi)) =>
+        f.stats.get(c).exists { case (mn, mx) => utf8Lt(mx, klo) || utf8Lt(khi, mn) }
       }
-    }
     // READ-AMPLIFICATION BOUND: every attached eq-delete adds a broadcast
     // join to reads of that file, so depth must not grow without limit on a
     // hot file. Files whose depth would EXCEED `write.merge-on-read

@@ -100,6 +100,22 @@ class EqualityDeleteSpec extends SparkSpec {
     t.read(spark).count() shouldBe 48L
   }
 
+  test("stats-pruned attach works for STRING keys (UTF8 order)") {
+    val t = Icebox(tmpDir("eqdel-prune-str"))
+    // two range-disjoint files clustered on the string key (footer stats
+    // record string min/max by default)
+    t.append((1 to 50).map(i => (f"k$i%03d", i)).toDF("k", "v")
+      .repartitionByRange(2, col("k")))
+    t.currentSnapshot.get.files.size shouldBe 2
+    t.deleteByKeys(Seq("k002", "k003").toDF("k")) // entirely in the low file
+    val files = t.currentSnapshot.get.files
+    files.count(_.eqDeletes.nonEmpty) shouldBe 1 // high-range file pruned
+    t.read(spark).count() shouldBe 48L
+    // and a batch spanning both ranges attaches to both (no over-pruning)
+    t.deleteByKeys(Seq("k001", "k050").toDF("k"))
+    t.read(spark).count() shouldBe 46L
+  }
+
   test("attach depth is bounded: over-threshold files rewrite copy-on-write") {
     val t = Icebox(tmpDir("eqdel-depth"))
     t.append((1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "s"))

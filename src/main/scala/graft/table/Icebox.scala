@@ -2103,12 +2103,24 @@ object Icebox {
   /** Static face of the stale-head retry loop for callers outside the
     * handle (the SQL DML executors re-run their whole classify → rewrite
     * computation when a cross-process commit moves the head mid-statement).
+    * Jittered linear backoff: each recomputation is a Spark job, so under a
+    * maintenance storm (compactions racing deletes) immediate retries can
+    * ping-pong; the pause lets the competing committer finish. Exhaustion
+    * fails LOUDLY — never with a wrong commit.
     */
   private[graft] def retryingStaleHead[T](body: => T): T = {
     var attempt = 0
     while (true) {
       try return body
-      catch { case StaleCommitState if attempt < 8 => attempt += 1 }
+      catch {
+        case StaleCommitState if attempt < 20 =>
+          attempt += 1
+          Thread.sleep(math.min(500L, 20L * attempt) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(40))
+        case StaleCommitState =>
+          sys.error("commit retries exhausted: the table head kept moving during " +
+            "recomputation (concurrent maintenance storm) — rerun when quieter")
+      }
     }
     sys.error("unreachable")
   }

@@ -94,10 +94,14 @@ object Upsert {
     * by [[intoTable]]) or called directly.
     */
   def intoTableMor(table: Icebox, incoming: DataFrame, pk: Seq[String],
-      orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
+      orderCol: Option[String] = None, partitionBy: Seq[String] = Nil): Unit =
+      Icebox.retryingStaleHead {
     val parts = if (partitionBy.nonEmpty) partitionBy else table.partitionColumns
     val src = orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
-    if (!table.exists) { table.overwriteAs("upsert", src, parts); return }
+    // expectHeadId = −1: computed against "no table" — a creation racing in
+    // between the exists check and the publish must force a re-merge (the
+    // retry re-enters via the MoR delete path), never a silent replace
+    if (!table.exists) { table.overwriteAs("upsert", src, parts, expectHeadId = -1L); return }
     table.commitEqualityDeletes("upsert-mor", src.select(pk.map(col): _*), Some(src), parts)
     ()
   }
@@ -115,7 +119,9 @@ object Upsert {
     val spark = incoming.sparkSession
     if (!table.exists) {
       val src = orderCol.map(dedupe(incoming, pk, _)).getOrElse(incoming.dropDuplicates(pk))
-      table.overwriteAs("upsert", src, Seq(partitionCol))
+      // −1 = computed against an empty table: a concurrent creation triggers
+      // the enclosing retryingStaleHead re-merge instead of a silent replace
+      table.overwriteAs("upsert", src, Seq(partitionCol), expectHeadId = -1L)
       return
     }
     val head = table.currentSnapshotId // the state this merge reads

@@ -85,7 +85,10 @@ object MergeSql {
     val equiPairs = equiKeys(m.mergeCondition, targetAlias, sourceAlias)
 
     val matched = tgt.join(src, cond, "inner")
-    if (m.matchedActions.nonEmpty) equiPairs match {
+    // the fast path renames source keys to target-side names; an ON clause
+    // repeating a target column (t.k = s.a AND t.k = s.b) would make that
+    // frame ambiguous — valid statement, so fall through to the generic check
+    if (m.matchedActions.nonEmpty) equiPairs.filter(p => p.map(_._1).distinct.size == p.size) match {
       case Some(pairs) =>
         // EQUI fast path: a target row matches >1 source row iff some
         // source key tuple repeats AND exists in the target — one

@@ -52,6 +52,10 @@ object Streaming {
     // stream's batches
     val streamId = "ingest-" + java.security.MessageDigest.getInstance("SHA-256")
       .digest(checkpointDir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+    // markers recorded by pre-SHA-256 builds live under the legacy
+    // String.hashCode-derived id; a batch replayed across the upgrade must
+    // still find them or it appends twice (one-time migration probe)
+    val legacyStreamId = "ingest-" + Integer.toHexString(checkpointDir.hashCode)
     stream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -63,6 +67,8 @@ object Streaming {
           // marker — a replay after crash-before-checkpoint skips instead
           // of duplicating rows
           if (pk.nonEmpty) Upsert.intoTable(table, batch, pk, orderCol)
+          else if (table.lastStreamBatch(streamId).isEmpty &&
+              table.lastStreamBatch(legacyStreamId).exists(_ >= batchId)) ()
           else { table.appendStreamBatch(streamId, batchId, batch); () }
         }
       }

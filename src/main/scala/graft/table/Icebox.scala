@@ -846,7 +846,18 @@ final class Icebox(val tableDir: String) {
     val files = prunedFiles(column, values)
     val base = readFiles(spark, files, currentSnapshot.map(_.schemaJson))
     if (files.forall(_.partition.contains(key))) base
-    else base.filter(col(column).cast(StringType).isin(values.toSeq: _*))
+    else {
+      // exact filter compares in the SAME rendering the manifest records for
+      // partition directories: nulls render as __HIVE_DEFAULT_PARTITION__
+      // (a plain cast would yield NULL, silently dropping old-generation
+      // rows of a requested null partition), and a caller passing null in
+      // `values` means that same segment
+      val nullSeg = "__HIVE_DEFAULT_PARTITION__"
+      val wanted = values.map(v => if (v == null) nullSeg else v)
+      val rendered = when(col(column).isNull, lit(nullSeg))
+        .otherwise(col(column).cast(StringType))
+      base.filter(rendered.isin(wanted.toSeq: _*))
+    }
   }
 
   // ------------------------------------------------------------- maintenance

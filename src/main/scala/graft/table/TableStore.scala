@@ -61,6 +61,23 @@ final class TableStore(val root: HPath, conf: Configuration) {
   private val isLocal: Boolean = Option(mfs.getUri.getScheme).contains("file")
   private val schemeless: Boolean = root.toUri.getScheme == null
 
+  // the class doc's atomicity caveat, surfaced at RUNTIME: on schemes where
+  // create(overwrite=false) is check-then-create, the CAS claims the commit
+  // protocol rests on can silently lose a race — warn once per store unless
+  // the deployment opted into a safe mechanism (S3A conditional PUT,
+  // Hadoop 3.4.1+) or supplies one via CasProvider
+  locally {
+    val scheme = Option(mfs.getUri.getScheme).getOrElse("")
+    val s3Conditional = scheme.startsWith("s3") &&
+      conf.getBoolean("fs.s3a.create.conditional.enabled", false)
+    if (!isLocal && scheme != "hdfs" && !s3Conditional)
+      org.slf4j.LoggerFactory.getLogger(classOf[TableStore]).warn(
+        s"TableStore at $root: filesystem scheme '$scheme' has no atomic " +
+        "create(overwrite=false) — concurrent writers may both win a CAS claim. " +
+        "Enable fs.s3a.create.conditional.enabled (S3, Hadoop 3.4.1+) or " +
+        "configure a CasProvider for this scheme.")
+  }
+
   private def nio(p: HPath): java.nio.file.Path = Paths.get(p.toUri.getPath)
 
   /** `root`/`name` (multi-segment names allowed). */

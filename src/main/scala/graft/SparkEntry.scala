@@ -223,6 +223,26 @@ object SparkEntry {
     // S9+: CSV and JSON-lines file sources with DECLARED schemas (no
     // inference pass) — integer/string columns round-trip text formats
     // exactly, so the DuckDB oracle hash-matches the re-read
+    // S1-S5 LIVE: the JDBC path against a real embedded database (Derby,
+    // in-JVM, ships with Spark's jars) — a lineitem slice round-trips
+    // through a PARTITIONED JDBC range scan (the distributed form of the
+    // reference's serial chunked extract) with the quantity predicate
+    // pushed down to the database
+    "q_jdbc_scan" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graft" +
+        java.util.UUID.randomUUID().toString.take(8) + ";create=true"
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "lineitem").save()
+      graft.sources.JdbcSource(url, table = "lineitem",
+        partitionColumn = Some("l_orderkey"), lowerBound = Some(1L),
+        upperBound = Some(2000L), numPartitions = 4).load(s)
+        .filter(col("l_quantity") > 45.0)
+    }),
+
     "q_csv_scan" -> ((s, dir) => {
       val base = tmp("qcsv")
       val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
@@ -1442,6 +1462,9 @@ object SparkEntry {
     "q_orc_scan" -> "SELECT * FROM events",
 
     "q_csv_scan" -> "SELECT event_id, user_id, event_type FROM events",
+    "q_jdbc_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey <= 2000 AND l_quantity > 45""".stripMargin,
 
     "q_json_scan" -> "SELECT event_id, user_id, event_type FROM events",
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",

@@ -25,7 +25,9 @@ object TypeConverter {
   def oracleToSpark(oracleType: String, strict: Boolean = false): DataType = {
     val (base, params) = normalize(oracleType)
     base match {
-      case "NUMBER" =>
+      // DECIMAL/NUMERIC: the ANSI spellings of NUMBER (DatabaseMetaData
+      // reports them for Derby/Postgres/etc.) — same reference semantics
+      case "NUMBER" | "DECIMAL" | "NUMERIC" =>
         if (strict) params match {
           case Some((p, Some(s))) if s > 0 => DecimalType(p, s)
           case _                           => LongType
@@ -38,6 +40,17 @@ object TypeConverter {
       case "DATE" | "TIMESTAMP"                           => TimestampType
       case t if t.startsWith("TIMESTAMP")                 => TimestampType // WITH [LOCAL] TIME ZONE, TIMESTAMP(6), ...
       case "RAW" | "BLOB"                                 => BinaryType
+      // ANSI / JDBC metadata names: S5 introspection goes through standard
+      // DatabaseMetaData, so any JDBC source's TYPE_NAMEs must map — these
+      // keep their natural width instead of the Oracle NUMBER collapse
+      case "INTEGER" | "INT"                              => IntegerType
+      case "BIGINT"                                       => LongType
+      case "SMALLINT"                                     => ShortType
+      case "TINYINT"                                      => ByteType
+      case "DOUBLE" | "DOUBLE PRECISION"                  => DoubleType
+      case "REAL"                                         => FloatType
+      case "BOOLEAN"                                      => BooleanType
+      case "VARCHAR" | "LONG VARCHAR" | "CHAR VARYING"    => StringType
       case other =>
         // reference logs a warning and falls back to String (type_converter.py:36-40)
         StringType

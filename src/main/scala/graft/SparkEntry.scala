@@ -1402,6 +1402,24 @@ object SparkEntry {
           }
         }.toDF("doc_id", "media_bytes")
       Multimodal.decodeImageMeta(pngs)
+    }),
+
+    // LLM: REAL audio decode (javax.sound.sampled) — deterministic synthetic
+    // square-wave WAVs are ENCODED per doc, then the kernel decodes the
+    // actual PCM back to rate / channels / frames / duration / RMS, each of
+    // which the DuckDB oracle predicts arithmetically (RMS of a ±v signal
+    // is exactly v/32768 in double arithmetic). A fake decode cannot pass.
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            (id, Multimodal.syntheticWav(
+              sampleRateHz = 8000, channels = (1 + id % 2).toInt,
+              frames = (800 + (id % 10) * 80).toInt, v = ((id % 100) * 300).toInt))
+          }
+        }.toDF("doc_id", "media_bytes")
+      Multimodal.decodeAudioMeta(wavs)
     })
   )
 
@@ -2125,6 +2143,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width,
         | CAST(8 + doc_id % 16 AS INT) AS height, CAST(3 AS INT) AS channels,
         | CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+        | FROM documents""".stripMargin,
+
+    // the oracle predicts what a GENUINE PCM decode must return for the
+    // synthetic square-wave WAVs (RMS exactly v/32768; duration exact since
+    // frames is a multiple of rate/1000)
+    "q_audio_decode" ->
+      """SELECT doc_id, CAST(8000 AS INT) AS sample_rate_hz,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS frames,
+        | CAST(100 + (doc_id % 10) * 10 AS BIGINT) AS duration_ms,
+        | CAST((doc_id % 100) * 300 AS DOUBLE) / 32768 AS rms
         | FROM documents""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )

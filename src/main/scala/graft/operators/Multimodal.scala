@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE decode kernel is REAL ([[decodeImage]] — `javax.imageio`,
   * which ships in every JVM: PNG/JPEG/GIF/BMP bytes are actually parsed to
-  * dimensions, channel count, and pixel statistics). Audio/video kernels
-  * remain STUBS — no such codecs ship in this environment — replaced by a
+  * dimensions, channel count, and pixel statistics). The AUDIO kernel is
+  * REAL too ([[decodeAudio]] — `javax.sound.sampled`, also in every JVM:
+  * WAV/AIFF/AU bytes are decoded to PCM and measured). Only the VIDEO
+  * kernel remains a STUB — no video codec ships in any JVM — replaced by a
   * deterministic fake deriving "features" from the bytes (`decodeStub`).
   * Everything around both is real and tested: the schema contract, the
   * binary column plumbing, partition sizing for large blobs, and the
@@ -53,10 +55,10 @@ object Multimodal {
       .withColumn("content_hash", sha2(col(binCol), 256))
       .withColumn("magic", hex(substring(col(binCol), 1, 4)))
 
-  /** STUB decode kernel for AUDIO/VIDEO (no such codecs in this
-    * environment; a real deployment swaps in JNI / javacv / a sidecar
-    * service — images use the real [[decodeImage]]). Deterministic fake: 8
-    * pseudo-features derived from byte content. The signature — one
+  /** STUB decode kernel for VIDEO (no video codec ships in any JVM; a real
+    * deployment swaps in JNI / javacv / a sidecar service — images use the
+    * real [[decodeImage]], audio the real [[decodeAudio]]). Deterministic
+    * fake: 8 pseudo-features derived from byte content. The signature — one
     * partition-iterator in, one out, batch-amortized — is the real
     * contract.
     */
@@ -102,6 +104,84 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Decoded audio facts — every field computed from the actually-decoded
+    * PCM frames, not from container metadata.
+    */
+  final case class AudioMeta(sampleRateHz: Int, channels: Int, frames: Long,
+      durationMs: Long, rmsAmplitude: Double)
+
+  /** REAL audio decode (`javax.sound.sampled`, in every JVM): parse `bytes`
+    * as WAV/AIFF/AU, decode to signed 16-bit PCM, and compute sample rate,
+    * channel count, frame count, duration, and the RMS amplitude over every
+    * sample of every channel normalized to [-1, 1). None when the bytes are
+    * not decodable audio (callers fall back or null out). Streams fully
+    * in-memory — no temp files on executors.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val rate = fmt.getSampleRate.toInt
+        val ch = math.max(1, fmt.getChannels)
+        // normalize any PCM/ULAW/ALAW encoding to signed 16-bit LE
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, ch, 2 * ch, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+        val data = pcm.readAllBytes()
+        val n = data.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = (((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF)).toShort
+          val v = s / 32768.0
+          sumSq += v * v
+          i += 1
+        }
+        val frames = n.toLong / ch
+        Some(AudioMeta(rate, ch, frames, frames * 1000L / math.max(1, rate),
+          if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic WAV: `frames` frames at `sampleRateHz`, every
+    * frame the square wave `+v, -v, +v, ...` (16-bit signed) replicated on
+    * every channel — the ENCODE side of the round-trip the decode oracle
+    * verifies. RMS of a ±v signal is exactly `v / 32768` in double
+    * arithmetic (v and v² are exact, the n-term sum is exact, and the
+    * correctly-rounded divide/sqrt land back on representable values), so
+    * an external oracle predicts [[decodeAudio]]'s every field
+    * arithmetically.
+    */
+  def syntheticWav(sampleRateHz: Int, channels: Int, frames: Int, v: Int): Array[Byte] = {
+    require(v >= 0 && v <= 32767, s"v out of 16-bit range: $v")
+    val data = new Array[Byte](frames * channels * 2)
+    var f = 0
+    while (f < frames) {
+      val s = (if (f % 2 == 0) v else -v).toShort
+      var c = 0
+      while (c < channels) {
+        val o = (f * channels + c) * 2
+        data(o) = (s & 0xFF).toByte
+        data(o + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic synthetic PNG: `width`×`height`, every pixel the uniform
     * gray `(v, v, v)` — the ENCODE side of the round-trip the decode oracle
     * verifies (an external oracle can predict exactly what [[decodeImage]]
@@ -144,6 +224,31 @@ object Multimodal {
     }.toDF(idCol, "width", "height", "channels", "mean_intensity")
   }
 
+  /** Batched REAL audio decode over partitions: (id, binary) in →
+    * `(id, sample_rate_hz, channels, frames, duration_ms, rms)` out, every
+    * output column computed from the decoded PCM. Rows whose bytes don't
+    * parse as audio yield nulls (sample_rate_hz == null marks them). Narrow
+    * op — no shuffle.
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        decodeAudio(bytes) match {
+          case Some(m) => (id, Option(m.sampleRateHz), Option(m.channels),
+            Option(m.frames), Option(m.durationMs), Option(m.rmsAmplitude))
+          case None => (id, None: Option[Int], None: Option[Int],
+            None: Option[Long], None: Option[Long], None: Option[Double])
+        }
+      }
+    }.toDF(idCol, "sample_rate_hz", "channels", "frames", "duration_ms", "rms")
+  }
+
   /** Batched decode / feature extraction over partitions — the `mapInPandas`
     * analog. Input must contain (`idCol`: long, `binCol`: binary); output is
     * (id, features array<float>). Blobs that parse as a real image get
@@ -162,19 +267,32 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        val feats = decodeImage(bytes) match {
-          case Some(m) => Array(
-            m.width / 4096f, m.height / 4096f, m.channels / 4f,
-            (m.meanIntensity / 255.0).toFloat,
-            m.width.toFloat / (m.width + m.height),
-            math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat,
-            0f, 1f) // trailing flags: reserved, is-image
-          case None => decodeStub(bytes)
-        }
-        (id, feats)
+        (id, featureKernel(bytes))
       }
     }.toDF(idCol, "features")
   }
+
+  /** Kernel selection shared by [[decodeFeatures]]/[[decodeAudit]]: real
+    * image decode, then real audio decode, then the video stub — all 8
+    * features in [0,1]; the two trailing flags mark (is-audio, is-image).
+    */
+  private def featureKernel(bytes: Array[Byte]): Array[Float] =
+    decodeImage(bytes) match {
+      case Some(m) => Array(
+        m.width / 4096f, m.height / 4096f, m.channels / 4f,
+        (m.meanIntensity / 255.0).toFloat,
+        m.width.toFloat / (m.width + m.height),
+        math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat, 0f, 1f)
+      case None => decodeAudio(bytes) match {
+        case Some(a) => Array(
+          math.min(1f, a.sampleRateHz / 48000f), a.channels / 8f,
+          math.min(1.0, a.frames / 1e6).toFloat,
+          math.min(1.0, a.durationMs / 600000.0).toFloat,
+          math.min(1.0, a.rmsAmplitude).toFloat,
+          math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat, 1f, 0f)
+        case None => decodeStub(bytes)
+      }
+    }
 
   /** Compare-friendly audit of the decode path: every column is a scalar
     * computed INSIDE the kernel from the raw bytes, so an external oracle can
@@ -192,14 +310,9 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        // same kernel selection as decodeFeatures: real image decode when
-        // the bytes parse, stub otherwise
-        val feats = decodeImage(bytes) match {
-          case Some(m) => Array(m.width / 4096f, m.height / 4096f, m.channels / 4f,
-            (m.meanIntensity / 255.0).toFloat, m.width.toFloat / (m.width + m.height),
-            math.min(1.0, bytes.length / (1024.0 * 1024.0)).toFloat, 0f, 1f)
-          case None => decodeStub(bytes)
-        }
+        // same kernel selection as decodeFeatures: image, then audio, then
+        // the video stub
+        val feats = featureKernel(bytes)
         (id, bytes.length.toLong, feats.length.toLong,
           feats.forall(f => f >= 0.0f && f <= 1.0f))
       }

@@ -96,4 +96,40 @@ class MultimodalSpec extends SparkSpec {
     f(3) shouldBe (128 / 255.0).toFloat // mean intensity, normalized
     f(7) shouldBe 1f                   // is-image flag
   }
+
+  test("decodeAudio genuinely decodes WAV PCM: rate, channels, frames, exact RMS") {
+    val m = Multimodal.decodeAudio(
+      Multimodal.syntheticWav(sampleRateHz = 16000, channels = 2, frames = 1600, v = 9000)).get
+    (m.sampleRateHz, m.channels, m.frames, m.durationMs) shouldBe ((16000, 2, 1600L, 100L))
+    m.rmsAmplitude shouldBe 9000.0 / 32768 // ±v square wave: RMS exactly v/32768
+    // silence decodes to RMS 0
+    Multimodal.decodeAudio(
+      Multimodal.syntheticWav(8000, 1, 80, 0)).get.rmsAmplitude shouldBe 0.0
+    // undecodable inputs
+    Multimodal.decodeAudio("definitely not audio".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodeAudio(Array.emptyByteArray) shouldBe None
+    Multimodal.decodeAudio(null) shouldBe None
+  }
+
+  test("decodeAudioMeta decodes per row; undecodable blobs null out") {
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(8000, 1, 800, 3000)),
+      (2L, "nope".getBytes("UTF-8"))).toDF("doc_id", "media_bytes")
+    val r = Multimodal.decodeAudioMeta(df).orderBy("doc_id").collect()
+    (r(0).getInt(1), r(0).getInt(2), r(0).getLong(3), r(0).getLong(4),
+      r(0).getDouble(5)) shouldBe ((8000, 1, 800L, 100L, 3000.0 / 32768))
+    (1 to 5).foreach(i => r(1).isNullAt(i) shouldBe true)
+  }
+
+  test("decodeFeatures switches to PCM-derived features for real audio") {
+    val df = Seq((1L, Multimodal.syntheticWav(24000, 2, 2400, 16384)))
+      .toDF("doc_id", "media_bytes")
+    val f = Multimodal.decodeFeatures(df).select("features").as[Array[Float]].head()
+    f.length shouldBe 8
+    f(0) shouldBe 24000 / 48000f       // sample rate
+    f(1) shouldBe 2 / 8f               // channels
+    f(4) shouldBe 0.5f                 // RMS: 16384/32768
+    f(6) shouldBe 1f                   // is-audio flag
+    f(7) shouldBe 0f                   // not an image
+  }
 }

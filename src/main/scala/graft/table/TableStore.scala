@@ -23,8 +23,12 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileStatus, FileSy
   *    HDFS: `create(overwrite=false)` — atomic on the NameNode. Raw-local
   *    Hadoop and S3A check-then-create (TOCTOU): S3 deployments should
   *    enable conditional writes (`fs.s3a.create.conditional.enabled`,
-  *    Hadoop 3.4.1+ If-None-Match PUT) or front the claim with a DynamoDB/
-  *    catalog CAS, which is exactly how Iceberg's S3 commit works.
+  *    Hadoop 3.4.1+ If-None-Match PUT) or register a [[CasProvider]] for
+  *    the scheme — the claim is then arbitrated on a mechanism that IS
+  *    atomic (a lock directory on POSIX/HDFS, a lock table) and only the
+  *    winner touches the weak filesystem, which is exactly how Iceberg's
+  *    S3 commit works. `deleteIfExists`/`renameNoReplace` keep the
+  *    provider's claim state mirrored to file existence.
   *  - '''atomicReplace''' — publish (`_current` flip, properties update,
   *    manifest rebase): write-temp + rename-overwrite. Local: nio
   *    `ATOMIC_MOVE`. Others: `FileContext.rename(OVERWRITE)` (atomic on
@@ -70,7 +74,8 @@ final class TableStore(val root: HPath, conf: Configuration) {
     val scheme = Option(mfs.getUri.getScheme).getOrElse("")
     val s3Conditional = scheme.startsWith("s3") &&
       conf.getBoolean("fs.s3a.create.conditional.enabled", false)
-    if (!isLocal && scheme != "hdfs" && !s3Conditional)
+    if (!isLocal && scheme != "hdfs" && !s3Conditional &&
+        CasProvider.forScheme(scheme).isEmpty)
       org.slf4j.LoggerFactory.getLogger(classOf[TableStore]).warn(
         s"TableStore at $root: filesystem scheme '$scheme' has no atomic " +
         "create(overwrite=false) — concurrent writers may both win a CAS claim. " +
@@ -98,10 +103,17 @@ final class TableStore(val root: HPath, conf: Configuration) {
 
   def mkdirs(p: HPath): Unit = mfs.mkdirs(p)
 
-  /** Delete a file or EMPTY directory; false if absent. */
-  def deleteIfExists(p: HPath): Boolean =
-    try mfs.delete(p, false)
-    catch { case _: java.io.FileNotFoundException => false }
+  /** Delete a file or EMPTY directory; false if absent. Any provider claim
+    * on the path is released AFTER the file is gone, so the path becomes
+    * claimable again (a contender racing into the gap just loses its claim
+    * attempt and retries — never a double win).
+    */
+  def deleteIfExists(p: HPath): Boolean = {
+    val r = try mfs.delete(p, false)
+      catch { case _: java.io.FileNotFoundException => false }
+    cas.foreach(_.release(render(p)))
+    r
+  }
 
   def deleteRecursive(p: HPath): Boolean =
     try mfs.delete(p, true)
@@ -120,10 +132,43 @@ final class TableStore(val root: HPath, conf: Configuration) {
     else self +: list(p).flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st))
   }
 
-  /** CAS create: write `bytes` to `p` iff `p` does not exist; false when it
-    * does (see class doc for per-filesystem atomicity).
+  private def scheme: String = Option(mfs.getUri.getScheme).getOrElse("")
+
+  /** The registered CAS mechanism for this filesystem, if any (per-call
+    * lookup so registration after store construction still applies).
     */
-  def createNew(p: HPath, bytes: Array[Byte]): Boolean =
+  private def cas: Option[CasProvider] = CasProvider.forScheme(scheme)
+
+  /** CAS create: write `bytes` to `p` iff `p` does not exist; false when it
+    * does. When a [[CasProvider]] is registered for this filesystem's
+    * scheme, the CLAIM is arbitrated there (atomic by the provider's
+    * contract) and only the winner writes the file — the weak filesystem's
+    * non-atomic `create(overwrite=false)` never decides a race. A claim
+    * whose underlying file is missing past the abandoned-claim grace (its
+    * winner died between claim and write) is released and contested once.
+    * Without a provider, atomicity is per-filesystem (see class doc).
+    */
+  def createNew(p: HPath, bytes: Array[Byte]): Boolean = cas match {
+    case Some(cp) =>
+      val key = render(p)
+      if (cp.claim(key, bytes)) { writeClaimed(p, bytes); true }
+      else if (!exists(p) &&
+          cp.claimAgeMs(key).exists(_ > CasProvider.abandonedClaimGraceMs)) {
+        cp.release(key)
+        if (cp.claim(key, bytes)) { writeClaimed(p, bytes); true } else false
+      } else false
+    case None => createNewDirect(p, bytes)
+  }
+
+  /** The winner's write-through behind a provider claim: plain overwrite —
+    * exclusivity was already arbitrated.
+    */
+  private def writeClaimed(p: HPath, bytes: Array[Byte]): Unit = {
+    val out = mfs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def createNewDirect(p: HPath, bytes: Array[Byte]): Boolean =
     if (isLocal) {
       try {
         Files.write(nio(p), bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -168,17 +213,30 @@ final class TableStore(val root: HPath, conf: Configuration) {
   }
 
   /** Rename `src` to `dst` iff `dst` does not exist; false on any lost
-    * race (see class doc).
+    * race (see class doc). With a provider, `dst` is claimed first (atomic)
+    * and `src`'s claim is released on success, keeping claim state mirrored
+    * to file existence.
     */
-  def renameNoReplace(src: HPath, dst: HPath): Boolean =
-    if (isLocal) {
-      try { Files.move(nio(src), nio(dst)); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.nio.file.NoSuchFileException => false
+  def renameNoReplace(src: HPath, dst: HPath): Boolean = cas match {
+    case Some(cp) =>
+      val (skey, dkey) = (render(src), render(dst))
+      if (!cp.claim(dkey, Array.emptyByteArray)) false
+      else {
+        val ok = try mfs.rename(src, dst)
+          catch { case _: java.io.FileNotFoundException | _: IOException => false }
+        if (ok) cp.release(skey) else cp.release(dkey)
+        ok
       }
-    } else {
-      try !mfs.exists(dst) && mfs.rename(src, dst)
-      catch { case _: java.io.FileNotFoundException => false }
-    }
+    case None =>
+      if (isLocal) {
+        try { Files.move(nio(src), nio(dst)); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      } else {
+        try !mfs.exists(dst) && mfs.rename(src, dst)
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+  }
 }

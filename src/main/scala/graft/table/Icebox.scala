@@ -663,13 +663,49 @@ final class Icebox(val tableDir: String) {
   def overwritePartitions(df: DataFrame, partitionBy: Seq[String],
       expectHeadId: Long = -2L): Snapshot = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    commit(df, partitionBy, "overwrite") { (parent, newFiles) =>
-      // guarded read-merge-replace (see overwriteAs): a concurrent commit
-      // touching the partitions this merge read must force a re-merge
+    val physKeys = partitionBy.map(toPhysical)
+    val snap = currentSnapshot
+    val nonConforming = snap.map(_.files.filterNot(f => physKeys.forall(f.partition.contains)))
+      .getOrElse(Nil)
+    if (nonConforming.isEmpty)
+      return commit(df, partitionBy, "overwrite") { (parent, newFiles) =>
+        // guarded read-merge-replace (see overwriteAs): a concurrent commit
+        // touching the partitions this merge read must force a re-merge
+        if (expectHeadId != -2L && parent.map(_.id).getOrElse(-1L) != expectHeadId)
+          throw Icebox.StaleCommitState
+        val touched = newFiles.map(_.partition).toSet
+        parent.map(_.files).getOrElse(Nil).filterNot(f => touched(f.partition)) ++ newFiles
+      }
+    // MIXED GENERATIONS: files from a spec generation not partitioned by
+    // `partitionBy` may hold rows INSIDE the partitions being replaced —
+    // carrying them over wholesale would silently duplicate exactly those
+    // rows (caught by PartitionEvolutionSpec). In the SAME atomic commit:
+    // such files retire, their rows OUTSIDE the replaced partitions are
+    // rewritten into the current layout alongside `df`, and conforming
+    // files carry over by reference as before. Rows compare in the
+    // manifest's partition-directory rendering (nulls as the hive default
+    // segment), matching readPartitions.
+    val spark = df.sparkSession
+    val nullSeg = "__HIVE_DEFAULT_PARTITION__"
+    def rendered(c: String): Column =
+      when(col(c).isNull, lit(nullSeg)).otherwise(col(c).cast(StringType))
+    val sep = ""
+    val replaced: Set[String] = df
+      .select(concat_ws(sep, partitionBy.map(rendered): _*).as("__pv"))
+      .distinct().collect().map(_.getString(0)).toSet // one row per touched partition
+    val carry = readFiles(spark, nonConforming, snap.map(_.schemaJson))
+      .filter(!concat_ws(sep, partitionBy.map(rendered): _*).isin(replaced.toSeq: _*))
+    val retired = nonConforming.map(_.path).toSet
+    commit(df.unionByName(carry), partitionBy, "overwrite") { (parent, newFiles) =>
       if (expectHeadId != -2L && parent.map(_.id).getOrElse(-1L) != expectHeadId)
         throw Icebox.StaleCommitState
-      val touched = newFiles.map(_.partition).toSet
-      parent.map(_.files).getOrElse(Nil).filterNot(f => touched(f.partition)) ++ newFiles
+      // conforming files drop iff their partition tuple was replaced by DF
+      // (carry's partitions are disjoint from df's by construction, so the
+      // written-files partition set must NOT be the drop rule here)
+      parent.map(_.files).getOrElse(Nil)
+        .filterNot(f => retired(f.path))
+        .filterNot(f => physKeys.forall(f.partition.contains) &&
+          replaced(physKeys.map(k => f.partition(k)).mkString(sep))) ++ newFiles
     }
   }
 

@@ -113,6 +113,27 @@ class PartitionEvolutionSpec extends SparkSpec {
     s.read(spark).count() shouldBe 68000L // 8000 sorted append + 60000 bulk
   }
 
+  test("partition-scoped upsert into old-generation partitions duplicates nothing") {
+    // the round-9 exact-filter fix, guarded on its own: files from a
+    // generation NOT partitioned by the upsert column are kept
+    // conservatively by manifest pruning, so without the exact filter
+    // their out-of-partition rows would be re-merged AND carried over —
+    // silent duplication on exactly the partitions the upsert touched
+    val t = Icebox(tmpDir("pevo-upsert-mixed"))
+    t.append((1 to 30).map(i => (i.toLong, s"d${i % 3}", i * 10)).toDF("id", "dt", "v"))
+    t.setPartitionSpec(Seq("dt"))
+    t.append((31 to 36).map(i => (i.toLong, s"d${i % 3}", i * 10)).toDF("id", "dt", "v"))
+    // upsert touches ONLY dt=d0: updates one old-generation key, adds one
+    val batch = Seq((3L, "d0", 999), (100L, "d0", 1000)).toDF("id", "dt", "v")
+    operators.Upsert.intoTablePartitions(t, batch, Seq("id"), "dt")
+    val back = t.read(spark)
+    back.count() shouldBe 37L // 36 + 1 new, nothing duplicated
+    back.groupBy("id").count().filter(col("count") > 1).count() shouldBe 0L
+    back.filter(col("id") === 3L).select("v").as[Int].collect() shouldBe Array(999)
+    // untouched partitions' rows intact
+    back.filter(col("dt") =!= "d0").count() shouldBe 24L
+  }
+
   test("time travel reads pre-evolution snapshots with their own layout") {
     val t = Icebox(tmpDir("pevo-tt"))
     t.append((1 to 20).map(i => (i.toLong, s"g${i % 2}")).toDF("id", "grp"), Seq("grp"))

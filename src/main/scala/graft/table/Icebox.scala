@@ -88,11 +88,23 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
   * FULL manifest and cached per handle. A full manifest is written whenever
   * the delta would not be smaller than the full list (overwrite, compact,
   * rollback of a small table) and, Delta-Lake-checkpoint-style, at least
-  * every `MaxDeltaChain` commits, which bounds reconstruction at
-  * O(MaxDeltaChain) manifest reads. Without this, a 5-minute CDC cadence on
-  * a ~200k-file table would re-serialize tens of MB of JSON per commit and
-  * every history walk would re-parse all of it — commit cost must scale
-  * with the CHANGE, not the table.
+  * every `MaxDeltaChain` commits (`checkpoint.interval`), which bounds
+  * reconstruction at O(MaxDeltaChain) manifest reads. Without this, a
+  * 5-minute CDC cadence on a ~200k-file table would re-serialize tens of
+  * MB of JSON per commit and every history walk would re-parse all of it —
+  * commit cost must scale with the CHANGE, not the table.
+  *
+  * '''Sharded checkpoints''' (Iceberg's manifest-list move): above
+  * `checkpoint.shard.threshold` live files a full checkpoint is written as
+  * per-partition shard files under `_snapshots/shards/<sha256>.json`,
+  * content-addressed — an untouched partition serializes to the same bytes,
+  * so its shard is re-REFERENCED, not rewritten. On a 100 TB / 200k-file
+  * table a checkpoint after a few-partition commit writes O(touched
+  * partitions) shard bytes instead of the full list, and a cold
+  * partition-scoped read ([[prunedFiles]]/[[readPartitions]]) parses only
+  * the matching shards plus the delta chain. Shards shared across
+  * checkpoints are GC'd by [[expireSnapshots]] only when NO surviving
+  * manifest references them.
   *
   * '''Atomic commit''' (SURVEY §7.4 highest-risk component): data files are
   * written to a fresh `data/graft_commit=<id>/` dir, the snapshot JSON is
@@ -143,6 +155,8 @@ final class Icebox(val tableDir: String) {
   private def dataDir: HPath = store.child("data")
   private def deletesDir: HPath = store.child("deletes")
   private def manifestPath(id: Long): HPath = new HPath(snapshotsDir, s"$id.json")
+  private def shardsDir: HPath = new HPath(snapshotsDir, "shards")
+  private def shardPath(sha: String): HPath = new HPath(shardsDir, s"$sha.json")
 
   /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
     * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
@@ -159,6 +173,17 @@ final class Icebox(val tableDir: String) {
     new java.util.LinkedHashMap[Long, Seq[DataFile]](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[DataFile]]): Boolean =
         size > 4
+    })
+
+  /** Parsed checkpoint shards, keyed by content hash (immutable by
+    * construction — content addressing means a sha never changes meaning).
+    * Consecutive checkpoints share most shards, so this turns the common
+    * "resolve head after a small commit" into O(touched shards) reads.
+    */
+  private val shardCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[DataFile]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean =
+        size > 256
     })
 
   // ---------------------------------------------------------------- metadata
@@ -864,8 +889,12 @@ final class Icebox(val tableDir: String) {
     val key = toPhysical(column) // partition dirs carry physical names
     // a file from a spec generation NOT partitioned by `column` has no
     // recorded value — keep it (it may contain any value; conservative
-    // under partition-spec evolution)
-    currentSnapshot.map(_.files.filter(f => f.partition.get(key).forall(values))).getOrElse(Nil)
+    // under partition-spec evolution). Resolution is shard-pruned: on a
+    // sharded checkpoint only the matching partitions' shard files are
+    // read, so a cold partition-scoped read never parses the full list.
+    currentSnapshot
+      .map(s => resolveFilesWhere(s.id, m => m.get(key).forall(values)))
+      .getOrElse(Nil)
   }
 
   /** Read only the partitions matching `values` (prunes via the manifest
@@ -1066,13 +1095,24 @@ final class Icebox(val tableDir: String) {
         .distinctBy(_.id)
       .foreach { oldest =>
       val m = manifest(oldest.id)
-      if (m.full.isEmpty) {
+      // a sharded manifest is already self-contained (shards never hang
+      // off an expired parent) — only true deltas need the rebase
+      if (m.full.isEmpty && m.shards.isEmpty) {
         val fs = resolveFiles(oldest.id)
-        val fullM = m.copy(fileCount = fs.size.toLong, totalBytes = fs.map(_.sizeBytes).sum,
-          deltaDepth = 0, full = Some(fs), added = Nil, removedPaths = Nil)
+        val fullM =
+          if (fs.size >= shardThreshold) {
+            val (refs, canonical) = writeShardedCheckpoint(fs)
+            m.copy(fileCount = canonical.size.toLong,
+              totalBytes = canonical.map(_.sizeBytes).sum,
+              deltaDepth = 0, full = None, added = Nil, removedPaths = Nil,
+              shards = refs)
+          } else
+            m.copy(fileCount = fs.size.toLong, totalBytes = fs.map(_.sizeBytes).sum,
+              deltaDepth = 0, full = Some(fs), added = Nil, removedPaths = Nil)
         store.atomicReplace(manifestPath(oldest.id),
           manifestJson(fullM).getBytes(StandardCharsets.UTF_8))
         manifestCache.put(oldest.id, fullM)
+        filesCache.remove(oldest.id) // order may differ from the delta replay
       }
     }
     // resolve kept file sets BEFORE deleting any expired manifest a delta
@@ -1087,8 +1127,34 @@ final class Icebox(val tableDir: String) {
     if (store.exists(snapshotsDir)) {
       store.list(snapshotsDir).filter { st =>
         val name = st.getPath.getName
-        name.endsWith(".json") &&
+        st.isFile && name.endsWith(".json") &&
           name.stripSuffix(".json").toLongOption.exists(!reachable(_)) &&
+          st.getModificationTime < cutoffMs
+      }.foreach { st =>
+        store.deleteIfExists(st.getPath)
+        st.getPath.getName.stripSuffix(".json").toLongOption.foreach { mid =>
+          manifestCache.remove(mid); filesCache.remove(mid)
+        }
+      }
+    }
+    // Checkpoint-shard GC: a shard file is live while ANY surviving
+    // manifest references its sha (content-addressed shards are shared
+    // across checkpoints, so per-snapshot deletion would corrupt later
+    // checkpoints that reuse an expired one's shards). mtime-gated like
+    // data files — an in-flight commit writes its shards BEFORE claiming
+    // the manifest.
+    if (store.exists(shardsDir)) {
+      val liveShas = store.list(snapshotsDir).flatMap { st =>
+        val name = st.getPath.getName
+        if (!st.isFile || !name.endsWith(".json")) Nil
+        else name.stripSuffix(".json").toLongOption.toSeq.flatMap { mid =>
+          scala.util.Try(manifest(mid).shards.map(_.sha)).getOrElse(Nil)
+        }
+      }.toSet
+      store.list(shardsDir).filter { st =>
+        val name = st.getPath.getName
+        st.isFile && name.endsWith(".json") &&
+          !liveShas(name.stripSuffix(".json")) &&
           st.getModificationTime < cutoffMs
       }.foreach(st => store.deleteIfExists(st.getPath))
     }
@@ -1959,6 +2025,63 @@ final class Icebox(val tableDir: String) {
   private def commitMeta(op: String, files: Seq[DataFile], schemaJson: String): Snapshot =
     commitMetaResolved(op, _ => files, schemaJson)
 
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Files-per-checkpoint above which full checkpoints shard. */
+  private def shardThreshold: Int =
+    properties.get("checkpoint.shard.threshold").map(_.toInt)
+      .getOrElse(Icebox.DefaultShardThreshold)
+
+  /** Write `resolved` as a content-addressed sharded checkpoint; returns
+    * the shard refs plus the CANONICAL file order (shards sorted by key,
+    * files sorted by path within a shard — fully deterministic, so the
+    * same partition state always serializes to the same shard bytes and
+    * an untouched partition's shard is recognized by its sha and NOT
+    * rewritten). Shard files are immutable once written; a losing commit
+    * attempt's shards are either re-referenced by the retry or collected
+    * by expiry's mtime-gated shard GC.
+    */
+  private def writeShardedCheckpoint(
+      resolved: Seq[DataFile]): (Seq[Icebox.ShardRef], Seq[DataFile]) = {
+    store.mkdirs(shardsDir)
+    val maxShards = properties.get("checkpoint.max.shards").map(_.toInt)
+      .getOrElse(Icebox.DefaultMaxShards)
+    def partKey(f: DataFile): String =
+      f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+    val byPart = resolved.groupBy(partKey)
+    val perPartition = byPart.size > 1 && byPart.size <= maxShards &&
+      resolved.exists(_.partition.nonEmpty)
+    val groups: Seq[(String, Option[Map[String, String]], Seq[DataFile])] =
+      if (perPartition)
+        byPart.toSeq.sortBy(_._1).map { case (k, fs) =>
+          (k, Some(fs.head.partition), fs.sortBy(_.path))
+        }
+      else {
+        // unpartitioned (or pathologically wide) table: hash-bucket so a
+        // small append still dirties only the buckets its files land in
+        val n = math.min(maxShards, math.max(8, resolved.size / 1024))
+        resolved.groupBy { f =>
+          math.floorMod((if (f.partition.nonEmpty) partKey(f) else f.path).hashCode, n)
+        }.toSeq.sortBy(_._1).map { case (i, fs) => (f"b=$i%05d", None, fs.sortBy(_.path)) }
+      }
+    val refs = groups.map { case (key, pm, fs) =>
+      val node = mapper.createObjectNode()
+      writeFileArray(node, "files", fs)
+      val bytes = node.toString.getBytes(StandardCharsets.UTF_8)
+      val sha = sha256Hex(bytes)
+      val p = shardPath(sha)
+      // content-addressed: exists means identical bytes; a concurrent
+      // writer creating the same sha writes the same content, so a lost
+      // createNew race is indistinguishable from a win
+      if (!store.exists(p)) store.createNew(p, bytes)
+      shardCache.put(sha, fs)
+      Icebox.ShardRef(key, sha, fs.size.toLong, fs.map(_.sizeBytes).sum, pm)
+    }
+    (refs, groups.flatMap(_._3))
+  }
+
   /** Decide delta vs full for one commit (see class doc). Returns the
     * manifest plus the CANONICAL file order — parent survivors then added —
     * so the in-memory snapshot matches what a fresh handle reconstructs by
@@ -1976,13 +2099,22 @@ final class Icebox(val tableDir: String) {
     val removedPaths = parentFiles.filterNot(f => rByPath.get(f.path).contains(f)).map(_.path)
     val ts = System.currentTimeMillis()
     val parentId = parent.map(_.id).getOrElse(-1L)
+    val props = properties
+    val interval = props.get("checkpoint.interval").map(_.toInt).getOrElse(Icebox.MaxDeltaChain)
     val writeFull = parent.isEmpty ||
       added.size + removedPaths.size >= resolved.size ||
-      parentDepth + 1 >= Icebox.MaxDeltaChain
-    if (writeFull)
-      (Icebox.Manifest(id, parentId, ts, op, schemaJson, resolved.size.toLong,
-        resolved.map(_.sizeBytes).sum, 0, Some(resolved), Nil, Nil), resolved)
-    else {
+      parentDepth + 1 >= interval
+    if (writeFull) {
+      val threshold = props.get("checkpoint.shard.threshold").map(_.toInt)
+        .getOrElse(Icebox.DefaultShardThreshold)
+      if (resolved.size >= threshold) {
+        val (refs, canonical) = writeShardedCheckpoint(resolved)
+        (Icebox.Manifest(id, parentId, ts, op, schemaJson, resolved.size.toLong,
+          resolved.map(_.sizeBytes).sum, 0, None, Nil, Nil, refs), canonical)
+      } else
+        (Icebox.Manifest(id, parentId, ts, op, schemaJson, resolved.size.toLong,
+          resolved.map(_.sizeBytes).sum, 0, Some(resolved), Nil, Nil), resolved)
+    } else {
       val removedSet = removedPaths.toSet
       val canonical = parentFiles.filterNot(f => removedSet(f.path)) ++ added
       (Icebox.Manifest(id, parentId, ts, op, schemaJson, canonical.size.toLong,
@@ -2014,6 +2146,57 @@ final class Icebox(val tableDir: String) {
   // delta manifests carry "added" + "removedPaths". Manifests written by the
   // pre-delta format (just "files", no counts) parse as full manifests.
 
+  /** Serialize a file array onto `root`. Map-valued fields (partition,
+    * stats) are written in sorted key order so the SAME logical content
+    * always yields the SAME bytes — shard content addressing hashes these
+    * bytes, and byte determinism is what lets an unchanged partition's
+    * shard be recognized and reused across checkpoints.
+    */
+  private def writeFileArray(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, fs: Seq[DataFile]): Unit = {
+    val arr = root.putArray(name)
+    fs.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path).put("sizeBytes", f.sizeBytes)
+      if (f.rows >= 0) o.put("rows", f.rows)
+      val p = o.putObject("partition")
+      f.partition.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
+        }
+      }
+      if (f.deletes.nonEmpty) {
+        val ds = o.putArray("deletes")
+        f.deletes.foreach(ds.add)
+      }
+      if (f.eqDeletes.nonEmpty) {
+        val eds = o.putArray("eqDeletes")
+        f.eqDeletes.foreach(eds.add)
+      }
+    }
+  }
+
+  /** Parse the file array `name` from a manifest/shard JSON node. */
+  private def readFileArray(node: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Seq[DataFile] =
+    Option(node.get(name)).map(_.elements().asScala.map { f =>
+      val pm = f.get("partition")
+      val partition = pm.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      val stats = Option(f.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String)])
+      val deletes = Option(f.get("deletes"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      val eqDeletes = Option(f.get("eqDeletes"))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
+        if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes)
+    }.toSeq).getOrElse(Nil)
+
   private def manifestJson(m: Icebox.Manifest): String = {
     val root = mapper.createObjectNode()
     root.put("id", m.id).put("parentId", m.parentId)
@@ -2021,34 +2204,21 @@ final class Icebox(val tableDir: String) {
       .put("schemaJson", m.schemaJson)
       .put("fileCount", m.fileCount).put("totalBytes", m.totalBytes)
       .put("deltaDepth", m.deltaDepth)
-    def writeFiles(name: String, fs: Seq[DataFile]): Unit = {
-      val arr = root.putArray(name)
-      fs.foreach { f =>
-        val o = arr.addObject()
-        o.put("path", f.path).put("sizeBytes", f.sizeBytes)
-        if (f.rows >= 0) o.put("rows", f.rows)
-        val p = o.putObject("partition")
-        f.partition.foreach { case (k, v) => p.put(k, v) }
-        if (f.stats.nonEmpty) {
-          val st = o.putObject("stats")
-          f.stats.foreach { case (c, (mn, mx)) =>
-            val e = st.putObject(c); e.put("min", mn); e.put("max", mx)
+    m.full match {
+      case Some(fs) => writeFileArray(root, "files", fs)
+      case None if m.shards.nonEmpty =>
+        val arr = root.putArray("shards")
+        m.shards.foreach { s =>
+          val o = arr.addObject()
+          o.put("key", s.key).put("sha", s.sha)
+            .put("fileCount", s.fileCount).put("totalBytes", s.totalBytes)
+          s.partition.foreach { pm =>
+            val p = o.putObject("partition")
+            pm.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
           }
         }
-        if (f.deletes.nonEmpty) {
-          val ds = o.putArray("deletes")
-          f.deletes.foreach(ds.add)
-        }
-        if (f.eqDeletes.nonEmpty) {
-          val eds = o.putArray("eqDeletes")
-          f.eqDeletes.foreach(eds.add)
-        }
-      }
-    }
-    m.full match {
-      case Some(fs) => writeFiles("files", fs)
       case None =>
-        writeFiles("added", m.added)
+        writeFileArray(root, "added", m.added)
         val rm = root.putArray("removedPaths")
         m.removedPaths.foreach(rm.add)
     }
@@ -2060,26 +2230,16 @@ final class Icebox(val tableDir: String) {
     val cached = manifestCache.get(id)
     if (cached != null) return cached
     val node = mapper.readTree(store.readBytes(manifestPath(id)))
-    def readFiles(name: String): Seq[DataFile] =
-      Option(node.get(name)).map(_.elements().asScala.map { f =>
-        val pm = f.get("partition")
-        val partition = pm.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
-        val stats = Option(f.get("stats")).map { sn =>
-          sn.properties().asScala.map { e =>
-            e.getKey -> (e.getValue.get("min").asText, e.getValue.get("max").asText)
-          }.toMap
-        }.getOrElse(Map.empty[String, (String, String)])
-        val deletes = Option(f.get("deletes"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-        val eqDeletes = Option(f.get("eqDeletes"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-        DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
-          if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes)
-      }.toSeq).getOrElse(Nil)
-    val full = if (node.has("files")) Some(readFiles("files")) else None
-    val added = readFiles("added")
+    val full = if (node.has("files")) Some(readFileArray(node, "files")) else None
+    val added = readFileArray(node, "added")
     val removedPaths = Option(node.get("removedPaths"))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val shards = Option(node.get("shards")).map(_.elements().asScala.map { s =>
+      val pm = Option(s.get("partition")).map(p =>
+        p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      Icebox.ShardRef(s.get("key").asText, s.get("sha").asText,
+        s.get("fileCount").asLong, s.get("totalBytes").asLong, pm)
+    }.toSeq).getOrElse(Nil)
     val fileCount =
       if (node.has("fileCount")) node.get("fileCount").asLong
       else full.map(_.size.toLong).getOrElse(0L)
@@ -2090,10 +2250,38 @@ final class Icebox(val tableDir: String) {
       node.get("timestampMs").asLong, node.get("operation").asText,
       node.get("schemaJson").asText, fileCount, totalBytes,
       if (node.has("deltaDepth")) node.get("deltaDepth").asInt else 0,
-      full, added, removedPaths)
+      full, added, removedPaths, shards)
     manifestCache.put(id, m)
     m
   }
+
+  /** Load one checkpoint shard by content hash (cached — shas are
+    * immutable identities).
+    */
+  private def loadShard(r: Icebox.ShardRef): Seq[DataFile] = {
+    val hit = shardCache.get(r.sha)
+    if (hit != null) return hit
+    val fs = readFileArray(mapper.readTree(store.readBytes(shardPath(r.sha))), "files")
+    shardCache.put(r.sha, fs)
+    fs
+  }
+
+  /** Load shards concurrently (bounded pool): a cold resolve of a wide
+    * checkpoint is N small metadata reads, latency-bound on object stores
+    * — fan them out instead of paying N round trips serially.
+    */
+  private def loadShards(refs: Seq[Icebox.ShardRef]): Seq[DataFile] =
+    if (refs.sizeIs <= 2) refs.flatMap(loadShard)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, refs.size))
+      try {
+        val futs = refs.map { r =>
+          val c: java.util.concurrent.Callable[Seq[DataFile]] = () => loadShard(r)
+          pool.submit(c)
+        }
+        futs.flatMap(_.get())
+      } finally pool.shutdown()
+    }
 
   /** Reconstruct the live file set of snapshot `id`: walk parent pointers up
     * to the nearest full manifest (or LRU-cached reconstruction), then
@@ -2107,13 +2295,13 @@ final class Icebox(val tableDir: String) {
     var cur = manifest(id)
     var base: Seq[DataFile] = null
     while (base == null) {
-      cur.full match {
-        case Some(fs) => base = fs
-        case None =>
-          deltas ::= cur
-          val cachedParent = filesCache.get(cur.parentId)
-          if (cachedParent != null) base = cachedParent
-          else cur = manifest(cur.parentId)
+      if (cur.full.isDefined) base = cur.full.get
+      else if (cur.shards.nonEmpty) base = loadShards(cur.shards)
+      else {
+        deltas ::= cur
+        val cachedParent = filesCache.get(cur.parentId)
+        if (cachedParent != null) base = cachedParent
+        else cur = manifest(cur.parentId)
       }
     }
     var files = base
@@ -2122,6 +2310,44 @@ final class Icebox(val tableDir: String) {
       files = (if (removed.isEmpty) files else files.filterNot(f => removed(f.path))) ++ d.added
     }
     filesCache.put(id, files)
+    files
+  }
+
+  /** Partition-pruned file resolution: the live files of snapshot `id`
+    * whose partition map passes `pred` — equal to
+    * `resolveFiles(id).filter(f => pred(f.partition))`, but on a SHARDED
+    * checkpoint only the shards whose partition passes `pred` are ever
+    * read (hash-bucketed / partitionless shards load conservatively). A
+    * cold partition-scoped read of a 200k-file table parses O(matching
+    * shards + delta chain) metadata, not the whole file list. Results are
+    * not cached (they are per-predicate); a full resolution already in
+    * cache is reused by in-memory filtering.
+    */
+  private[table] def resolveFilesWhere(id: Long,
+      pred: Map[String, String] => Boolean): Seq[DataFile] = {
+    val hit = filesCache.get(id)
+    if (hit != null) return hit.filter(f => pred(f.partition))
+    var deltas = List.empty[Icebox.Manifest]
+    var cur = manifest(id)
+    var base: Seq[DataFile] = null
+    while (base == null) {
+      if (cur.full.isDefined) base = cur.full.get.filter(f => pred(f.partition))
+      else if (cur.shards.nonEmpty)
+        base = loadShards(cur.shards.filter(_.partition.forall(pred)))
+          .filter(f => pred(f.partition))
+      else {
+        deltas ::= cur
+        val cachedParent = filesCache.get(cur.parentId)
+        if (cachedParent != null) base = cachedParent.filter(f => pred(f.partition))
+        else cur = manifest(cur.parentId)
+      }
+    }
+    var files = base
+    deltas.foreach { d =>
+      val removed = d.removedPaths.toSet
+      files = (if (removed.isEmpty) files else files.filterNot(f => removed(f.path))) ++
+        d.added.filter(f => pred(f.partition))
+    }
     files
   }
 
@@ -2303,15 +2529,46 @@ object Icebox {
     */
   private[table] val MaxStringStatBytes = 64
 
-  /** On-disk manifest form of one snapshot: either a FULL file listing
-    * (`full` defined) or a DELTA against the parent (`added` +
-    * `removedPaths`). `fileCount`/`totalBytes` describe the RESOLVED state
-    * either way, so listings never reconstruct.
+  /** Above this many live files a full checkpoint is written SHARDED
+    * (content-addressed per-partition shard files) instead of inline —
+    * see [[Icebox.Manifest.shards]]. Overridable per table via the
+    * `checkpoint.shard.threshold` property.
+    */
+  private[table] val DefaultShardThreshold = 512
+
+  /** Cap on shard count per checkpoint: more partitions than this and
+    * shards group several partitions each (hash of the partition
+    * rendering), trading prune precision for bounded metadata fan-out.
+    * Overridable via `checkpoint.max.shards`.
+    */
+  private[table] val DefaultMaxShards = 4096
+
+  /** One shard of a sharded full checkpoint: `sha` is the SHA-256 of the
+    * shard file's bytes and doubles as its storage name
+    * (`_snapshots/shards/<sha>.json`) — content addressing, so a
+    * checkpoint whose partition didn't change since the previous
+    * checkpoint re-REFERENCES the existing shard file instead of
+    * rewriting it (Iceberg's manifest-reuse move: commit metadata IO is
+    * O(touched partitions), not O(table)). `partition` is the shard's
+    * single partition-value map when the shard covers exactly one
+    * partition (enables shard-level pruning on cold reads); None for
+    * hash-bucketed shards (loaded conservatively).
+    */
+  private[table] final case class ShardRef(
+      key: String, sha: String, fileCount: Long, totalBytes: Long,
+      partition: Option[Map[String, String]])
+
+  /** On-disk manifest form of one snapshot: a FULL file listing (`full`
+    * defined), a SHARDED full listing (`shards` non-empty — file entries
+    * live in content-addressed side files), or a DELTA against the parent
+    * (`added` + `removedPaths`). `fileCount`/`totalBytes` describe the
+    * RESOLVED state either way, so listings never reconstruct.
     */
   private[table] final case class Manifest(
       id: Long, parentId: Long, timestampMs: Long, operation: String, schemaJson: String,
       fileCount: Long, totalBytes: Long, deltaDepth: Int,
-      full: Option[Seq[DataFile]], added: Seq[DataFile], removedPaths: Seq[String])
+      full: Option[Seq[DataFile]], added: Seq[DataFile], removedPaths: Seq[String],
+      shards: Seq[ShardRef] = Nil)
 
   import org.apache.spark.sql.types._
 

@@ -1092,6 +1092,26 @@ object SparkEntry {
       reopened.read(s)
     }),
 
+    // Persistent namespace registry (the reference's REST-catalog listing
+    // surface at the engine's path-rooted design point): two namespaced
+    // tables created through one catalog handle, then a FRESH handle lists
+    // the warehouse and re-loads both tables BY NAME ONLY — the joined
+    // result is oracle-pinned, so a registry that loses an entry, points at
+    // the wrong URI, or breaks load-by-name changes the row hash
+    "q_catalog" -> ((s, dir) => {
+      val wh = tmp("qcat")
+      val cat = graft.table.Catalog(wh)
+      cat.create(s, "ref", "nation").append(t(s, dir, "nation"))
+      cat.create(s, "ref", "region").append(t(s, dir, "region"))
+      val fresh = graft.table.Catalog(wh)
+      require(fresh.tables(s).count() == 2, "catalog listing lost a table")
+      require(fresh.namespaces(s).count() == 1, "namespace listing wrong")
+      val n = fresh.load(s, "ref", "nation").read(s)
+      val r = fresh.load(s, "ref", "region").read(s)
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("nations"))
+    }),
+
     // F7 under an exact oracle: LAYERED CONFIG drives the query parameters —
     // runtime overrides operator overrides env. The oracle pins the RESULT
     // of correct precedence: a wrong layer winning changes the filter
@@ -1729,6 +1749,11 @@ object SparkEntry {
     "q_pipeline" -> "SELECT * FROM orders WHERE o_totalprice > 1000",
 
     "q_autocreate" -> "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "q_catalog" ->
+      """SELECT r_name, count(*) AS nations
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name""".stripMargin,
 
     "q_config_layered" ->
       "SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal >= 1000",

@@ -75,6 +75,12 @@ object DmlSql {
   private val UnsetTblPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val PropPairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+  // catalog listings over a warehouse URI (quoted-path form, so Spark's
+  // own `SHOW TABLES [IN db]` over session views is never shadowed)
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES\s+IN\s+'([^']+)'\s*;?\s*""".r
+  private val ShowNamespacesRe =
+    """(?is)\s*SHOW\s+NAMESPACES\s+IN\s+'([^']+)'\s*;?\s*""".r
 
   /** `t VERSION AS OF n` / `t VERSION AS OF 'ref'` (branch/tag — Iceberg's
     * ref-read spelling) / `t TIMESTAMP AS OF ts` (and the `FOR
@@ -150,6 +156,11 @@ object DmlSql {
       val t = lookupRegistered(name, "SHOW TBLPROPERTIES")
       import spark.implicits._
       t.properties.toSeq.sortBy(_._1).toDF("key", "value")
+    // persistent catalog listings (the reference's REST-catalog listing
+    // surface, catalog_manager.py:29-69, at the engine's path-rooted
+    // design point): answered from the warehouse's registry table
+    case ShowTablesRe(wh)     => graft.table.Catalog(wh).tables(spark)
+    case ShowNamespacesRe(wh) => graft.table.Catalog(wh).namespaces(spark)
     case _ => runParsed(spark, sqlText)
   }
   }

@@ -1996,7 +1996,12 @@ final class Icebox(val tableDir: String) {
   }
 
   /** Data-scan stats (fallback for footer-undecodable column types) — one
-    * distributed aggregation grouped by input_file_name.
+    * distributed aggregation grouped by input_file_name. The collected
+    * result is one row per file with values bounded by
+    * [[Icebox.MaxStringStatBytes]] (oversized renderings are DROPPED, the
+    * same policy the footer path applies — the file is then kept
+    * conservatively by pruning), so the driver payload is the same order
+    * as the manifest entries it populates.
     */
   private def fileStats(spark: SparkSession, paths: Seq[String],
       cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
@@ -2014,8 +2019,11 @@ final class Icebox(val tableDir: String) {
         val file = byPathOnly.getOrElse(uriPath, uriPath)
         val st = cols.flatMap { c =>
           (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
-            case (Some(mn), Some(mx)) => Some(c -> (mn.toString, mx.toString))
-            case _                    => None
+            case (Some(mn), Some(mx))
+              if mn.toString.getBytes(StandardCharsets.UTF_8).length <= Icebox.MaxStringStatBytes &&
+                 mx.toString.getBytes(StandardCharsets.UTF_8).length <= Icebox.MaxStringStatBytes =>
+              Some(c -> (mn.toString, mx.toString))
+            case _ => None
           }
         }.toMap
         file -> st
@@ -2059,23 +2067,39 @@ final class Icebox(val tableDir: String) {
           (k, Some(fs.head.partition), fs.sortBy(_.path))
         }
       else {
-        // unpartitioned (or pathologically wide) table: hash-bucket so a
-        // small append still dirties only the buckets its files land in
-        val n = math.min(maxShards, math.max(8, resolved.size / 1024))
+        // unpartitioned (or wider-than-maxShards) table: hash-bucket by
+        // partition key (path for unpartitioned files) so a small commit
+        // still dirties only the few buckets its files land in; ~16
+        // files/bucket keeps each shard a few KB of JSON
+        val n = math.min(maxShards, math.max(8, resolved.size / 16))
         resolved.groupBy { f =>
           math.floorMod((if (f.partition.nonEmpty) partKey(f) else f.path).hashCode, n)
         }.toSeq.sortBy(_._1).map { case (i, fs) => (f"b=$i%05d", None, fs.sortBy(_.path)) }
       }
-    val refs = groups.map { case (key, pm, fs) =>
+    val metas = groups.map { case (key, pm, fs) =>
       val node = mapper.createObjectNode()
       writeFileArray(node, "files", fs)
       val bytes = node.toString.getBytes(StandardCharsets.UTF_8)
-      val sha = sha256Hex(bytes)
+      (key, pm, fs, bytes, sha256Hex(bytes))
+    }
+    // content-addressed: exists means identical bytes; a concurrent
+    // writer creating the same sha writes the same content, so a lost
+    // createNew race is indistinguishable from a win. IO fans out over a
+    // bounded pool — exists-probes and writes are per-shard round trips.
+    def persist(bytes: Array[Byte], sha: String): Unit = {
       val p = shardPath(sha)
-      // content-addressed: exists means identical bytes; a concurrent
-      // writer creating the same sha writes the same content, so a lost
-      // createNew race is indistinguishable from a win
       if (!store.exists(p)) store.createNew(p, bytes)
+    }
+    if (metas.sizeIs <= 8) metas.foreach { case (_, _, _, bytes, sha) => persist(bytes, sha) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try metas.map { case (_, _, _, bytes, sha) =>
+        val c: java.util.concurrent.Callable[Unit] = () => persist(bytes, sha)
+        pool.submit(c)
+      }.foreach(_.get())
+      finally pool.shutdown()
+    }
+    val refs = metas.map { case (key, pm, fs, _, sha) =>
       shardCache.put(sha, fs)
       Icebox.ShardRef(key, sha, fs.size.toLong, fs.map(_.sizeBytes).sum, pm)
     }

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Testdata
+
+/** Scratch: derive a 10x sf1 copy of the tables the five headline
+  * table-format queries read (lineitem, orders, events, documents), with
+  * key columns shifted per copy so pk/join semantics scale instead of
+  * colliding. Deterministic — Spark and the DuckDB oracle read the same
+  * generated files.
+  */
+object GenSf1 {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sf1_full"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scaled(name: String, shift: DataFrame => Long => DataFrame): Unit = {
+      val path = s"$out/$name.parquet"
+      if (new java.io.File(path).exists()) { println(s"skip $name"); return }
+      val base = Testdata.table(spark, src, name)
+      val f = shift(base)
+      (0 until 10).map(i => f(i.toLong)).reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(path)
+      println(s"wrote $name")
+    }
+
+    // one shared shift unit for orderkey keeps lineitem<->orders joins valid
+    val ordMax = Testdata.table(spark, src, "orders")
+      .agg(max("o_orderkey")).head().getLong(0) + 1
+    scaled("orders", df => i => df.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordMax)))
+    scaled("lineitem", df => i => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordMax)))
+    val evMax = Testdata.table(spark, src, "events")
+      .agg(max("event_id")).head().getLong(0) + 1
+    scaled("events", df => i => df.withColumn("event_id", col("event_id") + lit(i * evMax)))
+    val docMax = Testdata.table(spark, src, "documents")
+      .agg(max("doc_id")).head().getLong(0) + 1
+    scaled("documents", df => i =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * docMax))
+        .withColumn("content", when(lit(i) === 0, col("content"))
+          .otherwise(concat(col("content"), lit(" #c"), lit(i)))))
+    spark.stop()
+  }
+}

@@ -24,6 +24,8 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sf1Dir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    // phases: "all" | "data" (sf0.1-vs-sf1 + deep history) | "wide"
+    val mode = if (args.length > 2) args(2) else "all"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,32 +97,79 @@ object ScaleCheck {
       out.result()
     }
 
-    // warmup pass (untimed in the comparison): absorbs codegen/committer
-    // JVM warmup so the sf0.1-vs-sf1 ratios compare steady-state costs
-    runScale("warmup", Testdata.table(spark, sf01, "lineitem")
-      .filter(col("l_orderkey") % 10 === 0))
-    val r01 = runScale("sf0.1", Testdata.table(spark, sf01, "lineitem"))
-    val r1 = runScale("sf1", spark.read.parquet(liPath))
-    println("== ratios (sf1 / sf0.1; data is 10x) ==")
-    r01.zip(r1).foreach { case ((k, a), (_, b)) =>
-      println(f"  $k%-22s ${b / math.max(a, 1e-9)}%6.1fx")
-    }
-
-    // ---- commit-COUNT scaling: the O(delta)+checkpoint manifest claim ----
-    // a fresh handle's head resolve must replay at most MaxDeltaChain (16)
-    // delta manifests regardless of history depth; listing never resolves
-    println("== deep history (60 vs 240 commits; cost must NOT scale with depth) ==")
     import spark.implicits._
-    val tiny = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)
-    Seq(60, 240).foreach { depth =>
-      val hd = Icebox(java.nio.file.Files.createTempDirectory(s"scale-hist$depth").toString)
-      (1 to depth).foreach(_ => hd.append(tiny))
-      timed(s"resolve_head@$depth") {
-        require(Icebox(hd.tableDir).currentSnapshot.get.files.size == depth)
+    if (mode != "wide") {
+      // warmup pass (untimed in the comparison): absorbs codegen/committer
+      // JVM warmup so the sf0.1-vs-sf1 ratios compare steady-state costs
+      runScale("warmup", Testdata.table(spark, sf01, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0))
+      val r01 = runScale("sf0.1", Testdata.table(spark, sf01, "lineitem"))
+      val r1 = runScale("sf1", spark.read.parquet(liPath))
+      println("== ratios (sf1 / sf0.1; data is 10x) ==")
+      r01.zip(r1).foreach { case ((k, a), (_, b)) =>
+        println(f"  $k%-22s ${b / math.max(a, 1e-9)}%6.1fx")
       }
-      timed(s"list_snapshots@$depth") {
-        require(Icebox(hd.tableDir).allSnapshots.size == depth)
+
+      // ---- commit-COUNT scaling: the O(delta)+checkpoint manifest claim ----
+      // a fresh handle's head resolve must replay at most MaxDeltaChain (16)
+      // delta manifests regardless of history depth; listing never resolves
+      println("== deep history (60 vs 240 commits; cost must NOT scale with depth) ==")
+      val tiny = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)
+      Seq(60, 240).foreach { depth =>
+        val hd = Icebox(java.nio.file.Files.createTempDirectory(s"scale-hist$depth").toString)
+        (1 to depth).foreach(_ => hd.append(tiny))
+        timed(s"resolve_head@$depth") {
+          require(Icebox(hd.tableDir).currentSnapshot.get.files.size == depth)
+        }
+        timed(s"list_snapshots@$depth") {
+          require(Icebox(hd.tableDir).allSnapshots.size == depth)
+        }
       }
+    }
+    if (mode == "data") { spark.stop(); return }
+
+    // ---- wide table: sharded checkpoints (round-10 brief item 5) ----
+    // ≥10k files across two spec generations. The claims under test:
+    // (a) a checkpoint after a single-partition commit writes O(touched)
+    //     shard bytes (content-addressed reuse), so its commit time is
+    //     ~flat in table WIDTH;
+    // (b) a cold partition-scoped read resolves O(matching shards), so
+    //     its time is also ~flat in width (vs cold FULL resolve, which
+    //     must touch every shard and may scale).
+    println("== wide table: sharded checkpoints (cost ~ touched partitions, not width) ==")
+    Seq(1000, 10000).foreach { width =>
+      val wd = Icebox(java.nio.file.Files.createTempDirectory(s"scale-wide$width").toString)
+      wd.setProperties(Map(
+        "checkpoint.interval" -> "4",
+        "checkpoint.max.shards" -> "20000")) // per-partition shards at 10k width
+      val df = spark.range(width * 2L).select(col("id"),
+        (col("id") % width).cast("string").as("pk"),
+        (col("id") % 16).cast("string").as("pk2"))
+        .repartition(col("pk"))
+      timed(s"initial_write@$width") { wd.append(df, partitionBy = Seq("pk")) }
+      val files0 = wd.currentSnapshot.get.fileCount
+      require(files0 >= width, s"expected >= $width files, got $files0")
+      // second spec generation: old layout stays live, new batches land by pk2
+      wd.setPartitionSpec(Seq("pk2"))
+      def onePart(i: Int) =
+        Seq((100000L + i, "42", (i % 16).toString)).toDF("id", "pk", "pk2")
+      wd.append(onePart(1)) // gen-2 delta (depth 1)
+      (2 to 3).foreach(i => wd.append(onePart(i)))
+      val shardDir = java.nio.file.Paths.get(wd.tableDir, "_snapshots", "shards")
+      val before = java.nio.file.Files.list(shardDir).count()
+      timed(s"checkpoint_commit@$width") { wd.append(onePart(4)) } // depth 4 -> checkpoint
+      val after = java.nio.file.Files.list(shardDir).count()
+      println(s"  checkpoint@$width rewrote ${after - before} of $after shards")
+      timed(s"cold_resolve_full@$width") {
+        require(Icebox(wd.tableDir).currentSnapshot.get.files.size >= width)
+      }
+      timed(s"cold_resolve_pruned@$width") {
+        require(Icebox(wd.tableDir).prunedFiles("pk", Set("7")).nonEmpty)
+      }
+      // pruned read correctness at width (exact filter over mixed gens)
+      val got = wd.readPartitions(spark, "pk", Set("42")).count()
+      val want = wd.read(spark).filter(col("pk") === "42").count()
+      require(got == want, s"pruned read $got != $want")
     }
     spark.stop()
   }

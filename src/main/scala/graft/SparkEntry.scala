@@ -283,8 +283,10 @@ object SparkEntry {
       graft.sql.MergeSql.register("qmi_target", table)
       o.filter(col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
+        // NOT MATCHED branch: inserted keys must clear the target key
+        // domain at ANY data scale (sf1 keys reach ~6M; +1e6 collided)
         .unionByName(o.filter(col("o_orderkey") % 7 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 1000000))
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
         .createOrReplaceTempView("qmi_source")
       graft.sql.MergeSql.merge(s,
         """MERGE INTO qmi_target t USING qmi_source s ON t.o_orderkey = s.o_orderkey
@@ -306,8 +308,10 @@ object SparkEntry {
       graft.sql.MergeSql.register("qmm_target", table)
       o.filter(col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
+        // NOT MATCHED branch: inserted keys must clear the target key
+        // domain at ANY data scale (sf1 keys reach ~6M; +1e6 collided)
         .unionByName(o.filter(col("o_orderkey") % 7 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 1000000))
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
         .createOrReplaceTempView("qmm_source")
       val beforePaths = table.currentSnapshot.get.files.map(_.path).toSet
       val snap = graft.sql.MergeSql.merge(s,
@@ -1440,6 +1444,32 @@ object SparkEntry {
           }
         }.toDF("doc_id", "media_bytes")
       Multimodal.decodeAudioMeta(wavs)
+    }),
+
+    // LLM: REAL video decode (RIFF/AVI container parse + per-frame
+    // javax.imageio) — deterministic AVIs with lossless-PNG frames are
+    // ENCODED per doc (frame f a uniform gray v0+f, so per-frame decode is
+    // observable: the mean over frames is v0 + (nf-1)/2, which a single
+    // replicated frame cannot produce), then the kernel walks the actual
+    // chunk tree and decodes every frame's pixels. The DuckDB oracle
+    // predicts dimensions, frame count, fps, floor-divided duration, and
+    // the exact frame-mean average arithmetically. A fake decode cannot
+    // pass.
+    "q_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val avis = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = (8 + id % 16).toInt
+            val h = (8 + id % 8).toInt
+            val nf = (2 + id % 4).toInt
+            val rate = (10 + id % 5).toInt
+            val frames = (0 until nf).map(f =>
+              Multimodal.syntheticPng(w, h, ((id % 200) + f).toInt))
+            (id, Multimodal.syntheticAvi(w, h, rate, frames))
+          }
+        }.toDF("doc_id", "media_bytes")
+      Multimodal.decodeVideoMeta(avis)
     })
   )
 
@@ -1648,7 +1678,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM orders WHERE o_orderkey % 3 <> 0
         |UNION ALL
-        |SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
         |       o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
@@ -1661,7 +1691,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM orders WHERE o_orderkey % 3 <> 0
         |UNION ALL
-        |SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
         |       o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "q_icebox_indexed_read" ->
@@ -2179,6 +2209,21 @@ object SparkEntry {
         | CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS frames,
         | CAST(100 + (doc_id % 10) * 10 AS BIGINT) AS duration_ms,
         | CAST((doc_id % 100) * 300 AS DOUBLE) / 32768 AS rms
+        | FROM documents""".stripMargin,
+
+    // the oracle predicts what a GENUINE container+frame decode must return
+    // for the synthetic PNG-frame AVIs: dims from the decoded raster, frame
+    // count from the movi chunk walk, duration floor-divided in the stream
+    // timebase, and mean intensity v0 + (nf-1)/2 — exact in double
+    // arithmetic (half-integers), and only reachable by decoding EVERY
+    // frame (frame f is gray v0+f)
+    "q_video_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        | CAST(8 + doc_id % 8 AS INT) AS height,
+        | CAST(2 + doc_id % 4 AS INT) AS frames,
+        | CAST(10 + doc_id % 5 AS DOUBLE) AS fps,
+        | CAST((2 + doc_id % 4) * 1000 // (10 + doc_id % 5) AS BIGINT) AS duration_ms,
+        | CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 4) / 2.0 AS mean_intensity
         | FROM documents""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )

@@ -42,8 +42,8 @@ object GenSf1 {
       .agg(max("doc_id")).head().getLong(0) + 1
     scaled("documents", df => i =>
       df.withColumn("doc_id", col("doc_id") + lit(i * docMax))
-        .withColumn("content", when(lit(i) === 0, col("content"))
-          .otherwise(concat(col("content"), lit(" #c"), lit(i)))))
+        .withColumn("text", when(lit(i) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" #c"), lit(i)))))
     spark.stop()
   }
 }

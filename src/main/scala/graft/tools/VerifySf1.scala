@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: round-10 brief item 6 — sf1 CORRECTNESS (not just timing).
+  * Runs the five headline table-format queries from SparkEntry against the
+  * 10x generated tables under /tmp/graft_sf1_full and dumps results +
+  * oracle SQL exactly like graft.Verify, so the DuckDB comparison can run
+  * at sf1. Evidence lands in PLANS.md.
+  */
+object VerifySf1 {
+  val Headline = Seq(
+    "q_icebox_upsert", "q_merge_mor", "q_delete_mor", "q_change_diff",
+    "q_dedup_components")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"
+    val outDir = if (args.length > 1) args(1) else "/tmp/verify-sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Headline.foreach { name =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    val sqls = graft.SparkEntry.oracleSql.filter(kv => Headline.contains(kv._1))
+    val json = sqls.map { case (k, v) =>
+      "\"" + k + "\": " + com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(v)
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

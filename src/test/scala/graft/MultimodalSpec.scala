@@ -132,4 +132,64 @@ class MultimodalSpec extends SparkSpec {
     f(6) shouldBe 1f                   // is-audio flag
     f(7) shouldBe 0f                   // not an image
   }
+
+  test("decodeVideo genuinely parses AVI: per-frame pixel means, fps, duration") {
+    // 3 PNG frames at distinct grays — the mean over frames (100+101+102)/3
+    // = 101 is only reachable by decoding every frame, not replicating one
+    val frames = (0 until 3).map(f => Multimodal.syntheticPng(12, 10, 100 + f))
+    val avi = Multimodal.syntheticAvi(12, 10, 15, frames)
+    val m = Multimodal.decodeVideo(avi).get
+    m.width shouldBe 12
+    m.height shouldBe 10
+    m.frames shouldBe 3
+    m.fps shouldBe 15.0
+    m.durationMs shouldBe 200L        // 3 frames / 15 fps
+    m.meanIntensity shouldBe 101.0
+    Multimodal.decodeVideo("RIFF but not an avi".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodeVideo(Multimodal.syntheticWav(8000, 1, 80, 100)) shouldBe None
+  }
+
+  test("decodeVideo handles real MJPG (lossy) frames within tolerance") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128)); g.fillRect(0, 0, 16, 16); g.dispose()
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val avi = Multimodal.syntheticAvi(16, 16, 10, Seq(jout.toByteArray, jout.toByteArray))
+    val m = Multimodal.decodeVideo(avi).get
+    m.width shouldBe 16
+    m.frames shouldBe 2
+    math.abs(m.meanIntensity - 128.0) should be < 3.0 // JPEG DC quantization
+  }
+
+  test("decodeVideoMeta decodes per row; undecodable blobs null out") {
+    val ok = Multimodal.syntheticAvi(8, 8, 10,
+      (0 until 2).map(f => Multimodal.syntheticPng(8, 8, 50 + 10 * f)))
+    val df = Seq((1L, ok), (2L, "nope".getBytes("UTF-8"))).toDF("doc_id", "media_bytes")
+    val r = Multimodal.decodeVideoMeta(df).orderBy("doc_id").collect()
+    r(0).getInt(1) shouldBe 8
+    r(0).getInt(3) shouldBe 2
+    r(0).getDouble(6) shouldBe 55.0
+    r(1).isNullAt(1) shouldBe true
+  }
+
+  test("sampleFrameMeans decodes only every stride-th frame") {
+    val frames = (0 until 6).map(f => Multimodal.syntheticPng(8, 8, 10 * f))
+    val avi = Multimodal.syntheticAvi(8, 8, 10, frames)
+    Multimodal.sampleFrameMeans(avi, 1).map(_._1) shouldBe Seq(0, 1, 2, 3, 4, 5)
+    val every3 = Multimodal.sampleFrameMeans(avi, 3)
+    every3 shouldBe Seq((0, 0.0), (3, 30.0))
+  }
+
+  test("decodeFeatures switches to frame-derived features for real video") {
+    val avi = Multimodal.syntheticAvi(16, 8, 30,
+      (0 until 2).map(_ => Multimodal.syntheticPng(16, 8, 204)))
+    val f = Multimodal.decodeFeatures(Seq((1L, avi)).toDF("doc_id", "media_bytes"))
+      .select("features").as[Array[Float]].head()
+    f(0) shouldBe 16 / 4096f
+    f(3) shouldBe 0.25f               // 30 fps / 120
+    f(4) shouldBe 0.8f                // 204 / 255
+    (f(6), f(7)) shouldBe ((1f, 1f))  // video flags
+  }
 }

@@ -1470,7 +1470,26 @@ object SparkEntry {
           }
         }.toDF("doc_id", "media_bytes")
       Multimodal.decodeVideoMeta(avis)
-    })
+    }),
+
+    // LLM: CCNet-style paragraph dedup — boilerplate headers/footers repeat
+    // across documents (constructed deterministically so the oracle can
+    // replicate them); each normalized paragraph survives only at its first
+    // corpus occurrence and documents are reassembled in order
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n",
+          concat(lit("header "), (col("doc_id") % 7).cast("string")),
+          substring(col("text"), 1, 120),
+          concat(lit("footer "), (col("doc_id") % 3).cast("string"))).as("text"))
+      graft.operators.PassageDedup.paragraphDedup(corpus, "text", "doc_id")
+    }),
+
+    // LLM: Lee-et-al duplicated-n-gram scoring — fraction of each doc's
+    // word 3-grams that appear in more than one document
+    "q_ngram_dupfrac" -> ((s, dir) =>
+      graft.operators.PassageDedup.duplicatedNgramStats(
+        t(s, dir, "documents"), "text", "doc_id", n = 3, minDf = 1L))
   )
 
   // ------------------------------------------------------------ the oracles
@@ -2224,7 +2243,64 @@ object SparkEntry {
         | CAST(10 + doc_id % 5 AS DOUBLE) AS fps,
         | CAST((2 + doc_id % 4) * 1000 // (10 + doc_id % 5) AS BIGINT) AS duration_ms,
         | CAST(doc_id % 200 AS DOUBLE) + (1 + doc_id % 4) / 2.0 AS mean_intensity
-        | FROM documents""".stripMargin
+        | FROM documents""".stripMargin,
+
+    // global first-occurrence paragraph dedup over the reconstructed
+    // header/body/footer corpus: first = lowest (doc_id, position) per
+    // case-folded paragraph; docs reassembled in order; all-boilerplate
+    // docs vanish
+    "q_paragraph_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         'header ' || (doc_id % 7) || chr(10) || chr(10) ||
+        |         substr(text, 1, 120) || chr(10) || chr(10) ||
+        |         'footer ' || (doc_id % 3) AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) - 1 AS pos,
+        |         unnest(string_split(text, chr(10)||chr(10))) AS para
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY lower(trim(para))
+        |                            ORDER BY doc_id, pos) AS rn
+        |  FROM paras WHERE lower(trim(para)) <> '')
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN rn = 1 THEN para END,
+        |                  chr(10)||chr(10) ORDER BY pos) AS text,
+        |       count(CASE WHEN rn = 1 THEN 1 END) AS kept_paragraphs,
+        |       count(CASE WHEN rn <> 1 THEN 1 END) AS dropped_paragraphs
+        |  FROM ranked GROUP BY doc_id
+        |HAVING count(CASE WHEN rn = 1 THEN 1 END) > 0""".stripMargin,
+
+    // duplicated word-3-gram occurrence counts: an n-gram is "hot" when it
+    // appears in more than one distinct document; dup_ngrams counts the
+    // doc's OCCURRENCES of hot n-grams (within-doc repeats each count)
+    "q_ngram_dupfrac" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i, w
+        |  FROM words),
+        |g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM grams),
+        |freq AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        |dup AS (
+        |  SELECT g.doc_id, count(*) AS dup_ngrams
+        |  FROM g JOIN freq USING (gram) WHERE freq.df > 1 GROUP BY g.doc_id),
+        |tot AS (
+        |  SELECT doc_id,
+        |         greatest(len(regexp_split_to_array(text, '\s+')) - 2, 0) AS total_ngrams
+        |  FROM documents)
+        |SELECT tot.doc_id, CAST(total_ngrams AS BIGINT) AS total_ngrams,
+        |       CAST(coalesce(dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+        |       CASE WHEN total_ngrams > 0
+        |            THEN coalesce(dup_ngrams, 0) / CAST(total_ngrams AS DOUBLE)
+        |            ELSE 0.0 END AS dup_fraction
+        |  FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

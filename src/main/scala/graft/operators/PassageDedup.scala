@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Passage-level deduplication: dedup WITHIN documents at sub-document
+  * granularity, the layer the whole-document methods in [[Dedup]] cannot
+  * see. Two standard web-corpus moves:
+  *
+  *  - [[paragraphDedup]]: CCNet-style global paragraph dedup — every
+  *    paragraph (split on a separator) is kept only at its first corpus
+  *    occurrence, which strips boilerplate headers/footers/navigation that
+  *    repeat across pages while keeping each page's unique body.
+  *  - [[duplicatedNgramStats]] / [[duplicatedNgramFilter]]: Lee-et-al-style
+  *    duplicated-n-gram scoring — the fraction of a document's n-grams that
+  *    occur in more than `minDf` documents; documents that are mostly
+  *    corpus-repeated content get dropped.
+  *
+  * 100 TB design: both are explode → ONE hash shuffle on the passage key →
+  * doc-side reassembly/aggregate. Paragraph selection shuffles each
+  * paragraph once (window over the paragraph hash — same shape as
+  * [[Dedup.exact]]); reassembly is a second shuffle of the surviving rows
+  * keyed by doc, unavoidable because document order must be restored.
+  * N-gram scoring never reassembles: the doc-frequency side aggregates
+  * (ngram-hash, docs) with map-side partials before the shuffle, and the
+  * join back to per-doc n-grams is a plain shuffle join on the hash — no
+  * all-pairs anywhere, no driver state.
+  */
+object PassageDedup {
+
+  /** Global first-occurrence paragraph dedup (CCNet's dedup unit). Splits
+    * `textCol` on `sep`, keeps each distinct normalized paragraph only in
+    * the document where it first appears — "first" = lowest (`idCol`,
+    * position), a total order so the result is deterministic — and
+    * reassembles the survivors in document order. Documents whose every
+    * paragraph was seen earlier disappear. Comparison key is the
+    * whitespace-trimmed lowercased paragraph; empty paragraphs are dropped.
+    *
+    * Output: (`idCol`, `textCol` rebuilt with `sep`, `kept_paragraphs`,
+    * `dropped_paragraphs`).
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__key", lower(trim(col("__para"))))
+      .filter(col("__key") =!= "")
+    val firstWin = Window.partitionBy(col("__key"))
+      .orderBy(col("__id"), col("__pos"))
+    val perDoc = paras
+      .withColumn("__rn", row_number().over(firstWin))
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__pos"), col("__para"))))),
+          s => s.getField("__para"))).as(textCol),
+        count(when(col("__rn") === 1, 1)).as("kept_paragraphs"),
+        count(when(col("__rn") =!= 1, 1)).as("dropped_paragraphs"))
+      .filter(col("kept_paragraphs") > 0)
+    perDoc.withColumnRenamed("__id", idCol)
+  }
+
+  /** Per-document duplicated-n-gram statistics: for word `n`-grams (split
+    * on whitespace), the count of the document's n-gram OCCURRENCES whose
+    * n-gram appears in more than `minDf` distinct documents, and the
+    * fraction of the document that is such corpus-repeated content.
+    * Documents shorter than `n` words have zero n-grams and report a 0.0
+    * fraction. Output: (`idCol`, `total_ngrams`, `dup_ngrams`,
+    * `dup_fraction`).
+    */
+  def duplicatedNgramStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    // one row per n-gram occurrence: (doc, xxhash64 of the n words)
+    val grams = df
+      .select(col(idCol).as("__id"),
+        split(col(textCol), "\\s+").as("__w"))
+      .select(col("__id"), explode(
+        // when() guard: sequence(0, -1) DESCENDS in Spark, so docs shorter
+        // than n words must map to an empty array (explode then emits no
+        // rows; the right_outer below restores them with 0)
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(0), size(col("__w")) - n),
+            i => xxhash64(concat_ws("", slice(col("__w"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<long>")))
+          .as("__g"))
+    // doc frequency per n-gram: map-side partial agg collapses repeats
+    // before the one shuffle on the gram hash
+    val docFreq = grams.distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams
+      .join(docFreq.filter(col("__df") > minDf).hint("shuffle_hash"),
+        Seq("__g"), "left_semi")
+      .groupBy(col("__id")).agg(count(lit(1)).as("dup_ngrams"))
+      .join(
+        df.select(col(idCol).as("__id"),
+          greatest(size(split(col(textCol), "\\s+")) - n + 1, lit(0))
+            .cast("long").as("total_ngrams")),
+        Seq("__id"), "right_outer")
+      .select(col("__id").as(idCol), col("total_ngrams"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        when(col("total_ngrams") > 0,
+          coalesce(col("dup_ngrams"), lit(0L)) / col("total_ngrams"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
+  /** Keep documents whose duplicated-n-gram fraction is at most
+    * `maxDupFraction` — the Lee-et-al filter for pages that are mostly
+    * templated/repeated corpus content. Returns the input rows (original
+    * columns) that survive.
+    */
+  def duplicatedNgramFilter(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDf: Long, maxDupFraction: Double): DataFrame = {
+    val stats = duplicatedNgramStats(df, textCol, idCol, n, minDf)
+      .filter(col("dup_fraction") <= maxDupFraction)
+      .select(col(idCol))
+    df.join(stats, Seq(idCol), "left_semi")
+  }
+}

@@ -1489,7 +1489,21 @@ object SparkEntry {
     // word 3-grams that appear in more than one document
     "q_ngram_dupfrac" -> ((s, dir) =>
       graft.operators.PassageDedup.duplicatedNgramStats(
-        t(s, dir, "documents"), "text", "doc_id", n = 3, minDf = 1L))
+        t(s, dir, "documents"), "text", "doc_id", n = 3, minDf = 1L)),
+
+    // LLM: Misra-Gries heavy hitters — per-language top-10 words via the
+    // mergeable bounded-memory sketch; capacity 64 > the corpus vocabulary
+    // (31 distinct words) so the sketch is provably EXACT and the oracle
+    // is the exact groupBy-count ranking (count desc, word asc)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("word"))
+      words.groupBy("lang")
+        .agg(graft.functions.HeavyHitters.topK(s, col("word"), 10, 64).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("rank0", "e")))
+        .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
+          col("e.item").as("word"), col("e.count").as("cnt"))
+    })
   )
 
   // ------------------------------------------------------------ the oracles
@@ -2300,7 +2314,24 @@ object SparkEntry {
         |       CASE WHEN total_ngrams > 0
         |            THEN coalesce(dup_ngrams, 0) / CAST(total_ngrams AS DOUBLE)
         |            ELSE 0.0 END AS dup_fraction
-        |  FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin
+        |  FROM tot LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // the Misra-Gries sketch at capacity > |vocab| is exact, so the oracle
+    // is the true per-language word ranking with the same deterministic
+    // tie-break (count desc, word asc)
+    "q_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, word, count(*) AS cnt FROM words GROUP BY lang, word),
+        |ranked AS (
+        |  SELECT lang, word, cnt,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, word) AS rank
+        |  FROM counts)
+        |SELECT lang, CAST(rank AS INT) AS rank, word, cnt
+        |  FROM ranked WHERE rank <= 10""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

@@ -1503,7 +1503,15 @@ object SparkEntry {
         .select(col("lang"), posexplode(col("hh")).as(Seq("rank0", "e")))
         .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
           col("e.item").as("word"), col("e.count").as("cnt"))
-    })
+    }),
+
+    // LLM/ops: single-pass column profiler in exact mode — counts, nulls,
+    // distincts, min/max, and a deterministic decimal-sum mean, one
+    // aggregation job for all profiled columns, pivoted inside the plan
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true))
   )
 
   // ------------------------------------------------------------ the oracles
@@ -2331,7 +2339,35 @@ object SparkEntry {
         |                            ORDER BY cnt DESC, word) AS rank
         |  FROM counts)
         |SELECT lang, CAST(rank AS INT) AS rank, word, cnt
-        |  FROM ranked WHERE rank <= 10""".stripMargin
+        |  FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // one UNION ALL branch per profiled column; the mean replicates the
+    // engine's exact-decimal-sum-then-one-double-division so doubles match
+    // bit for bit
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS row_count,
+        |       count(*) - count(l_orderkey) AS null_count,
+        |       count(DISTINCT l_orderkey) AS distinct_count,
+        |       CAST(min(l_orderkey) AS DOUBLE) AS num_min,
+        |       CAST(max(l_orderkey) AS DOUBLE) AS num_max,
+        |       CAST(sum(CAST(l_orderkey AS DECIMAL(38,6))) AS DOUBLE)
+        |         / count(l_orderkey) AS mean,
+        |       CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |       count(DISTINCT l_quantity),
+        |       CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |         / count(l_quantity),
+        |       NULL, NULL
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |       count(DISTINCT l_returnflag),
+        |       NULL, NULL, NULL,
+        |       min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem""".stripMargin
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

@@ -1511,7 +1511,29 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       graft.operators.Profile.profile(
         t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true))
+        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true)),
+
+    // write-audit-publish on branch refs: a good batch passes its audits
+    // and fast-forwards main; a bad batch (violates o_totalprice >= 0)
+    // is rejected on the staging branch and never reaches main
+    "q_wap" -> ((s, dir) => {
+      val table = Icebox(tmp("qwap"))
+      val o = t(s, dir, "orders")
+      table.append(o.filter(col("o_orderkey") % 2 === 0))
+      val good = o.filter(col("o_orderkey") % 2 =!= 0)
+      val bad = o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val r1 = graft.operators.Wap.writeAuditPublish(s, table, good,
+        graft.operators.Wap.audits.all(
+          graft.operators.Wap.audits.noNulls(Seq("o_orderkey")),
+          graft.operators.Wap.audits.expect("o_totalprice >= 0"),
+          graft.operators.Wap.audits.uniqueKey(Seq("o_orderkey"))))
+      val r2 = graft.operators.Wap.writeAuditPublish(s, table, bad,
+        graft.operators.Wap.audits.expect("o_totalprice >= 0"))
+      assert(r1.published && !r2.published,
+        s"WAP gate: good=${r1.published} bad=${r2.published} (${r2.auditError})")
+      table.read(s)
+    })
   )
 
   // ------------------------------------------------------------ the oracles
@@ -2367,7 +2389,11 @@ object SparkEntry {
         |       count(DISTINCT l_returnflag),
         |       NULL, NULL, NULL,
         |       min(l_returnflag), max(l_returnflag)
-        |  FROM lineitem""".stripMargin
+        |  FROM lineitem""".stripMargin,
+
+    // only the audited-good batch lands: evens (pre-existing) + odds
+    // (published); the negative-price batch was rejected on its branch
+    "q_wap" -> "SELECT * FROM orders",
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

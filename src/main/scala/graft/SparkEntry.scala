@@ -1533,6 +1533,17 @@ object SparkEntry {
       assert(r1.published && !r2.published,
         s"WAP gate: good=${r1.published} bad=${r2.published} (${r2.auditError})")
       table.read(s)
+    }),
+
+    // SHOW PARTITIONS answered purely from the manifest — per-partition
+    // row counts with no data scan (file_count/bytes are layout-dependent,
+    // so the oracle pins the partition set and exact row counts)
+    "q_show_partitions" -> ((s, dir) => {
+      val table = Icebox(tmp("qsp"))
+      table.append(t(s, dir, "orders"), Seq("o_orderstatus"))
+      graft.sql.MergeSql.register("qsp_t", table)
+      graft.sql.DmlSql.run(s, "SHOW PARTITIONS qsp_t")
+        .select(col("partition"), col("row_count"))
     })
   )
 
@@ -2394,6 +2405,11 @@ object SparkEntry {
     // only the audited-good batch lands: evens (pre-existing) + odds
     // (published); the negative-price batch was rejected on its branch
     "q_wap" -> "SELECT * FROM orders",
+
+    "q_show_partitions" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |       count(*) AS row_count
+        |  FROM orders GROUP BY o_orderstatus""".stripMargin,
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

@@ -70,6 +70,8 @@ object DmlSql {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*""".r
   private val ShowTblPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*""".r
   private val SetTblPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetTblPropsRe =
@@ -156,6 +158,8 @@ object DmlSql {
       val t = lookupRegistered(name, "SHOW TBLPROPERTIES")
       import spark.implicits._
       t.properties.toSeq.sortBy(_._1).toDF("key", "value")
+    case ShowPartitionsRe(name) =>
+      lookupRegistered(name, "SHOW PARTITIONS").partitionsDf(spark)
     // persistent catalog listings (the reference's REST-catalog listing
     // surface, catalog_manager.py:29-69, at the engine's path-rooted
     // design point): answered from the warehouse's registry table

@@ -478,6 +478,30 @@ final class Icebox(val tableDir: String) {
       .toDF("path", "size_bytes", "rows", "partition", "stats", "delete_files")
   }
 
+  /** Partitions metadata table (Iceberg's `<table>.partitions` analog): one
+    * row per live partition of the current snapshot — hive-rendered
+    * partition path, file count, row count (−1 when any file lacks a
+    * recorded count), total bytes. Pure manifest read: partition health
+    * (skew, small-file pressure) is inspectable without touching data.
+    * Merge-on-read deletes make recorded base-file row counts a superset;
+    * delete-carrying partitions report −1 rather than an overcount.
+    */
+  def partitionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentSnapshot.map(_.files).getOrElse(Nil)
+      .groupBy(_.partition).toSeq
+      .map { case (part, fs) =>
+        val partStr = part.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("/")
+        val exact = fs.forall(f =>
+          f.rows >= 0 && f.deletes.isEmpty && f.eqDeletes.isEmpty)
+        val rows = if (exact) fs.map(_.rows).sum else -1L
+        (partStr, fs.size.toLong, rows, fs.map(_.sizeBytes).sum)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "file_count", "row_count", "total_bytes")
+  }
+
   /** Row-level change diff between two snapshots (change-data-feed audit
     * face): rows only in `toId` tagged `insert`, rows only in `fromId`
     * tagged `delete` (an update appears as its delete+insert pair).

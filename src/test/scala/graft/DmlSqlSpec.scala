@@ -341,6 +341,23 @@ class DmlSqlSpec extends SparkSpec {
     DmlSql.run(spark, "SELECT * FROM tt_t VERSION AS OF 'wip'").count() shouldBe 4L
   }
 
+  test("SHOW PARTITIONS answers from the manifest, no data scan") {
+    val t = Icebox(tmpDir("dml-showparts"))
+    t.append(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p"), Seq("p"))
+    t.append(Seq((4L, "b")).toDF("id", "p"), Seq("p"))
+    t.registerView(spark, "showparts_t")
+    val rows = DmlSql.run(spark, "SHOW PARTITIONS showparts_t")
+      .orderBy("partition").collect()
+    rows.map(_.getString(0)) shouldBe Array("p=a", "p=b")
+    rows.map(_.getLong(2)) shouldBe Array(2L, 2L)     // row counts from manifest
+    rows(1).getLong(1) shouldBe 2L                    // two files in p=b
+    // merge-on-read deletes poison exact counts: -1, never an overcount
+    t.deleteByKeys(Seq(3L).toDF("id"))
+    val after = DmlSql.run(spark, "SHOW PARTITIONS showparts_t")
+      .orderBy("partition").collect()
+    after.map(_.getLong(2)).toSet should contain (-1L)
+  }
+
   test("DESCRIBE HISTORY and SHOW TBLPROPERTIES answer from metadata") {
     val t = Icebox(tmpDir("dml-hist"))
     t.append(Seq((1L, "a")).toDF("id", "s"))

@@ -1544,6 +1544,19 @@ object SparkEntry {
       graft.sql.MergeSql.register("qsp_t", table)
       graft.sql.DmlSql.run(s, "SHOW PARTITIONS qsp_t")
         .select(col("partition"), col("row_count"))
+    }),
+
+    // LLM: unicode hygiene via the native codegen expressions — zero-width
+    // + control chars stripped, then NFC composition (e + combining acute
+    // becomes one codepoint, observable in the codepoint length)
+    "q_text_normalize" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("\u200b"),
+          lit("cafe"), lit("\u0301"), lit("\u0007"), lit("end")).as("raw"))
+      val cleaned = graft.functions.UnicodeExpressions.normalize(s,
+        graft.functions.UnicodeExpressions.clean(s, col("raw")), "NFC")
+      raw.select(col("doc_id"), cleaned.as("text"),
+        length(cleaned).as("n_codepoints"))
     })
   )
 
@@ -2410,6 +2423,17 @@ object SparkEntry {
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
         |       count(*) AS row_count
         |  FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // chr(8203)=ZWSP and chr(7)=BEL are stripped, chr(769)=combining acute
+    // composes with the preceding 'e' under NFC - so the codepoint length
+    // is 40 + 4 ('cafe'->'caf'+e-acute) + 3 ('end')
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       nfc_normalize(substr(text, 1, 40) || 'cafe' || chr(769) || 'end')
+        |         AS text,
+        |       CAST(length(nfc_normalize(substr(text, 1, 40) || 'cafe' || chr(769)
+        |         || 'end')) AS INT) AS n_codepoints
+        |  FROM documents""".stripMargin,
     // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
   )
 }

@@ -88,14 +88,22 @@ object PassageDedup {
             i => xxhash64(concat_ws("", slice(col("__w"), i + 1, lit(n))))))
           .otherwise(array().cast("array<long>")))
           .as("__g"))
-    // doc frequency per n-gram: map-side partial agg collapses repeats
-    // before the one shuffle on the gram hash
-    val docFreq = grams.distinct()
+    // collapse occurrences to per-(doc, gram) counts first (map-side
+    // partials absorb within-doc repeats), then derive doc frequency from
+    // that much smaller aggregate. The aggregate feeds two consumers (hot
+    // detection + the semi join), which Spark recomputes rather than
+    // reuses; at production scale persist/checkpoint perDocGram before
+    // this call's return is consumed — the skew-safe alternative (window
+    // count per gram) would funnel every doc containing a hot gram into
+    // one partition, and hot grams are precisely what this operator hunts
+    val perDocGram = grams
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__occ"))
+    val hot = perDocGram
       .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    grams
-      .join(docFreq.filter(col("__df") > minDf).hint("shuffle_hash"),
-        Seq("__g"), "left_semi")
-      .groupBy(col("__id")).agg(count(lit(1)).as("dup_ngrams"))
+      .filter(col("__df") > minDf)
+    perDocGram
+      .join(hot.hint("shuffle_hash"), Seq("__g"), "left_semi")
+      .groupBy(col("__id")).agg(sum(col("__occ")).as("dup_ngrams"))
       .join(
         df.select(col(idCol).as("__id"),
           greatest(size(split(col(textCol), "\\s+")) - n + 1, lit(0))

@@ -1557,6 +1557,28 @@ object SparkEntry {
         graft.functions.UnicodeExpressions.clean(s, col("raw")), "NFC")
       raw.select(col("doc_id"), cleaned.as("text"),
         length(cleaned).as("n_codepoints"))
+    }),
+
+    // policy-driven maintenance tick (the reference's scheduled Airflow
+    // compaction/aging DAGs as an engine service): 8 small commits build
+    // file pressure, one tick compacts + expires per table properties,
+    // and the data must be byte-identical to orders afterwards
+    "q_table_service" -> ((s, dir) => {
+      val table = Icebox(tmp("qsvc"))
+      val o = t(s, dir, "orders")
+      (0 until 8).foreach(i => table.append(o.filter(col("o_orderkey") % 8 === i)))
+      table.setProperties(Map(
+        "maintenance.compact.min-files" -> "4",
+        "maintenance.expire.max-age-ms" -> "0",
+        "maintenance.expire.retain-last" -> "2"))
+      val before = table.currentSnapshot.get.files.size
+      val r = graft.table.TableService.tick(s, table,
+        nowMs = System.currentTimeMillis() + 60000)
+      val after = table.currentSnapshot.get.files.size
+      assert(r.compactedWholeTable && after < before && r.expiredSnapshots.nonEmpty,
+        s"tick: compacted=${r.compactedWholeTable} files $before->$after " +
+          s"expired=${r.expiredSnapshots.size}")
+      table.read(s)
     })
   )
 
@@ -2418,6 +2440,9 @@ object SparkEntry {
     // only the audited-good batch lands: evens (pre-existing) + odds
     // (published); the negative-price batch was rejected on its branch
     "q_wap" -> "SELECT * FROM orders",
+
+    // compaction + expiry must preserve content exactly
+    "q_table_service" -> "SELECT * FROM orders",
 
     "q_show_partitions" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,

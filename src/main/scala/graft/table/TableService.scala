@@ -1,0 +1,73 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Policy-driven table maintenance — the reference runs compaction and
+  * snapshot aging as SCHEDULED Airflow DAGs (reference:
+  * maintenance/iceberg_compaction_operator.py, iceberg_aging_operator.py);
+  * the engine analog is one idempotent `tick` driven by table properties,
+  * callable from any scheduler, a streaming `foreachBatch`, or after every
+  * N commits.
+  *
+  * Policy properties (all optional; tick is a no-op on an absent table):
+  *  - `maintenance.enabled`            — 'false' disables everything
+  *  - `maintenance.compact.min-files`  — compact when live files in the
+  *    table (unpartitioned) or any partition (partitioned) exceed this
+  *    (default 16; the small-file pressure threshold)
+  *  - `maintenance.compact.target-file-mb` — rewrite target (default 512)
+  *  - `maintenance.expire.max-age-ms`  — expire snapshots older than this
+  *    (default 7 days, the reference's aging default)
+  *  - `maintenance.expire.retain-last` — always keep this many (default 10)
+  *
+  * 100 TB behavior: the partitioned path compacts ONLY partitions over the
+  * file threshold (O(hot partitions), not a whole-table rewrite), expiry
+  * is O(metadata) + deletes of unreferenced files, and both inherit the
+  * head-drift guards of the underlying operations — a concurrent writer
+  * makes the tick retry or skip, never lose data. A tick that finds
+  * nothing over threshold touches zero data files.
+  */
+object TableService {
+
+  final case class Report(
+      compactedWholeTable: Boolean,
+      compactedPartitions: Seq[Map[String, String]],
+      expiredSnapshots: Seq[Long]) {
+    def actedOnData: Boolean = compactedWholeTable || compactedPartitions.nonEmpty
+  }
+
+  val Noop: Report = Report(compactedWholeTable = false, Nil, Nil)
+
+  private def intProp(t: Icebox, key: String, dflt: Int): Int =
+    t.properties.get(key).map(_.trim.toInt).getOrElse(dflt)
+  private def longProp(t: Icebox, key: String, dflt: Long): Long =
+    t.properties.get(key).map(_.trim.toLong).getOrElse(dflt)
+
+  /** One maintenance pass; returns what was done. `nowMs` is injectable
+    * for deterministic tests and backfill simulations.
+    */
+  def tick(spark: SparkSession, table: Icebox,
+      nowMs: Long = System.currentTimeMillis()): Report = {
+    if (!table.exists) return Noop
+    if (table.properties.get("maintenance.enabled").exists(_.trim.equalsIgnoreCase("false")))
+      return Noop
+    val minFiles = intProp(table, "maintenance.compact.min-files", 16)
+    val targetMb = intProp(table, "maintenance.compact.target-file-mb", 512)
+    val maxAgeMs = longProp(table, "maintenance.expire.max-age-ms", 7L * 24 * 3600 * 1000)
+    val retain = intProp(table, "maintenance.expire.retain-last", 10)
+
+    val files = table.currentSnapshot.map(_.files).getOrElse(Nil)
+    val partitioned = table.partitionColumns.nonEmpty
+    val (whole, parts) =
+      if (files.isEmpty) (false, Nil)
+      else if (partitioned) {
+        val hot = files.groupBy(_.partition).exists(_._2.size > minFiles)
+        if (hot) (false, table.compactPartitions(spark, targetMb, minFiles))
+        else (false, Nil)
+      } else if (files.size > minFiles) {
+        table.compact(spark, targetMb); (true, Nil)
+      } else (false, Nil)
+
+    val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
+    Report(whole, parts, expired)
+  }
+}

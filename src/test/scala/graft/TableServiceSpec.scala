@@ -1,0 +1,60 @@
+package graft
+
+import graft.table.{Icebox, TableService}
+import org.apache.spark.sql.functions._
+
+class TableServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tick compacts an unpartitioned table over the file threshold, data intact") {
+    val t = Icebox(tmpDir("svc-compact"))
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    t.setProperties(Map("maintenance.compact.min-files" -> "4"))
+    t.currentSnapshot.get.files.size should be > 4
+    val r = TableService.tick(spark, t)
+    r.compactedWholeTable shouldBe true
+    t.currentSnapshot.get.files.size should be <= 4
+    t.read(spark).select("id").as[Long].collect().sorted shouldBe (1L to 6L).toArray
+    // second tick: under threshold now, touches nothing
+    TableService.tick(spark, t).actedOnData shouldBe false
+  }
+
+  test("tick compacts only hot partitions of a partitioned table") {
+    val t = Icebox(tmpDir("svc-parts"))
+    // partition a: 5 single-row files; partition b: 1 file
+    (1 to 5).foreach(i =>
+      t.append(Seq((i.toLong, "a")).toDF("id", "p"), Seq("p")))
+    t.append(Seq((100L, "b")).toDF("id", "p"), Seq("p"))
+    t.setProperties(Map("maintenance.compact.min-files" -> "3"))
+    val bFiles = t.currentSnapshot.get.files.filter(_.partition("p") == "b").map(_.path)
+    val r = TableService.tick(spark, t)
+    r.compactedPartitions.flatMap(_.get("p")) should contain ("a")
+    // cold partition files untouched byte-for-byte (same paths)
+    t.currentSnapshot.get.files.filter(_.partition("p") == "b")
+      .map(_.path) shouldBe bFiles
+    t.read(spark).count() shouldBe 6L
+  }
+
+  test("tick expires old snapshots per policy, honoring retain-last") {
+    val t = Icebox(tmpDir("svc-expire"))
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    t.setProperties(Map(
+      "maintenance.compact.min-files" -> "100",   // no compaction
+      "maintenance.expire.max-age-ms" -> "0",     // everything is too old
+      "maintenance.expire.retain-last" -> "2"))
+    val r = TableService.tick(spark, t, nowMs = System.currentTimeMillis() + 10000)
+    r.expiredSnapshots.size shouldBe 4
+    t.read(spark).count() shouldBe 6L
+  }
+
+  test("maintenance.enabled=false and absent tables are no-ops") {
+    val t = Icebox(tmpDir("svc-disabled"))
+    TableService.tick(spark, t) shouldBe TableService.Noop   // absent
+    (1 to 6).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    t.setProperties(Map(
+      "maintenance.enabled" -> "false",
+      "maintenance.compact.min-files" -> "1"))
+    TableService.tick(spark, t) shouldBe TableService.Noop
+    t.currentSnapshot.get.files.size should be > 1
+  }
+}

@@ -274,6 +274,34 @@ object SparkEntry {
         .filter(col("o_totalprice") <= 5000.0)
     }),
 
+    // Manifest-level bloom index: planning-time file pruning for a point
+    // lookup on a high-cardinality UNSORTED key — commits interleave key
+    // residues and hash-scatter rows, so every file's [min,max] spans the
+    // domain and min/max stats are useless; only the per-file bloom side
+    // files (manifest.bloom.columns) can tell the files apart.
+    "q_bloom_prune" -> ((s, dir) => {
+      val table = Icebox(tmp("qbp"))
+      table.setProperties(Map(
+        "manifest.bloom.columns" -> "o_orderkey", "manifest.bloom.fpp" -> "0.001"))
+      val o = t(s, dir, "orders")
+      (0 until 4).foreach(i =>
+        table.append(o.filter(col("o_orderkey") % 4 === i).repartition(4)))
+      val snap = table.currentSnapshot.get
+      val total = snap.files.size
+      val probe = o.agg(min("o_orderkey")).head.getLong(0)
+      val idx = new graft.plans.IceboxFileIndex(s, table.tableDir, snap,
+        org.apache.spark.sql.types.StructType(Nil))
+      val kept = idx.listFiles(Nil, Seq(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "o_orderkey", org.apache.spark.sql.types.LongType)(),
+          org.apache.spark.sql.catalyst.expressions.Literal(probe))))
+        .map(_.files.length).sum
+      require(total >= 8 && kept < total,
+        s"bloom pruning had no effect: $total files, $kept after probe")
+      table.readIndexed(s).filter(col("o_orderkey") === probe)
+    }),
+
     // SQL-text MERGE INTO (parsed by Spark's parser, executed copy-on-write
     // as one atomic Icebox commit): conditional DELETE + UPDATE + INSERT *
     "q_merge_into" -> ((s, dir) => {
@@ -382,6 +410,35 @@ object SparkEntry {
       graft.sql.DmlSql.update(s,
         "UPDATE qcd_t SET o_totalprice = o_totalprice * 2 WHERE o_totalprice < 10000")
       table.changeDiff(s, 0L, 1L)
+    }),
+
+    // Incrementally maintained materialized aggregate: build the view,
+    // mutate the source (append + merge-on-read delete), then refresh in
+    // O(delta) — the refresh must be INCREMENTAL (asserted), commit
+    // merge-on-read (build files survive, asserted), and land exactly on
+    // the full-recompute answer the oracle computes over the final state.
+    "q_mv_refresh" -> ((s, dir) => {
+      val src = Icebox(tmp("qmv_src"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"))
+      src.append(li.filter(col("l_orderkey") % 2 === 0))
+      val mv = Icebox(tmp("qmv_tgt"))
+      val m0 = graft.operators.MaterializedView.refresh(s, src, mv, "mv",
+        Seq("l_returnflag"), Seq("l_quantity"))
+      require(m0 == graft.operators.MaterializedView.FullBuild, s"expected FullBuild, got $m0")
+      val buildFiles = mv.currentSnapshot.get.files.map(_.path).toSet
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      src.deleteByKeys(li.filter(col("l_orderkey") % 10 === 3)
+        .select("l_orderkey").distinct())
+      val m1 = graft.operators.MaterializedView.refresh(s, src, mv, "mv",
+        Seq("l_returnflag"), Seq("l_quantity"))
+      require(m1 == graft.operators.MaterializedView.Incremental,
+        s"expected Incremental, got $m1")
+      val filesNow = mv.currentSnapshot.get.files.map(_.path).toSet
+      require((buildFiles intersect filesNow).nonEmpty,
+        "merge-on-read refresh must keep the build's data files")
+      mv.read(s)
     }),
 
     // Metadata-only COUNT(*): manifests record per-file footer row counts
@@ -1647,6 +1704,8 @@ object SparkEntry {
     "q_icebox_rollback" -> "SELECT * FROM orders WHERE o_orderstatus = 'O'",
     "q_icebox_partition_prune" -> "SELECT * FROM orders WHERE o_orderstatus = 'F'",
     "q_icebox_stats_skip" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
+    "q_bloom_prune" ->
+      "SELECT * FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)",
     "q_icebox_zorder" -> "SELECT * FROM orders WHERE o_totalprice <= 5000.0",
     "q_icebox_zorder_str" -> "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
     "q_icebox_time_skip" -> "SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
@@ -1669,6 +1728,14 @@ object SparkEntry {
         |  FROM orders WHERE o_totalprice < 10000""".stripMargin,
 
     "q_ctas_sql" -> "SELECT * FROM orders WHERE o_totalprice > 100000",
+
+    // final source state after the query's append + key-delete cycle
+    "q_mv_refresh" ->
+      """SELECT l_returnflag, count(*) AS row_count,
+        |       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_l_quantity,
+        |       count(l_quantity) AS nn_l_quantity
+        |FROM lineitem WHERE l_orderkey % 10 <> 3
+        |GROUP BY l_returnflag""".stripMargin,
 
     // pre-evolution rows carry a typed NULL for the added column
     "q_schema_evolution" ->

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table.Icebox
+
+/** Incrementally maintained materialized aggregate: a target Icebox table
+  * holding `GROUP BY keys` counts and sums over a source Icebox table,
+  * refreshed in O(changed rows) from the source's change feed instead of
+  * O(source) full recomputation — the classic incremental-view-maintenance
+  * move (delta processing over an insert/delete change stream), expressed
+  * on the engine's own table format.
+  *
+  * Maintained aggregates per group: `row_count` (COUNT(*)), and for each
+  * requested column `c`: `sum_c` (SUM(c), null when the group holds no
+  * non-null c — incremental arithmetic tracks this via `nn_c` = COUNT(c))
+  * and `nn_c`. AVG derives as sum/nn. MIN/MAX are deliberately NOT
+  * offered: they are not incrementally maintainable under deletes without
+  * re-reading the group, which would silently reintroduce the O(source)
+  * cost this operator exists to avoid — callers needing them should
+  * recompute or keep an insert-only source.
+  *
+  * '''Exactly-once refresh.''' The processed-source cursor rides the OP
+  * STRING of the refresh commit itself (`mv-refresh:<mvId>:<srcSnapshot>`
+  * — the same trick the streaming sink's batch markers use), so cursor
+  * advance and data change are ONE atomic snapshot: a crash between them
+  * is impossible, and a replayed refresh finds the marker and no-ops.
+  *
+  * '''100 TB shape.''' A refresh reads only the source files the change
+  * touched ([[Icebox.changeDiff]] diffs manifest ENTRIES, unchanged files
+  * never read), aggregates the delta (one shuffle of changed rows), and
+  * commits merge-on-read: all touched group keys equality-deleted, the
+  * recomputed groups appended — no target data file is rewritten, and
+  * vanished groups (count reaching 0) simply aren't re-appended. The one
+  * target-side scan is the semi-join fetching current values of touched
+  * groups, pruned by stats/blooms when the target declares them. A
+  * data-neutral source commit (compaction, property change) advances the
+  * cursor with a metadata-only marker commit — zero data I/O. If the
+  * cursor's snapshot has been EXPIRED on the source, refresh falls back
+  * to a full rebuild (loudly, via the returned mode).
+  */
+object MaterializedView {
+
+  /** What a refresh did: full rebuild, incremental delta, cursor-only
+    * advance, or nothing (already current).
+    */
+  sealed trait Mode
+  case object FullBuild extends Mode
+  case object Incremental extends Mode
+  case object MarkerOnly extends Mode
+  case object NoOp extends Mode
+
+  private def opPrefix(mvId: String) = s"mv-refresh:$mvId:"
+
+  /** The source snapshot id the last committed refresh processed (newest
+    * marker on the target's snapshot chain), if any.
+    */
+  def lastRefreshedSource(target: Icebox, mvId: String): Option[Long] = {
+    val prefix = opPrefix(mvId)
+    if (!target.exists) return None
+    target.allSnapshots.iterator.map(_.operation).collectFirst {
+      case op if op.startsWith(prefix) => op.stripPrefix(prefix).toLong
+    }
+  }
+
+  /** Refresh `target` to reflect `source`'s current snapshot. Returns the
+    * mode the refresh ran in. `mvId` names the view (no ':'); a target
+    * maintains exactly one view definition — changing `keys`/`sums` for
+    * an existing target requires a new target table.
+    */
+  def refresh(spark: SparkSession, source: Icebox, target: Icebox, mvId: String,
+      keys: Seq[String], sums: Seq[String]): Mode = {
+    require(mvId.nonEmpty && !mvId.contains(":"), s"mvId must be non-empty without ':' (got '$mvId')")
+    require(keys.nonEmpty, "materialized view needs at least one group key")
+    val srcSnap = source.currentSnapshot.getOrElse(
+      sys.error(s"source table ${source.tableDir} has no snapshot"))
+    val srcHead = srcSnap.id
+    val last = lastRefreshedSource(target, mvId)
+    if (last.contains(srcHead)) return NoOp
+
+    def fullAggs: Seq[Column] =
+      count(lit(1)).as("row_count") +: sums.flatMap(c =>
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))
+
+    def fullBuild(): Mode = {
+      val df = source.read(spark).groupBy(keys.map(col): _*)
+        .agg(fullAggs.head, fullAggs.tail: _*)
+      target.overwriteAs(opPrefix(mvId) + srcHead, df, Nil)
+      FullBuild
+    }
+
+    last match {
+      case None => fullBuild()
+      case Some(from) =>
+        val diff =
+          try source.changeDiff(spark, from, srcHead)
+          catch { case _: Exception => return fullBuild() } // cursor expired on source
+        val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val ins = col("_change_type") === "insert"
+        // per-column deltas as SAME-TYPED sums (insert-sum minus delete-sum
+        // — never c*sign, whose decimal widening would drift the target
+        // schema across refreshes)
+        val deltaAggs = sum(sign).as("__dcnt") +: sums.flatMap(c => Seq(
+          (coalesce(sum(when(ins, col(c))), lit(0)) -
+            coalesce(sum(when(!ins, col(c))), lit(0))).as(s"__dsum_$c"),
+          (count(when(ins, col(c))) - count(when(!ins, col(c)))).as(s"__dnn_$c")))
+        val delta = diff.groupBy(keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+        if (delta.isEmpty) {
+          // data-neutral source change (compaction, metadata): advance the
+          // cursor so later diffs never re-read this range
+          target.commitMarker(opPrefix(mvId) + srcHead)
+          return MarkerOnly
+        }
+        val targetSchema = target.read(spark).schema
+        def tpe(n: String) = targetSchema.fields.find(_.name == n).get.dataType
+        // current values of TOUCHED groups only (semi-join keeps the scan's
+        // shuffle at O(touched); stats/bloom pruning applies when declared)
+        val cur = target.read(spark).join(delta.select(keys.map(col): _*), keys, "left_semi")
+        val merged = delta.join(cur, keys, "left")
+        val newCnt = (coalesce(col("row_count"), lit(0L)) + col("__dcnt")).as("row_count")
+        val valueCols = sums.flatMap { c =>
+          val nn = (coalesce(col(s"nn_$c"), lit(0L)) + col(s"__dnn_$c"))
+          val raw = coalesce(col(s"sum_$c"), lit(0)) + col(s"__dsum_$c")
+          Seq(when(nn === 0L, lit(null)).otherwise(raw).cast(tpe(s"sum_$c")).as(s"sum_$c"),
+            nn.as(s"nn_$c"))
+        }
+        val updated = merged
+          .select((keys.map(col) :+ newCnt) ++ valueCols: _*)
+          .filter(col("row_count") > 0L)
+        // ONE atomic merge-on-read commit: every touched key deleted, the
+        // recomputed groups appended, cursor marker in the op string
+        target.commitEqualityDeletes(opPrefix(mvId) + srcHead,
+          delta.select(keys.map(col): _*), Some(updated))
+        Incremental
+    }
+  }
+}

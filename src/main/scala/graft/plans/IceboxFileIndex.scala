@@ -221,7 +221,8 @@ final class IceboxFileIndex(
         cmp(a, l)((mn, _, v) => mn <= v)((mn, _, v) => mn.compareTo(v) <= 0)
       case EqualTo(a: Attribute, l: Literal) =>
         cmp(a, l)((mn, mx, v) => mn <= v && mx >= v)(
-          (mn, mx, v) => mn.compareTo(v) <= 0 && mx.compareTo(v) >= 0)
+          (mn, mx, v) => mn.compareTo(v) <= 0 && mx.compareTo(v) >= 0) &&
+          bloomAdmit(a, l, f)
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => admit(EqualTo(a, v.asInstanceOf[Literal]), f))
       // mirrored literal-on-left forms
@@ -231,6 +232,33 @@ final class IceboxFileIndex(
       case LessThanOrEqual(l: Literal, a: Attribute)    => admit(GreaterThanOrEqual(a, l), f)
       case EqualTo(l: Literal, a: Attribute)            => admit(EqualTo(a, l), f)
       case _ => true // unsupported shape → keep the file
+    }
+  }
+
+  /** Manifest-level bloom probe for a point lookup: a pushed
+    * `col = literal` (or each IN literal) tests the file's bloom side
+    * file — no false negatives, so a miss EXCLUDES the file exactly;
+    * min/max can't do this for high-cardinality unsorted columns, where
+    * every file's range spans the whole domain. The literal is hashed
+    * with the same `xxhash64` (seed 42) the writer's build job applied to
+    * the column values, on the same physical type (the pushed filter was
+    * planned against the stored schema, so the types agree by
+    * construction). Missing blooms, null literals, or any load failure
+    * keep the file (conservative).
+    */
+  private lazy val bloomTable = new Icebox(tableDir)
+  private def bloomAdmit(a: Attribute, l: Literal, f: DataFile): Boolean = {
+    if (l.value == null) return true
+    f.blooms.get(a.name) match {
+      case None => true
+      case Some(sha) =>
+        try bloomTable.loadBloom(sha) match {
+          case Some(bf) =>
+            val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
+              .eval(InternalRow.empty).asInstanceOf[Long]
+            bf.mightContainLong(h)
+          case None => true
+        } catch { case _: Exception => true }
     }
   }
 }

@@ -65,7 +65,8 @@ object Snapshot {
   */
 final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
     stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L,
-    deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
+    blooms: Map[String, String] = Map.empty)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -157,6 +158,8 @@ final class Icebox(val tableDir: String) {
   private def manifestPath(id: Long): HPath = new HPath(snapshotsDir, s"$id.json")
   private def shardsDir: HPath = new HPath(snapshotsDir, "shards")
   private def shardPath(sha: String): HPath = new HPath(shardsDir, s"$sha.json")
+  private def bloomsDir: HPath = new HPath(snapshotsDir, "blooms")
+  private def bloomPath(sha: String): HPath = new HPath(bloomsDir, s"$sha.bloom")
 
   /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
     * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
@@ -196,6 +199,16 @@ final class Icebox(val tableDir: String) {
     * then skips row groups on pushed equality predicates over those
     * columns — the point-lookup complement to min/max stats, which are
     * useless for high-cardinality unsorted columns at 100 TB);
+    * `manifest.bloom.columns` — comma-separated columns for which every
+    * commit ALSO records a per-file bloom filter as a content-addressed
+    * side file under `_snapshots/blooms/` (pointer in the manifest entry).
+    * Parquet footer blooms still require opening every file's footer at
+    * scan time; the manifest index prunes files at PLANNING time with no
+    * data-file I/O at all — point lookups and equality-delete attach
+    * lists on unsorted keys go from O(files) to O(matching files) (Hudi's
+    * metadata-table bloom index is the same trade). Sticky per column
+    * like stats. `manifest.bloom.fpp` — false-positive rate (default
+    * 0.03 ≈ 0.9 bytes/row/column of side-file metadata);
     * `write.compression` — parquet codec (default zstd).
     */
   def properties: Map[String, String] = {
@@ -1182,6 +1195,20 @@ final class Icebox(val tableDir: String) {
           st.getModificationTime < cutoffMs
       }.foreach(st => store.deleteIfExists(st.getPath))
     }
+    // Bloom side-file GC: live while any kept snapshot's file references
+    // the sha (content-addressed — compaction rewrites drop the old files'
+    // blooms, appends never share them, so reference = file liveness).
+    // mtime-gated like data files: an in-flight commit writes its blooms
+    // BEFORE claiming the manifest.
+    if (store.exists(bloomsDir)) {
+      val liveBloomShas = (keep ++ refChains).flatMap(_.files.flatMap(_.blooms.values)).toSet
+      store.list(bloomsDir).filter { st =>
+        val name = st.getPath.getName
+        st.isFile && name.endsWith(".bloom") &&
+          !liveBloomShas(name.stripSuffix(".bloom")) &&
+          st.getModificationTime < cutoffMs
+      }.foreach(st => store.deleteIfExists(st.getPath))
+    }
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
     deleteUnreferenced(liveFiles, cutoffMs)
@@ -1523,8 +1550,28 @@ final class Icebox(val tableDir: String) {
     def utf8Lt(a: String, b: String): Boolean =
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    // BLOOM attach pruning (the point-lookup complement to the range
+    // check, and the one that works on UNSORTED keys where every file's
+    // [min,max] spans the domain): for key columns with manifest blooms, a
+    // file is provably unaffected when NONE of the batch's key hashes
+    // might be in it — blooms have no false negatives, so the skip is
+    // exact; false positives only keep extra attaches (conservative).
+    // Bounded: the probe costs |files| x |distinct keys| driver-side bit
+    // tests, so it engages only when the batch's distinct keys fit
+    // `bloom.attach.max-keys` (default 100k — a 200k-file table x 100k
+    // keys is ~2e10 ns worst case, but short-circuiting exits at the
+    // first possible hit, and CDC batches are typically far smaller).
+    val bloomMaxKeys = properties.get("bloom.attach.max-keys").map(_.toInt).getOrElse(100000)
+    val bloomKeyCols = keyCols.filter(c => cur.files.exists(_.blooms.contains(c)))
+    val keyHashes: Map[String, Array[Long]] = bloomKeyCols.flatMap { c =>
+      val hs = keysPhys.where(col(c).isNotNull)
+        .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
+        .distinct().limit(bloomMaxKeys + 1).collect().map(_.getLong(0))
+      if (hs.length > bloomMaxKeys) None else Some(c -> hs)
+    }.toMap
     // a file needs no attach iff stats PROVE some key column disjoint from
-    // the batch's key range (missing/untyped stats keep the attach)
+    // the batch's key range, or a bloom proves no batch key is present
+    // (missing/untyped stats and missing blooms keep the attach)
     def disjoint(f: DataFile): Boolean =
       bounds.exists { case (c, (klo, khi)) =>
         f.stats.get(c).exists { case (mn, mx) =>
@@ -1532,6 +1579,8 @@ final class Icebox(val tableDir: String) {
         }
       } || strBounds.exists { case (c, (klo, khi)) =>
         f.stats.get(c).exists { case (mn, mx) => utf8Lt(mx, klo) || utf8Lt(khi, mn) }
+      } || keyHashes.exists { case (c, hs) =>
+        f.blooms.get(c).flatMap(loadBloom).exists(bf => !hs.exists(bf.mightContainLong))
       }
     // READ-AMPLIFICATION BOUND: every attached eq-delete adds a broadcast
     // join to reads of that file, so depth must not grow without limit on a
@@ -1729,9 +1778,31 @@ final class Icebox(val tableDir: String) {
     // a manifest read) AND min/max for footer-decodable stats columns;
     // only footer-undecodable types pay the data-scan fallback
     val meta = collectFileStats(df.sparkSession, listedRaw.map(_.path), statsCols, df.schema)
+    // Manifest-level bloom index (`manifest.bloom.columns`): per-file
+    // membership filters as content-addressed side files, sized from the
+    // EXACT per-file row counts the footer pass just produced. Sticky like
+    // stats columns: once any live file blooms a column, later commits
+    // keep blooming it without re-opting-in, so planning-time point-lookup
+    // pruning stays effective table-wide across appends and compactions.
+    val bloomSticky = base.map(_.files.flatMap(_.blooms.keys).distinct
+      .filter(df.columns.contains)).getOrElse(Nil)
+    val manifestBloomCols = (props.get("manifest.bloom.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(phys).filter(df.columns.contains) ++ bloomSticky).distinct
+    val bloomShas: Map[String, Map[String, String]] =
+      if (manifestBloomCols.isEmpty) Map.empty
+      else {
+        val maxRows = meta.values.map(_._1).filter(_ > 0) match {
+          case rs if rs.nonEmpty => rs.max
+          case _ => 1L
+        }
+        val fpp = props.get("manifest.bloom.fpp").map(_.toDouble).getOrElse(0.03)
+        buildFileBlooms(df.sparkSession, listedRaw.map(_.path), manifestBloomCols, maxRows, fpp)
+      }
     val newFiles = listedRaw.map { f =>
       val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
-      f.copy(rows = rows, stats = stats)
+      f.copy(rows = rows, stats = stats,
+        blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty))
     }
     commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch)
   }
@@ -1895,6 +1966,16 @@ final class Icebox(val tableDir: String) {
     * the delta vs the parent unless a full checkpoint is due. Single-handle
     * writes also stay `synchronized` for in-process callers.
     */
+  /** Metadata-only commit: a new snapshot with the SAME file set whose op
+    * string carries a marker (e.g. a materialized view advancing its
+    * processed-source cursor past data-neutral commits like compactions).
+    * O(delta)=O(0) manifest; no data is read or written.
+    */
+  private[graft] def commitMarker(op: String): Snapshot = {
+    val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    commitMetaResolved(op, parent => parent.map(_.files).getOrElse(Nil), cur.schemaJson)
+  }
+
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
       schemaJson: String, onBranch: Option[String] = None): Snapshot = this.synchronized {
     store.mkdirs(snapshotsDir)
@@ -1988,6 +2069,66 @@ final class Icebox(val tableDir: String) {
       val (rows, fstats) = fromFooters.getOrElse(p, (-1L, Map.empty[String, (String, String)]))
       p -> (rows, fstats ++ fromScan.getOrElse(p, Map.empty))
     }.toMap
+  }
+
+  /** Per-file bloom filters for `cols` (physical names) over a fresh
+    * commit's files, written as content-addressed side files under
+    * `_snapshots/blooms/<sha256>.bloom` — the manifest entry carries only
+    * the column→sha pointer (Iceberg keeps big per-file stats out of
+    * manifests the same way, in puffin side files). Returns path →
+    * (column → sha).
+    *
+    * One distributed job: `groupBy(input_file_name)` over
+    * `xxhash64(col)` longs into [[graft.functions.BloomBuildAgg]] — the
+    * hash stays in whole-stage codegen, partial buffers OR-merge, and the
+    * shuffle ships one filter per (file, column). Sizing is EXACT per
+    * commit: `expectedItems` = the largest per-file row count from the
+    * footer pass that already ran (smaller files get a lower fpp than
+    * asked — never a higher one). The driver materializes filters.count
+    * × cols filters for ONE commit (bounded by commit size, not table
+    * size) and content addressing dedupes identical filters across
+    * rewrites for free.
+    */
+  private def buildFileBlooms(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+      expectedItems: Long, fpp: Double): Map[String, Map[String, String]] = {
+    if (paths.isEmpty || cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name, xxhash64}
+    val base = spark.read.parquet(paths: _*)
+    val present = cols.filter(base.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val hashed = base.select(
+      input_file_name().as("__file") +: present.map(c => xxhash64(fcol(c)).as(c)): _*)
+    val aggs = present.map(c =>
+      graft.functions.BloomBuild.agg(spark, fcol(c), math.max(1L, expectedItems), fpp).as(c))
+    val rows = hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect()
+    store.mkdirs(bloomsDir)
+    rows.map { r =>
+      val path = r.getString(0)
+      val shas = present.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.getAs[Array[Byte]](i + 1)).map { bytes =>
+          val sha = sha256Hex(bytes)
+          val p = bloomPath(sha)
+          if (!store.exists(p)) store.atomicReplace(p, bytes)
+          c -> sha
+        }
+      }.toMap
+      pathOnly(path) -> shas
+    }.toMap
+  }
+
+  /** Load one bloom side file by content sha (process-wide cache — shas
+    * are immutable identities, and a planner point-lookup probes the same
+    * handful of filters per query).
+    */
+  private[graft] def loadBloom(sha: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val hit = Icebox.bloomCache.get(sha)
+    if (hit != null) return Some(hit)
+    val p = bloomPath(sha)
+    if (!store.exists(p)) return None
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(store.readBytes(p)))
+    Icebox.bloomCache.put(sha, bf)
+    Some(bf)
   }
 
   /** One executor-fanned footer read per file: block row counts + row-group
@@ -2223,6 +2364,10 @@ final class Icebox(val tableDir: String) {
         val eds = o.putArray("eqDeletes")
         f.eqDeletes.foreach(eds.add)
       }
+      if (f.blooms.nonEmpty) {
+        val bl = o.putObject("blooms")
+        f.blooms.toSeq.sortBy(_._1).foreach { case (c, sha) => bl.put(c, sha) }
+      }
     }
   }
 
@@ -2241,8 +2386,11 @@ final class Icebox(val tableDir: String) {
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
       val eqDeletes = Option(f.get("eqDeletes"))
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+      val blooms = Option(f.get("blooms")).map { bn =>
+        bn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
       DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
-        if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes)
+        if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes, blooms)
     }.toSeq).getOrElse(Nil)
 
   private def manifestJson(m: Icebox.Manifest): String = {
@@ -2409,6 +2557,18 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** Process-wide bloom side-file cache, keyed by content sha (immutable).
+    * Bounded LRU — filters are MBs for large files, so the bound is small;
+    * a planner point-lookup probes few filters and re-probes the same ones.
+    */
+  private[table] val bloomCache: java.util.Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+          size > 64
+      })
 
   /** A named snapshot ref: `kind` is "tag" (immutable) or "branch" (writable). */
   final case class Ref(kind: String, snapshotId: Long)
@@ -2667,9 +2827,16 @@ object Icebox {
       }
     def stringBoundaries(c: String): Seq[String] = {
       val k = math.max(nb * 64, 1024)
-      val sample = df.select(col(c)).where(col(c).isNotNull)
-        .orderBy(rand(42)).limit(k)
-        .collect().map(_.getString(0)).sorted
+      val base = df.select(col(c)).where(col(c).isNotNull)
+      // Poisson-sample first (scans but never sorts/ranks the corpus — no
+      // per-row rand + TakeOrdered heap over 100 TB); the rank-k fallback
+      // only runs on tables small enough that the sample came back thin,
+      // where it costs nothing. Boundaries feed z-order bucketing, so
+      // approximate sampling changes layout quality, never results.
+      val sampled = base.sample(withReplacement = false, 0.05, 42).limit(k).collect()
+      val rows = if (sampled.length >= math.min(k, 256)) sampled
+                 else base.orderBy(rand(42)).limit(k).collect()
+      val sample = rows.map(_.getString(0)).sorted
       if (sample.isEmpty) Nil
       else (1 to nb).map(i => sample(((sample.length - 1).toLong * i / (nb + 1)).toInt)).distinct
     }

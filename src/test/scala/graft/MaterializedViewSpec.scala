@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MaterializedView
+import graft.table.Icebox
+
+/** Incremental materialized aggregate: O(delta) refresh from the change
+  * feed, exactly-once cursor in the commit op string, merge-on-read
+  * target updates, vanished-group removal, null-sum semantics, and the
+  * expired-cursor full-rebuild fallback.
+  */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fullAgg(src: Icebox) =
+    src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), sum($"v").as("sum_v"), count($"v").as("nn_v"))
+
+  test("initial refresh is a full build matching the direct aggregate") {
+    val src = Icebox(tmpDir("mvsrc1"))
+    src.append((1 to 100).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt1"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), fullAgg(src))
+    MaterializedView.lastRefreshedSource(mv, "m") shouldBe Some(src.currentSnapshotId)
+    // already current -> NoOp, no new snapshot
+    val snaps = mv.allSnapshots.size
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.NoOp
+    mv.allSnapshots.size shouldBe snaps
+  }
+
+  test("incremental refresh after appends and deletes matches full recompute, merge-on-read") {
+    val src = Icebox(tmpDir("mvsrc2"))
+    src.append((1 to 100).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt2"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    val filesAfterBuild = mv.currentSnapshot.get.files.map(_.path).toSet
+
+    src.append((101 to 150).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "g", "v"))
+    src.deleteByKeys((1 to 30).map(_.toLong).toDF("id"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.Incremental
+    assertSameRows(mv.read(spark), fullAgg(src))
+    // merge-on-read: the build's data files survive (deletes attach, no rewrite)
+    val filesNow = mv.currentSnapshot.get.files.map(_.path).toSet
+    (filesAfterBuild intersect filesNow) should not be empty
+  }
+
+  test("vanished groups are removed; untouched groups' rows are not re-read") {
+    val src = Icebox(tmpDir("mvsrc3"))
+    src.append(Seq((1L, 0, 5L), (2L, 0, 7L), (3L, 1, 9L), (4L, 2, 11L))
+      .toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt3"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    // delete every g=0 row -> that group must vanish from the view
+    src.deleteByKeys(Seq(1L, 2L).toDF("id"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.Incremental
+    mv.read(spark).filter($"g" === 0).count() shouldBe 0L
+    assertSameRows(mv.read(spark), fullAgg(src))
+  }
+
+  test("sum goes null when a group's last non-null value is deleted (nn_c bookkeeping)") {
+    val src = Icebox(tmpDir("mvsrc4"))
+    src.append(Seq((1L, 0, Some(5L)), (2L, 0, None), (3L, 1, Some(9L)))
+      .toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt4"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    src.deleteByKeys(Seq(1L).toDF("id")) // g=0 keeps one row, but its v is null
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    val g0 = mv.read(spark).filter($"g" === 0).collect()
+    g0.length shouldBe 1
+    g0.head.getAs[Long]("row_count") shouldBe 1L
+    g0.head.isNullAt(g0.head.fieldIndex("sum_v")) shouldBe true
+    g0.head.getAs[Long]("nn_v") shouldBe 0L
+    assertSameRows(mv.read(spark), fullAgg(src))
+  }
+
+  test("data-neutral source commit advances the cursor with a metadata-only marker") {
+    val src = Icebox(tmpDir("mvsrc5"))
+    src.append((1 to 40).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v")
+      .repartition(4))
+    val mv = Icebox(tmpDir("mvtgt5"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    src.compact(spark) // rewrites files, zero row change
+    val dataFiles = mv.currentSnapshot.get.files.map(_.path).toSet
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.MarkerOnly
+    MaterializedView.lastRefreshedSource(mv, "m") shouldBe Some(src.currentSnapshotId)
+    mv.currentSnapshot.get.files.map(_.path).toSet shouldBe dataFiles
+    assertSameRows(mv.read(spark), fullAgg(src))
+  }
+
+  test("expired cursor on the source falls back to a full rebuild") {
+    val src = Icebox(tmpDir("mvsrc6"))
+    src.append((1 to 20).map(i => (i.toLong, i % 2, i * 3L)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt6"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    (1 to 5).foreach(k =>
+      src.append(Seq((100L + k, k % 2, k * 7L)).toDF("id", "g", "v")))
+    src.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000000L, retainLast = 1)
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), fullAgg(src))
+  }
+
+  test("two independent views on one target namespace don't cross cursors") {
+    val src = Icebox(tmpDir("mvsrc7"))
+    src.append((1 to 10).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "g", "v"))
+    val mvA = Icebox(tmpDir("mvtgtA"))
+    val mvB = Icebox(tmpDir("mvtgtB"))
+    MaterializedView.refresh(spark, src, mvA, "a", Seq("g"), Seq("v"))
+    src.append(Seq((11L, 0, 100L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, src, mvB, "b", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.FullBuild
+    MaterializedView.refresh(spark, src, mvA, "a", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.Incremental
+    assertSameRows(mvA.read(spark), fullAgg(src))
+    assertSameRows(mvB.read(spark), fullAgg(src))
+  }
+}

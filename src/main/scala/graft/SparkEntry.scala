@@ -399,6 +399,28 @@ object SparkEntry {
       s.sql("SELECT * FROM qctas_orders")
     }),
 
+    // SQL-text materialized view: CREATE ... AS SELECT parses through
+    // Spark's parser and full-builds; a source append then REFRESH must
+    // take the INCREMENTAL delta path (asserted via the returned op) and
+    // land exactly on the full-recompute answer
+    "q_mv_sql" -> ((s, dir) => {
+      graft.sql.DmlSql.setWarehouse(tmp("qmvsql_wh"))
+      val src = Icebox(tmp("qmvsql_src"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      src.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      src.registerView(s, "qmvsql_orders")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmv_status AS
+          |SELECT o_orderstatus, count(*), sum(o_totalprice)
+          |FROM qmvsql_orders GROUP BY o_orderstatus""".stripMargin)
+      src.append(o.filter(col("o_orderkey") % 3 === 0))
+      val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmv_status")
+        .head.getString(0)
+      require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
+      s.sql("SELECT * FROM qmv_status")
+    }),
+
     // Row-level change diff (CDF audit): an UPDATE's effect reads back as
     // its delete+insert pairs; only files differing between the snapshots
     // are read (carried-over files cancel out of the multiset diff)
@@ -1728,6 +1750,13 @@ object SparkEntry {
         |  FROM orders WHERE o_totalprice < 10000""".stripMargin,
 
     "q_ctas_sql" -> "SELECT * FROM orders WHERE o_totalprice > 100000",
+
+    // the view's canonical maintenance schema over the full source state
+    "q_mv_sql" ->
+      """SELECT o_orderstatus, count(*) AS row_count,
+        |       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_o_totalprice,
+        |       count(o_totalprice) AS nn_o_totalprice
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // final source state after the query's append + key-delete cycle
     "q_mv_refresh" ->

@@ -104,7 +104,13 @@ object MaterializedView {
           (coalesce(sum(when(ins, col(c))), lit(0)) -
             coalesce(sum(when(!ins, col(c))), lit(0))).as(s"__dsum_$c"),
           (count(when(ins, col(c))) - count(when(!ins, col(c)))).as(s"__dnn_$c")))
+        // One row per TOUCHED GROUP — small by construction — but its plan
+        // re-reads the whole change diff, and it feeds four downstream
+        // consumers (emptiness check, semi-join, merge join, the commit's
+        // delete-key projection). Persist so the diff scan runs ONCE.
         val delta = diff.groupBy(keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         if (delta.isEmpty) {
           // data-neutral source change (compaction, metadata): advance the
           // cursor so later diffs never re-read this range
@@ -132,6 +138,7 @@ object MaterializedView {
         target.commitEqualityDeletes(opPrefix(mvId) + srcHead,
           delta.select(keys.map(col): _*), Some(updated))
         Incremental
+        } finally delta.unpersist(blocking = false)
     }
   }
 }

@@ -50,6 +50,9 @@ object DmlSql {
   /** Warehouse root for CTAS targets issued through [[run]]. */
   def setWarehouse(dir: String): Unit = warehouseRef.set(dir)
 
+  private def mvWarehouse(): String = Option(warehouseRef.get).getOrElse(
+    sys.error("materialized-view DDL through run() needs DmlSql.setWarehouse(dir) first"))
+
   /** ONE entry point for the whole SQL-text surface: writes (MERGE, DELETE,
     * UPDATE, INSERT, CTAS) route to the Icebox executors and return a
     * one-row `(operation, snapshot_id)` summary; everything else (SELECT
@@ -165,6 +168,11 @@ object DmlSql {
     // design point): answered from the warehouse's registry table
     case ShowTablesRe(wh)     => graft.table.Catalog(wh).tables(spark)
     case ShowNamespacesRe(wh) => graft.table.Catalog(wh).namespaces(spark)
+    // materialized-view DDL (Materialize/Snowflake spelling; backing
+    // table under <warehouse>/_mv, incremental maintenance in MvSql)
+    case MvSql.CreateRe(name, select) => MvSql.create(spark, name, select, mvWarehouse())
+    case MvSql.RefreshRe(name)        => MvSql.refresh(spark, name, mvWarehouse())
+    case MvSql.DropRe(name)           => MvSql.drop(spark, name, mvWarehouse())
     case _ => runParsed(spark, sqlText)
   }
   }

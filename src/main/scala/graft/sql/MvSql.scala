@@ -1,0 +1,201 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+import graft.operators.MaterializedView
+import graft.table.Icebox
+
+/** SQL-text surface for incrementally maintained materialized views
+  * (the Materialize/Snowflake DDL spelling over the engine's own
+  * [[graft.operators.MaterializedView]] delta-maintenance):
+  *
+  * {{{
+  * CREATE MATERIALIZED VIEW daily AS
+  *   SELECT g, count(*), sum(v) FROM src GROUP BY g
+  * REFRESH MATERIALIZED VIEW daily
+  * DROP MATERIALIZED VIEW daily
+  * }}}
+  *
+  * The SELECT is parsed by SPARK'S OWN PARSER (accepted syntax is exactly
+  * Spark's), then validated against the incremental-maintenance contract:
+  * one `GROUP BY` over one registered Icebox table, aggregates drawn from
+  * `COUNT(*)` / `SUM(c)` / `COUNT(c)` only — the self-maintainable
+  * aggregates. Anything else (MIN/MAX, joins, HAVING, DISTINCT) errors
+  * LOUDLY at CREATE time rather than silently degrading to full
+  * recomputation — the same honesty contract as the operator itself
+  * (MaterializedView.scala: MIN/MAX are not incrementally maintainable
+  * under deletes). The view's columns are the canonical maintenance
+  * schema: `<keys>, row_count, sum_<c>, nn_<c>` (AVG = sum/nn).
+  *
+  * The backing table lives at `<warehouse>/_mv/<name>` (warehouse from
+  * [[DmlSql.setWarehouse]]); its definition (source table dir, keys, sum
+  * columns) persists in TABLE PROPERTIES, so `REFRESH MATERIALIZED VIEW`
+  * from a FRESH session needs only the warehouse — no in-memory state.
+  * Refresh cost and exactly-once semantics are the operator's: O(changed
+  * rows) from the manifest change diff, cursor atomic with the data
+  * commit, merge-on-read target updates.
+  */
+object MvSql {
+
+  private[sql] val CreateRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private[sql] val RefreshRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
+  private[sql] val DropRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+
+  private def mvTable(warehouse: String, name: String): Icebox =
+    Icebox.table(warehouse, "_mv", name.toLowerCase)
+
+  /** Parsed + validated MV definition: source table name, group keys,
+    * summed columns.
+    */
+  private[graft] final case class MvDef(source: String, keys: Seq[String], sums: Seq[String])
+
+  /** Validate `selectText` against the incremental-maintenance contract
+    * and extract (source, keys, sums). Errors name the offending clause.
+    */
+  private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef = {
+    def fail(what: String): Nothing = sys.error(
+      s"materialized views maintain one GROUP BY over one registered table with " +
+      s"COUNT(*)/SUM(c)/COUNT(c) aggregates only; $what")
+
+    def sourceOf(child: LogicalPlan): String = child match {
+      case r: UnresolvedRelation =>
+        if (r.multipartIdentifier.length != 1) fail(s"qualified source '${r.tableName}'")
+        r.multipartIdentifier.head
+      case SubqueryAlias(_, inner) => sourceOf(inner)
+      case other => fail(s"unsupported source ${other.getClass.getSimpleName} " +
+        "(joins/subqueries are not incrementally maintainable here)")
+    }
+    def attrName(e: Expression): String = e match {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length != 1) fail(s"qualified column '${a.name}'")
+        a.nameParts.head
+      case other => fail(s"group key must be a plain column, got $other")
+    }
+    // an aggregate call: Some(fn, argColumn or None-for-star/literal)
+    def aggCall(e: Expression): Option[(String, Option[String])] = e match {
+      case f: UnresolvedFunction if f.nameParts.length == 1 =>
+        if (f.isDistinct) fail("DISTINCT aggregates")
+        val fn = f.nameParts.head.toLowerCase
+        f.arguments match {
+          case Seq(_: UnresolvedStar) => Some((fn, None))
+          case Seq(_: Literal) => Some((fn, None))
+          case Seq(a: UnresolvedAttribute) => Some((fn, Some(attrName(a))))
+          case _ => fail(s"unsupported aggregate arguments in ${f.nameParts.head}")
+        }
+      case _ => None
+    }
+    def strip(e: Expression): Expression = e match {
+      case Alias(inner, _) => inner
+      case UnresolvedAlias(inner, _) => inner
+      case other => other
+    }
+
+    spark.sessionState.sqlParser.parsePlan(selectText) match {
+      case Aggregate(groupingExprs, aggExprs, child, _) =>
+        val source = sourceOf(child)
+        val keys = groupingExprs.map(attrName)
+        if (keys.isEmpty) fail("GROUP BY is required")
+        val sums = scala.collection.mutable.ListBuffer[String]()
+        aggExprs.map(strip).foreach {
+          case a: UnresolvedAttribute =>
+            if (!keys.contains(attrName(a))) fail(
+              s"non-aggregate column '${a.name}' not in GROUP BY")
+          case e => aggCall(e) match {
+            case Some(("count", _)) => () // row_count / nn_c: always maintained
+            case Some(("sum", Some(c))) => if (!sums.contains(c)) sums += c
+            case Some(("sum", None)) => fail("SUM(*)")
+            case Some((fn, _)) => fail(s"aggregate $fn (not incrementally " +
+              "maintainable under deletes without re-reading groups)")
+            case None => fail(s"unsupported select expression $e")
+          }
+        }
+        MvDef(source, keys, sums.toList)
+      case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
+    }
+  }
+
+  /** `CREATE MATERIALIZED VIEW name AS select`: validate, full-build the
+    * backing table at `<warehouse>/_mv/<name>`, persist the definition in
+    * table properties, register `name` for SELECT/refresh.
+    */
+  def create(spark: SparkSession, name: String, selectText: String,
+      warehouse: String): DataFrame = {
+    val d = parseDefinition(spark, selectText)
+    val src = MergeSql.lookup(d.source).getOrElse(sys.error(
+      s"materialized-view source '${d.source}' is not a registered Icebox table"))
+    val badKeys = (d.keys ++ d.sums).filterNot(src.read(spark).columns.contains)
+    if (badKeys.nonEmpty) sys.error(
+      s"columns ${badKeys.mkString(", ")} not in source '${d.source}'")
+    val target = mvTable(warehouse, name)
+    val existing = lastDef(target)
+    require(existing.isEmpty || existing.contains(d),
+      s"materialized view '$name' already exists with a different definition " +
+      "(DROP MATERIALIZED VIEW first)")
+    target.setProperties(Map(
+      "mv.source.dir" -> src.tableDir,
+      "mv.source.name" -> d.source,
+      "mv.keys" -> d.keys.mkString(","),
+      "mv.sums" -> d.sums.mkString(",")))
+    val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
+      d.keys, d.sums)
+    target.registerView(spark, name)
+    MergeSql.register(name, target)
+    summary(spark, s"create-mv:$mode", target)
+  }
+
+  /** `REFRESH MATERIALIZED VIEW name`: reload the persisted definition
+    * from the backing table's properties (works from a fresh session) and
+    * run a delta refresh.
+    */
+  def refresh(spark: SparkSession, name: String, warehouse: String): DataFrame = {
+    val target = mvTable(warehouse, name)
+    val d = lastDef(target).getOrElse(sys.error(
+      s"no materialized view '$name' under $warehouse"))
+    val src = Icebox(target.properties("mv.source.dir"))
+    val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
+      d.keys, d.sums)
+    target.registerView(spark, name)
+    MergeSql.register(name, target)
+    summary(spark, s"refresh-mv:$mode", target)
+  }
+
+  /** `DROP MATERIALIZED VIEW name`: drop the registration and the session
+    * view; the backing table's data stays (Iceberg DROP without PURGE —
+    * consistent with [[graft.table.Catalog.drop]]).
+    */
+  def drop(spark: SparkSession, name: String, warehouse: String): DataFrame = {
+    val target = mvTable(warehouse, name)
+    // Advance the epoch so a later re-CREATE (possibly with a different
+    // definition) mints a fresh mvId: refresh-cursor markers from THIS
+    // life of the view can never match the next one's — without the
+    // epoch, stale markers in the backing table's history would wrongly
+    // route the re-created view onto the incremental path over a base it
+    // never built.
+    if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
+    target.removeProperties(Seq("mv.source.dir", "mv.source.name", "mv.keys", "mv.sums"))
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
+  }
+
+  private def epoch(target: Icebox): Long =
+    target.properties.get("mv.epoch").map(_.toLong).getOrElse(0L)
+
+  /** Marker identity for this LIFE of the view: name + drop-epoch. */
+  private def mvId(name: String, target: Icebox): String =
+    s"${name.toLowerCase}#${epoch(target)}"
+
+  private def lastDef(target: Icebox): Option[MvDef] = {
+    val p = target.properties
+    p.get("mv.source.name").map(s =>
+      MvDef(s, p("mv.keys").split(',').toSeq,
+        p.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+  }
+
+  private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =
+    spark.createDataFrame(Seq((op, t.currentSnapshotId))).toDF("operation", "snapshot_id")
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.{DmlSql, MvSql}
+import graft.table.Icebox
+
+/** SQL-text materialized-view DDL: CREATE parses/validates through
+  * Spark's parser, REFRESH runs the incremental delta maintenance from
+  * properties alone (fresh-session durable), unsupported definitions
+  * error loudly at CREATE time.
+  */
+class MvSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSource(name: String): Icebox = {
+    val t = Icebox(tmpDir(name))
+    t.append((1 to 90).map(i => (i.toLong, i % 3, i * 10L)).toDF("id", "g", "v"))
+    t.registerView(spark, name)
+    t
+  }
+
+  test("CREATE ... AS SELECT builds, SELECT works, REFRESH is incremental") {
+    DmlSql.setWarehouse(tmpDir("mvwh1"))
+    val src = mkSource("mvsrc_sql1")
+    val out = DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv1 AS SELECT g, count(*), sum(v) FROM mvsrc_sql1 GROUP BY g")
+    out.collect().head.getString(0) shouldBe "create-mv:FullBuild"
+    // SELECT over the registered view matches a direct aggregate
+    assertSameRows(
+      spark.sql("SELECT g, row_count, sum_v, nn_v FROM mv1"),
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v")))
+    // mutate the source, refresh: must run the DELTA path
+    src.append(Seq((91L, 0, 1000L)).toDF("id", "g", "v"))
+    src.deleteByKeys(Seq(1L, 2L).toDF("id"))
+    val r = DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv1")
+    r.collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(
+      spark.sql("SELECT g, row_count, sum_v, nn_v FROM mv1"),
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v")))
+  }
+
+  test("REFRESH works from a fresh handle with no in-memory state") {
+    val wh = tmpDir("mvwh2")
+    DmlSql.setWarehouse(wh)
+    val src = mkSource("mvsrc_sql2")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv2 AS SELECT g, sum(v) FROM mvsrc_sql2 GROUP BY g")
+    src.append(Seq((91L, 1, 500L)).toDF("id", "g", "v"))
+    // simulate a fresh session: drop the in-memory registration and view
+    spark.catalog.dropTempView("mv2")
+    val r = DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv2")
+    r.collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(
+      spark.sql("SELECT * FROM mv2"),
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v")))
+  }
+
+  test("unsupported definitions fail loudly at CREATE time") {
+    DmlSql.setWarehouse(tmpDir("mvwh3"))
+    mkSource("mvsrc_sql3")
+    def bad(sql: String, fragment: String): Unit = {
+      val e = intercept[RuntimeException](DmlSql.run(spark, sql))
+      e.getMessage should include(fragment)
+    }
+    bad("CREATE MATERIALIZED VIEW b1 AS SELECT g, min(v) FROM mvsrc_sql3 GROUP BY g",
+      "aggregate min")
+    bad("CREATE MATERIALIZED VIEW b2 AS SELECT g, max(v) FROM mvsrc_sql3 GROUP BY g",
+      "aggregate max")
+    // ungrouped aggregates parse as a Project (aggregate-ness is an
+    // analysis-time concept), so they fail the top-level-shape check
+    bad("CREATE MATERIALIZED VIEW b3 AS SELECT count(*) FROM mvsrc_sql3",
+      "not an aggregate")
+    bad("CREATE MATERIALIZED VIEW b4 AS SELECT g, count(DISTINCT v) FROM mvsrc_sql3 GROUP BY g",
+      "DISTINCT")
+    bad("CREATE MATERIALIZED VIEW b5 AS SELECT a.g, sum(a.v) FROM mvsrc_sql3 a " +
+      "JOIN mvsrc_sql3 b ON a.id = b.id GROUP BY a.g", "unsupported source")
+    bad("CREATE MATERIALIZED VIEW b6 AS SELECT g, v FROM mvsrc_sql3", "not an aggregate")
+    bad("CREATE MATERIALIZED VIEW b7 AS SELECT g, sum(nope) FROM mvsrc_sql3 GROUP BY g",
+      "not in source")
+    bad("CREATE MATERIALIZED VIEW b8 AS SELECT g, sum(v) FROM unregistered GROUP BY g",
+      "not a registered Icebox table")
+  }
+
+  test("re-CREATE with a different definition is rejected; DROP clears it") {
+    DmlSql.setWarehouse(tmpDir("mvwh4"))
+    mkSource("mvsrc_sql4")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv4 AS SELECT g, sum(v) FROM mvsrc_sql4 GROUP BY g")
+    val e = intercept[IllegalArgumentException](DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv4 AS SELECT id, sum(v) FROM mvsrc_sql4 GROUP BY id"))
+    e.getMessage should include("different definition")
+    // idempotent re-create with the SAME definition is a NoOp refresh
+    val same = DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv4 AS SELECT g, sum(v) FROM mvsrc_sql4 GROUP BY g")
+    same.collect().head.getString(0) shouldBe "create-mv:NoOp"
+    DmlSql.run(spark, "DROP MATERIALIZED VIEW mv4").collect()
+      .head.getString(0) shouldBe "drop-mv"
+    // definition gone -> refresh errors
+    intercept[RuntimeException](DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv4"))
+      .getMessage should include("no materialized view")
+    // re-CREATE after DROP with a DIFFERENT definition: the epoch'd mvId
+    // ignores the previous life's cursor markers -> FullBuild, right data
+    val re = DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv4 AS SELECT id, sum(v) FROM mvsrc_sql4 GROUP BY id")
+    re.collect().head.getString(0) shouldBe "create-mv:FullBuild"
+    spark.sql("SELECT * FROM mv4").columns.toSet shouldBe
+      Set("id", "row_count", "sum_v", "nn_v")
+  }
+
+  test("aliases and COUNT(c) forms are accepted; parse shape is exact") {
+    val d = MvSql.parseDefinition(spark,
+      "SELECT g, k2, count(*) AS row_count, sum(v) AS sum_v, count(v) AS nn_v, " +
+      "sum(w) FROM t GROUP BY g, k2")
+    d.source shouldBe "t"
+    d.keys shouldBe Seq("g", "k2")
+    d.sums shouldBe Seq("v", "w")
+  }
+}

@@ -137,6 +137,7 @@ object MvSql {
       s"materialized view '$name' already exists with a different definition " +
       "(DROP MATERIALIZED VIEW first)")
     target.setProperties(Map(
+      "mv.id" -> mvId(name, target),
       "mv.source.dir" -> src.tableDir,
       "mv.source.name" -> d.source,
       "mv.keys" -> d.keys.mkString(","),
@@ -177,7 +178,7 @@ object MvSql {
     // route the re-created view onto the incremental path over a base it
     // never built.
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
-    target.removeProperties(Seq("mv.source.dir", "mv.source.name", "mv.keys", "mv.sums"))
+    target.removeProperties(Seq("mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }

@@ -31,8 +31,11 @@ object TableService {
   final case class Report(
       compactedWholeTable: Boolean,
       compactedPartitions: Seq[Map[String, String]],
-      expiredSnapshots: Seq[Long]) {
-    def actedOnData: Boolean = compactedWholeTable || compactedPartitions.nonEmpty
+      expiredSnapshots: Seq[Long],
+      mvRefresh: Option[String] = None) {
+    def actedOnData: Boolean =
+      compactedWholeTable || compactedPartitions.nonEmpty ||
+        mvRefresh.exists(m => m == "FullBuild" || m == "Incremental")
   }
 
   val Noop: Report = Report(compactedWholeTable = false, Nil, Nil)
@@ -67,7 +70,24 @@ object TableService {
         table.compact(spark, targetMb); (true, Nil)
       } else (false, Nil)
 
+    // Materialized-view targets (tables carrying an MvSql definition in
+    // their properties) also refresh on the tick — the engine analog of
+    // scheduling REFRESH MATERIALIZED VIEW alongside compaction/aging in
+    // the same DAG. Refresh runs BEFORE this table's expiry so the
+    // refresh commit is never the one being aged out, and inherits the
+    // operator's exactly-once cursor: a tick that finds the source
+    // unchanged is a NoOp with zero data I/O.
+    val props = table.properties
+    val mvMode = for {
+      id <- props.get("mv.id")
+      srcDir <- props.get("mv.source.dir")
+      keys <- props.get("mv.keys")
+    } yield graft.operators.MaterializedView.refresh(
+      spark, Icebox(srcDir), table, id, keys.split(',').toSeq,
+      props.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil))
+      .toString
+
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
-    Report(whole, parts, expired)
+    Report(whole, parts, expired, mvMode)
   }
 }

@@ -47,6 +47,28 @@ class TableServiceSpec extends SparkSpec {
     t.read(spark).count() shouldBe 6L
   }
 
+  test("tick refreshes a materialized-view target from its persisted definition") {
+    import graft.sql.DmlSql
+    val wh = tmpDir("svc-mv-wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("svc-mv-src"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "svc_mv_src")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW svc_mv AS SELECT g, sum(v) FROM svc_mv_src GROUP BY g")
+    val mv = Icebox.table(wh, "_mv", "svc_mv")
+    // source moves; a maintenance tick on the TARGET refreshes incrementally
+    src.append(Seq((61L, 0, 500L)).toDF("id", "g", "v"))
+    TableService.tick(spark, mv).mvRefresh shouldBe Some("Incremental")
+    assertSameRows(mv.read(spark),
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v")))
+    // source unchanged: the tick is cursor-exact, no new commit
+    val snaps = mv.allSnapshots.size
+    TableService.tick(spark, mv).mvRefresh shouldBe Some("NoOp")
+    mv.allSnapshots.size shouldBe snaps
+  }
+
   test("maintenance.enabled=false and absent tables are no-ops") {
     val t = Icebox(tmpDir("svc-disabled"))
     TableService.tick(spark, t) shouldBe TableService.Noop   // absent

@@ -21,8 +21,10 @@ import graft.table.Icebox
   * The SELECT is parsed by SPARK'S OWN PARSER (accepted syntax is exactly
   * Spark's), then validated against the incremental-maintenance contract:
   * one `GROUP BY` over one registered Icebox table, aggregates drawn from
-  * `COUNT(*)` / `SUM(c)` / `COUNT(c)` only — the self-maintainable
-  * aggregates. Anything else (MIN/MAX, joins, HAVING, DISTINCT) errors
+  * `COUNT(*)` / `SUM(c)` / `COUNT(c)` / `AVG(c)` only — the
+  * self-maintainable aggregates (AVG rides as sum/nn and the registered
+  * view exposes the derived `avg_<c>`). Anything else (MIN/MAX, joins,
+  * HAVING, DISTINCT) errors
   * LOUDLY at CREATE time rather than silently degrading to full
   * recomputation — the same honesty contract as the operator itself
   * (MaterializedView.scala: MIN/MAX are not incrementally maintainable
@@ -50,9 +52,12 @@ object MvSql {
     Icebox.table(warehouse, "_mv", name.toLowerCase)
 
   /** Parsed + validated MV definition: source table name, group keys,
-    * summed columns.
+    * summed columns, and columns whose AVG the view exposes (maintained
+    * as sum/nn — AVG itself is derivable, so it rides the same
+    * incremental arithmetic).
     */
-  private[graft] final case class MvDef(source: String, keys: Seq[String], sums: Seq[String])
+  private[graft] final case class MvDef(source: String, keys: Seq[String],
+      sums: Seq[String], avgs: Seq[String] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -60,7 +65,7 @@ object MvSql {
   private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef = {
     def fail(what: String): Nothing = sys.error(
       s"materialized views maintain one GROUP BY over one registered table with " +
-      s"COUNT(*)/SUM(c)/COUNT(c) aggregates only; $what")
+      s"COUNT(*)/SUM(c)/COUNT(c)/AVG(c) aggregates only; $what")
 
     def sourceOf(child: LogicalPlan): String = child match {
       case r: UnresolvedRelation =>
@@ -101,6 +106,7 @@ object MvSql {
         val keys = groupingExprs.map(attrName)
         if (keys.isEmpty) fail("GROUP BY is required")
         val sums = scala.collection.mutable.ListBuffer[String]()
+        val avgs = scala.collection.mutable.ListBuffer[String]()
         aggExprs.map(strip).foreach {
           case a: UnresolvedAttribute =>
             if (!keys.contains(attrName(a))) fail(
@@ -108,13 +114,16 @@ object MvSql {
           case e => aggCall(e) match {
             case Some(("count", _)) => () // row_count / nn_c: always maintained
             case Some(("sum", Some(c))) => if (!sums.contains(c)) sums += c
-            case Some(("sum", None)) => fail("SUM(*)")
+            case Some(("avg" | "mean", Some(c))) =>
+              if (!sums.contains(c)) sums += c // AVG = sum_c / nn_c
+              if (!avgs.contains(c)) avgs += c
+            case Some((fn @ ("sum" | "avg" | "mean"), None)) => fail(s"$fn(*)")
             case Some((fn, _)) => fail(s"aggregate $fn (not incrementally " +
               "maintainable under deletes without re-reading groups)")
             case None => fail(s"unsupported select expression $e")
           }
         }
-        MvDef(source, keys, sums.toList)
+        MvDef(source, keys, sums.toList, avgs.toList)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -141,10 +150,11 @@ object MvSql {
       "mv.source.dir" -> src.tableDir,
       "mv.source.name" -> d.source,
       "mv.keys" -> d.keys.mkString(","),
-      "mv.sums" -> d.sums.mkString(",")))
+      "mv.sums" -> d.sums.mkString(","),
+      "mv.avgs" -> d.avgs.mkString(",")))
     val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
       d.keys, d.sums)
-    target.registerView(spark, name)
+    registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"create-mv:$mode", target)
   }
@@ -160,7 +170,7 @@ object MvSql {
     val src = Icebox(target.properties("mv.source.dir"))
     val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
       d.keys, d.sums)
-    target.registerView(spark, name)
+    registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"refresh-mv:$mode", target)
   }
@@ -178,7 +188,8 @@ object MvSql {
     // route the re-created view onto the incremental path over a base it
     // never built.
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
-    target.removeProperties(Seq("mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums"))
+    target.removeProperties(Seq(
+      "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
@@ -190,11 +201,24 @@ object MvSql {
   private def mvId(name: String, target: Icebox): String =
     s"${name.toLowerCase}#${epoch(target)}"
 
+  /** The session view over the backing table: raw maintenance columns
+    * plus derived `avg_<c> = sum_<c> / nn_<c>` for AVG definitions (null
+    * when the group holds no non-null c — sum is null there).
+    */
+  private def registerMvView(spark: SparkSession, name: String, target: Icebox,
+      d: MvDef): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = target.read(spark)
+    val withAvgs = d.avgs.foldLeft(base)((df, c) =>
+      df.withColumn(s"avg_$c", col(s"sum_$c") / col(s"nn_$c")))
+    withAvgs.createOrReplaceTempView(name)
+  }
+
   private def lastDef(target: Icebox): Option[MvDef] = {
     val p = target.properties
+    def list(k: String) = p.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
     p.get("mv.source.name").map(s =>
-      MvDef(s, p("mv.keys").split(',').toSeq,
-        p.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)))
+      MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs")))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

@@ -110,6 +110,54 @@ class MvSqlSpec extends SparkSpec {
       Set("id", "row_count", "sum_v", "nn_v")
   }
 
+  test("AVG definitions ride as sum/nn; the view exposes the derived avg") {
+    DmlSql.setWarehouse(tmpDir("mvwh5"))
+    val src = mkSource("mvsrc_sql5")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv5 AS SELECT g, avg(v) FROM mvsrc_sql5 GROUP BY g")
+    assertSameRows(
+      spark.sql("SELECT g, avg_v FROM mv5"),
+      src.read(spark).groupBy("g").agg(avg($"v").as("avg_v")))
+    // incremental refresh keeps the derived column exact
+    src.append(Seq((91L, 0, 777L)).toDF("id", "g", "v"))
+    src.deleteByKeys(Seq(3L).toDF("id"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv5")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(
+      spark.sql("SELECT g, avg_v FROM mv5"),
+      src.read(spark).groupBy("g").agg(avg($"v").as("avg_v")))
+  }
+
+  test("materialized views cascade: an MV can source another MV") {
+    DmlSql.setWarehouse(tmpDir("mvwh6"))
+    val src = Icebox(tmpDir("mvsrc_sql6"))
+    // (id, region, store, sale): level-1 rolls up to (region, store),
+    // level-2 rolls level-1 up to region
+    src.append((1 to 120).map(i => (i.toLong, s"r${i % 2}", s"s${i % 6}", i * 10L))
+      .toDF("id", "region", "store", "sale"))
+    src.registerView(spark, "mvsrc_sql6")
+    DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW mv_store AS
+        |SELECT region, store, count(*), sum(sale) FROM mvsrc_sql6
+        |GROUP BY region, store""".stripMargin)
+    DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW mv_region AS
+        |SELECT region, count(*), sum(sum_sale) FROM mv_store GROUP BY region""".stripMargin)
+    // level-2 over level-1's maintenance schema: sum of per-store sums
+    assertSameRows(
+      spark.sql("SELECT region, sum_sum_sale FROM mv_region"),
+      src.read(spark).groupBy("region").agg(sum($"sale").as("sum_sum_sale")))
+    // mutate the base, refresh BOTH levels in order: each must be incremental
+    src.append(Seq((121L, "r0", "s0", 99999L)).toDF("id", "region", "store", "sale"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv_store")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv_region")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(
+      spark.sql("SELECT region, sum_sum_sale FROM mv_region"),
+      src.read(spark).groupBy("region").agg(sum($"sale").as("sum_sum_sale")))
+  }
+
   test("aliases and COUNT(c) forms are accepted; parse shape is exact") {
     val d = MvSql.parseDefinition(spark,
       "SELECT g, k2, count(*) AS row_count, sum(v) AS sum_v, count(v) AS nn_v, " +

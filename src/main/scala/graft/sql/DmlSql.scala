@@ -173,6 +173,7 @@ object DmlSql {
     case MvSql.CreateRe(name, select) => MvSql.create(spark, name, select, mvWarehouse())
     case MvSql.RefreshRe(name)        => MvSql.refresh(spark, name, mvWarehouse())
     case MvSql.DropRe(name)           => MvSql.drop(spark, name, mvWarehouse())
+    case MvSql.ShowRe()               => MvSql.list(spark, mvWarehouse())
     case _ => runParsed(spark, sqlText)
   }
   }

@@ -47,6 +47,8 @@ object MvSql {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*""".r
   private[sql] val DropRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private[sql] val ShowRe =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
 
   private def mvTable(warehouse: String, name: String): Icebox =
     Icebox.table(warehouse, "_mv", name.toLowerCase)
@@ -192,6 +194,31 @@ object MvSql {
       "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
+  }
+
+  /** `SHOW MATERIALIZED VIEWS`: every live definition under the
+    * warehouse's `_mv` namespace — name, source, keys, sums, and the last
+    * refreshed source snapshot (None until the first refresh commits).
+    * Metadata-only: reads properties files and snapshot op strings, no
+    * data. Dropped views (properties cleared) are excluded.
+    */
+  def list(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .sortBy(_.getName).flatMap { d =>
+          val t = Icebox(d.toString)
+          lastDef(t).map { df =>
+            val cursor = t.properties.get("mv.id")
+              .flatMap(id => MaterializedView.lastRefreshedSource(t, id))
+            (d.getName, df.source, df.keys.mkString(","), df.sums.mkString(","),
+              cursor.map(_.toString).orNull)
+          }
+        }
+    rows.toDF("name", "source", "keys", "sums", "refreshed_source_snapshot")
   }
 
   private def epoch(target: Icebox): Long =

@@ -115,6 +115,28 @@ class BloomIndexSpec extends SparkSpec {
     index.listFiles(Nil, Seq(EqualTo(k, Literal(999999L)))).map(_.files.size).sum shouldBe 0
   }
 
+  test("string keys bloom and probe with identical hashing (UTF8String literal path)") {
+    val t = Icebox(tmpDir("bloomstr"))
+    t.setProperties(Map("manifest.bloom.columns" -> "sk", "manifest.bloom.fpp" -> "0.001"))
+    def slice(off: Int) =
+      (1 to 400).map(i => (s"key-${i * 3 + off}", i.toLong)).toDF("sk", "n")
+        .repartition(4, col("n"))
+    t.append(slice(0)); t.append(slice(1)); t.append(slice(2))
+    val snap = t.currentSnapshot.get
+    val index = new IceboxFileIndex(spark, t.tableDir, snap, StructType(Nil))
+    val sk = AttributeReference("sk", StringType)()
+    def kept(lit: Any) = index.listFiles(Nil, Seq(EqualTo(sk,
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(lit.toString),
+        StringType)))).map(_.files.size).sum
+    // present key -> strictly pruned, never zero; absent key -> exact zero
+    val hit = kept("key-302")
+    hit should be >= 1
+    hit should be < snap.files.size
+    kept("key-no-such") shouldBe 0
+    // and the pruned read still returns the row
+    t.readIndexed(spark).filter($"sk" === "key-302").count() shouldBe 1L
+  }
+
   test("bloom columns are sticky: later commits bloom without re-opting-in") {
     val t = Icebox(tmpDir("bloom6"))
     t.setProperties(Map("manifest.bloom.columns" -> "k"))

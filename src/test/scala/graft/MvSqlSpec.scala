@@ -158,6 +158,26 @@ class MvSqlSpec extends SparkSpec {
       src.read(spark).groupBy("region").agg(sum($"sale").as("sum_sum_sale")))
   }
 
+  test("SHOW MATERIALIZED VIEWS lists live definitions with their cursors") {
+    val wh = tmpDir("mvwh7")
+    DmlSql.setWarehouse(wh)
+    val src = mkSource("mvsrc_sql7")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv7a AS SELECT g, sum(v) FROM mvsrc_sql7 GROUP BY g")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv7b AS SELECT g, count(*) FROM mvsrc_sql7 GROUP BY g")
+    val listed = DmlSql.run(spark, "SHOW MATERIALIZED VIEWS").collect()
+    listed.map(_.getString(0)).toSeq shouldBe Seq("mv7a", "mv7b")
+    listed.foreach { r =>
+      r.getString(1) shouldBe "mvsrc_sql7"
+      r.getString(4) shouldBe src.currentSnapshotId.toString
+    }
+    // dropped views disappear from the listing
+    DmlSql.run(spark, "DROP MATERIALIZED VIEW mv7a")
+    DmlSql.run(spark, "SHOW MATERIALIZED VIEWS").collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("mv7b")
+  }
+
   test("aliases and COUNT(c) forms are accepted; parse shape is exact") {
     val d = MvSql.parseDefinition(spark,
       "SELECT g, k2, count(*) AS row_count, sum(v) AS sum_v, count(v) AS nn_v, " +

@@ -247,17 +247,39 @@ final class IceboxFileIndex(
     * keep the file (conservative).
     */
   private lazy val bloomTable = new Icebox(tableDir)
+
+  /** Plan-time probe budget: each UNCACHED side-file load is one driver
+    * metadata read, and on a table where min/max admits everything a point
+    * lookup would probe EVERY file — O(files) object-store requests inside
+    * query planning. The budget (table property `bloom.plan.max-probes`,
+    * default 10k ≈ 5 TB of 512 MB files) bounds COLD loads per index
+    * instance; past it, unprobed files are admitted conservatively —
+    * planning stays fast and the filter still runs row-level. Cache hits
+    * are free and don't consume budget, so steady-state repeated lookups
+    * probe the full table once warm.
+    */
+  private lazy val bloomProbeBudget = new java.util.concurrent.atomic.AtomicLong(
+    try bloomTable.properties.get("bloom.plan.max-probes").map(_.toLong).getOrElse(10000L)
+    catch { case _: Exception => 10000L })
+
   private def bloomAdmit(a: Attribute, l: Literal, f: DataFile): Boolean = {
     if (l.value == null) return true
     f.blooms.get(a.name) match {
       case None => true
       case Some(sha) =>
-        try bloomTable.loadBloom(sha) match {
-          case Some(bf) =>
-            val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
-              .eval(InternalRow.empty).asInstanceOf[Long]
-            bf.mightContainLong(h)
-          case None => true
+        try {
+          val cached = Icebox.cachedBloom(sha)
+          val bf =
+            if (cached.isDefined) cached
+            else if (bloomProbeBudget.getAndDecrement() > 0) bloomTable.loadBloom(sha)
+            else None // budget exhausted: admit conservatively
+          bf match {
+            case Some(b) =>
+              val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(l))
+                .eval(InternalRow.empty).asInstanceOf[Long]
+              b.mightContainLong(h)
+            case None => true
+          }
         } catch { case _: Exception => true }
     }
   }

@@ -2570,6 +2570,12 @@ object Icebox {
           size > 64
       })
 
+  /** Cache-only bloom lookup (no I/O): the planner's probe-budget check
+    * distinguishes free cache hits from budgeted cold loads.
+    */
+  private[graft] def cachedBloom(sha: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    Option(bloomCache.get(sha))
+
   /** A named snapshot ref: `kind` is "tag" (immutable) or "branch" (writable). */
   final case class Ref(kind: String, snapshotId: Long)
 

@@ -137,6 +137,31 @@ class BloomIndexSpec extends SparkSpec {
     t.readIndexed(spark).filter($"sk" === "key-302").count() shouldBe 1L
   }
 
+  test("plan-time probe budget: exhausted budget admits conservatively, results unchanged") {
+    // UNIQUE key domain: blooms are content-addressed, so reusing another
+    // test's keys would find its filters already cached — and cache hits
+    // legitimately bypass the budget
+    val t = Icebox(tmpDir("bloombudget"))
+    t.setProperties(Map(
+      "manifest.bloom.columns" -> "k", "bloom.plan.max-probes" -> "0"))
+    def slice(off: Int) =
+      (1 to 500).map(i => (9000000L + i * 7 + off, s"b$off-$i")).toDF("k", "v")
+        .repartition(4, col("v"))
+    t.append(slice(0)); t.append(slice(1))
+    val snap = t.currentSnapshot.get
+    val index = new IceboxFileIndex(spark, t.tableDir, snap, StructType(Nil))
+    val k = AttributeReference("k", LongType)()
+    val probe = 9000000L + 101 * 7
+    // zero budget + cold cache: nothing probed, every min/max-admitted
+    // file kept — planning does NO side-file I/O, the filter still runs
+    val inRange = snap.files.count(_.stats.get("k").exists { case (mn, mx) =>
+      mn.toLong <= probe && mx.toLong >= probe })
+    index.listFiles(Nil, Seq(EqualTo(k, Literal(probe))))
+      .map(_.files.size).sum shouldBe inRange
+    // results stay exact either way
+    t.readIndexed(spark).filter($"k" === probe).count() shouldBe 1L
+  }
+
   test("bloom columns are sticky: later commits bloom without re-opting-in") {
     val t = Icebox(tmpDir("bloom6"))
     t.setProperties(Map("manifest.bloom.columns" -> "k"))

@@ -2084,10 +2084,15 @@ final class Icebox(val tableDir: String) {
     * shuffle ships one filter per (file, column). Sizing is EXACT per
     * commit: `expectedItems` = the largest per-file row count from the
     * footer pass that already ran (smaller files get a lower fpp than
-    * asked — never a higher one). The driver materializes filters.count
-    * × cols filters for ONE commit (bounded by commit size, not table
-    * size) and content addressing dedupes identical filters across
-    * rewrites for free.
+    * asked — never a higher one).
+    *
+    * Side files are written FROM THE EXECUTORS that hold each merged
+    * filter (temp-name + rename; content addressing makes a concurrent
+    * double-write of the same sha byte-identical, so whichever rename
+    * lands is correct). The driver receives only the (file, column, sha)
+    * triples — O(commit files) strings, never the filter bytes, so a
+    * 1000-file 512 MB-file commit does not stage ~GBs of filters in
+    * driver memory.
     */
   private def buildFileBlooms(spark: SparkSession, paths: Seq[String], cols: Seq[String],
       expectedItems: Long, fpp: Double): Map[String, Map[String, String]] = {
@@ -2100,20 +2105,25 @@ final class Icebox(val tableDir: String) {
       input_file_name().as("__file") +: present.map(c => xxhash64(fcol(c)).as(c)): _*)
     val aggs = present.map(c =>
       graft.functions.BloomBuild.agg(spark, fcol(c), math.max(1L, expectedItems), fpp).as(c))
-    val rows = hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*).collect()
     store.mkdirs(bloomsDir)
-    rows.map { r =>
-      val path = r.getString(0)
-      val shas = present.zipWithIndex.flatMap { case (c, i) =>
-        Option(r.getAs[Array[Byte]](i + 1)).map { bytes =>
-          val sha = sha256Hex(bytes)
-          val p = bloomPath(sha)
-          if (!store.exists(p)) store.atomicReplace(p, bytes)
-          c -> sha
+    val confBc = spark.sparkContext.broadcast(
+      new Icebox.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val bloomsDirStr = bloomsDir.toString
+    val presentLocal = present
+    import spark.implicits._
+    val triples = hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val file = r.getString(0)
+          presentLocal.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.getAs[Array[Byte]](i + 1)).map { bytes =>
+              (file, c, Icebox.writeBloomSideFile(confBc.value.value, bloomsDirStr, bytes))
+            }
+          }
         }
-      }.toMap
-      pathOnly(path) -> shas
-    }.toMap
+      }.collect()
+    triples.groupBy(t => pathOnly(t._1))
+      .map { case (p, ts) => p -> ts.map(t => t._2 -> t._3).toMap }
   }
 
   /** Load one bloom side file by content sha (process-wide cache — shas
@@ -2575,6 +2585,45 @@ object Icebox {
     */
   private[graft] def cachedBloom(sha: String): Option[org.apache.spark.util.sketch.BloomFilter] =
     Option(bloomCache.get(sha))
+
+  /** Hadoop Configuration is not Serializable; this is the standard
+    * write/readFields envelope so a broadcast can ship the session's
+    * Hadoop conf (filesystem schemes, credentials) to executor-side
+    * side-file writers.
+    */
+  private[table] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Executor-side bloom side-file write: content-address the bytes,
+    * write under a task-unique temp name, rename into place, return the
+    * sha. Racing writers of the same sha produce byte-identical files, so
+    * a failed rename-because-exists is success; a crashed task leaves only
+    * a temp file the expiry GC removes as an unreferenced side file.
+    */
+  private[table] def writeBloomSideFile(conf: org.apache.hadoop.conf.Configuration,
+      bloomsDir: String, bytes: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val dir = new HPath(bloomsDir)
+    val fs = dir.getFileSystem(conf)
+    val dst = new HPath(dir, s"$sha.bloom")
+    if (!fs.exists(dst)) {
+      val tmp = new HPath(dir, s"_tmp-$sha-${java.util.UUID.randomUUID()}.bloom")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost the race: identical bytes won
+    }
+    sha
+  }
 
   /** A named snapshot ref: `kind` is "tag" (immutable) or "branch" (writable). */
   final case class Ref(kind: String, snapshotId: Long)

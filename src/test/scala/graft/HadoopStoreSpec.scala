@@ -35,6 +35,29 @@ class HadoopStoreSpec extends SparkSpec {
     t.readIndexed(spark).filter(col("id") <= 10).count() shouldBe 10L
   }
 
+  test("bloom side files build (executor-side writes), probe, and GC on mockfs://") {
+    val t = Icebox(mockDir("hstore-bloom"))
+    t.setProperties(Map("manifest.bloom.columns" -> "id"))
+    // unique key domain (content-addressed shas; see BloomIndexSpec note)
+    def slice(off: Int) =
+      (1 to 300).map(i => (7000000L + i * 5 + off, s"m$off-$i")).toDF("id", "s")
+        .repartition(3, col("s"))
+    t.append(slice(0)); t.append(slice(1))
+    val files = t.currentSnapshot.get.files
+    all(files.map(_.blooms.keySet)) shouldBe Set("id")
+    // side files landed on the MOCK filesystem and load from a fresh handle
+    val t2 = Icebox(t.tableDir)
+    files.foreach(f => t2.loadBloom(f.blooms("id")) shouldBe defined)
+    // point lookup prunes through the index on mockfs
+    val idx = new graft.plans.IceboxFileIndex(spark, t.tableDir,
+      t.currentSnapshot.get, org.apache.spark.sql.types.StructType(Nil))
+    val k = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "id", org.apache.spark.sql.types.LongType)()
+    idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(k,
+      org.apache.spark.sql.catalyst.expressions.Literal(-5L)))) shouldBe empty
+    t.readIndexed(spark).filter(col("id") === 7000005L).count() shouldBe 1L
+  }
+
   test("partitioned writes, manifest pruning, and dynamic partition overwrite on mockfs://") {
     val t = Icebox(mockDir("hstore-part"))
     val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")).toDF("id", "par")

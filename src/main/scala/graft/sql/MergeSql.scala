@@ -75,7 +75,6 @@ object MergeSql {
       .getOrElse(sys.error(s"MERGE target '$targetName' is empty"))
     val targetCols = targetSchema.fieldNames.toSeq
 
-    val tgt = icebox.read(spark).alias(targetAlias)
     val src = srcDf.alias(sourceAlias)
     val cond = asColumn(m.mergeCondition)
     validateAssignmentKeys(m, targetCols)
@@ -83,6 +82,24 @@ object MergeSql {
     // pure target=source equality conjunction, when the ON shape admits one
     // (drives both the cheap cardinality check and the merge-on-read path)
     val equiPairs = equiKeys(m.mergeCondition, targetAlias, sourceAlias)
+
+    // MERGE-ON-READ TARGET PRUNING: when the merge will commit without a
+    // whole-table rewrite (equi ON, merge-on-read mode, no BY SOURCE
+    // clause), a file PROVEN to hold none of the source's keys contributes
+    // no matched row, no anti-join hit, and no cardinality group — so the
+    // target scan reads only files that might hold source keys (stats +
+    // manifest-bloom pruned). A point-MERGE into a huge clustered or
+    // bloom-indexed table scans O(holding files), not O(table). The
+    // copy-on-write path MUST see the full table (it overwrites), so any
+    // fallback condition disables pruning.
+    val morPrunable = props(icebox) == "merge-on-read" &&
+      m.notMatchedBySourceActions.isEmpty && equiPairs.isDefined &&
+      (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty)
+    val tgt = (if (!morPrunable) icebox.read(spark) else {
+      val keyDf = srcDf.select(equiPairs.get.map { case (tc, sc) => col(sc).as(tc) }: _*)
+        .dropDuplicates()
+      icebox.readForKeys(spark, keyDf)
+    }).alias(targetAlias)
 
     val matched = tgt.join(src, cond, "inner")
     // the fast path renames source keys to target-side names; an ON clause

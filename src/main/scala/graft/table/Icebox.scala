@@ -1491,6 +1491,95 @@ final class Icebox(val tableDir: String) {
     dir
   }
 
+  /** Build the "provably holds NONE of the batch's keys" predicate over
+    * `files` — shared by the eq-delete attach pruning and [[readForKeys]].
+    * `keysPhys` columns are PHYSICAL key names.
+    *
+    * Range check: one tiny agg computes the batch's per-column bounds.
+    * Numeric keys compare numerically; STRING keys compare in UTF8 binary
+    * order — the order Spark's string min/max, the parquet footer stats,
+    * and prunedFilesByStatsString all use — so string-keyed CDC (uuids,
+    * natural keys) gets the same pruning on a range-clustered table.
+    *
+    * Bloom check (the point-lookup complement, and the one that works on
+    * UNSORTED keys where every file's [min,max] spans the domain): for key
+    * columns with manifest blooms, a file is provably unaffected when NONE
+    * of the batch's key hashes might be in it — blooms have no false
+    * negatives, so the skip is exact; false positives only keep extra
+    * files (conservative). Bounded: the probe costs |files| x |distinct
+    * keys| driver-side bit tests, so it engages only when the batch's
+    * distinct keys fit `bloom.attach.max-keys` (default 100k;
+    * short-circuiting exits at the first possible hit, and CDC batches
+    * are typically far smaller). Missing/untyped stats and missing blooms
+    * keep the file.
+    */
+  private def keyDisjoint(files: Seq[DataFile], keysPhys: DataFrame): DataFile => Boolean = {
+    val keyCols = keysPhys.columns.toSeq
+    val numericKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType.isInstanceOf[NumericType])
+    val stringKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType == StringType)
+    val boundedCols = numericKeyCols ++ stringKeyCols
+    val (bounds, strBounds) =
+      if (boundedCols.isEmpty) (Map.empty[String, (Double, Double)],
+        Map.empty[String, (String, String)])
+      else {
+        val aggs = numericKeyCols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) ++
+          stringKeyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val r = keysPhys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val num = numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+          else Some(c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+        val base = 2 * numericKeyCols.size
+        val str = stringKeyCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(base + 2 * i) || r.isNullAt(base + 2 * i + 1)) None
+          else Some(c -> (r.getString(base + 2 * i), r.getString(base + 2 * i + 1)))
+        }.toMap
+        (num, str)
+      }
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    val bloomMaxKeys = properties.get("bloom.attach.max-keys").map(_.toInt).getOrElse(100000)
+    val bloomKeyCols = keyCols.filter(c => files.exists(_.blooms.contains(c)))
+    val keyHashes: Map[String, Array[Long]] = bloomKeyCols.flatMap { c =>
+      val hs = keysPhys.where(col(c).isNotNull)
+        .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
+        .distinct().limit(bloomMaxKeys + 1).collect().map(_.getLong(0))
+      if (hs.length > bloomMaxKeys) None else Some(c -> hs)
+    }.toMap
+    (f: DataFile) =>
+      bounds.exists { case (c, (klo, khi)) =>
+        f.stats.get(c).exists { case (mn, mx) =>
+          scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
+        }
+      } || strBounds.exists { case (c, (klo, khi)) =>
+        f.stats.get(c).exists { case (mn, mx) => utf8Lt(mx, klo) || utf8Lt(khi, mn) }
+      } || keyHashes.exists { case (c, hs) =>
+        f.blooms.get(c).flatMap(loadBloom).exists(bf => !hs.exists(bf.mightContainLong))
+      }
+  }
+
+  /** Read only the files that might hold ANY of the batch's key tuples
+    * (columns of `keys` = the key columns): manifest stats + bloom pruned
+    * via [[keyDisjoint]], deletes applied, generation-aware — a SUPERSET
+    * of the rows whose keys appear in `keys`, so callers still join/filter
+    * exactly. The point-operation read path: a small CDC batch joined
+    * against a huge table scans O(files that might hold the keys), not
+    * O(table) — on a range-clustered table the stats prune, on an
+    * unsorted bloom-indexed table the membership filters prune, and with
+    * neither this degrades to a plain [[read]].
+    */
+  def readForKeys(spark: SparkSession, keys: DataFrame): DataFrame =
+    currentSnapshot match {
+      case None => read(spark)
+      case Some(cur) =>
+        val logicalKeyCols = keys.columns.toSeq
+        val keysPhys = keys.select(logicalKeyCols.map(c => col(c).as(toPhysical(c))): _*)
+        val disjoint = keyDisjoint(cur.files, keysPhys)
+        readFiles(spark, cur.files.filterNot(disjoint), Some(cur.schemaJson))
+    }
+
   /** EQUALITY-delete commit (Iceberg v2's other merge-on-read delete type):
     * records `keys` as an equality-delete file attached to every data file
     * that existed when the deleter read the table — minus files whose
@@ -1517,71 +1606,8 @@ final class Icebox(val tableDir: String) {
     // join runs below the logical aliasing, and a later column rename must
     // not orphan older delete files
     val keysPhys = keys.select(logicalKeyCols.map(c => col(c).as(toPhysical(c))): _*)
-    val keyCols = keysPhys.columns.toSeq
     val preExisting = cur.files.map(_.path).toSet
-    // batch key bounds for attach pruning: one tiny agg over the keys.
-    // Numeric keys compare numerically; STRING keys compare in UTF8
-    // binary order — the order Spark's string min/max, the parquet footer
-    // stats, and prunedFilesByStatsString all use — so string-keyed CDC
-    // (uuids, natural keys) gets the same attach pruning on a
-    // range-clustered table instead of attach-everywhere
-    val numericKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType.isInstanceOf[NumericType])
-    val stringKeyCols = keyCols.filter(c => keysPhys.schema(c).dataType == StringType)
-    val boundedCols = numericKeyCols ++ stringKeyCols
-    val (bounds, strBounds) =
-      if (boundedCols.isEmpty) (Map.empty[String, (Double, Double)],
-        Map.empty[String, (String, String)])
-      else {
-        val aggs = numericKeyCols.flatMap(c =>
-          Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))) ++
-          stringKeyCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-        val r = keysPhys.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val num = numericKeyCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
-          else Some(c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-        }.toMap
-        val base = 2 * numericKeyCols.size
-        val str = stringKeyCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(base + 2 * i) || r.isNullAt(base + 2 * i + 1)) None
-          else Some(c -> (r.getString(base + 2 * i), r.getString(base + 2 * i + 1)))
-        }.toMap
-        (num, str)
-      }
-    def utf8Lt(a: String, b: String): Boolean =
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
-    // BLOOM attach pruning (the point-lookup complement to the range
-    // check, and the one that works on UNSORTED keys where every file's
-    // [min,max] spans the domain): for key columns with manifest blooms, a
-    // file is provably unaffected when NONE of the batch's key hashes
-    // might be in it — blooms have no false negatives, so the skip is
-    // exact; false positives only keep extra attaches (conservative).
-    // Bounded: the probe costs |files| x |distinct keys| driver-side bit
-    // tests, so it engages only when the batch's distinct keys fit
-    // `bloom.attach.max-keys` (default 100k — a 200k-file table x 100k
-    // keys is ~2e10 ns worst case, but short-circuiting exits at the
-    // first possible hit, and CDC batches are typically far smaller).
-    val bloomMaxKeys = properties.get("bloom.attach.max-keys").map(_.toInt).getOrElse(100000)
-    val bloomKeyCols = keyCols.filter(c => cur.files.exists(_.blooms.contains(c)))
-    val keyHashes: Map[String, Array[Long]] = bloomKeyCols.flatMap { c =>
-      val hs = keysPhys.where(col(c).isNotNull)
-        .select(org.apache.spark.sql.functions.xxhash64(col(c)).as("h"))
-        .distinct().limit(bloomMaxKeys + 1).collect().map(_.getLong(0))
-      if (hs.length > bloomMaxKeys) None else Some(c -> hs)
-    }.toMap
-    // a file needs no attach iff stats PROVE some key column disjoint from
-    // the batch's key range, or a bloom proves no batch key is present
-    // (missing/untyped stats and missing blooms keep the attach)
-    def disjoint(f: DataFile): Boolean =
-      bounds.exists { case (c, (klo, khi)) =>
-        f.stats.get(c).exists { case (mn, mx) =>
-          scala.util.Try(mx.toDouble < klo || mn.toDouble > khi).getOrElse(false)
-        }
-      } || strBounds.exists { case (c, (klo, khi)) =>
-        f.stats.get(c).exists { case (mn, mx) => utf8Lt(mx, klo) || utf8Lt(khi, mn) }
-      } || keyHashes.exists { case (c, hs) =>
-        f.blooms.get(c).flatMap(loadBloom).exists(bf => !hs.exists(bf.mightContainLong))
-      }
+    val disjoint = keyDisjoint(cur.files, keysPhys)
     // READ-AMPLIFICATION BOUND: every attached eq-delete adds a broadcast
     // join to reads of that file, so depth must not grow without limit on a
     // hot file. Files whose depth would EXCEED `write.merge-on-read

@@ -162,6 +162,30 @@ class BloomIndexSpec extends SparkSpec {
     t.readIndexed(spark).filter($"k" === probe).count() shouldBe 1L
   }
 
+  test("readForKeys scans only files that might hold the batch's keys; rows exact") {
+    val t = mkTable("bloomrfk")
+    val total = t.currentSnapshot.get.files.size
+    // interleaved keys: min/max is useless, the bloom must prune
+    val keys = Seq(707L, 1414L).toDF("k")
+    val pruned = t.readForKeys(spark, keys)
+    pruned.inputFiles.length should be < total
+    // superset contract: every matching row present, join exact
+    assertSameRows(
+      pruned.join(keys, Seq("k")),
+      t.read(spark).join(keys, Seq("k")))
+    // MoR point-MERGE drives the pruned path end-to-end
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    t.registerView(spark, "bloomrfk_t")
+    Seq((707L, "UPDATED")).toDF("k", "v").createOrReplaceTempView("bloomrfk_src")
+    graft.sql.MergeSql.register("bloomrfk_t", t)
+    graft.sql.MergeSql.merge(spark,
+      """MERGE INTO bloomrfk_t t USING bloomrfk_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    t.read(spark).filter($"k" === 707L).select("v").head.getString(0) shouldBe "UPDATED"
+    t.read(spark).count() shouldBe 2000L
+  }
+
   test("bloom columns are sticky: later commits bloom without re-opting-in") {
     val t = Icebox(tmpDir("bloom6"))
     t.setProperties(Map("manifest.bloom.columns" -> "k"))

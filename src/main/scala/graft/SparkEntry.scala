@@ -412,13 +412,18 @@ object SparkEntry {
       src.registerView(s, "qmvsql_orders")
       graft.sql.DmlSql.run(s,
         """CREATE MATERIALIZED VIEW qmv_status AS
-          |SELECT o_orderstatus, count(*), sum(o_totalprice)
+          |SELECT o_orderstatus, count(*), sum(o_totalprice), avg(o_totalprice)
           |FROM qmvsql_orders GROUP BY o_orderstatus""".stripMargin)
       src.append(o.filter(col("o_orderkey") % 3 === 0))
       val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmv_status")
         .head.getString(0)
       require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
-      s.sql("SELECT * FROM qmv_status")
+      // present DECIMAL sums/avgs as rounded doubles (the q1_agg output
+      // pattern) so the driver's pandas-side hash sees identical dtypes
+      s.sql("SELECT * FROM qmv_status").select(col("o_orderstatus"), col("row_count"),
+        round(col("sum_o_totalprice").cast("double"), 2).as("sum_o_totalprice"),
+        col("nn_o_totalprice"),
+        round(col("avg_o_totalprice").cast("double"), 4).as("avg_o_totalprice"))
     }),
 
     // Row-level change diff (CDF audit): an UPDATE's effect reads back as
@@ -460,7 +465,9 @@ object SparkEntry {
       val filesNow = mv.currentSnapshot.get.files.map(_.path).toSet
       require((buildFiles intersect filesNow).nonEmpty,
         "merge-on-read refresh must keep the build's data files")
-      mv.read(s)
+      mv.read(s).select(col("l_returnflag"), col("row_count"),
+        round(col("sum_l_quantity").cast("double"), 2).as("sum_l_quantity"),
+        col("nn_l_quantity"))
     }),
 
     // Metadata-only COUNT(*): manifests record per-file footer row counts
@@ -1754,14 +1761,16 @@ object SparkEntry {
     // the view's canonical maintenance schema over the full source state
     "q_mv_sql" ->
       """SELECT o_orderstatus, count(*) AS row_count,
-        |       sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_o_totalprice,
-        |       count(o_totalprice) AS nn_o_totalprice
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_o_totalprice,
+        |       count(o_totalprice) AS nn_o_totalprice,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |             / count(o_totalprice), 4) AS avg_o_totalprice
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // final source state after the query's append + key-delete cycle
     "q_mv_refresh" ->
       """SELECT l_returnflag, count(*) AS row_count,
-        |       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_l_quantity,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_l_quantity,
         |       count(l_quantity) AS nn_l_quantity
         |FROM lineitem WHERE l_orderkey % 10 <> 3
         |GROUP BY l_returnflag""".stripMargin,

@@ -470,6 +470,66 @@ object SparkEntry {
         col("nn_l_quantity"))
     }),
 
+    // WHERE-filtered materialized view: the predicate filters each change
+    // diff before delta aggregation (sound because a row VERSION's
+    // predicate value is immutable — updates arrive as delete+insert),
+    // so appends AND key-deletes maintain the filtered aggregate in
+    // O(delta); the refresh must be INCREMENTAL (asserted)
+    "q_mv_where" -> ((s, dir) => {
+      graft.sql.DmlSql.setWarehouse(tmp("qmvw_wh"))
+      val src = Icebox(tmp("qmvw_src"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      src.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      src.registerView(s, "qmvw_orders")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvw AS
+          |SELECT o_orderpriority, count(*), sum(o_totalprice)
+          |FROM qmvw_orders WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderpriority""".stripMargin)
+      src.append(o.filter(col("o_orderkey") % 3 === 0))
+      src.deleteByKeys(o.filter(col("o_orderkey") % 10 === 7)
+        .select("o_orderkey").distinct())
+      val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmvw")
+        .head.getString(0)
+      require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
+      s.sql("SELECT * FROM qmvw").select(col("o_orderpriority"), col("row_count"),
+        round(col("sum_o_totalprice").cast("double"), 2).as("sum_o_totalprice"),
+        col("nn_o_totalprice"))
+    }),
+
+    // MIN/MAX materialized-view columns via BOUNDED TOUCHED-GROUP
+    // RECOMPUTE: a key-delete may remove a group's extremum, so each
+    // refresh re-aggregates min/max for only the touched groups, reading
+    // only the stats/bloom-pruned source files that might hold those
+    // keys — O(touched groups' files), not O(source). Refresh must still
+    // be INCREMENTAL (asserted); sums ride the usual delta arithmetic.
+    "q_mv_minmax" -> ((s, dir) => {
+      val src = Icebox(tmp("qmvmm_src"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(12,2)").as("l_extendedprice"))
+      src.append(li.filter(col("l_orderkey") % 2 === 0))
+      val mv = Icebox(tmp("qmvmm_tgt"))
+      val m0 = graft.operators.MaterializedView.refresh(s, src, mv, "mm",
+        Seq("l_returnflag"), Seq("l_quantity"), None, Seq("l_extendedprice"))
+      require(m0 == graft.operators.MaterializedView.FullBuild, s"expected FullBuild, got $m0")
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      src.deleteByKeys(li.filter(col("l_orderkey") % 10 === 3)
+        .select("l_orderkey").distinct())
+      val m1 = graft.operators.MaterializedView.refresh(s, src, mv, "mm",
+        Seq("l_returnflag"), Seq("l_quantity"), None, Seq("l_extendedprice"))
+      require(m1 == graft.operators.MaterializedView.Incremental,
+        s"expected Incremental, got $m1")
+      mv.read(s).select(col("l_returnflag"), col("row_count"),
+        round(col("sum_l_quantity").cast("double"), 2).as("sum_l_quantity"),
+        col("nn_l_quantity"),
+        round(col("min_l_extendedprice").cast("double"), 2).as("min_l_extendedprice"),
+        round(col("max_l_extendedprice").cast("double"), 2).as("max_l_extendedprice"))
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1766,6 +1826,26 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |             / count(o_totalprice), 4) AS avg_o_totalprice
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // filtered final state after the append + key-delete cycle (rows
+    // deleted from the source drop out of the WHERE'd aggregate)
+    "q_mv_where" ->
+      """SELECT o_orderpriority, count(*) AS row_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_o_totalprice,
+        |       count(o_totalprice) AS nn_o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 <> 7
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // min/max over the final state — the full recompute the incremental
+    // touched-group path must land on exactly
+    "q_mv_minmax" ->
+      """SELECT l_returnflag, count(*) AS row_count,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_l_quantity,
+        |       count(l_quantity) AS nn_l_quantity,
+        |       round(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS min_l_extendedprice,
+        |       round(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS max_l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 10 <> 3
+        |GROUP BY l_returnflag""".stripMargin,
 
     // final source state after the query's append + key-delete cycle
     "q_mv_refresh" ->

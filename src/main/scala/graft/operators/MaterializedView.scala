@@ -5,20 +5,32 @@ import org.apache.spark.sql.functions._
 import graft.table.Icebox
 
 /** Incrementally maintained materialized aggregate: a target Icebox table
-  * holding `GROUP BY keys` counts and sums over a source Icebox table,
-  * refreshed in O(changed rows) from the source's change feed instead of
-  * O(source) full recomputation — the classic incremental-view-maintenance
-  * move (delta processing over an insert/delete change stream), expressed
-  * on the engine's own table format.
+  * holding `GROUP BY keys` counts and sums over a source Icebox table
+  * (optionally filtered by a `WHERE` predicate), refreshed in O(changed
+  * rows) from the source's change feed instead of O(source) full
+  * recomputation — the classic incremental-view-maintenance move (delta
+  * processing over an insert/delete change stream), expressed on the
+  * engine's own table format.
   *
   * Maintained aggregates per group: `row_count` (COUNT(*)), and for each
   * requested column `c`: `sum_c` (SUM(c), null when the group holds no
   * non-null c — incremental arithmetic tracks this via `nn_c` = COUNT(c))
-  * and `nn_c`. AVG derives as sum/nn. MIN/MAX are deliberately NOT
-  * offered: they are not incrementally maintainable under deletes without
-  * re-reading the group, which would silently reintroduce the O(source)
-  * cost this operator exists to avoid — callers needing them should
-  * recompute or keep an insert-only source.
+  * and `nn_c`. AVG derives as sum/nn. MIN/MAX (`min_c`/`max_c` for each
+  * column in `minmaxs`) are NOT delta-maintainable under deletes — a
+  * deleted extremum needs the group re-read — so they are maintained by
+  * BOUNDED TOUCHED-GROUP RECOMPUTE: each refresh re-aggregates min/max
+  * for only the groups the change touched, reading only the source files
+  * that might hold those group keys ([[Icebox.readForKeys]] stats/bloom
+  * pruning, pinned to the cursor's snapshot). Cost is O(touched groups'
+  * files), never O(source) — and untouched groups' extrema are carried
+  * from the target unchanged.
+  *
+  * An optional `where` predicate (SQL text over source columns) filters
+  * both the full build and every change diff before aggregation. This is
+  * sound because a row VERSION's predicate value is immutable: an update
+  * arrives as delete(old)+insert(new), each judged independently — a row
+  * leaving the predicate set decrements exactly the group it once
+  * incremented.
   *
   * '''Exactly-once refresh.''' The processed-source cursor rides the OP
   * STRING of the refresh commit itself (`mv-refresh:<mvId>:<srcSnapshot>`
@@ -65,11 +77,12 @@ object MaterializedView {
 
   /** Refresh `target` to reflect `source`'s current snapshot. Returns the
     * mode the refresh ran in. `mvId` names the view (no ':'); a target
-    * maintains exactly one view definition — changing `keys`/`sums` for
-    * an existing target requires a new target table.
+    * maintains exactly one view definition — changing `keys`/`sums`/
+    * `where`/`minmaxs` for an existing target requires a new target table.
     */
   def refresh(spark: SparkSession, source: Icebox, target: Icebox, mvId: String,
-      keys: Seq[String], sums: Seq[String]): Mode = {
+      keys: Seq[String], sums: Seq[String], where: Option[String] = None,
+      minmaxs: Seq[String] = Nil): Mode = {
     require(mvId.nonEmpty && !mvId.contains(":"), s"mvId must be non-empty without ':' (got '$mvId')")
     require(keys.nonEmpty, "materialized view needs at least one group key")
     val srcSnap = source.currentSnapshot.getOrElse(
@@ -78,12 +91,16 @@ object MaterializedView {
     val last = lastRefreshedSource(target, mvId)
     if (last.contains(srcHead)) return NoOp
 
+    def filtered(df: DataFrame): DataFrame =
+      where.map(w => df.filter(expr(w))).getOrElse(df)
+    def mmAggs: Seq[Column] = minmaxs.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     def fullAggs: Seq[Column] =
-      count(lit(1)).as("row_count") +: sums.flatMap(c =>
-        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))
+      (count(lit(1)).as("row_count") +: sums.flatMap(c =>
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))) ++ mmAggs
 
     def fullBuild(): Mode = {
-      val df = source.read(spark).groupBy(keys.map(col): _*)
+      val df = filtered(source.read(spark)).groupBy(keys.map(col): _*)
         .agg(fullAggs.head, fullAggs.tail: _*)
       target.overwriteAs(opPrefix(mvId) + srcHead, df, Nil)
       FullBuild
@@ -93,7 +110,7 @@ object MaterializedView {
       case None => fullBuild()
       case Some(from) =>
         val diff =
-          try source.changeDiff(spark, from, srcHead)
+          try filtered(source.changeDiff(spark, from, srcHead))
           catch { case _: Exception => return fullBuild() } // cursor expired on source
         val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
         val ins = col("_change_type") === "insert"
@@ -119,10 +136,25 @@ object MaterializedView {
         }
         val targetSchema = target.read(spark).schema
         def tpe(n: String) = targetSchema.fields.find(_.name == n).get.dataType
+        val touched = delta.select(keys.map(col): _*)
         // current values of TOUCHED groups only (semi-join keeps the scan's
         // shuffle at O(touched); stats/bloom pruning applies when declared)
-        val cur = target.read(spark).join(delta.select(keys.map(col): _*), keys, "left_semi")
-        val merged = delta.join(cur, keys, "left")
+        val cur = target.read(spark).join(touched, keys, "left_semi")
+          .drop(minmaxs.flatMap(c => Seq(s"min_$c", s"max_$c")): _*)
+        var merged = delta.join(cur, keys, "left")
+        val mmCols = if (minmaxs.isEmpty) Nil else {
+          // bounded touched-group recompute: min/max re-aggregated from the
+          // head-state rows of ONLY the touched groups, scanning only the
+          // source files that might hold those keys (stats/bloom pruned,
+          // pinned to the cursor's snapshot)
+          val mm = filtered(source.readForKeysAt(spark, touched, Some(srcSnap)))
+            .join(touched, keys, "left_semi")
+            .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*)
+          merged = merged.join(mm, keys, "left")
+          minmaxs.flatMap(c => Seq(
+            col(s"min_$c").cast(tpe(s"min_$c")).as(s"min_$c"),
+            col(s"max_$c").cast(tpe(s"max_$c")).as(s"max_$c")))
+        }
         val newCnt = (coalesce(col("row_count"), lit(0L)) + col("__dcnt")).as("row_count")
         val valueCols = sums.flatMap { c =>
           val nn = (coalesce(col(s"nn_$c"), lit(0L)) + col(s"__dnn_$c"))
@@ -131,7 +163,7 @@ object MaterializedView {
             nn.as(s"nn_$c"))
         }
         val updated = merged
-          .select((keys.map(col) :+ newCnt) ++ valueCols: _*)
+          .select((keys.map(col) :+ newCnt) ++ valueCols ++ mmCols: _*)
           .filter(col("row_count") > 0L)
         // ONE atomic merge-on-read commit: every touched key deleted, the
         // recomputed groups appended, cursor marker in the op string

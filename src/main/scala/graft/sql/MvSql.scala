@@ -2,8 +2,8 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import graft.operators.MaterializedView
 import graft.table.Icebox
 
@@ -20,16 +20,18 @@ import graft.table.Icebox
   *
   * The SELECT is parsed by SPARK'S OWN PARSER (accepted syntax is exactly
   * Spark's), then validated against the incremental-maintenance contract:
-  * one `GROUP BY` over one registered Icebox table, aggregates drawn from
-  * `COUNT(*)` / `SUM(c)` / `COUNT(c)` / `AVG(c)` only — the
-  * self-maintainable aggregates (AVG rides as sum/nn and the registered
-  * view exposes the derived `avg_<c>`). Anything else (MIN/MAX, joins,
-  * HAVING, DISTINCT) errors
-  * LOUDLY at CREATE time rather than silently degrading to full
-  * recomputation — the same honesty contract as the operator itself
-  * (MaterializedView.scala: MIN/MAX are not incrementally maintainable
-  * under deletes). The view's columns are the canonical maintenance
-  * schema: `<keys>, row_count, sum_<c>, nn_<c>` (AVG = sum/nn).
+  * one `GROUP BY` over one registered Icebox table (optionally filtered
+  * by a subquery-free `WHERE` — the delta arithmetic filters the change
+  * diff with the same predicate), aggregates drawn from `COUNT(*)` /
+  * `SUM(c)` / `COUNT(c)` / `AVG(c)` / `MIN(c)` / `MAX(c)`. AVG rides as
+  * sum/nn and the registered view exposes the derived `avg_<c>`; MIN/MAX
+  * are maintained by bounded touched-group recompute (stats/bloom-pruned
+  * source re-read of only the changed groups — see
+  * [[graft.operators.MaterializedView]]). Anything else (joins, HAVING,
+  * DISTINCT, other aggregates) errors LOUDLY at CREATE time rather than
+  * silently degrading to full recomputation. The view's columns are the
+  * canonical maintenance schema: `<keys>, row_count, sum_<c>, nn_<c>,
+  * min_<c>, max_<c>` (AVG = sum/nn).
   *
   * The backing table lives at `<warehouse>/_mv/<name>` (warehouse from
   * [[DmlSql.setWarehouse]]); its definition (source table dir, keys, sum
@@ -54,20 +56,23 @@ object MvSql {
     Icebox.table(warehouse, "_mv", name.toLowerCase)
 
   /** Parsed + validated MV definition: source table name, group keys,
-    * summed columns, and columns whose AVG the view exposes (maintained
-    * as sum/nn — AVG itself is derivable, so it rides the same
-    * incremental arithmetic).
+    * summed columns, columns whose AVG the view exposes (maintained as
+    * sum/nn — AVG itself is derivable, so it rides the same incremental
+    * arithmetic), the WHERE predicate's SQL text if any, and columns
+    * maintained as MIN/MAX (touched-group recompute).
     */
   private[graft] final case class MvDef(source: String, keys: Seq[String],
-      sums: Seq[String], avgs: Seq[String] = Nil)
+      sums: Seq[String], avgs: Seq[String] = Nil, where: Option[String] = None,
+      minmaxs: Seq[String] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
     */
   private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef = {
     def fail(what: String): Nothing = sys.error(
-      s"materialized views maintain one GROUP BY over one registered table with " +
-      s"COUNT(*)/SUM(c)/COUNT(c)/AVG(c) aggregates only; $what")
+      s"materialized views maintain one GROUP BY over one registered table " +
+      s"(optionally WHERE-filtered, no subqueries) with " +
+      s"COUNT(*)/SUM(c)/COUNT(c)/AVG(c)/MIN(c)/MAX(c) aggregates only; $what")
 
     def sourceOf(child: LogicalPlan): String = child match {
       case r: UnresolvedRelation =>
@@ -103,12 +108,24 @@ object MvSql {
     }
 
     spark.sessionState.sqlParser.parsePlan(selectText) match {
-      case Aggregate(groupingExprs, aggExprs, child, _) =>
+      case Aggregate(groupingExprs, aggExprs, child0, _) =>
+        // WHERE parses as a Filter between the Aggregate and the relation;
+        // keep the predicate's SQL text (re-applied to change diffs at
+        // refresh). Subqueries would make the predicate's value depend on
+        // OTHER tables' state — not delta-maintainable — so refuse them.
+        val (where, child) = child0 match {
+          case Filter(cond, inner) =>
+            if (cond.exists(_.isInstanceOf[SubqueryExpression]))
+              fail("subquery in WHERE")
+            (Some(cond.sql), inner)
+          case other => (None, other)
+        }
         val source = sourceOf(child)
         val keys = groupingExprs.map(attrName)
         if (keys.isEmpty) fail("GROUP BY is required")
         val sums = scala.collection.mutable.ListBuffer[String]()
         val avgs = scala.collection.mutable.ListBuffer[String]()
+        val minmaxs = scala.collection.mutable.ListBuffer[String]()
         aggExprs.map(strip).foreach {
           case a: UnresolvedAttribute =>
             if (!keys.contains(attrName(a))) fail(
@@ -119,13 +136,15 @@ object MvSql {
             case Some(("avg" | "mean", Some(c))) =>
               if (!sums.contains(c)) sums += c // AVG = sum_c / nn_c
               if (!avgs.contains(c)) avgs += c
-            case Some((fn @ ("sum" | "avg" | "mean"), None)) => fail(s"$fn(*)")
+            case Some(("min" | "max", Some(c))) =>
+              if (!minmaxs.contains(c)) minmaxs += c // touched-group recompute
+            case Some((fn @ ("sum" | "avg" | "mean" | "min" | "max"), None)) => fail(s"$fn(*)")
             case Some((fn, _)) => fail(s"aggregate $fn (not incrementally " +
               "maintainable under deletes without re-reading groups)")
             case None => fail(s"unsupported select expression $e")
           }
         }
-        MvDef(source, keys, sums.toList, avgs.toList)
+        MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -139,7 +158,12 @@ object MvSql {
     val d = parseDefinition(spark, selectText)
     val src = MergeSql.lookup(d.source).getOrElse(sys.error(
       s"materialized-view source '${d.source}' is not a registered Icebox table"))
-    val badKeys = (d.keys ++ d.sums).filterNot(src.read(spark).columns.contains)
+    val whereCols = d.where.toSeq.flatMap(w =>
+      spark.sessionState.sqlParser.parseExpression(w).collect {
+        case a: UnresolvedAttribute => a.nameParts.head
+      })
+    val badKeys = (d.keys ++ d.sums ++ d.minmaxs ++ whereCols).distinct
+      .filterNot(src.read(spark).columns.contains)
     if (badKeys.nonEmpty) sys.error(
       s"columns ${badKeys.mkString(", ")} not in source '${d.source}'")
     val target = mvTable(warehouse, name)
@@ -153,9 +177,11 @@ object MvSql {
       "mv.source.name" -> d.source,
       "mv.keys" -> d.keys.mkString(","),
       "mv.sums" -> d.sums.mkString(","),
-      "mv.avgs" -> d.avgs.mkString(",")))
+      "mv.avgs" -> d.avgs.mkString(","),
+      "mv.where" -> d.where.getOrElse(""),
+      "mv.minmaxs" -> d.minmaxs.mkString(",")))
     val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
-      d.keys, d.sums)
+      d.keys, d.sums, d.where, d.minmaxs)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"create-mv:$mode", target)
@@ -171,7 +197,7 @@ object MvSql {
       s"no materialized view '$name' under $warehouse"))
     val src = Icebox(target.properties("mv.source.dir"))
     val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
-      d.keys, d.sums)
+      d.keys, d.sums, d.where, d.minmaxs)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"refresh-mv:$mode", target)
@@ -191,7 +217,8 @@ object MvSql {
     // never built.
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
     target.removeProperties(Seq(
-      "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs"))
+      "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs",
+      "mv.where", "mv.minmaxs"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
@@ -245,7 +272,8 @@ object MvSql {
     val p = target.properties
     def list(k: String) = p.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
     p.get("mv.source.name").map(s =>
-      MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs")))
+      MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs"),
+        p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs")))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

@@ -1571,7 +1571,16 @@ final class Icebox(val tableDir: String) {
     * neither this degrades to a plain [[read]].
     */
   def readForKeys(spark: SparkSession, keys: DataFrame): DataFrame =
-    currentSnapshot match {
+    readForKeysAt(spark, keys, currentSnapshot)
+
+  /** [[readForKeys]] pinned to an explicit snapshot — callers that
+    * classified work against a head id (e.g. an incremental MV refresh
+    * whose cursor rides that id) read the SAME state even if the table
+    * advances concurrently.
+    */
+  private[graft] def readForKeysAt(spark: SparkSession, keys: DataFrame,
+      at: Option[Snapshot]): DataFrame =
+    at match {
       case None => read(spark)
       case Some(cur) =>
         val logicalKeyCols = keys.columns.toSeq

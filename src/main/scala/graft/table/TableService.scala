@@ -84,7 +84,9 @@ object TableService {
       keys <- props.get("mv.keys")
     } yield graft.operators.MaterializedView.refresh(
       spark, Icebox(srcDir), table, id, keys.split(',').toSeq,
-      props.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil))
+      props.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      props.get("mv.where").filter(_.nonEmpty),
+      props.get("mv.minmaxs").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil))
       .toString
 
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)

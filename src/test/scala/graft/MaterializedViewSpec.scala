@@ -106,6 +106,74 @@ class MaterializedViewSpec extends SparkSpec {
     assertSameRows(mv.read(spark), fullAgg(src))
   }
 
+  test("WHERE predicate filters both the build and every change diff") {
+    val src = Icebox(tmpDir("mvsrcW"))
+    src.append(Seq((1L, 0, 10L, "keep"), (2L, 0, 20L, "drop"), (3L, 1, 30L, "keep"))
+      .toDF("id", "g", "v", "tag"))
+    val mv = Icebox(tmpDir("mvtgtW"))
+    val where = Some("tag = 'keep'")
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"), where) shouldBe
+      MaterializedView.FullBuild
+    def expect() = src.read(spark).filter($"tag" === "keep").groupBy("g")
+      .agg(count(lit(1)).as("row_count"), sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(mv.read(spark), expect())
+    // append rows on both sides of the predicate; delete a kept row AND a
+    // dropped row — only the kept deletions may move the aggregate
+    src.append(Seq((4L, 0, 40L, "keep"), (5L, 1, 50L, "drop")).toDF("id", "g", "v", "tag"))
+    src.deleteByKeys(Seq(1L, 2L).toDF("id"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"), where) shouldBe
+      MaterializedView.Incremental
+    assertSameRows(mv.read(spark), expect())
+    // a change diff that is entirely OUTSIDE the predicate is data-neutral
+    // for the view: cursor advances with a marker, no data commit
+    src.append(Seq((6L, 2, 60L, "drop")).toDF("id", "g", "v", "tag"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"), where) shouldBe
+      MaterializedView.MarkerOnly
+    assertSameRows(mv.read(spark), expect())
+  }
+
+  test("deleting a group's extremum recomputes min/max from only the touched group") {
+    val src = Icebox(tmpDir("mvsrcMM"))
+    src.append(Seq((1L, 0, 5L), (2L, 0, 100L), (3L, 1, 9L), (4L, 1, 2L))
+      .toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgtMM"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"),
+      None, Seq("v")) shouldBe MaterializedView.FullBuild
+    def expect() = src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), sum($"v").as("sum_v"), count($"v").as("nn_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+    assertSameRows(mv.read(spark), expect())
+    // id=2 is g=0's max: naive delta arithmetic can't lower max_v — the
+    // touched-group recompute must
+    src.deleteByKeys(Seq(2L).toDF("id"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"),
+      None, Seq("v")) shouldBe MaterializedView.Incremental
+    val g0 = mv.read(spark).filter($"g" === 0).collect()
+    g0.head.getAs[Long]("max_v") shouldBe 5L
+    assertSameRows(mv.read(spark), expect())
+    // untouched group g=1 carried its extrema without a source re-read of
+    // its rows; now raise g=1's max via an append — still exact
+    src.append(Seq((5L, 1, 77L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"),
+      None, Seq("v")) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), expect())
+  }
+
+  test("WHERE composes with min/max touched-group recompute") {
+    val src = Icebox(tmpDir("mvsrcWM"))
+    src.append(Seq((1L, 0, 5L, "keep"), (2L, 0, 100L, "drop"), (3L, 0, 50L, "keep"))
+      .toDF("id", "g", "v", "tag"))
+    val mv = Icebox(tmpDir("mvtgtWM"))
+    val where = Some("tag = 'keep'")
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"), where, Seq("v"))
+    // max over KEPT rows only: 50, not 100
+    mv.read(spark).collect().head.getAs[Long]("max_v") shouldBe 50L
+    src.deleteByKeys(Seq(3L).toDF("id")) // delete the kept max
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"), where, Seq("v")) shouldBe
+      MaterializedView.Incremental
+    mv.read(spark).collect().head.getAs[Long]("max_v") shouldBe 5L
+  }
+
   test("two independent views on one target namespace don't cross cursors") {
     val src = Icebox(tmpDir("mvsrc7"))
     src.append((1 to 10).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "g", "v"))

@@ -65,10 +65,14 @@ class MvSqlSpec extends SparkSpec {
       val e = intercept[RuntimeException](DmlSql.run(spark, sql))
       e.getMessage should include(fragment)
     }
-    bad("CREATE MATERIALIZED VIEW b1 AS SELECT g, min(v) FROM mvsrc_sql3 GROUP BY g",
-      "aggregate min")
-    bad("CREATE MATERIALIZED VIEW b2 AS SELECT g, max(v) FROM mvsrc_sql3 GROUP BY g",
-      "aggregate max")
+    bad("CREATE MATERIALIZED VIEW b1 AS SELECT g, stddev(v) FROM mvsrc_sql3 GROUP BY g",
+      "aggregate stddev")
+    bad("CREATE MATERIALIZED VIEW b2 AS SELECT g, collect_list(v) FROM mvsrc_sql3 GROUP BY g",
+      "aggregate collect_list")
+    bad("CREATE MATERIALIZED VIEW b9 AS SELECT g, sum(v) FROM mvsrc_sql3 " +
+      "WHERE id IN (SELECT id FROM mvsrc_sql3) GROUP BY g", "subquery in WHERE")
+    bad("CREATE MATERIALIZED VIEW b10 AS SELECT g, sum(v) FROM mvsrc_sql3 " +
+      "WHERE nope > 0 GROUP BY g", "not in source")
     // ungrouped aggregates parse as a Project (aggregate-ness is an
     // analysis-time concept), so they fail the top-level-shape check
     bad("CREATE MATERIALIZED VIEW b3 AS SELECT count(*) FROM mvsrc_sql3",
@@ -185,5 +189,51 @@ class MvSqlSpec extends SparkSpec {
     d.source shouldBe "t"
     d.keys shouldBe Seq("g", "k2")
     d.sums shouldBe Seq("v", "w")
+    d.where shouldBe None
+    val d2 = MvSql.parseDefinition(spark,
+      "SELECT g, sum(v), min(v), max(w) FROM t WHERE v > 5 AND g <> 2 GROUP BY g")
+    d2.minmaxs shouldBe Seq("v", "w")
+    d2.where shouldBe defined // predicate text round-trips through the parser
+    spark.sessionState.sqlParser.parseExpression(d2.where.get) // must re-parse
+  }
+
+  test("WHERE-filtered view maintains the filtered aggregate incrementally") {
+    DmlSql.setWarehouse(tmpDir("mvwh8"))
+    val src = mkSource("mvsrc_sql8")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv8 AS SELECT g, count(*), sum(v) " +
+      "FROM mvsrc_sql8 WHERE v > 100 GROUP BY g")
+    def expect() = src.read(spark).filter($"v" > 100).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(spark.sql("SELECT * FROM mv8"), expect())
+    // append rows on both sides of the predicate, delete a passing row
+    src.append(Seq((91L, 0, 50L), (92L, 0, 5000L)).toDF("id", "g", "v"))
+    src.deleteByKeys(Seq(30L).toDF("id")) // v=300 passes the filter
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv8")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT * FROM mv8"), expect())
+    // definition (incl. WHERE text) survives a fresh handle
+    spark.catalog.dropTempView("mv8")
+    src.append(Seq((93L, 1, 999L)).toDF("id", "g", "v"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv8")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT * FROM mv8"), expect())
+  }
+
+  test("MIN/MAX definitions maintain min_/max_ via touched-group recompute") {
+    DmlSql.setWarehouse(tmpDir("mvwh9"))
+    val src = mkSource("mvsrc_sql9")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv9 AS SELECT g, count(*), min(v), max(v) " +
+      "FROM mvsrc_sql9 GROUP BY g")
+    def expect() = src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), min($"v").as("min_v"), max($"v").as("max_v"))
+    assertSameRows(spark.sql("SELECT g, row_count, min_v, max_v FROM mv9"), expect())
+    // delete g=0's maximum (id=90, v=900): delta arithmetic alone cannot
+    // lower max_v — the touched-group recompute must
+    src.deleteByKeys(Seq(90L).toDF("id"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv9")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT g, row_count, min_v, max_v FROM mv9"), expect())
   }
 }

@@ -5,11 +5,41 @@ import org.apache.spark.sql.SparkSession
   * factor and prints one JSON line. Each query is fully materialized through
   * the `noop` sink (not `count()`, which parquet count-pushdown could
   * short-circuit for pure scans).
+  *
+  * The harness that captures this keeps only the LAST 2000 characters of
+  * stdout, so the printed line holds a stable HEADLINE subset of per-query
+  * times (3-decimal, fits the window — r02/r03/r10 all recorded
+  * `parsed: null` from oversized lines); the FULL per-query map is written
+  * to `BENCH_FULL.json` in the working directory (committed with the repo)
+  * with the same `total` over ALL queries.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to named queries —
+  * the regression-adjudication path (isolates a query from whole-suite
+  * JVM/GC/ordering effects).
   */
 object Bench {
+  /** Round-over-round comparison anchors: one per major subsystem, names
+    * stable across rounds. Keep the encoded line under ~1900 chars.
+    */
+  private val headline: Seq[String] = Seq(
+    "q1_agg", "q_agg_multi", "q_topk", "q_window_hourly", "q_join_broadcast",
+    "q_join_multi", "q_in_filter", "q_normalize", "q_scan_filter_project",
+    "q_csv_scan", "q_orc_scan", "q_json_scan", "q_union_all",
+    "q_icebox_append", "q_icebox_compact", "q_icebox_upsert", "q_icebox_zorder",
+    "q_icebox_partition_prune", "q_bloom_prune", "q_merge_into", "q_merge_mor",
+    "q_update_mor", "q_delete_mor", "q_cdc_cycle", "q_change_feed",
+    "q_minhash_dedup", "q_simhash_dedup", "q_dedup_exact", "q_dedup_components",
+    "q_ann_topk", "q_ann_ivf", "q_text_quality", "q_text_normalize", "q_bm25",
+    "q_paragraph_dedup", "q_profile", "q_heavy_hitters", "q_mv_refresh",
+    "q_mv_sql", "q_sessionize", "q_asof_join", "q_range_join", "q_salted_join",
+    "q_pipeline", "q_llm_pipeline", "q_image_decode", "q_multimodal_decode")
+
+  private def fmt(v: Double): String = f"$v%.3f".replace(",", ".")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,21 +56,29 @@ object Bench {
     // BEST-OF-2 per query (basis change recorded in BASELINE.md): a
     // transient host stall lands on one run, not both — rounds 7-9 each
     // recorded a multi-second phantom regression from a single-pass time
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> math.min(once(), once())
       }
-      name -> math.min(once(), once())
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def enc(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // full map -> file (survives the stdout tail window; committed in-repo)
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size}}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json"); w.println(full); w.close()
+    } catch { case _: Throwable => () }
+    val line = results.filter { case (k, _) => only.isDefined || headline.contains(k) }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(line)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
     System.out.flush()
     spark.stop()
   }

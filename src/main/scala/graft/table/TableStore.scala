@@ -65,22 +65,28 @@ final class TableStore(val root: HPath, conf: Configuration) {
   private val isLocal: Boolean = Option(mfs.getUri.getScheme).contains("file")
   private val schemeless: Boolean = root.toUri.getScheme == null
 
-  // the class doc's atomicity caveat, surfaced at RUNTIME: on schemes where
-  // create(overwrite=false) is check-then-create, the CAS claims the commit
-  // protocol rests on can silently lose a race — warn once per store unless
-  // the deployment opted into a safe mechanism (S3A conditional PUT,
-  // Hadoop 3.4.1+) or supplies one via CasProvider
-  locally {
-    val scheme = Option(mfs.getUri.getScheme).getOrElse("")
+  // scheme whose create(overwrite=false) is check-then-create (TOCTOU):
+  // without an external arbiter the CAS claims the commit protocol rests
+  // on can double-win
+  private def unsafeScheme: Boolean = {
     val s3Conditional = scheme.startsWith("s3") &&
       conf.getBoolean("fs.s3a.create.conditional.enabled", false)
-    if (!isLocal && scheme != "hdfs" && !s3Conditional &&
-        CasProvider.forScheme(scheme).isEmpty)
+    !isLocal && scheme != "hdfs" && !s3Conditional
+  }
+
+  // the class doc's atomicity caveat, surfaced at CONSTRUCTION for
+  // discoverability (CAS claims on such a scheme additionally REFUSE to
+  // run — see createNew — unless a CasProvider is registered by then or
+  // the deployment explicitly accepts the risk)
+  locally {
+    if (unsafeScheme && CasProvider.forScheme(scheme).isEmpty &&
+        !conf.getBoolean(TableStore.UnsafeCasAllowKey, false))
       org.slf4j.LoggerFactory.getLogger(classOf[TableStore]).warn(
         s"TableStore at $root: filesystem scheme '$scheme' has no atomic " +
         "create(overwrite=false) — concurrent writers may both win a CAS claim. " +
-        "Enable fs.s3a.create.conditional.enabled (S3, Hadoop 3.4.1+) or " +
-        "configure a CasProvider for this scheme.")
+        "CAS claims will THROW unless you enable " +
+        "fs.s3a.create.conditional.enabled (S3, Hadoop 3.4.1+), configure a " +
+        s"CasProvider for this scheme, or set ${TableStore.UnsafeCasAllowKey}=true.")
   }
 
   private def nio(p: HPath): java.nio.file.Path = Paths.get(p.toUri.getPath)
@@ -157,7 +163,19 @@ final class TableStore(val root: HPath, conf: Configuration) {
         cp.release(key)
         if (cp.claim(key, bytes)) { writeClaimed(p, bytes); true } else false
       } else false
-    case None => createNewDirect(p, bytes)
+    case None =>
+      // STRICT MODE (default): a CAS claim on a scheme that cannot
+      // arbitrate it refuses to run rather than silently risking a
+      // double-win — the caller registers a CasProvider, enables the
+      // store's conditional-PUT, or explicitly accepts the risk
+      if (unsafeScheme && !conf.getBoolean(TableStore.UnsafeCasAllowKey, false))
+        throw new IllegalStateException(
+          s"TableStore at $root: CAS claim on scheme '$scheme' whose " +
+          "create(overwrite=false) is check-then-create — concurrent writers " +
+          "could both win. Register a CasProvider for this scheme, enable " +
+          "fs.s3a.create.conditional.enabled (S3, Hadoop 3.4.1+), or accept " +
+          s"the risk explicitly with ${TableStore.UnsafeCasAllowKey}=true.")
+      createNewDirect(p, bytes)
   }
 
   /** The winner's write-through behind a provider claim: plain overwrite —
@@ -239,4 +257,12 @@ final class TableStore(val root: HPath, conf: Configuration) {
         catch { case _: java.io.FileNotFoundException => false }
       }
   }
+}
+
+object TableStore {
+  /** Opt-in (Hadoop conf boolean): allow CAS claims on schemes with
+    * check-then-create `create(overwrite=false)` semantics anyway. Default
+    * false — strict mode, claims throw (see [[TableStore.createNew]]).
+    */
+  val UnsafeCasAllowKey = "graft.cas.unsafe.allow"
 }

@@ -42,12 +42,20 @@ class CasProviderSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
-  test("weakfs createNew is genuinely non-atomic: concurrent claimers can all win") {
+  test("weakfs createNew is genuinely non-atomic: strict mode refuses; opt-in shows double wins") {
     val store = weakStore("cas-hazard")
     val p = store.child("_claim")
-    val wins = race(6)(i => store.createNew(p, s"w$i".getBytes("UTF-8")))
-    // the documented hazard, made visible: more than one racer "won"
-    wins.count(identity) should be > 1
+    // STRICT DEFAULT: a CAS claim on the unsafe scheme throws rather than
+    // silently risking a double-win
+    val e = intercept[IllegalStateException](store.createNew(p, "w".getBytes("UTF-8")))
+    e.getMessage should include("check-then-create")
+    // explicit opt-in: the claim runs, and the documented hazard is real —
+    // more than one racer "wins"
+    hconf.setBoolean(graft.table.TableStore.UnsafeCasAllowKey, true)
+    try {
+      val wins = race(6)(i => store.createNew(p, s"w$i".getBytes("UTF-8")))
+      wins.count(identity) should be > 1
+    } finally hconf.unset(graft.table.TableStore.UnsafeCasAllowKey)
   }
 
   test("FileCasProvider restores exactly-one-winner semantics, including re-claim after delete") {

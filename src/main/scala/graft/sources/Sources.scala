@@ -180,4 +180,57 @@ object JdbcIntrospect {
       out.result().sortBy(_.name) // reference orders by column_id (hooks.py:92)
     } finally conn.close()
   }
+
+  /** Oracle-dialect introspection SQL — textually the reference's
+    * `all_tab_columns` query (oracle_to_iceberg/hooks.py:81-93): same
+    * projected columns in the same order, same `owner`/`table_name`
+    * UPPER filters, same `column_id` ordering. [[tableColumnsOracle]]
+    * executes it verbatim; kept as a function of its own so tests can
+    * assert the generated text against the reference shape.
+    */
+  def oracleIntrospectionSql(schema: String, table: String): String =
+    s"""SELECT
+       |    column_name,
+       |    data_type,
+       |    data_length,
+       |    data_precision,
+       |    data_scale,
+       |    nullable
+       |FROM all_tab_columns
+       |WHERE owner = UPPER('$schema')
+       |AND table_name = UPPER('$table')
+       |ORDER BY column_id""".stripMargin
+
+  /** S5 via the ORACLE DIALECT: run [[oracleIntrospectionSql]] over a live
+    * connection and parse rows exactly as the reference does
+    * (hooks.py:95-104: positional columns, `nullable = row[5] == 'Y'`).
+    * `data_precision`/`data_scale` arrive in their own columns (Oracle
+    * reports bare `NUMBER` in `data_type`), so they ride `SourceColumn`
+    * for [[graft.types.TypeConverter]]'s strict decimal mapping. Use
+    * [[tableColumns]] (standard DatabaseMetaData) for non-Oracle sources.
+    */
+  def tableColumnsOracle(url: String, user: String, password: String,
+      schema: String, table: String): Seq[SourceColumn] = {
+    val conn = DriverManager.getConnection(url, user, password)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(oracleIntrospectionSql(schema, table))
+        val out = Seq.newBuilder[SourceColumn]
+        while (rs.next()) {
+          def optInt(i: Int): Option[Int] = {
+            val v = rs.getInt(i); if (rs.wasNull()) None else Some(v)
+          }
+          out += SourceColumn(
+            name = rs.getString(1),
+            dataType = rs.getString(2),
+            length = optInt(3),
+            precision = optInt(4),
+            scale = optInt(5),
+            nullable = rs.getString(6) == "Y")
+        }
+        out.result()
+      } finally st.close()
+    } finally conn.close()
+  }
 }

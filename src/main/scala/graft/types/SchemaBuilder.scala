@@ -26,7 +26,9 @@ object SchemaBuilder {
     StructType(columns.map { c =>
       StructField(
         c.name.toLowerCase,
-        TypeConverter.oracleToSpark(c.dataType, strict),
+        // catalog-reported precision/scale ride along: all_tab_columns
+        // reports bare NUMBER with data_precision/data_scale separate
+        TypeConverter.oracleToSpark(c.dataType, c.precision, c.scale, strict),
         nullable = c.nullable)
     })
 }

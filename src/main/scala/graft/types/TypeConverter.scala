@@ -57,6 +57,23 @@ object TypeConverter {
     }
   }
 
+  /** Map using CATALOG-reported precision/scale: Oracle's
+    * `all_tab_columns` returns a bare `NUMBER` in `data_type` with
+    * `data_precision`/`data_scale` in their own columns (hooks.py:83-87),
+    * so the parameters arrive separately rather than inside the type
+    * string. When the string itself carries no parameters, synthesize
+    * them from the catalog columns; a parametrized string wins.
+    */
+  def oracleToSpark(oracleType: String, precision: Option[Int],
+      scale: Option[Int], strict: Boolean): DataType = {
+    val (base, params) = normalize(oracleType)
+    (params, precision) match {
+      case (None, Some(p)) =>
+        oracleToSpark(s"$base($p${scale.map("," + _).getOrElse("")})", strict)
+      case _ => oracleToSpark(oracleType, strict)
+    }
+  }
+
   /** Split `NUMBER(10,2)` → ("NUMBER", Some((10, Some(2)))). Mirrors the
     * reference's `oracle_type.split('(')[0]` normalization plus upper-casing.
     */

@@ -530,6 +530,43 @@ object SparkEntry {
         round(col("max_l_extendedprice").cast("double"), 2).as("max_l_extendedprice"))
     }),
 
+    // Streaming ingest with an ATTACHED materialized view: three staged
+    // files -> three micro-batches (maxFilesPerTrigger=1), each source
+    // commit followed in the SAME batch turn by an O(delta) view refresh
+    // riding the exactly-once cursor — end-to-end fresh aggregates with
+    // no scheduler between ingest and view (3 refresh commits asserted).
+    // Output is the view after the stream drains: must equal the full
+    // recompute the oracle runs over everything ingested.
+    "q_mv_stream" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val srcDir = tmp("qmvs_files")
+      val table = Icebox(tmp("qmvs_tbl"))
+      val mv = Icebox(tmp("qmvs_mv"))
+      mv.setProperties(Map(
+        "mv.id" -> "qmvs#0",
+        "mv.source.dir" -> table.tableDir,
+        "mv.keys" -> "o_orderstatus",
+        "mv.sums" -> "o_totalprice"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      (0 until 3).foreach { i =>
+        val stage = tmp(s"qmvs_stage$i")
+        o.filter(col("o_orderkey") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = scala.util.Using.resource(JFiles.list(Paths.get(stage)))(
+          _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+        JFiles.copy(part, Paths.get(srcDir, s"f$i.parquet"))
+      }
+      val q = graft.streaming.Streaming.fileIngest(s, srcDir, o.schema, table,
+        tmp("qmvs_ckpt"), maxFilesPerTrigger = Some(1), refreshViews = Seq(mv))
+      q.awaitTermination(180000)
+      val refreshes = mv.allSnapshots.count(_.operation.startsWith("mv-refresh:qmvs#0:"))
+      require(refreshes == 3, s"expected 3 in-loop view refreshes, got $refreshes")
+      mv.read(s).select(col("o_orderstatus"), col("row_count"),
+        round(col("sum_o_totalprice").cast("double"), 2).as("sum_o_totalprice"),
+        col("nn_o_totalprice"))
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1825,6 +1862,14 @@ object SparkEntry {
         |       count(o_totalprice) AS nn_o_totalprice,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |             / count(o_totalprice), 4) AS avg_o_totalprice
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // every ingested row reaches the view: the streamed slices partition
+    // the full table, so the view equals the plain grouped aggregate
+    "q_mv_stream" ->
+      """SELECT o_orderstatus, count(*) AS row_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_o_totalprice,
+        |       count(o_totalprice) AS nn_o_totalprice
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // filtered final state after the append + key-delete cycle (rows

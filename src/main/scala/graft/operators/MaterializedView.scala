@@ -75,6 +75,24 @@ object MaterializedView {
     }
   }
 
+  /** Refresh a target from its PERSISTED MvSql definition (`mv.*` table
+    * properties), if it carries one — the shared entry point for the
+    * maintenance service's tick and the streaming after-commit hook, so
+    * every scheduled surface reads one canonical definition. None when
+    * the target holds no definition.
+    */
+  def refreshFromProperties(spark: SparkSession, target: Icebox): Option[Mode] = {
+    val props = target.properties
+    def list(k: String) =
+      props.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    for {
+      id <- props.get("mv.id")
+      srcDir <- props.get("mv.source.dir")
+      keys <- props.get("mv.keys")
+    } yield refresh(spark, Icebox(srcDir), target, id, keys.split(',').toSeq,
+      list("mv.sums"), props.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"))
+  }
+
   /** Refresh `target` to reflect `source`'s current snapshot. Returns the
     * mode the refresh ran in. `mvId` names the view (no ':'); a target
     * maintains exactly one view definition — changing `keys`/`sums`/

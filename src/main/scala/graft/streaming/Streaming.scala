@@ -29,6 +29,16 @@ object Streaming {
     * `Trigger.AvailableNow` processes the backlog then stops — the
     * streaming-native analog of one scheduled DAG run (C9); pass
     * `Trigger.ProcessingTime(...)` for the resident 5-minute loop.
+    *
+    * `refreshViews`: materialized-view targets (tables carrying a
+    * persisted MvSql definition) refreshed in the SAME micro-batch loop
+    * right after each source commit — end-to-end fresh aggregates with
+    * no scheduler between ingest and view. Each refresh is the
+    * operator's O(delta) incremental maintenance riding its exactly-once
+    * cursor, so a replayed batch (whose append the stream marker already
+    * skips) finds the cursor current and no-ops; a crash between source
+    * commit and refresh is healed by the NEXT batch's refresh, which
+    * picks up both commits' change diff in one delta.
     */
   def fileIngest(
       spark: SparkSession,
@@ -40,7 +50,8 @@ object Streaming {
       orderCol: Option[String] = None,
       format: String = "parquet",
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      refreshViews: Seq[Icebox] = Nil): StreamingQuery = {
     val reader = spark.readStream.format(format).schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.load(sourceDir)
@@ -70,6 +81,9 @@ object Streaming {
           else if (table.lastStreamBatch(streamId).isEmpty &&
               table.lastStreamBatch(legacyStreamId).exists(_ >= batchId)) ()
           else { table.appendStreamBatch(streamId, batchId, batch); () }
+          // views refresh AFTER the commit, inside the same batch turn
+          refreshViews.foreach(
+            graft.operators.MaterializedView.refreshFromProperties(spark, _))
         }
       }
       .start()

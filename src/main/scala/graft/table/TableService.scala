@@ -77,17 +77,8 @@ object TableService {
     // refresh commit is never the one being aged out, and inherits the
     // operator's exactly-once cursor: a tick that finds the source
     // unchanged is a NoOp with zero data I/O.
-    val props = table.properties
-    val mvMode = for {
-      id <- props.get("mv.id")
-      srcDir <- props.get("mv.source.dir")
-      keys <- props.get("mv.keys")
-    } yield graft.operators.MaterializedView.refresh(
-      spark, Icebox(srcDir), table, id, keys.split(',').toSeq,
-      props.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      props.get("mv.where").filter(_.nonEmpty),
-      props.get("mv.minmaxs").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil))
-      .toString
+    val mvMode = graft.operators.MaterializedView
+      .refreshFromProperties(spark, table).map(_.toString)
 
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
     Report(whole, parts, expired, mvMode)

@@ -42,6 +42,45 @@ class StreamingSpec extends SparkSpec {
     back.filter($"id" === 2).select("v").as[String].collect() shouldBe Array("b2")
   }
 
+  test("fileIngest refreshes attached materialized views per micro-batch, exactly once") {
+    val src = tmpDir("stream-mv-src")
+    val ckpt = tmpDir("stream-mv-ckpt")
+    val table = Icebox(tmpDir("stream-mv-table"))
+    val mv = Icebox(tmpDir("stream-mv-tgt"))
+    // persisted MvSql-shape definition: groupBy v, sum(ver)
+    mv.setProperties(Map(
+      "mv.id" -> "smv#0",
+      "mv.source.dir" -> table.tableDir,
+      "mv.keys" -> "v",
+      "mv.sums" -> "ver"))
+    (1 to 3).foreach(i => writeBatch(src, s"f$i.parquet",
+      Seq((i * 10L, s"g${i % 2}", i * 100L), (i * 10L + 1, "g0", i.toLong))))
+    val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema
+    // maxFilesPerTrigger=1: three files -> three micro-batches -> three
+    // source commits, each followed by an in-loop view refresh
+    val q = Streaming.fileIngest(spark, src, schema, table, ckpt,
+      maxFilesPerTrigger = Some(1), refreshViews = Seq(mv))
+    q.awaitTermination(120000)
+    table.read(spark).count() shouldBe 6
+    // one refresh commit per micro-batch rode the source commits
+    val refreshOps = mv.allSnapshots.map(_.operation).filter(_.startsWith("mv-refresh:smv#0:"))
+    refreshOps.size shouldBe 3
+    // refreshes 2..3 were INCREMENTAL: the first refresh's (full build)
+    // data files survive in the final snapshot (merge-on-read updates)
+    val buildFiles = mv.allSnapshots
+      .filter(_.operation.startsWith("mv-refresh:smv#0:")).minBy(_.id)
+      .files.map(_.path).toSet
+    (buildFiles intersect mv.currentSnapshot.get.files.map(_.path).toSet) should not be empty
+    // the view equals a full recompute over the final ingested state
+    assertSameRows(
+      mv.read(spark),
+      table.read(spark).groupBy("v").agg(count(lit(1)).as("row_count"),
+        sum($"ver").as("sum_ver"), count($"ver").as("nn_ver")))
+    // cursor is current: a replayed/extra refresh no-ops
+    graft.operators.MaterializedView.refreshFromProperties(spark, mv) shouldBe
+      Some(graft.operators.MaterializedView.NoOp)
+  }
+
   test("windowedCounts declares watermark + tumbling window on a stream") {
     val src = tmpDir("stream-src2")
     val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema

@@ -578,6 +578,26 @@ object SparkEntry {
       s.createDataset(Seq(n))(org.apache.spark.sql.Encoders.scalaLong).toDF("cnt")
     }),
 
+    // Metadata-only MIN/MAX: per-file manifest stats fold to the table
+    // extrema with zero data I/O (the rowCount analog; refuses — and the
+    // query would fail loudly — if any file lacked stats or carried
+    // pending deletes that could hide an extremum)
+    "q_minmax_meta" -> ((s, dir) => {
+      val table = Icebox(tmp("qmm"))
+      val li = t(s, dir, "lineitem")
+      val statsCols = Seq("l_quantity", "l_extendedprice")
+      table.append(li.filter(col("l_orderkey") % 2 === 0), collectStats = statsCols)
+      table.append(li.filter(col("l_orderkey") % 2 =!= 0), collectStats = statsCols)
+      val (qLo, qHi) = table.columnMinMaxMeta("l_quantity")
+        .getOrElse(sys.error("manifest stats missing for l_quantity"))
+      val (pLo, pHi) = table.columnMinMaxMeta("l_extendedprice")
+        .getOrElse(sys.error("manifest stats missing for l_extendedprice"))
+      import s.implicits._
+      Seq((qLo, qHi, pLo, pHi)).toDF("min_qty", "max_qty", "min_price", "max_price")
+        .select(round(col("min_qty"), 2).as("min_qty"), round(col("max_qty"), 2).as("max_qty"),
+          round(col("min_price"), 2).as("min_price"), round(col("max_price"), 2).as("max_price"))
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -1049,6 +1069,24 @@ object SparkEntry {
       require(d1.size + d2.size + d3.size == 3, s"expected 3 feed deliveries, got $d1 $d2 $d3")
       tgt.read(s)
     }),
+
+    // Gopher-rule document filter (Rae et al. 2021 A1.1): per-rule audit
+    // flags + their conjunction — the published web-corpus quality gate
+    // as one codegen-friendly projection (no shuffle, no UDF)
+    "q_gopher_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.word_count").as("word_count"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.g_word_count").as("g_word_count"),
+          col("g.g_mean_word_len").as("g_mean_word_len"),
+          col("g.g_symbol").as("g_symbol"),
+          col("g.g_bullet").as("g_bullet"),
+          col("g.g_ellipsis").as("g_ellipsis"),
+          col("g.g_alpha").as("g_alpha"),
+          col("g.g_stop").as("g_stop"),
+          col("g.keep").as("keep"))),
 
     // Okapi BM25 relevance of every doc against a 3-term query — one
     // query-term-filtered explode, broadcast df/N/avgdl constants
@@ -1843,6 +1881,11 @@ object SparkEntry {
 
     "q_count_meta" -> "SELECT count(*) AS cnt FROM lineitem",
 
+    "q_minmax_meta" ->
+      """SELECT round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+        |       round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem""".stripMargin,
+
     // the UPDATE's row-level effect, written longhand
     "q_change_diff" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
@@ -2053,6 +2096,42 @@ object SparkEntry {
 
     // BM25 written longhand; every float constant CAST to DOUBLE (bare
     // numeric literals are DECIMAL in DuckDB and would change the rounding)
+    // lateral alias reuse: keep references the per-rule flag aliases
+    "q_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |w AS (SELECT doc_id, t,
+        |        regexp_extract_all(t, '\S+') AS words,
+        |        list_filter(string_split(t, chr(10)), l -> length(trim(l)) > 0) AS nblines
+        |      FROM d)
+        |SELECT doc_id,
+        |  len(words) AS word_count,
+        |  round(CASE WHEN len(words) = 0 THEN 0
+        |        ELSE length(regexp_replace(trim(t), '\s', '', 'g')) * 1.0 / len(words) END, 4)
+        |    AS mean_word_len,
+        |  len(words) BETWEEN 50 AND 100000 AS g_word_count,
+        |  (CASE WHEN len(words) = 0 THEN 0
+        |        ELSE length(regexp_replace(trim(t), '\s', '', 'g')) * 1.0 / len(words) END)
+        |    BETWEEN 3.0 AND 10.0 AS g_mean_word_len,
+        |  (CASE WHEN len(words) = 0 THEN 0
+        |        ELSE (length(t) - length(replace(t, '#', ''))
+        |              + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3)
+        |             * 1.0 / len(words) END) <= 0.1 AS g_symbol,
+        |  (CASE WHEN len(nblines) = 0 THEN 0
+        |        ELSE len(list_filter(nblines, l -> left(ltrim(l, ' ' || chr(9)), 1)
+        |                                          IN ('-', '*', '•'))) * 1.0 / len(nblines) END)
+        |    <= 0.9 AS g_bullet,
+        |  (CASE WHEN len(nblines) = 0 THEN 0
+        |        ELSE len(list_filter(nblines, l -> rtrim(l, ' ' || chr(9)) LIKE '%...'))
+        |             * 1.0 / len(nblines) END) <= 0.3 AS g_ellipsis,
+        |  (CASE WHEN len(words) = 0 THEN 0
+        |        ELSE len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |             * 1.0 / len(words) END) >= 0.8 AS g_alpha,
+        |  len(list_filter(['the','a','of','and','to','in','is','it','for','on'],
+        |      s -> list_contains(list_transform(words, x -> lower(x)), s))) >= 2 AS g_stop,
+        |  (g_word_count AND g_mean_word_len AND g_symbol AND g_bullet
+        |   AND g_ellipsis AND g_alpha AND g_stop) AS keep
+        |FROM w""".stripMargin,
+
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -217,6 +217,56 @@ object TextFunctions {
     round((lengthOk * 0.3) + (punctOk * 0.15) + (digitOk * 0.15) + (wordLenOk * 0.1) + (alphaOk * 0.3), 4)
   }
 
+  /** Gopher-style document quality RULES (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A1.1 — the published web-corpus filter):
+    * per-rule boolean flags plus their conjunction `keep`, so a pipeline
+    * can both filter and AUDIT which rule rejected each document. Rules
+    * (published thresholds, parameterized):
+    *
+    *  - `g_word_count`: whitespace word count in [minWords, maxWords]
+    *  - `g_mean_word_len`: mean word length in [3, 10]
+    *  - `g_symbol`: ('#' + '...')-to-word ratio <= 0.1
+    *  - `g_bullet`: fraction of non-blank lines starting with a bullet
+    *    (-, *, •) <= 0.9
+    *  - `g_ellipsis`: fraction of non-blank lines ending in '...' <= 0.3
+    *  - `g_alpha`: fraction of words containing an alphabetic char >= 0.8
+    *  - `g_stop`: at least 2 distinct hits from the English stopword list
+    *
+    * Ratio rules evaluate over empty denominators as 0 (vacuously
+    * passing); the word-count floor already rejects empty documents.
+    * Returns `struct(word_count, mean_word_len, flags..., keep)` — one
+    * projection, no shuffle, the 100 TB per-row filter shape.
+    */
+  def gopherRules(text0: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val text = coalesce(text0, lit(""))
+    val words = tokens(text)
+    val wc = size(words)
+    val meanLen = meanWordLen(text)
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolFrac = when(wc === 0, 0.0).otherwise((hashes + ellipses).cast("double") / wc)
+    val nbLines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(nbLines)
+    def lineFrac(pred: Column => Column) = when(nLines === 0, 0.0)
+      .otherwise(size(filter(nbLines, pred)).cast("double") / nLines)
+    val bulletFrac = lineFrac(l => substring(ltrim(l, " \t"), 1, 1).isin("-", "*", "•"))
+    val ellipsisFrac = lineFrac(l => rtrim(l, " \t").endsWith("..."))
+    val alphaFrac = when(wc === 0, 0.0)
+      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / wc)
+    val stops = array(stopwords("en").map(lit): _*)
+    val stopHits = size(filter(stops, s => array_contains(transform(words, w => lower(w)), s)))
+    val flags = Seq(
+      (wc >= minWords && wc <= maxWords).as("g_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("g_mean_word_len"),
+      (symbolFrac <= 0.1).as("g_symbol"),
+      (bulletFrac <= 0.9).as("g_bullet"),
+      (ellipsisFrac <= 0.3).as("g_ellipsis"),
+      (alphaFrac >= 0.8).as("g_alpha"),
+      (stopHits >= 2).as("g_stop"))
+    struct((wc.cast("long").as("word_count") +: round(meanLen, 4).as("mean_word_len") +:
+      flags :+ flags.reduce(_ && _).as("keep")): _*)
+  }
+
   /** Email address shape (conservative: requires a dotted TLD). Patterns
     * use only syntax with identical semantics in Java regex and RE2, so a
     * DuckDB oracle can apply the same literal pattern.

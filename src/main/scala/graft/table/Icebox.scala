@@ -316,6 +316,44 @@ final class Icebox(val tableDir: String) {
     else None
   }
 
+  /** Metadata-only MIN/MAX (the [[rowCount]] analog for extrema): folds
+    * the per-file min/max recorded in the manifest — zero data I/O.
+    * `None` unless EVERY live file carries a numeric stat for the column
+    * and no file has pending position/equality deletes (a delete may
+    * remove the extremum — callers fall back to a scan, conservative).
+    * Stats skip nulls at collection, matching SQL MIN/MAX semantics. At
+    * 100 TB this answers a full-table MIN/MAX from manifests alone.
+    */
+  def columnMinMaxMeta(column: String): Option[(Double, Double)] =
+    minMaxMeta(column)(s => scala.util.Try(s.toDouble).toOption)(_ min _, _ max _)
+
+  /** String variant of [[columnMinMaxMeta]] — unsigned-byte UTF8 order,
+    * the order Spark string min/max and parquet footer stats use.
+    */
+  def columnMinMaxMetaString(column: String): Option[(String, String)] = {
+    def utf8Min(a: String, b: String) =
+      if (org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0) a else b
+    def utf8Max(a: String, b: String) = if (utf8Min(a, b) == a) b else a
+    minMaxMeta(column)(Some(_))(utf8Min, utf8Max)
+  }
+
+  private def minMaxMeta[T](column: String)(parse: String => Option[T])(
+      lower: (T, T) => T, upper: (T, T) => T): Option[(T, T)] = {
+    val key = toPhysical(column)
+    currentSnapshot.map(_.files).flatMap { fs =>
+      if (fs.isEmpty || fs.exists(f => f.deletes.nonEmpty || f.eqDeletes.nonEmpty)) None
+      else {
+        val perFile = fs.map(f =>
+          for { (mn, mx) <- f.stats.get(key); lo <- parse(mn); hi <- parse(mx) }
+          yield (lo, hi))
+        if (perFile.exists(_.isEmpty)) None // a stats-less file could hide the extremum
+        else Some((perFile.flatten.map(_._1).reduce(lower),
+          perFile.flatten.map(_._2).reduce(upper)))
+      }
+    }
+  }
+
   // -------------------------------------------------------- refs (branches/tags)
 
   private val TagPrefix = "ref.tag."

@@ -67,11 +67,16 @@ final class TableStore(val root: HPath, conf: Configuration) {
 
   // scheme whose create(overwrite=false) is check-then-create (TOCTOU):
   // without an external arbiter the CAS claims the commit protocol rests
-  // on can double-win
+  // on can double-win. A deployment whose filesystem DOES implement an
+  // atomic exclusive create under a custom scheme declares it via
+  // graft.cas.atomic.schemes (an assertion of atomicity — distinct from
+  // graft.cas.unsafe.allow, which accepts the risk on one that doesn't).
   private def unsafeScheme: Boolean = {
     val s3Conditional = scheme.startsWith("s3") &&
       conf.getBoolean("fs.s3a.create.conditional.enabled", false)
-    !isLocal && scheme != "hdfs" && !s3Conditional
+    val declaredAtomic =
+      conf.getTrimmedStrings(TableStore.AtomicSchemesKey).contains(scheme)
+    !isLocal && scheme != "hdfs" && !s3Conditional && !declaredAtomic
   }
 
   // the class doc's atomicity caveat, surfaced at CONSTRUCTION for
@@ -265,4 +270,11 @@ object TableStore {
     * false — strict mode, claims throw (see [[TableStore.createNew]]).
     */
   val UnsafeCasAllowKey = "graft.cas.unsafe.allow"
+
+  /** Comma-separated schemes the deployment ASSERTS implement atomic
+    * `create(overwrite=false)` (e.g. a custom FileSystem backed by a
+    * store with exclusive-create). Treated as safe: no warning, no strict
+    * refusal. local/hdfs/conditional-PUT-S3 never need declaring.
+    */
+  val AtomicSchemesKey = "graft.cas.atomic.schemes"
 }

@@ -16,6 +16,11 @@ class HadoopStoreSpec extends SparkSpec {
   override def beforeAll(): Unit = {
     super.beforeAll()
     spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl", classOf[MockFs].getName)
+    // MockFs implements a genuinely atomic create(overwrite=false) (O_EXCL
+    // claim) — declare it so strict CAS mode treats the scheme as safe,
+    // exactly as a real deployment with an atomic store would
+    spark.sparkContext.hadoopConfiguration.set(
+      graft.table.TableStore.AtomicSchemesKey, "mockfs")
   }
 
   private def mockDir(prefix: String): String = "mockfs://" + tmpDir(prefix)

@@ -298,6 +298,24 @@ class IceboxSpec extends SparkSpec {
     t.rowCount.get shouldBe t.read(spark).count()
   }
 
+  test("columnMinMaxMeta answers MIN/MAX from manifest stats alone; refuses under deletes") {
+    val t = Icebox(tmpDir("icebox"))
+    t.append((1L to 100L).map(i => (i, s"v${100 + i}", i * 1.5)).toDF("id", "s", "x"),
+      collectStats = Seq("id", "x", "s"))
+    t.append((101L to 130L).map(i => (i, s"v${100 + i}", i * 1.5)).toDF("id", "s", "x"),
+      collectStats = Seq("id", "x", "s"))
+    t.columnMinMaxMeta("id") shouldBe Some((1.0, 130.0))
+    t.columnMinMaxMeta("x") shouldBe Some((1.5, 195.0))
+    t.columnMinMaxMetaString("s") shouldBe Some(("v101", "v230"))
+    // a column never collected -> None (a stats-less file could hide extrema)
+    t.columnMinMaxMeta("nope") shouldBe None
+    // merge-on-read delete: the extremum may be gone -> refuse, scan fallback
+    t.setProperties(Map("write.upsert.mode" -> "merge-on-read"))
+    t.deleteByKeys(Seq(130L).toDF("id"))
+    t.columnMinMaxMeta("id") shouldBe None
+    t.read(spark).agg(org.apache.spark.sql.functions.max($"id")).head.getLong(0) shouldBe 129L
+  }
+
   test("rowCount is None when a manifest predates row counts (scan fallback contract)") {
     val t = Icebox(tmpDir("icebox"))
     t.append(Seq((1L, "a")).toDF("id", "s"))

@@ -21,6 +21,36 @@ class TextFunctionsSpec extends SparkSpec {
     one[Long](approxBpeCount($"t"), "internationalization") shouldBe 5L // 1 + (20-4)/4
   }
 
+  test("gopherRules: each rule rejects its own pathology, clean text keeps") {
+    def rules(text: String): org.apache.spark.sql.Row =
+      Seq(text).toDF("t").select(gopherRules($"t", minWords = 5).as("g"))
+        .select("g.*").collect()(0)
+    val clean = "the quick brown fox jumps over a lazy dog and runs on for miles"
+    rules(clean).getAs[Boolean]("keep") shouldBe true
+    // word-count floor
+    rules("the of a").getAs[Boolean]("g_word_count") shouldBe false
+    // mean word length out of [3,10]
+    rules("a b c d e f g h").getAs[Boolean]("g_mean_word_len") shouldBe false
+    // symbol ratio: hashes overwhelm the words
+    rules("the # of # and # to # in #").getAs[Boolean]("g_symbol") shouldBe false
+    // ...and '...' counts as a symbol too (3 chars -> 1 hit)
+    rules("w1... w2... w3... the of and").getAs[Boolean]("g_symbol") shouldBe false
+    // bullet lines
+    rules("- one\n- two\n- three\n* four\n• five").getAs[Boolean]("g_bullet") shouldBe false
+    // ellipsis line endings
+    rules("first line...\nsecond line...\nthird").getAs[Boolean]("g_ellipsis") shouldBe false
+    // alphabetic-word floor
+    rules("1 2 3 4 5 6 7 8 9 10 the of").getAs[Boolean]("g_alpha") shouldBe false
+    // stopword floor (no English stopwords at all)
+    rules("zygote xylem quartz vortex jumbo").getAs[Boolean]("g_stop") shouldBe false
+    // empty text: ratio rules pass vacuously, word count rejects
+    val empty = rules("")
+    empty.getAs[Long]("word_count") shouldBe 0L
+    empty.getAs[Boolean]("g_symbol") shouldBe true
+    empty.getAs[Boolean]("g_word_count") shouldBe false
+    empty.getAs[Boolean]("keep") shouldBe false
+  }
+
   test("punct/digit/upper ratios") {
     one[Double](punctRatio($"t"), "ab..") shouldBe 0.5
     one[Double](punctRatio($"t"), "") shouldBe 0.0

@@ -37,6 +37,10 @@ import graft.table.Icebox
   * — the same trick the streaming sink's batch markers use), so cursor
   * advance and data change are ONE atomic snapshot: a crash between them
   * is impossible, and a replayed refresh finds the marker and no-ops.
+  * CONCURRENT refreshers of the same view are safe too: each incremental
+  * commit carries the target head its delta was computed against as an
+  * expected-head, so the race's loser aborts (SupersededCommit) and
+  * re-enters with a fresh cursor instead of double-applying its delta.
   *
   * '''100 TB shape.''' A refresh reads only the source files the change
   * touched ([[Icebox.changeDiff]] diffs manifest ENTRIES, unchanged files
@@ -108,6 +112,13 @@ object MaterializedView {
     val srcHead = srcSnap.id
     val last = lastRefreshedSource(target, mvId)
     if (last.contains(srcHead)) return NoOp
+    // CONCURRENT-REFRESHER GUARD: everything below derives from the target
+    // head observed HERE (the cursor just read, the current group values).
+    // Incremental commits carry this id as their expected head, so if a
+    // concurrent refresher publishes first, OUR commit aborts with
+    // SupersededCommit instead of double-applying the delta — we then
+    // re-enter refresh, re-read the cursor, and usually land on NoOp.
+    val tgtHead = target.currentSnapshotId
 
     def filtered(df: DataFrame): DataFrame =
       where.map(w => df.filter(expr(w))).getOrElse(df)
@@ -149,7 +160,7 @@ object MaterializedView {
         if (delta.isEmpty) {
           // data-neutral source change (compaction, metadata): advance the
           // cursor so later diffs never re-read this range
-          target.commitMarker(opPrefix(mvId) + srcHead)
+          target.commitMarker(opPrefix(mvId) + srcHead, expectHeadId = tgtHead)
           return MarkerOnly
         }
         val targetSchema = target.read(spark).schema
@@ -186,8 +197,13 @@ object MaterializedView {
         // ONE atomic merge-on-read commit: every touched key deleted, the
         // recomputed groups appended, cursor marker in the op string
         target.commitEqualityDeletes(opPrefix(mvId) + srcHead,
-          delta.select(keys.map(col): _*), Some(updated))
+          delta.select(keys.map(col): _*), Some(updated), expectHeadId = tgtHead)
         Incremental
+        } catch {
+          case Icebox.SupersededCommit =>
+            // a concurrent refresher won the commit race: re-enter with a
+            // fresh cursor (their refresh usually makes this a NoOp)
+            refresh(spark, source, target, mvId, keys, sums, where, minmaxs)
         } finally delta.unpersist(blocking = false)
     }
   }

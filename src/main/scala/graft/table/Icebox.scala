@@ -1642,9 +1642,16 @@ final class Icebox(val tableDir: String) {
     * of a deleted key survive.
     */
   private[graft] def commitEqualityDeletes(op: String, keys: DataFrame,
-      newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil): Snapshot =
+      newData: Option[DataFrame] = None, partitionBy: Seq[String] = Nil,
+      expectHeadId: Long = -2L): Snapshot =
       retryOnStaleHead {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    // expected-head contract: the caller derived `keys`/`newData` from a
+    // specific head snapshot — if ANY commit (including a concurrent run
+    // of the same caller) moved the head past it, publishing would apply
+    // a stale computation; SupersededCommit escapes the internal retry so
+    // the caller re-runs its whole cycle
+    if (expectHeadId != -2L && cur.id != expectHeadId) throw Icebox.SupersededCommit
     val tableCols = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType].fieldNames.toSet
     val logicalKeyCols = keys.columns.toSeq
     require(logicalKeyCols.nonEmpty && logicalKeyCols.forall(tableCols.contains),
@@ -2044,9 +2051,13 @@ final class Icebox(val tableDir: String) {
     * processed-source cursor past data-neutral commits like compactions).
     * O(delta)=O(0) manifest; no data is read or written.
     */
-  private[graft] def commitMarker(op: String): Snapshot = {
+  private[graft] def commitMarker(op: String, expectHeadId: Long = -2L): Snapshot = {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
-    commitMetaResolved(op, parent => parent.map(_.files).getOrElse(Nil), cur.schemaJson)
+    commitMetaResolved(op, { parent =>
+      if (expectHeadId != -2L && !parent.map(_.id).contains(expectHeadId))
+        throw Icebox.SupersededCommit
+      parent.map(_.files).getOrElse(Nil)
+    }, cur.schemaJson)
   }
 
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
@@ -2706,6 +2717,18 @@ object Icebox {
     * commit recomputes against the new head (see `retryOnStaleHead`).
     */
   private[graft] object StaleCommitState extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Thrown by commits carrying an `expectHeadId` when the table head is no
+    * longer that snapshot: the caller's whole read-compute-commit cycle was
+    * superseded by a concurrent committer and must re-run from its own
+    * entry point. Deliberately NOT caught by `retryOnStaleHead` — the
+    * recompute lives at the caller (e.g. a materialized-view refresh
+    * re-reading its cursor, where the concurrent refresh usually makes the
+    * re-run a NoOp).
+    */
+  private[graft] object SupersededCommit extends RuntimeException("superseded commit") {
     override def fillInStackTrace(): Throwable = this
   }
 

@@ -174,6 +174,32 @@ class MaterializedViewSpec extends SparkSpec {
     mv.read(spark).collect().head.getAs[Long]("max_v") shouldBe 5L
   }
 
+  test("a commit carrying a stale expected head aborts with SupersededCommit (no double-apply)") {
+    val src = Icebox(tmpDir("mvsrcS"))
+    src.append(Seq((1L, 0, 10L), (2L, 1, 20L)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgtS"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"))
+    val staleHead = mv.currentSnapshotId
+    // a concurrent refresher publishes first (emulated by a real refresh)
+    src.append(Seq((3L, 0, 30L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.Incremental
+    // the loser's commits, pinned to the superseded head, must ABORT —
+    // not attach a stale delta on top of the winner's state
+    intercept[RuntimeException](mv.commitMarker("mv-refresh:m:999",
+      expectHeadId = staleHead)) shouldBe Icebox.SupersededCommit
+    intercept[RuntimeException](mv.commitEqualityDeletes("mv-refresh:m:999",
+      Seq(0).toDF("g"), None, Nil, expectHeadId = staleHead)) shouldBe
+      Icebox.SupersededCommit
+    // with the CURRENT head the same commit goes through (an op OUTSIDE
+    // the mv-refresh marker namespace, so the cursor stays untouched)
+    mv.commitMarker("maintenance-noop", expectHeadId = mv.currentSnapshotId)
+    // and a re-entered refresh lands on NoOp — the winner already covered it
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.NoOp
+    assertSameRows(mv.read(spark), fullAgg(src))
+  }
+
   test("two independent views on one target namespace don't cross cursors") {
     val src = Icebox(tmpDir("mvsrc7"))
     src.append((1 to 10).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "g", "v"))

@@ -1070,6 +1070,16 @@ object SparkEntry {
       tgt.read(s)
     }),
 
+    // Deterministic token-budget corpus assembly: per source, docs admit
+    // in hash order until the running total fills that source's budget
+    // (greedy prefix, ≤ one-doc overshoot) — the "N tokens of web, M of
+    // books" mix shape, reproducible at any partitioning; one window
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.takeTokenBudget(t(s, dir, "documents"), "source", col("doc_id"),
+        col("n_chars"), Map("src0" -> 3000L, "src1" -> 4000L),
+        defaultBudget = 2000L, seed = "mix1")
+        .select("doc_id", "source", "n_chars")),
+
     // Gopher-rule document filter (Rae et al. 2021 A1.1): per-rule audit
     // flags + their conjunction — the published web-corpus quality gate
     // as one codegen-friendly projection (no shuffle, no UDF)
@@ -2096,6 +2106,19 @@ object SparkEntry {
 
     // BM25 written longhand; every float constant CAST to DOUBLE (bare
     // numeric literals are DECIMAL in DuckDB and would change the rounding)
+    // same greedy-prefix window: cumulative tokens BEFORE the doc (hash
+    // order) must be under the per-source budget
+    "q_token_budget" ->
+      """WITH o AS (
+        |  SELECT doc_id, source, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source
+        |           ORDER BY md5('mix1' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) - n_chars AS before_tok
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM o
+        |WHERE before_tok < CASE source WHEN 'src0' THEN 3000
+        |                               WHEN 'src1' THEN 4000 ELSE 2000 END""".stripMargin,
+
     // lateral alias reuse: keep references the per-rule flag aliases
     "q_gopher_quality" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

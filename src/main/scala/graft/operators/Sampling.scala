@@ -65,6 +65,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic TOKEN-BUDGET corpus assembly: per source, admit docs
+    * in `md5(seed || id)` order (a fixed uniform permutation — an
+    * unbiased sample, stable across runs/engines/partitionings) while the
+    * running token total BEFORE each doc stays under that source's
+    * budget — the "N tokens of web, M tokens of books" training-mix
+    * shape. Greedy prefix semantics: the last admitted doc may overshoot
+    * its budget by less than its own length (the standard corpus-assembly
+    * convention); a SMALLER budget admits a prefix of a larger one's
+    * selection, so shrinking a mix never reshuffles it. One hash-shuffle
+    * window (per-source cumulative sum) — no collect, no iteration.
+    */
+  def takeTokenBudget(df: DataFrame, sourceCol: String, idCol: Column,
+      tokensCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, seed: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(seed), idCol.cast("string"))), idCol)
+    val before = sum(tokensCol).over(w) - tokensCol // admitted before this doc
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__tb", before).filter(col("__tb") < budget).drop("__tb")
+  }
+
   /** Weighted source mixing: per-row keep-rate looked up from
     * `weights(sourceCol value)`, `defaultRate` for unlisted sources — the
     * "20% web, 100% books, 5% logs" training-mix shape, reproducible

@@ -67,4 +67,33 @@ class SamplingSpec extends SparkSpec {
     out("src2").toDouble / 500 shouldBe 0.5 +- 0.1
     out("src3").toDouble / 500 shouldBe 0.1 +- 0.07
   }
+
+  test("takeTokenBudget: greedy prefix per source, nested budgets, partitioning-stable") {
+    val docs = (1 to 99).map(i => (i.toLong, s"s${i % 3}", 10L + i % 7))
+      .toDF("id", "src", "tok")
+    val small = Sampling.takeTokenBudget(docs, "src", col("id"), col("tok"),
+      Map.empty, defaultBudget = 100L)
+    val large = Sampling.takeTokenBudget(docs, "src", col("id"), col("tok"),
+      Map.empty, defaultBudget = 300L)
+    // budget monotonicity: the smaller budget admits a SUBSET
+    small.select("id").except(large.select("id")).count() shouldBe 0L
+    large.count() should be > small.count()
+    // budget respected up to a one-doc overshoot per source
+    small.groupBy("src").agg(sum($"tok").as("s"), max($"tok").as("m"))
+      .collect().foreach { r =>
+        r.getAs[Long]("s") should be < (100L + r.getAs[Long]("m"))
+      }
+    // deterministic: the same selection at any partitioning
+    assertSameRows(
+      Sampling.takeTokenBudget(docs.repartition(13), "src", col("id"), col("tok"),
+        Map.empty, defaultBudget = 100L),
+      small)
+    // per-source budgets override the default
+    val mixed = Sampling.takeTokenBudget(docs, "src", col("id"), col("tok"),
+      Map("s0" -> 40L), defaultBudget = 10000L)
+    val bySrc = mixed.groupBy("src").agg(sum($"tok").as("s"))
+      .as[(String, Long)].collect().toMap
+    bySrc("s0") should be < 60L    // capped
+    bySrc("s1") should be > 400L   // default admits everything
+  }
 }

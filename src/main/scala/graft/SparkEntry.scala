@@ -1070,6 +1070,25 @@ object SparkEntry {
       tgt.read(s)
     }),
 
+    // Incremental exact dedup against a growing corpus TABLE: batch 2
+    // re-offers every already-ingested doc PLUS re-id'd copies of batch 1
+    // (same content, new ids) — all must drop via the fingerprint
+    // membership probe (bloom/stats-pruned corpus read, O(batch) not
+    // O(corpus)); only genuinely new content appends (count asserted)
+    "q_dedup_insert" -> ((s, dir) => {
+      val corpus = Icebox(tmp("qdi"))
+      corpus.setProperties(Map("manifest.bloom.columns" -> "fingerprint"))
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.dedupInsert(corpus, batch1, "text", "doc_id")
+      val batch2 = docs.unionByName(
+        batch1.withColumn("doc_id", col("doc_id") + 10000))
+      val n2 = Dedup.dedupInsert(corpus, batch2, "text", "doc_id")
+      val expected2 = docs.filter(col("doc_id") % 3 === 0).count()
+      require(n2 == expected2, s"expected $expected2 fresh docs in batch 2, got $n2")
+      corpus.read(s).select("doc_id", "source", "n_chars", "fingerprint")
+    }),
+
     // Deterministic token-budget corpus assembly: per source, docs admit
     // in hash order until the running total fills that source's budget
     // (greedy prefix, ≤ one-doc overshoot) — the "N tokens of web, M of
@@ -2106,6 +2125,13 @@ object SparkEntry {
 
     // BM25 written longhand; every float constant CAST to DOUBLE (bare
     // numeric literals are DECIMAL in DuckDB and would change the rounding)
+    // all original docs survive exactly once (texts are unique; every
+    // copy and re-offer was dropped by the membership probe)
+    "q_dedup_insert" ->
+      """SELECT doc_id, source, n_chars,
+        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
     // same greedy-prefix window: cumulative tokens BEFORE the doc (hash
     // order) must be under the per-source budget
     "q_token_budget" ->

@@ -24,6 +24,40 @@ object Dedup {
     * One hash-shuffle of (hash, id) — the full rows never move twice: winners
     * are selected via window on the hash, which shuffles each row once.
     */
+  /** INCREMENTAL exact dedup against an existing corpus TABLE — the
+    * continuous-ingest shape: append only the batch docs whose normalized
+    * fingerprint ([[TextFunctions.fingerprint]]) is absent from the
+    * corpus, reading only the corpus files that might hold the batch's
+    * fingerprints ([[graft.table.Icebox.readForKeys]]: manifest stats +
+    * bloom membership pruning — with `manifest.bloom.columns` on the
+    * fingerprint column the membership check scans O(files relevant to
+    * the batch), never O(corpus)). In-batch duplicates collapse to the
+    * min-id doc first. The corpus table stores the fingerprint in `fpCol`
+    * (created on first insert; stats collected for pruning). Returns the
+    * number of rows appended — 0 commits nothing.
+    *
+    * At 100 TB this is the difference between re-hashing the corpus per
+    * ingest cycle and a point-membership probe: dedup cost tracks the
+    * BATCH, and the corpus is touched only where blooms/stats admit.
+    */
+  def dedupInsert(corpus: graft.table.Icebox, batch: DataFrame, textCol: String,
+      idCol: String, fpCol: String = "fingerprint"): Long = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
+    val firsts = withFp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val fresh = corpus.currentSnapshot match {
+      case None => firsts
+      case Some(_) =>
+        val hits = corpus.readForKeys(spark, firsts.select(fpCol)).select(fpCol)
+        firsts.join(hits, Seq(fpCol), "left_anti")
+    }
+    val n = fresh.count()
+    if (n > 0) corpus.append(fresh, collectStats = Seq(fpCol))
+    n
+  }
+
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))

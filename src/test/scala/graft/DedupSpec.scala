@@ -182,4 +182,19 @@ class DedupSpec extends SparkSpec {
     spark.table("sdedup").filter($"text" === "alpha").count() shouldBe 2
     q.stop()
   }
+
+  test("dedupInsert appends only unseen fingerprints; in-batch dups collapse to min id") {
+    val corpus = graft.table.Icebox(tmpDir("dedup-insert"))
+    corpus.setProperties(Map("manifest.bloom.columns" -> "fingerprint"))
+    // ids 1 and 3 normalize to the SAME fingerprint (case/whitespace)
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA   beta"))
+      .toDF("id", "text")
+    Dedup.dedupInsert(corpus, b1, "text", "id") shouldBe 2L
+    // batch 2: one re-offer of known content (id 4), one NEW doc twice
+    val b2 = Seq((6L, "delta"), (4L, "alpha beta"), (5L, "delta")).toDF("id", "text")
+    Dedup.dedupInsert(corpus, b2, "text", "id") shouldBe 1L
+    corpus.read(spark).select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 5L)
+    // idempotent: a full replay appends nothing
+    Dedup.dedupInsert(corpus, b1.unionByName(b2), "text", "id") shouldBe 0L
+  }
 }

@@ -72,9 +72,11 @@ object Bench {
     val total = results.map(_._2).sum
     def enc(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // full map -> file (survives the stdout tail window; committed in-repo)
+    // full map -> file (survives the stdout tail window; committed
+    // in-repo). Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the
+    // committed full-suite artifact with a partial map.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size}}"""
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json"); w.println(full); w.close()
     } catch { case _: Throwable => () }
     val line = results.filter { case (k, _) => only.isDefined || headline.contains(k) }

@@ -254,7 +254,11 @@ object TextFunctions {
     val alphaFrac = when(wc === 0, 0.0)
       .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / wc)
     val stops = array(stopwords("en").map(lit): _*)
-    val stopHits = size(filter(stops, s => array_contains(transform(words, w => lower(w)), s)))
+    // bindOnce: without it the lowercased-words array is rebuilt once PER
+    // STOPWORD inside the filter lambda (the HOF re-evaluation trap the
+    // helper exists for)
+    val stopHits = bindOnce(transform(words, w => lower(w)))(lw =>
+      size(filter(stops, s => array_contains(lw, s))))
     val flags = Seq(
       (wc >= minWords && wc <= maxWords).as("g_word_count"),
       (meanLen >= 3.0 && meanLen <= 10.0).as("g_mean_word_len"),

@@ -43,19 +43,28 @@ object Dedup {
   def dedupInsert(corpus: graft.table.Icebox, batch: DataFrame, textCol: String,
       idCol: String, fpCol: String = "fingerprint"): Long = {
     val spark = batch.sparkSession
-    val withFp = batch.withColumn(fpCol, TextFunctions.fingerprint(col(textCol)))
+    // null text fingerprints as empty text (all null/empty docs are
+    // duplicates of each other) — a raw null fingerprint would make the
+    // anti-join below pass every null-text doc on EVERY batch (null keys
+    // never match), re-appending them unboundedly
+    val withFp = batch.withColumn(fpCol,
+      TextFunctions.fingerprint(coalesce(col(textCol), lit(""))))
     val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
     val firsts = withFp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fresh = corpus.currentSnapshot match {
+    val fresh = (corpus.currentSnapshot match {
       case None => firsts
       case Some(_) =>
         val hits = corpus.readForKeys(spark, firsts.select(fpCol)).select(fpCol)
         firsts.join(hits, Seq(fpCol), "left_anti")
-    }
-    val n = fresh.count()
-    if (n > 0) corpus.append(fresh, collectStats = Seq(fpCol))
-    n
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the count action and the append job share one evaluation
+    // of the window + membership probe instead of running them twice
+    try {
+      val n = fresh.count()
+      if (n > 0) corpus.append(fresh, collectStats = Seq(fpCol))
+      n
+    } finally fresh.unpersist(blocking = false)
   }
 
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {

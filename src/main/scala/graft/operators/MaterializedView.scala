@@ -110,15 +110,19 @@ object MaterializedView {
     val srcSnap = source.currentSnapshot.getOrElse(
       sys.error(s"source table ${source.tableDir} has no snapshot"))
     val srcHead = srcSnap.id
+    // CONCURRENT-REFRESHER GUARD: capture the target head BEFORE reading
+    // the cursor — the cursor (and every group value read below) is then
+    // guaranteed to describe a state at-or-before tgtHead, and the
+    // incremental commits carry tgtHead as their expected head. A
+    // concurrent refresher publishing at ANY point after this line moves
+    // the head, so OUR commit aborts with SupersededCommit instead of
+    // double-applying the delta; we re-enter, re-read the cursor, and
+    // usually land on NoOp. (Capturing the head AFTER the cursor read
+    // would leave a window where a refresh completing between the two
+    // reads goes undetected and the same delta applies twice.)
+    val tgtHead = if (target.exists) target.currentSnapshotId else -1L
     val last = lastRefreshedSource(target, mvId)
     if (last.contains(srcHead)) return NoOp
-    // CONCURRENT-REFRESHER GUARD: everything below derives from the target
-    // head observed HERE (the cursor just read, the current group values).
-    // Incremental commits carry this id as their expected head, so if a
-    // concurrent refresher publishes first, OUR commit aborts with
-    // SupersededCommit instead of double-applying the delta — we then
-    // re-enter refresh, re-read the cursor, and usually land on NoOp.
-    val tgtHead = target.currentSnapshotId
 
     def filtered(df: DataFrame): DataFrame =
       where.map(w => df.filter(expr(w))).getOrElse(df)
@@ -201,8 +205,11 @@ object MaterializedView {
         Incremental
         } catch {
           case Icebox.SupersededCommit =>
-            // a concurrent refresher won the commit race: re-enter with a
-            // fresh cursor (their refresh usually makes this a NoOp)
+            // a concurrent refresher won the commit race: release OUR
+            // cached delta first (the finally below is idempotent), then
+            // re-enter with a fresh cursor (usually a NoOp) — so stacked
+            // re-entries never hold more than one persisted delta
+            delta.unpersist(blocking = false)
             refresh(spark, source, target, mvId, keys, sums, where, minmaxs)
         } finally delta.unpersist(blocking = false)
     }

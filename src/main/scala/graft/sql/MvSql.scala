@@ -117,6 +117,13 @@ object MvSql {
           case Filter(cond, inner) =>
             if (cond.exists(_.isInstanceOf[SubqueryExpression]))
               fail("subquery in WHERE")
+            // the predicate re-applies over the bare-column change diff at
+            // refresh, where a table-qualified reference cannot resolve
+            cond.foreach {
+              case a: UnresolvedAttribute if a.nameParts.length != 1 =>
+                fail(s"qualified column '${a.name}' in WHERE")
+              case _ => ()
+            }
             (Some(cond.sql), inner)
           case other => (None, other)
         }

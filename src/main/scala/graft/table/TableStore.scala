@@ -258,6 +258,15 @@ final class TableStore(val root: HPath, conf: Configuration) {
           case _: java.nio.file.NoSuchFileException => false
         }
       } else {
+        // same strict gate as createNew: this fallback is check-then-rename
+        // (two breakers of one stale lock could both "win"). In practice
+        // strict mode already blocks the lock LIFECYCLE upstream — taking a
+        // lock needs createNew — but guard the primitive itself too.
+        if (unsafeScheme && !conf.getBoolean(TableStore.UnsafeCasAllowKey, false))
+          throw new IllegalStateException(
+            s"TableStore at $root: rename-no-replace CAS on scheme '$scheme' is " +
+            "check-then-rename — register a CasProvider, declare the scheme atomic " +
+            s"(${TableStore.AtomicSchemesKey}), or set ${TableStore.UnsafeCasAllowKey}=true.")
         try !mfs.exists(dst) && mfs.rename(src, dst)
         catch { case _: java.io.FileNotFoundException => false }
       }

@@ -67,9 +67,14 @@ object TypeConverter {
   def oracleToSpark(oracleType: String, precision: Option[Int],
       scale: Option[Int], strict: Boolean): DataType = {
     val (base, params) = normalize(oracleType)
-    (params, precision) match {
-      case (None, Some(p)) =>
+    (params, precision, scale) match {
+      case (Some(_), _, _) => oracleToSpark(oracleType, strict) // string params win
+      case (None, Some(p), _) =>
         oracleToSpark(s"$base($p${scale.map("," + _).getOrElse("")})", strict)
+      // Oracle NUMBER(*,s): data_precision is NULL but data_scale is set —
+      // precision * means the maximum (38); without this case the scale
+      // would be dropped and strict mode would silently truncate fractions
+      case (None, None, Some(s)) => oracleToSpark(s"$base(38,$s)", strict)
       case _ => oracleToSpark(oracleType, strict)
     }
   }

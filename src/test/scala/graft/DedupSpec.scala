@@ -196,5 +196,12 @@ class DedupSpec extends SparkSpec {
     corpus.read(spark).select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 5L)
     // idempotent: a full replay appends nothing
     Dedup.dedupInsert(corpus, b1.unionByName(b2), "text", "id") shouldBe 0L
+    // null text fingerprints as empty text: ingested once, then every
+    // re-offer drops (a raw null key would never match the anti-join and
+    // re-append forever)
+    Dedup.dedupInsert(corpus,
+      Seq((7L, null: String), (8L, "")).toDF("id", "text"), "text", "id") shouldBe 1L
+    Dedup.dedupInsert(corpus,
+      Seq((9L, null: String)).toDF("id", "text"), "text", "id") shouldBe 0L
   }
 }

@@ -73,6 +73,10 @@ class MvSqlSpec extends SparkSpec {
       "WHERE id IN (SELECT id FROM mvsrc_sql3) GROUP BY g", "subquery in WHERE")
     bad("CREATE MATERIALIZED VIEW b10 AS SELECT g, sum(v) FROM mvsrc_sql3 " +
       "WHERE nope > 0 GROUP BY g", "not in source")
+    // qualified refs can't resolve against the change diff at refresh —
+    // refuse at CREATE rather than fail later
+    bad("CREATE MATERIALIZED VIEW b11 AS SELECT g, sum(v) FROM mvsrc_sql3 " +
+      "WHERE mvsrc_sql3.v > 5 GROUP BY g", "qualified column")
     // ungrouped aggregates parse as a Project (aggregate-ness is an
     // analysis-time concept), so they fail the top-level-shape check
     bad("CREATE MATERIALIZED VIEW b3 AS SELECT count(*) FROM mvsrc_sql3",

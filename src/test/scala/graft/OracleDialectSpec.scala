@@ -84,6 +84,11 @@ class OracleDialectSpec extends SparkSpec {
     // a parametrized type string wins over catalog-reported columns
     TypeConverter.oracleToSpark("NUMBER(5,1)", Some(12), Some(2), strict = true) shouldBe
       DecimalType(5, 1)
+    // Oracle NUMBER(*,s): precision reports NULL, scale set — precision *
+    // means 38; dropping the scale would silently truncate fractions
+    TypeConverter.oracleToSpark("NUMBER", None, Some(2), strict = true) shouldBe
+      DecimalType(38, 2)
+    TypeConverter.oracleToSpark("NUMBER", None, Some(2), strict = false) shouldBe LongType
   }
 
   test("the dialect SQL executes live (Derby stands in for the catalog view) and rows parse") {

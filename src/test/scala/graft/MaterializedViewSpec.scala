@@ -174,6 +174,22 @@ class MaterializedViewSpec extends SparkSpec {
     mv.read(spark).collect().head.getAs[Long]("max_v") shouldBe 5L
   }
 
+  test("refresh survives source schema evolution (appended column is ignored by the view)") {
+    val src = Icebox(tmpDir("mvsrcE"))
+    src.append(Seq((1L, 0, 10L), (2L, 1, 20L)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgtE"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.FullBuild
+    // source evolves: a new column appears mid-history
+    src.append(Seq((3L, 0, 30L, "web")).toDF("id", "g", "v", "channel"))
+    src.deleteByKeys(Seq(1L).toDF("id"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v")) shouldBe
+      MaterializedView.Incremental
+    assertSameRows(mv.read(spark), fullAgg(src))
+    // the view's schema is untouched by the evolution
+    mv.read(spark).columns.toSet shouldBe Set("g", "row_count", "sum_v", "nn_v")
+  }
+
   test("a commit carrying a stale expected head aborts with SupersededCommit (no double-apply)") {
     val src = Icebox(tmpDir("mvsrcS"))
     src.append(Seq((1L, 0, 10L), (2L, 1, 20L)).toDF("id", "g", "v"))

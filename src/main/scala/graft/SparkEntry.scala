@@ -567,6 +567,46 @@ object SparkEntry {
         col("nn_o_totalprice"))
     }),
 
+    // Materialized view over an INNER EQUI-JOIN (fact orders ⋈ dim
+    // customer, grouped by the dim's segment), maintained through changes
+    // on BOTH sides via the bilinear delta rule Δ(A⋈B) = ΔA⋈B₂ + A₁⋈ΔB:
+    // each refresh joins the fact diff against the dim at its new
+    // snapshot plus the fact at its old (cursor) snapshot against the
+    // dim diff — both non-delta sides stats/bloom-PRUNED to the files
+    // admitting the diff's join keys — and must land exactly on the
+    // oracle's full recompute over the final joined state. The refresh
+    // must be INCREMENTAL (asserted): appended facts, deleted facts, and
+    // deleted dim rows (whole customers dropping out with their orders)
+    // all flow through one delta refresh.
+    "q_mv_join" -> ((s, dir) => {
+      graft.sql.DmlSql.setWarehouse(tmp("qmvj_wh"))
+      val fact = Icebox(tmp("qmvj_orders"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+      fact.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      fact.registerView(s, "qmvj_orders")
+      val dim = Icebox(tmp("qmvj_customer"))
+      dim.append(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+      dim.registerView(s, "qmvj_customer")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvj AS
+          |SELECT c_mktsegment, count(*), sum(o_totalprice)
+          |FROM qmvj_orders JOIN qmvj_customer
+          |  ON qmvj_orders.o_custkey = qmvj_customer.c_custkey
+          |GROUP BY c_mktsegment""".stripMargin)
+      fact.append(o.filter(col("o_orderkey") % 3 === 0))
+      fact.deleteByKeys(o.filter(col("o_orderkey") % 7 === 2)
+        .select("o_orderkey").distinct())
+      dim.deleteByKeys(t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 6).select("c_custkey").distinct())
+      val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmvj")
+        .head.getString(0)
+      require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
+      s.sql("SELECT * FROM qmvj").select(col("c_mktsegment"), col("row_count"),
+        round(col("sum_o_totalprice").cast("double"), 2).as("sum_o_totalprice"),
+        col("nn_o_totalprice"))
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1943,6 +1983,17 @@ object SparkEntry {
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_o_totalprice,
         |       count(o_totalprice) AS nn_o_totalprice
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the joined aggregate over the final state of BOTH sides: orders
+    // appended then key-deleted (%7==2 gone), customers key-deleted
+    // (%10==6 gone, taking their orders with them)
+    "q_mv_join" ->
+      """SELECT c_mktsegment, count(*) AS row_count,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_o_totalprice,
+        |       count(o_totalprice) AS nn_o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 <> 2 AND c_custkey % 10 <> 6
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // filtered final state after the append + key-delete cycle (rows
     // deleted from the source drop out of the WHERE'd aggregate)

@@ -79,6 +79,36 @@ object MaterializedView {
     }
   }
 
+  /** The raw cursor text of the newest refresh marker — `<snap>` for a
+    * single-table view, `<left>:<right>` for a join view. Display/
+    * introspection surface; the typed accessors below parse it.
+    */
+  def lastRefreshCursor(target: Icebox, mvId: String): Option[String] = {
+    val prefix = opPrefix(mvId)
+    if (!target.exists) return None
+    target.allSnapshots.iterator.map(_.operation).collectFirst {
+      case op if op.startsWith(prefix) => op.stripPrefix(prefix)
+    }
+  }
+
+  /** Two-source cursor of a JOIN view: the (left, right) source snapshot
+    * pair the last committed refresh processed (`mv-refresh:<id>:<l>:<r>`
+    * markers — a target maintains exactly one definition, so single- and
+    * two-source markers never mix under one mvId).
+    */
+  def lastRefreshedSources(target: Icebox, mvId: String): Option[(Long, Long)] = {
+    val prefix = opPrefix(mvId)
+    if (!target.exists) return None
+    target.allSnapshots.iterator.map(_.operation).collectFirst {
+      case op if op.startsWith(prefix) =>
+        op.stripPrefix(prefix).split(':') match {
+          case Array(l, r) => (l.toLong, r.toLong)
+          case other => sys.error(
+            s"mv '$mvId': marker '$op' is not a two-source cursor")
+        }
+    }
+  }
+
   /** Refresh a target from its PERSISTED MvSql definition (`mv.*` table
     * properties), if it carries one — the shared entry point for the
     * maintenance service's tick and the streaming after-commit hook, so
@@ -93,8 +123,17 @@ object MaterializedView {
       id <- props.get("mv.id")
       srcDir <- props.get("mv.source.dir")
       keys <- props.get("mv.keys")
-    } yield refresh(spark, Icebox(srcDir), target, id, keys.split(',').toSeq,
-      list("mv.sums"), props.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"))
+    } yield props.get("mv.source2.dir") match {
+      case Some(dir2) =>
+        val joinOn = list("mv.join.on").map { pair =>
+          val Array(l, r) = pair.split('='); (l, r) }
+        refreshJoin(spark, Icebox(srcDir), Icebox(dir2), target, id, joinOn,
+          keys.split(',').toSeq, list("mv.sums"),
+          props.get("mv.where").filter(_.nonEmpty))
+      case None =>
+        refresh(spark, Icebox(srcDir), target, id, keys.split(',').toSeq,
+          list("mv.sums"), props.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"))
+    }
   }
 
   /** Refresh `target` to reflect `source`'s current snapshot. Returns the
@@ -145,6 +184,116 @@ object MaterializedView {
         val diff =
           try filtered(source.changeDiff(spark, from, srcHead))
           catch { case _: Exception => return fullBuild() } // cursor expired on source
+        applyDelta(spark, target, opPrefix(mvId) + srcHead, tgtHead, diff, keys,
+          sums, minmaxs,
+          touched => filtered(source.readForKeysAt(spark, touched, Some(srcSnap)))
+            .join(touched, keys, "left_semi")
+            .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*),
+          () => refresh(spark, source, target, mvId, keys, sums, where, minmaxs))
+    }
+  }
+
+  /** Incrementally maintained aggregate over an INNER EQUI-JOIN of two
+    * Icebox tables — the bilinear delta rule, in its asymmetric form:
+    *
+    * {{{ A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB }}}
+    *
+    * so a refresh joins (1) the LEFT change diff against the RIGHT table
+    * at its NEW snapshot and (2) the LEFT table at its OLD (cursor)
+    * snapshot against the RIGHT change diff; each joined row carries the
+    * sign of its diff row, and the signed union feeds the exact same
+    * group-delta arithmetic as the single-table path. Both non-delta
+    * sides are PRUNED READS: only files whose stats/blooms admit the
+    * diff's join-key values are scanned ([[Icebox.readForKeysAt]], pinned
+    * to the head/cursor snapshot respectively) — at 100 TB a refresh
+    * costs O(Δ × files matching Δ's join keys), never a full scan of
+    * either table. Updates arrive as delete+insert versions on either
+    * side, so join-key CHANGES (a row re-pointing at a new dimension
+    * key) maintain exactly: the delete joins its old partner, the insert
+    * its new one.
+    *
+    * Naming contract (enforced by the SQL surface): apart from the join
+    * pair columns, the two tables' column names must be DISJOINT — the
+    * joined row exposes the left columns plus the right's non-join
+    * columns, all unqualified. MIN/MAX are not offered over joins
+    * (touched-group recompute would need a two-sided re-join; use a
+    * single-table MV over the join's materialization instead). The
+    * cursor is the snapshot PAIR, riding the refresh commit's op string
+    * — same exactly-once and concurrent-refresher story as [[refresh]].
+    */
+  def refreshJoin(spark: SparkSession, left: Icebox, right: Icebox,
+      target: Icebox, mvId: String, joinOn: Seq[(String, String)],
+      keys: Seq[String], sums: Seq[String], where: Option[String] = None): Mode = {
+    require(mvId.nonEmpty && !mvId.contains(":"), s"mvId must be non-empty without ':' (got '$mvId')")
+    require(keys.nonEmpty, "materialized view needs at least one group key")
+    require(joinOn.nonEmpty, "join view needs at least one equi-join column pair")
+    val lSnap = left.currentSnapshot.getOrElse(
+      sys.error(s"left source ${left.tableDir} has no snapshot"))
+    val rSnap = right.currentSnapshot.getOrElse(
+      sys.error(s"right source ${right.tableDir} has no snapshot"))
+    // same TOCTOU discipline as refresh(): head before cursor
+    val tgtHead = if (target.exists) target.currentSnapshotId else -1L
+    val last = lastRefreshedSources(target, mvId)
+    if (last.contains((lSnap.id, rSnap.id))) return NoOp
+    val op = opPrefix(mvId) + s"${lSnap.id}:${rSnap.id}"
+
+    def filtered(df: DataFrame): DataFrame =
+      where.map(w => df.filter(expr(w))).getOrElse(df)
+    // inner equi-join exposing left columns + right non-join columns:
+    // right join columns ride under collision-proof temp names and drop
+    // after the join (their values equal the left pair column's anyway)
+    def joined(a: DataFrame, b0: DataFrame): DataFrame = {
+      val tmps = joinOn.indices.map(i => s"__mvj_$i")
+      val b = joinOn.zip(tmps).foldLeft(b0) { case (df, ((_, rc), tmp)) =>
+        df.withColumnRenamed(rc, tmp) }
+      val cond = joinOn.zip(tmps).map { case ((lc, _), tmp) =>
+        col(lc) === col(tmp) }.reduce(_ && _)
+      a.join(b, cond, "inner").drop(tmps: _*)
+    }
+    def fullAggs: Seq[Column] =
+      count(lit(1)).as("row_count") +: sums.flatMap(c =>
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))
+
+    def fullBuild(): Mode = {
+      val df = filtered(joined(left.read(spark), right.read(spark)))
+        .groupBy(keys.map(col): _*).agg(fullAggs.head, fullAggs.tail: _*)
+      target.overwriteAs(op, df, Nil)
+      FullBuild
+    }
+
+    last match {
+      case None => fullBuild()
+      case Some((fromL, fromR)) =>
+        val (dl, dr) =
+          try (left.changeDiff(spark, fromL, lSnap.id),
+            right.changeDiff(spark, fromR, rSnap.id))
+          catch { case _: Exception => return fullBuild() } // cursor expired
+        // ΔA⋈B@new — right read pruned to files admitting ΔA's join keys
+        val termA = joined(dl, right.readForKeysAt(spark,
+          dl.select(joinOn.map { case (lc, rc) => col(lc).as(rc) }: _*), Some(rSnap)))
+        // A@old⋈ΔB — left read pruned likewise, pinned to the CURSOR snapshot
+        val termB = joined(left.readForKeysAt(spark,
+          dr.select(joinOn.map { case (lc, rc) => col(rc).as(lc) }: _*),
+          Some(left.snapshot(fromL))), dr)
+        val diff = filtered(termA.unionByName(termB))
+        applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
+          _ => sys.error("min/max not maintained over joins"),
+          () => refreshJoin(spark, left, right, target, mvId, joinOn, keys, sums, where))
+    }
+  }
+
+  /** The shared incremental core: aggregate a source-row change `diff`
+    * (rows + `_change_type`) into per-group deltas, merge with the
+    * current values of the touched groups, and publish ONE atomic
+    * merge-on-read commit whose op string carries the cursor. Empty
+    * delta → marker-only cursor advance. A concurrent refresher moving
+    * the target head aborts the commit ([[Icebox.SupersededCommit]]) and
+    * control re-enters via `onSuperseded`.
+    */
+  private def applyDelta(spark: SparkSession, target: Icebox, op: String,
+      tgtHead: Long, diff: DataFrame, keys: Seq[String], sums: Seq[String],
+      minmaxs: Seq[String], minmaxRecompute: DataFrame => DataFrame,
+      onSuperseded: () => Mode): Mode = {
         val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
         val ins = col("_change_type") === "insert"
         // per-column deltas as SAME-TYPED sums (insert-sum minus delete-sum
@@ -164,7 +313,7 @@ object MaterializedView {
         if (delta.isEmpty) {
           // data-neutral source change (compaction, metadata): advance the
           // cursor so later diffs never re-read this range
-          target.commitMarker(opPrefix(mvId) + srcHead, expectHeadId = tgtHead)
+          target.commitMarker(op, expectHeadId = tgtHead)
           return MarkerOnly
         }
         val targetSchema = target.read(spark).schema
@@ -180,9 +329,7 @@ object MaterializedView {
           // head-state rows of ONLY the touched groups, scanning only the
           // source files that might hold those keys (stats/bloom pruned,
           // pinned to the cursor's snapshot)
-          val mm = filtered(source.readForKeysAt(spark, touched, Some(srcSnap)))
-            .join(touched, keys, "left_semi")
-            .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*)
+          val mm = minmaxRecompute(touched)
           merged = merged.join(mm, keys, "left")
           minmaxs.flatMap(c => Seq(
             col(s"min_$c").cast(tpe(s"min_$c")).as(s"min_$c"),
@@ -200,7 +347,7 @@ object MaterializedView {
           .filter(col("row_count") > 0L)
         // ONE atomic merge-on-read commit: every touched key deleted, the
         // recomputed groups appended, cursor marker in the op string
-        target.commitEqualityDeletes(opPrefix(mvId) + srcHead,
+        target.commitEqualityDeletes(op,
           delta.select(keys.map(col): _*), Some(updated), expectHeadId = tgtHead)
         Incremental
         } catch {
@@ -210,8 +357,7 @@ object MaterializedView {
             // re-enter with a fresh cursor (usually a NoOp) — so stacked
             // re-entries never hold more than one persisted delta
             delta.unpersist(blocking = false)
-            refresh(spark, source, target, mvId, keys, sums, where, minmaxs)
+            onSuperseded()
         } finally delta.unpersist(blocking = false)
-    }
   }
 }

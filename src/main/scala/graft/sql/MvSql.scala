@@ -2,8 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, SubqueryAlias}
 import graft.operators.MaterializedView
 import graft.table.Icebox
 
@@ -20,18 +21,23 @@ import graft.table.Icebox
   *
   * The SELECT is parsed by SPARK'S OWN PARSER (accepted syntax is exactly
   * Spark's), then validated against the incremental-maintenance contract:
-  * one `GROUP BY` over one registered Icebox table (optionally filtered
-  * by a subquery-free `WHERE` — the delta arithmetic filters the change
-  * diff with the same predicate), aggregates drawn from `COUNT(*)` /
-  * `SUM(c)` / `COUNT(c)` / `AVG(c)` / `MIN(c)` / `MAX(c)`. AVG rides as
-  * sum/nn and the registered view exposes the derived `avg_<c>`; MIN/MAX
-  * are maintained by bounded touched-group recompute (stats/bloom-pruned
-  * source re-read of only the changed groups — see
-  * [[graft.operators.MaterializedView]]). Anything else (joins, HAVING,
-  * DISTINCT, other aggregates) errors LOUDLY at CREATE time rather than
-  * silently degrading to full recomputation. The view's columns are the
-  * canonical maintenance schema: `<keys>, row_count, sum_<c>, nn_<c>,
-  * min_<c>, max_<c>` (AVG = sum/nn).
+  * one `GROUP BY` over one registered Icebox table OR an INNER EQUI-JOIN
+  * of two (`FROM a JOIN b ON a.x = b.y` — maintained via the bilinear
+  * delta rule, [[graft.operators.MaterializedView.refreshJoin]]; apart
+  * from the join pairs the two tables' column names must be disjoint,
+  * and keys/aggregates/WHERE reference them unqualified), optionally
+  * filtered by a subquery-free `WHERE` — the delta arithmetic filters
+  * the change diff with the same predicate — with aggregates drawn from
+  * `COUNT(*)` / `SUM(c)` / `COUNT(c)` / `AVG(c)` / `MIN(c)` / `MAX(c)`.
+  * AVG rides as sum/nn and the registered view exposes the derived
+  * `avg_<c>`; MIN/MAX (single-table only) are maintained by bounded
+  * touched-group recompute (stats/bloom-pruned source re-read of only
+  * the changed groups — see [[graft.operators.MaterializedView]]).
+  * Anything else (outer joins, HAVING, DISTINCT, other aggregates)
+  * errors LOUDLY at CREATE time rather than silently degrading to full
+  * recomputation. The view's columns are the canonical maintenance
+  * schema: `<keys>, row_count, sum_<c>, nn_<c>, min_<c>, max_<c>`
+  * (AVG = sum/nn).
   *
   * The backing table lives at `<warehouse>/_mv/<name>` (warehouse from
   * [[DmlSql.setWarehouse]]); its definition (source table dir, keys, sum
@@ -63,7 +69,8 @@ object MvSql {
     */
   private[graft] final case class MvDef(source: String, keys: Seq[String],
       sums: Seq[String], avgs: Seq[String] = Nil, where: Option[String] = None,
-      minmaxs: Seq[String] = Nil)
+      minmaxs: Seq[String] = Nil, source2: Option[String] = None,
+      joinOn: Seq[(String, String)] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -71,8 +78,9 @@ object MvSql {
   private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef = {
     def fail(what: String): Nothing = sys.error(
       s"materialized views maintain one GROUP BY over one registered table " +
-      s"(optionally WHERE-filtered, no subqueries) with " +
-      s"COUNT(*)/SUM(c)/COUNT(c)/AVG(c)/MIN(c)/MAX(c) aggregates only; $what")
+      s"or an INNER equi-join of two (optionally WHERE-filtered, no " +
+      s"subqueries) with COUNT(*)/SUM(c)/COUNT(c)/AVG(c)/MIN(c)/MAX(c) " +
+      s"aggregates only; $what")
 
     def sourceOf(child: LogicalPlan): String = child match {
       case r: UnresolvedRelation =>
@@ -80,7 +88,16 @@ object MvSql {
         r.multipartIdentifier.head
       case SubqueryAlias(_, inner) => sourceOf(inner)
       case other => fail(s"unsupported source ${other.getClass.getSimpleName} " +
-        "(joins/subqueries are not incrementally maintainable here)")
+        "(subqueries are not incrementally maintainable here)")
+    }
+    // (table, qualifier) of one join side: the alias if given, else the name
+    def relationOf(p: LogicalPlan): (String, String) = p match {
+      case r: UnresolvedRelation =>
+        if (r.multipartIdentifier.length != 1) fail(s"qualified source '${r.tableName}'")
+        (r.multipartIdentifier.head, r.multipartIdentifier.head)
+      case SubqueryAlias(ident, inner) => (relationOf(inner)._1, ident.name)
+      case other => fail(s"join side ${other.getClass.getSimpleName} " +
+        "(each side must be one registered table)")
     }
     def attrName(e: Expression): String = e match {
       case a: UnresolvedAttribute =>
@@ -127,7 +144,33 @@ object MvSql {
             (Some(cond.sql), inner)
           case other => (None, other)
         }
-        val source = sourceOf(child)
+        // INNER equi-join of two registered tables maintains via the
+        // bilinear delta rule (MaterializedView.refreshJoin); the ON
+        // clause must be an AND of qualifier.col = qualifier.col pairs
+        val (source, source2, joinOn) = child match {
+          case Join(l, r, Inner, Some(cond), _) =>
+            val (lt, lq) = relationOf(l)
+            val (rt, rq) = relationOf(r)
+            if (lq == rq) fail(s"both join sides are called '$lq' (alias one)")
+            def side(x: UnresolvedAttribute): (String, String) = x.nameParts match {
+              case Seq(q, c) => (q, c)
+              case _ => fail(s"join column '${x.name}' must be qualified (t.col)")
+            }
+            def pairs(e: Expression): Seq[(String, String)] = e match {
+              case And(a, b) => pairs(a) ++ pairs(b)
+              case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+                val (qa, ca) = side(a); val (qb, cb) = side(b)
+                if (qa == lq && qb == rq) Seq((ca, cb))
+                else if (qa == rq && qb == lq) Seq((cb, ca))
+                else fail(s"join condition must relate $lq to $rq, got ${a.name} = ${b.name}")
+              case other => fail(s"join condition must be an AND of column " +
+                s"equalities, got ${other.sql}")
+            }
+            (lt, Some(rt), pairs(cond))
+          case j: Join => fail(if (j.condition.isEmpty) "join without ON"
+            else s"${j.joinType.sql} join (only INNER equi-joins maintain incrementally)")
+          case _ => (sourceOf(child), None, Nil)
+        }
         val keys = groupingExprs.map(attrName)
         if (keys.isEmpty) fail("GROUP BY is required")
         val sums = scala.collection.mutable.ListBuffer[String]()
@@ -151,7 +194,11 @@ object MvSql {
             case None => fail(s"unsupported select expression $e")
           }
         }
-        MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList)
+        if (source2.isDefined && minmaxs.nonEmpty) fail(
+          "MIN/MAX over a join (extrema recompute would re-join; " +
+          "materialize the join first, then a single-table MIN/MAX view)")
+        MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList,
+          source2, joinOn)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -165,14 +212,36 @@ object MvSql {
     val d = parseDefinition(spark, selectText)
     val src = MergeSql.lookup(d.source).getOrElse(sys.error(
       s"materialized-view source '${d.source}' is not a registered Icebox table"))
+    val src2 = d.source2.map(s2 => MergeSql.lookup(s2).getOrElse(sys.error(
+      s"materialized-view join source '$s2' is not a registered Icebox table")))
     val whereCols = d.where.toSeq.flatMap(w =>
       spark.sessionState.sqlParser.parseExpression(w).collect {
         case a: UnresolvedAttribute => a.nameParts.head
       })
+    // the maintained row's column set: one table's columns, or for a join
+    // the left columns plus the right's non-join columns — which must not
+    // collide with the left's (every downstream reference is unqualified)
+    val visibleCols = src2 match {
+      case None => src.read(spark).columns.toSeq
+      case Some(s2) =>
+        val lCols = src.read(spark).columns.toSeq
+        val rCols = s2.read(spark).columns.toSeq
+        val badL = d.joinOn.map(_._1).filterNot(lCols.contains)
+        val badR = d.joinOn.map(_._2).filterNot(rCols.contains)
+        if (badL.nonEmpty || badR.nonEmpty) sys.error(
+          s"join columns ${(badL ++ badR).mkString(", ")} not in their side")
+        val rExposed = rCols.diff(d.joinOn.map(_._2))
+        val overlap = lCols.intersect(rExposed)
+        if (overlap.nonEmpty) sys.error(
+          s"ambiguous columns ${overlap.mkString(", ")}: apart from the join " +
+          s"pairs, '${d.source}' and '${d.source2.get}' column names must be disjoint")
+        lCols ++ rExposed
+    }
     val badKeys = (d.keys ++ d.sums ++ d.minmaxs ++ whereCols).distinct
-      .filterNot(src.read(spark).columns.contains)
+      .filterNot(visibleCols.contains)
     if (badKeys.nonEmpty) sys.error(
-      s"columns ${badKeys.mkString(", ")} not in source '${d.source}'")
+      s"columns ${badKeys.mkString(", ")} not in source '${d.source}'" +
+      d.source2.map(s => s" JOIN '$s'").getOrElse(""))
     val target = mvTable(warehouse, name)
     val existing = lastDef(target)
     require(existing.isEmpty || existing.contains(d),
@@ -186,13 +255,26 @@ object MvSql {
       "mv.sums" -> d.sums.mkString(","),
       "mv.avgs" -> d.avgs.mkString(","),
       "mv.where" -> d.where.getOrElse(""),
-      "mv.minmaxs" -> d.minmaxs.mkString(",")))
-    val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
-      d.keys, d.sums, d.where, d.minmaxs)
+      "mv.minmaxs" -> d.minmaxs.mkString(",")) ++
+      src2.map(s2 => Map(
+        "mv.source2.dir" -> s2.tableDir,
+        "mv.source2.name" -> d.source2.get,
+        "mv.join.on" -> d.joinOn.map { case (l, r) => s"$l=$r" }.mkString(","))
+      ).getOrElse(Map.empty))
+    val mode = runRefresh(spark, src, src2, target, name, d)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"create-mv:$mode", target)
   }
+
+  private def runRefresh(spark: SparkSession, src: Icebox, src2: Option[Icebox],
+      target: Icebox, name: String, d: MvDef): MaterializedView.Mode =
+    src2 match {
+      case Some(s2) => MaterializedView.refreshJoin(spark, src, s2, target,
+        mvId(name, target), d.joinOn, d.keys, d.sums, d.where)
+      case None => MaterializedView.refresh(spark, src, target,
+        mvId(name, target), d.keys, d.sums, d.where, d.minmaxs)
+    }
 
   /** `REFRESH MATERIALIZED VIEW name`: reload the persisted definition
     * from the backing table's properties (works from a fresh session) and
@@ -203,8 +285,8 @@ object MvSql {
     val d = lastDef(target).getOrElse(sys.error(
       s"no materialized view '$name' under $warehouse"))
     val src = Icebox(target.properties("mv.source.dir"))
-    val mode = MaterializedView.refresh(spark, src, target, mvId(name, target),
-      d.keys, d.sums, d.where, d.minmaxs)
+    val src2 = target.properties.get("mv.source2.dir").map(Icebox(_))
+    val mode = runRefresh(spark, src, src2, target, name, d)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
     summary(spark, s"refresh-mv:$mode", target)
@@ -225,7 +307,7 @@ object MvSql {
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
     target.removeProperties(Seq(
       "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs",
-      "mv.where", "mv.minmaxs"))
+      "mv.where", "mv.minmaxs", "mv.source2.dir", "mv.source2.name", "mv.join.on"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
@@ -247,9 +329,11 @@ object MvSql {
           val t = Icebox(d.toString)
           lastDef(t).map { df =>
             val cursor = t.properties.get("mv.id")
-              .flatMap(id => MaterializedView.lastRefreshedSource(t, id))
-            (d.getName, df.source, df.keys.mkString(","), df.sums.mkString(","),
-              cursor.map(_.toString).orNull)
+              .flatMap(id => MaterializedView.lastRefreshCursor(t, id))
+            val srcDisplay = df.source2
+              .map(s2 => s"${df.source} JOIN $s2").getOrElse(df.source)
+            (d.getName, srcDisplay, df.keys.mkString(","), df.sums.mkString(","),
+              cursor.orNull)
           }
         }
     rows.toDF("name", "source", "keys", "sums", "refreshed_source_snapshot")
@@ -280,7 +364,10 @@ object MvSql {
     def list(k: String) = p.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
     p.get("mv.source.name").map(s =>
       MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs"),
-        p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs")))
+        p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"),
+        p.get("mv.source2.name"),
+        list("mv.join.on").map { pair =>
+          val Array(l, r) = pair.split('='); (l, r) }))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

@@ -230,4 +230,117 @@ class MaterializedViewSpec extends SparkSpec {
     assertSameRows(mvA.read(spark), fullAgg(src))
     assertSameRows(mvB.read(spark), fullAgg(src))
   }
+
+  // ---- join views: Δ(A⋈B) = ΔA⋈B₂ + A₁⋈ΔB ------------------------------
+
+  /** fact(id, fk, v) ⋈ dim(k, g) on fk = k, grouped by the dim's g. */
+  private def joinedAgg(fact: Icebox, dim: Icebox) =
+    fact.read(spark).join(dim.read(spark), $"fk" === $"k", "inner")
+      .groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+
+  private def joinMv(fact: Icebox, dim: Icebox, mv: Icebox) =
+    MaterializedView.refreshJoin(spark, fact, dim, mv, "j",
+      Seq("fk" -> "k"), Seq("g"), Seq("v"))
+
+  test("join view: full build matches the joined aggregate; pair cursor lands NoOp") {
+    val fact = Icebox(tmpDir("jmvf1")); val dim = Icebox(tmpDir("jmvd1"))
+    fact.append((1 to 80).map(i => (i.toLong, i % 7, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 5).map(k => (k, s"g${k % 3}")).toDF("k", "g")) // fk=6 dangles
+    val mv = Icebox(tmpDir("jmvt1"))
+    joinMv(fact, dim, mv) shouldBe MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+    MaterializedView.lastRefreshedSources(mv, "j") shouldBe
+      Some((fact.currentSnapshotId, dim.currentSnapshotId))
+    joinMv(fact, dim, mv) shouldBe MaterializedView.NoOp
+  }
+
+  test("join view: appends on BOTH sides in one cycle refresh incrementally, no double count") {
+    val fact = Icebox(tmpDir("jmvf2")); val dim = Icebox(tmpDir("jmvd2"))
+    fact.append((1 to 60).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 4).map(k => (k, s"g${k % 2}")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt2"))
+    joinMv(fact, dim, mv)
+    // new facts point at BOTH old dims (k<5) and a dim inserted in the
+    // SAME cycle (k=5): ΔA⋈B₂ must see the new dim, A₁⋈ΔB must not
+    // re-count the new facts
+    fact.append((61 to 90).map(i => (i.toLong, i % 6, i * 10L)).toDF("id", "fk", "v"))
+    dim.append(Seq((5, "g2")).toDF("k", "g"))
+    joinMv(fact, dim, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+  }
+
+  test("join view: a deleted dim row removes its facts; a deleted fact leaves its group") {
+    val fact = Icebox(tmpDir("jmvf3")); val dim = Icebox(tmpDir("jmvd3"))
+    fact.append((1 to 60).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 4).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt3"))
+    joinMv(fact, dim, mv)
+    dim.deleteByKeys(Seq(2).toDF("k"))                    // group g2 vanishes
+    fact.deleteByKeys((1 to 10).map(_.toLong).toDF("id")) // facts leave groups
+    joinMv(fact, dim, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+    mv.read(spark).filter($"g" === "g2").count() shouldBe 0L
+  }
+
+  test("join view: a dim UPDATE (delete+insert) re-points its facts to the new group") {
+    val fact = Icebox(tmpDir("jmvf4")); val dim = Icebox(tmpDir("jmvd4"))
+    fact.append((1 to 40).map(i => (i.toLong, i % 4, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 3).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt4"))
+    joinMv(fact, dim, mv)
+    // re-label dim key 1: its delete version joins the old facts out of
+    // g1, its insert version joins them into gX
+    dim.deleteByKeys(Seq(1).toDF("k"))
+    dim.append(Seq((1, "gX")).toDF("k", "g"))
+    joinMv(fact, dim, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+    mv.read(spark).filter($"g" === "g1").count() shouldBe 0L
+    mv.read(spark).filter($"g" === "gX").count() shouldBe 1L
+  }
+
+  test("join view: WHERE filters the joined delta on both terms") {
+    val fact = Icebox(tmpDir("jmvf5")); val dim = Icebox(tmpDir("jmvd5"))
+    fact.append((1 to 60).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 4).map(k => (k, s"g${k % 2}")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt5"))
+    MaterializedView.refreshJoin(spark, fact, dim, mv, "j", Seq("fk" -> "k"),
+      Seq("g"), Seq("v"), Some("v >= 200")) shouldBe MaterializedView.FullBuild
+    fact.append((61 to 100).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    dim.deleteByKeys(Seq(3).toDF("k"))
+    MaterializedView.refreshJoin(spark, fact, dim, mv, "j", Seq("fk" -> "k"),
+      Seq("g"), Seq("v"), Some("v >= 200")) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark),
+      fact.read(spark).join(dim.read(spark), $"fk" === $"k", "inner")
+        .filter($"v" >= 200).groupBy("g").agg(count(lit(1)).as("row_count"),
+          sum($"v").as("sum_v"), count($"v").as("nn_v")))
+  }
+
+  test("join view: data-neutral commits on either side advance the pair cursor by marker") {
+    val fact = Icebox(tmpDir("jmvf6")); val dim = Icebox(tmpDir("jmvd6"))
+    fact.append((1 to 20).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "fk", "v")
+      .repartition(4))
+    dim.append((0 to 1).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt6"))
+    joinMv(fact, dim, mv)
+    fact.compact(spark) // rewrites files, zero row change
+    joinMv(fact, dim, mv) shouldBe MaterializedView.MarkerOnly
+    MaterializedView.lastRefreshedSources(mv, "j") shouldBe
+      Some((fact.currentSnapshotId, dim.currentSnapshotId))
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+  }
+
+  test("join view: expired cursor on a source falls back to a full rebuild") {
+    val fact = Icebox(tmpDir("jmvf7")); val dim = Icebox(tmpDir("jmvd7"))
+    fact.append((1 to 20).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "fk", "v"))
+    dim.append((0 to 1).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt7"))
+    joinMv(fact, dim, mv)
+    fact.append((21 to 30).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "fk", "v"))
+    fact.append((31 to 40).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "fk", "v"))
+    fact.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000000L,
+      retainLast = 1)
+    joinMv(fact, dim, mv) shouldBe MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+  }
 }

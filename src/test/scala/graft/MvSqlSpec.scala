@@ -83,8 +83,10 @@ class MvSqlSpec extends SparkSpec {
       "not an aggregate")
     bad("CREATE MATERIALIZED VIEW b4 AS SELECT g, count(DISTINCT v) FROM mvsrc_sql3 GROUP BY g",
       "DISTINCT")
+    // joins are supported, but keys/aggregates reference the joined row
+    // UNQUALIFIED (the maintained schema has no qualifiers)
     bad("CREATE MATERIALIZED VIEW b5 AS SELECT a.g, sum(a.v) FROM mvsrc_sql3 a " +
-      "JOIN mvsrc_sql3 b ON a.id = b.id GROUP BY a.g", "unsupported source")
+      "JOIN mvsrc_sql3 b ON a.id = b.id GROUP BY a.g", "qualified column")
     bad("CREATE MATERIALIZED VIEW b6 AS SELECT g, v FROM mvsrc_sql3", "not an aggregate")
     bad("CREATE MATERIALIZED VIEW b7 AS SELECT g, sum(nope) FROM mvsrc_sql3 GROUP BY g",
       "not in source")
@@ -239,5 +241,90 @@ class MvSqlSpec extends SparkSpec {
     DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv9")
       .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
     assertSameRows(spark.sql("SELECT g, row_count, min_v, max_v FROM mv9"), expect())
+  }
+
+  // ---- join views through the DDL --------------------------------------
+
+  private def mkJoinSources(f: String, d: String): (Icebox, Icebox) = {
+    val fact = Icebox(tmpDir(f))
+    fact.append((1 to 80).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    fact.registerView(spark, f)
+    val dim = Icebox(tmpDir(d))
+    dim.append((0 to 4).map(k => (k, s"seg${k % 2}")).toDF("k", "seg"))
+    dim.registerView(spark, d)
+    (fact, dim)
+  }
+
+  test("CREATE over an inner equi-join maintains incrementally through both sides") {
+    DmlSql.setWarehouse(tmpDir("mvwh10"))
+    val (fact, dim) = mkJoinSources("mvjf1", "mvjd1")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvj1 AS SELECT seg, count(*), sum(v) " +
+      "FROM mvjf1 JOIN mvjd1 ON mvjf1.fk = mvjd1.k GROUP BY seg")
+      .collect().head.getString(0) shouldBe "create-mv:FullBuild"
+    def expect() = fact.read(spark).join(dim.read(spark), $"fk" === $"k")
+      .groupBy("seg").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(spark.sql("SELECT g.* FROM mvj1 g"), expect())
+    // mutate BOTH sides, refresh once: must take the delta path
+    fact.append((81 to 100).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "fk", "v"))
+    dim.deleteByKeys(Seq(4).toDF("k"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvj1")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT g.* FROM mvj1 g"), expect())
+    // definition survives a fresh handle (properties-only REFRESH)
+    spark.catalog.dropTempView("mvj1")
+    fact.append(Seq((101L, 2, 7L)).toDF("id", "fk", "v"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvj1")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT g.* FROM mvj1 g"), expect())
+  }
+
+  test("join definitions validate loudly: outer joins, MIN/MAX, ambiguity, bad ON") {
+    DmlSql.setWarehouse(tmpDir("mvwh11"))
+    mkJoinSources("mvjf2", "mvjd2")
+    def bad(sql: String, fragment: String): Unit = {
+      val e = intercept[RuntimeException](DmlSql.run(spark, sql))
+      e.getMessage should include(fragment)
+    }
+    bad("CREATE MATERIALIZED VIEW j1 AS SELECT seg, sum(v) FROM mvjf2 " +
+      "LEFT JOIN mvjd2 ON mvjf2.fk = mvjd2.k GROUP BY seg", "INNER equi-joins")
+    bad("CREATE MATERIALIZED VIEW j2 AS SELECT seg, min(v) FROM mvjf2 " +
+      "JOIN mvjd2 ON mvjf2.fk = mvjd2.k GROUP BY seg", "MIN/MAX over a join")
+    bad("CREATE MATERIALIZED VIEW j3 AS SELECT seg, sum(v) FROM mvjf2 " +
+      "JOIN mvjd2 ON mvjf2.fk < mvjd2.k GROUP BY seg", "AND of column")
+    bad("CREATE MATERIALIZED VIEW j4 AS SELECT seg, sum(v) FROM mvjf2 " +
+      "JOIN mvjd2 ON fk = k GROUP BY seg", "must be qualified")
+    bad("CREATE MATERIALIZED VIEW j5 AS SELECT seg, sum(v) FROM mvjf2 CROSS JOIN mvjd2 " +
+      "GROUP BY seg", "join without ON")
+    // non-join column collision: both sides expose 'v'
+    val clash = Icebox(tmpDir("mvjd2c"))
+    import spark.implicits._
+    clash.append((0 to 4).map(k => (k, k * 100L)).toDF("k", "v"))
+    clash.registerView(spark, "mvjd2c")
+    bad("CREATE MATERIALIZED VIEW j6 AS SELECT k, sum(v) FROM mvjf2 " +
+      "JOIN mvjd2c ON mvjf2.fk = mvjd2c.k GROUP BY k", "ambiguous columns")
+  }
+
+  test("SHOW MATERIALIZED VIEWS names both join sources; maintenance tick refreshes a join view") {
+    val wh = tmpDir("mvwh12")
+    DmlSql.setWarehouse(wh)
+    val (fact, dim) = mkJoinSources("mvjf3", "mvjd3")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvj3 AS SELECT seg, count(*), sum(v) " +
+      "FROM mvjf3 JOIN mvjd3 ON mvjf3.fk = mvjd3.k GROUP BY seg")
+    val row = DmlSql.run(spark, "SHOW MATERIALIZED VIEWS")
+      .filter($"name" === "mvj3").collect().head
+    row.getAs[String]("source") shouldBe "mvjf3 JOIN mvjd3"
+    // the shared properties-driven entry point (TableService tick /
+    // streaming hook) routes join definitions to refreshJoin
+    fact.append(Seq((200L, 1, 5000L)).toDF("id", "fk", "v"))
+    val tgt = Icebox(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), "_mv/mvj3").toString)
+    graft.operators.MaterializedView.refreshFromProperties(spark, tgt) shouldBe
+      Some(graft.operators.MaterializedView.Incremental)
+    assertSameRows(tgt.read(spark),
+      fact.read(spark).join(dim.read(spark), $"fk" === $"k")
+        .groupBy("seg").agg(count(lit(1)).as("row_count"),
+          sum($"v").as("sum_v"), count($"v").as("nn_v")))
   }
 }

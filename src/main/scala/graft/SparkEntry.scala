@@ -607,6 +607,35 @@ object SparkEntry {
         col("nn_o_totalprice"))
     }),
 
+    // COUNT(DISTINCT c) materialized-view column via BOUNDED TOUCHED-
+    // GROUP RECOMPUTE (the MIN/MAX machinery generalized): a key-delete
+    // may remove a group's last carrier of a value, which delta
+    // arithmetic cannot express — so each refresh re-counts distincts
+    // for only the touched groups, reading only the stats/bloom-pruned
+    // source files that might hold those keys. Refresh must be
+    // INCREMENTAL (asserted); counts and sums ride the usual delta path.
+    "q_mv_distinct" -> ((s, dir) => {
+      graft.sql.DmlSql.setWarehouse(tmp("qmvd_wh"))
+      val src = Icebox(tmp("qmvd_src"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_suppkey"))
+      src.append(li.filter(col("l_orderkey") % 2 === 0))
+      src.registerView(s, "qmvd_lineitem")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvd AS
+          |SELECT l_returnflag, count(*), count(DISTINCT l_suppkey)
+          |FROM qmvd_lineitem GROUP BY l_returnflag""".stripMargin)
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      src.deleteByKeys(li.filter(col("l_orderkey") % 10 === 3)
+        .select("l_orderkey").distinct())
+      val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmvd")
+        .head.getString(0)
+      require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
+      s.sql("SELECT * FROM qmvd").select(col("l_returnflag"), col("row_count"),
+        col("nd_l_suppkey"))
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -1994,6 +2023,15 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 <> 2 AND c_custkey % 10 <> 6
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // distinct supplier count over the final state — the full recompute
+    // the touched-group path must land on exactly (deleted orderkeys may
+    // remove a group's last carrier of a suppkey)
+    "q_mv_distinct" ->
+      """SELECT l_returnflag, count(*) AS row_count,
+        |       count(DISTINCT l_suppkey) AS nd_l_suppkey
+        |FROM lineitem WHERE l_orderkey % 10 <> 3
+        |GROUP BY l_returnflag""".stripMargin,
 
     // filtered final state after the append + key-delete cycle (rows
     // deleted from the source drop out of the WHERE'd aggregate)

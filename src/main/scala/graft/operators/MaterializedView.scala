@@ -16,14 +16,15 @@ import graft.table.Icebox
   * requested column `c`: `sum_c` (SUM(c), null when the group holds no
   * non-null c — incremental arithmetic tracks this via `nn_c` = COUNT(c))
   * and `nn_c`. AVG derives as sum/nn. MIN/MAX (`min_c`/`max_c` for each
-  * column in `minmaxs`) are NOT delta-maintainable under deletes — a
-  * deleted extremum needs the group re-read — so they are maintained by
-  * BOUNDED TOUCHED-GROUP RECOMPUTE: each refresh re-aggregates min/max
-  * for only the groups the change touched, reading only the source files
-  * that might hold those group keys ([[Icebox.readForKeys]] stats/bloom
-  * pruning, pinned to the cursor's snapshot). Cost is O(touched groups'
-  * files), never O(source) — and untouched groups' extrema are carried
-  * from the target unchanged.
+  * column in `minmaxs`) and COUNT(DISTINCT c) (`nd_c` for each column in
+  * `distincts`) are NOT delta-maintainable under deletes — a deleted
+  * extremum or distinct value needs the group re-read — so they are
+  * maintained by BOUNDED TOUCHED-GROUP RECOMPUTE: each refresh
+  * re-aggregates them for only the groups the change touched, reading
+  * only the source files that might hold those group keys
+  * ([[Icebox.readForKeys]] stats/bloom pruning, pinned to the cursor's
+  * snapshot). Cost is O(touched groups' files), never O(source) — and
+  * untouched groups' values are carried from the target unchanged.
   *
   * An optional `where` predicate (SQL text over source columns) filters
   * both the full build and every change diff before aggregation. This is
@@ -132,7 +133,8 @@ object MaterializedView {
           props.get("mv.where").filter(_.nonEmpty))
       case None =>
         refresh(spark, Icebox(srcDir), target, id, keys.split(',').toSeq,
-          list("mv.sums"), props.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"))
+          list("mv.sums"), props.get("mv.where").filter(_.nonEmpty),
+          list("mv.minmaxs"), list("mv.distincts"))
     }
   }
 
@@ -143,7 +145,7 @@ object MaterializedView {
     */
   def refresh(spark: SparkSession, source: Icebox, target: Icebox, mvId: String,
       keys: Seq[String], sums: Seq[String], where: Option[String] = None,
-      minmaxs: Seq[String] = Nil): Mode = {
+      minmaxs: Seq[String] = Nil, distincts: Seq[String] = Nil): Mode = {
     require(mvId.nonEmpty && !mvId.contains(":"), s"mvId must be non-empty without ':' (got '$mvId')")
     require(keys.nonEmpty, "materialized view needs at least one group key")
     val srcSnap = source.currentSnapshot.getOrElse(
@@ -165,11 +167,16 @@ object MaterializedView {
 
     def filtered(df: DataFrame): DataFrame =
       where.map(w => df.filter(expr(w))).getOrElse(df)
-    def mmAggs: Seq[Column] = minmaxs.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // aggregates that are NOT delta-maintainable under deletes: maintained
+    // by bounded touched-group recompute (min/max extrema, distinct counts)
+    def recompAggs: Seq[Column] =
+      minmaxs.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        distincts.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    def recompCols: Seq[String] =
+      minmaxs.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ distincts.map(c => s"nd_$c")
     def fullAggs: Seq[Column] =
       (count(lit(1)).as("row_count") +: sums.flatMap(c =>
-        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))) ++ mmAggs
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))) ++ recompAggs
 
     def fullBuild(): Mode = {
       val df = filtered(source.read(spark)).groupBy(keys.map(col): _*)
@@ -185,11 +192,11 @@ object MaterializedView {
           try filtered(source.changeDiff(spark, from, srcHead))
           catch { case _: Exception => return fullBuild() } // cursor expired on source
         applyDelta(spark, target, opPrefix(mvId) + srcHead, tgtHead, diff, keys,
-          sums, minmaxs,
+          sums, recompCols,
           touched => filtered(source.readForKeysAt(spark, touched, Some(srcSnap)))
             .join(touched, keys, "left_semi")
-            .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*),
-          () => refresh(spark, source, target, mvId, keys, sums, where, minmaxs))
+            .groupBy(keys.map(col): _*).agg(recompAggs.head, recompAggs.tail: _*),
+          () => refresh(spark, source, target, mvId, keys, sums, where, minmaxs, distincts))
     }
   }
 
@@ -292,7 +299,7 @@ object MaterializedView {
     */
   private def applyDelta(spark: SparkSession, target: Icebox, op: String,
       tgtHead: Long, diff: DataFrame, keys: Seq[String], sums: Seq[String],
-      minmaxs: Seq[String], minmaxRecompute: DataFrame => DataFrame,
+      recompCols: Seq[String], recompute: DataFrame => DataFrame,
       onSuperseded: () => Mode): Mode = {
         val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
         val ins = col("_change_type") === "insert"
@@ -322,18 +329,17 @@ object MaterializedView {
         // current values of TOUCHED groups only (semi-join keeps the scan's
         // shuffle at O(touched); stats/bloom pruning applies when declared)
         val cur = target.read(spark).join(touched, keys, "left_semi")
-          .drop(minmaxs.flatMap(c => Seq(s"min_$c", s"max_$c")): _*)
+          .drop(recompCols: _*)
         var merged = delta.join(cur, keys, "left")
-        val mmCols = if (minmaxs.isEmpty) Nil else {
-          // bounded touched-group recompute: min/max re-aggregated from the
-          // head-state rows of ONLY the touched groups, scanning only the
-          // source files that might hold those keys (stats/bloom pruned,
-          // pinned to the cursor's snapshot)
-          val mm = minmaxRecompute(touched)
+        val mmCols = if (recompCols.isEmpty) Nil else {
+          // bounded touched-group recompute: non-delta-maintainable
+          // aggregates (min/max extrema, distinct counts) re-aggregated
+          // from the head-state rows of ONLY the touched groups, scanning
+          // only the source files that might hold those keys (stats/bloom
+          // pruned, pinned to the cursor's snapshot)
+          val mm = recompute(touched)
           merged = merged.join(mm, keys, "left")
-          minmaxs.flatMap(c => Seq(
-            col(s"min_$c").cast(tpe(s"min_$c")).as(s"min_$c"),
-            col(s"max_$c").cast(tpe(s"max_$c")).as(s"max_$c")))
+          recompCols.map(c => col(c).cast(tpe(c)).as(c))
         }
         val newCnt = (coalesce(col("row_count"), lit(0L)) + col("__dcnt")).as("row_count")
         val valueCols = sums.flatMap { c =>

@@ -30,9 +30,10 @@ import graft.table.Icebox
   * the change diff with the same predicate — with aggregates drawn from
   * `COUNT(*)` / `SUM(c)` / `COUNT(c)` / `AVG(c)` / `MIN(c)` / `MAX(c)`.
   * AVG rides as sum/nn and the registered view exposes the derived
-  * `avg_<c>`; MIN/MAX (single-table only) are maintained by bounded
-  * touched-group recompute (stats/bloom-pruned source re-read of only
-  * the changed groups — see [[graft.operators.MaterializedView]]).
+  * `avg_<c>`; MIN/MAX and COUNT(DISTINCT c) (single-table only) are
+  * maintained by bounded touched-group recompute (stats/bloom-pruned
+  * source re-read of only the changed groups — see
+  * [[graft.operators.MaterializedView]]).
   * Anything else (outer joins, HAVING, DISTINCT, other aggregates)
   * errors LOUDLY at CREATE time rather than silently degrading to full
   * recomputation. The view's columns are the canonical maintenance
@@ -70,7 +71,7 @@ object MvSql {
   private[graft] final case class MvDef(source: String, keys: Seq[String],
       sums: Seq[String], avgs: Seq[String] = Nil, where: Option[String] = None,
       minmaxs: Seq[String] = Nil, source2: Option[String] = None,
-      joinOn: Seq[(String, String)] = Nil)
+      joinOn: Seq[(String, String)] = Nil, distincts: Seq[String] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -105,15 +106,19 @@ object MvSql {
         a.nameParts.head
       case other => fail(s"group key must be a plain column, got $other")
     }
-    // an aggregate call: Some(fn, argColumn or None-for-star/literal)
-    def aggCall(e: Expression): Option[(String, Option[String])] = e match {
+    // an aggregate call: Some(fn, argColumn or None-for-star/literal,
+    // isDistinct). Only COUNT supports DISTINCT (maintained as nd_c by
+    // touched-group recompute).
+    def aggCall(e: Expression): Option[(String, Option[String], Boolean)] = e match {
       case f: UnresolvedFunction if f.nameParts.length == 1 =>
-        if (f.isDistinct) fail("DISTINCT aggregates")
         val fn = f.nameParts.head.toLowerCase
+        if (f.isDistinct && fn != "count")
+          fail(s"DISTINCT $fn (only COUNT(DISTINCT c) is maintainable, " +
+            "via touched-group recompute)")
         f.arguments match {
-          case Seq(_: UnresolvedStar) => Some((fn, None))
-          case Seq(_: Literal) => Some((fn, None))
-          case Seq(a: UnresolvedAttribute) => Some((fn, Some(attrName(a))))
+          case Seq(_: UnresolvedStar) => Some((fn, None, f.isDistinct))
+          case Seq(_: Literal) => Some((fn, None, f.isDistinct))
+          case Seq(a: UnresolvedAttribute) => Some((fn, Some(attrName(a)), f.isDistinct))
           case _ => fail(s"unsupported aggregate arguments in ${f.nameParts.head}")
         }
       case _ => None
@@ -176,29 +181,33 @@ object MvSql {
         val sums = scala.collection.mutable.ListBuffer[String]()
         val avgs = scala.collection.mutable.ListBuffer[String]()
         val minmaxs = scala.collection.mutable.ListBuffer[String]()
+        val distincts = scala.collection.mutable.ListBuffer[String]()
         aggExprs.map(strip).foreach {
           case a: UnresolvedAttribute =>
             if (!keys.contains(attrName(a))) fail(
               s"non-aggregate column '${a.name}' not in GROUP BY")
           case e => aggCall(e) match {
-            case Some(("count", _)) => () // row_count / nn_c: always maintained
-            case Some(("sum", Some(c))) => if (!sums.contains(c)) sums += c
-            case Some(("avg" | "mean", Some(c))) =>
+            case Some(("count", Some(c), true)) =>
+              if (!distincts.contains(c)) distincts += c // touched-group recompute
+            case Some(("count", None, true)) => fail("COUNT(DISTINCT *)")
+            case Some(("count", _, false)) => () // row_count / nn_c: always maintained
+            case Some(("sum", Some(c), _)) => if (!sums.contains(c)) sums += c
+            case Some(("avg" | "mean", Some(c), _)) =>
               if (!sums.contains(c)) sums += c // AVG = sum_c / nn_c
               if (!avgs.contains(c)) avgs += c
-            case Some(("min" | "max", Some(c))) =>
+            case Some(("min" | "max", Some(c), _)) =>
               if (!minmaxs.contains(c)) minmaxs += c // touched-group recompute
-            case Some((fn @ ("sum" | "avg" | "mean" | "min" | "max"), None)) => fail(s"$fn(*)")
-            case Some((fn, _)) => fail(s"aggregate $fn (not incrementally " +
+            case Some((fn @ ("sum" | "avg" | "mean" | "min" | "max"), None, _)) => fail(s"$fn(*)")
+            case Some((fn, _, _)) => fail(s"aggregate $fn (not incrementally " +
               "maintainable under deletes without re-reading groups)")
             case None => fail(s"unsupported select expression $e")
           }
         }
-        if (source2.isDefined && minmaxs.nonEmpty) fail(
-          "MIN/MAX over a join (extrema recompute would re-join; " +
-          "materialize the join first, then a single-table MIN/MAX view)")
+        if (source2.isDefined && (minmaxs.nonEmpty || distincts.nonEmpty)) fail(
+          "MIN/MAX or COUNT(DISTINCT) over a join (the recompute would " +
+          "re-join; materialize the join first, then a single-table view)")
         MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList,
-          source2, joinOn)
+          source2, joinOn, distincts.toList)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -237,8 +246,8 @@ object MvSql {
           s"pairs, '${d.source}' and '${d.source2.get}' column names must be disjoint")
         lCols ++ rExposed
     }
-    val badKeys = (d.keys ++ d.sums ++ d.minmaxs ++ whereCols).distinct
-      .filterNot(visibleCols.contains)
+    val badKeys = (d.keys ++ d.sums ++ d.minmaxs ++ d.distincts ++ whereCols)
+      .distinct.filterNot(visibleCols.contains)
     if (badKeys.nonEmpty) sys.error(
       s"columns ${badKeys.mkString(", ")} not in source '${d.source}'" +
       d.source2.map(s => s" JOIN '$s'").getOrElse(""))
@@ -255,7 +264,8 @@ object MvSql {
       "mv.sums" -> d.sums.mkString(","),
       "mv.avgs" -> d.avgs.mkString(","),
       "mv.where" -> d.where.getOrElse(""),
-      "mv.minmaxs" -> d.minmaxs.mkString(",")) ++
+      "mv.minmaxs" -> d.minmaxs.mkString(","),
+      "mv.distincts" -> d.distincts.mkString(",")) ++
       src2.map(s2 => Map(
         "mv.source2.dir" -> s2.tableDir,
         "mv.source2.name" -> d.source2.get,
@@ -273,7 +283,7 @@ object MvSql {
       case Some(s2) => MaterializedView.refreshJoin(spark, src, s2, target,
         mvId(name, target), d.joinOn, d.keys, d.sums, d.where)
       case None => MaterializedView.refresh(spark, src, target,
-        mvId(name, target), d.keys, d.sums, d.where, d.minmaxs)
+        mvId(name, target), d.keys, d.sums, d.where, d.minmaxs, d.distincts)
     }
 
   /** `REFRESH MATERIALIZED VIEW name`: reload the persisted definition
@@ -307,7 +317,8 @@ object MvSql {
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
     target.removeProperties(Seq(
       "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs",
-      "mv.where", "mv.minmaxs", "mv.source2.dir", "mv.source2.name", "mv.join.on"))
+      "mv.where", "mv.minmaxs", "mv.distincts",
+      "mv.source2.dir", "mv.source2.name", "mv.join.on"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
@@ -367,7 +378,8 @@ object MvSql {
         p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"),
         p.get("mv.source2.name"),
         list("mv.join.on").map { pair =>
-          val Array(l, r) = pair.split('='); (l, r) }))
+          val Array(l, r) = pair.split('='); (l, r) },
+        list("mv.distincts")))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

@@ -231,6 +231,26 @@ class MaterializedViewSpec extends SparkSpec {
     assertSameRows(mvB.read(spark), fullAgg(src))
   }
 
+  test("COUNT(DISTINCT) rides touched-group recompute: deletes lower it, dups don't raise it") {
+    val src = Icebox(tmpDir("mvsrc8"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, (i % 8).toLong)).toDF("id", "g", "v"))
+    val mv = Icebox(tmpDir("mvtgt8"))
+    def expect() = src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), sum($"v").as("sum_v"),
+        count($"v").as("nn_v"), countDistinct($"v").as("nd_v"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"),
+      None, Nil, Seq("v")) shouldBe MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), expect())
+    // remove every carrier of v=7 from g=1 (ids 7,31,55 are g 1; v=7 ids
+    // are 7,15,23,...): delete ids where v==7 → nd drops only where the
+    // LAST carrier left; also insert duplicates that must not raise nd
+    src.deleteByKeys((1 to 60).filter(_ % 8 == 7).map(_.toLong).toDF("id"))
+    src.append(Seq((61L, 0, 2L), (62L, 1, 2L)).toDF("id", "g", "v"))
+    MaterializedView.refresh(spark, src, mv, "m", Seq("g"), Seq("v"),
+      None, Nil, Seq("v")) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), expect())
+  }
+
   // ---- join views: Δ(A⋈B) = ΔA⋈B₂ + A₁⋈ΔB ------------------------------
 
   /** fact(id, fk, v) ⋈ dim(k, g) on fk = k, grouped by the dim's g. */

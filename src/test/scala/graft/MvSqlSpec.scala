@@ -81,8 +81,10 @@ class MvSqlSpec extends SparkSpec {
     // analysis-time concept), so they fail the top-level-shape check
     bad("CREATE MATERIALIZED VIEW b3 AS SELECT count(*) FROM mvsrc_sql3",
       "not an aggregate")
-    bad("CREATE MATERIALIZED VIEW b4 AS SELECT g, count(DISTINCT v) FROM mvsrc_sql3 GROUP BY g",
-      "DISTINCT")
+    // COUNT(DISTINCT c) is maintainable (touched-group recompute); other
+    // DISTINCT aggregates are not
+    bad("CREATE MATERIALIZED VIEW b4 AS SELECT g, sum(DISTINCT v) FROM mvsrc_sql3 GROUP BY g",
+      "DISTINCT sum")
     // joins are supported, but keys/aggregates reference the joined row
     // UNQUALIFIED (the maintained schema has no qualifiers)
     bad("CREATE MATERIALIZED VIEW b5 AS SELECT a.g, sum(a.v) FROM mvsrc_sql3 a " +
@@ -243,6 +245,29 @@ class MvSqlSpec extends SparkSpec {
     assertSameRows(spark.sql("SELECT g, row_count, min_v, max_v FROM mv9"), expect())
   }
 
+  test("COUNT(DISTINCT c) maintains nd_ via touched-group recompute") {
+    DmlSql.setWarehouse(tmpDir("mvwh13"))
+    val src = Icebox(tmpDir("mvsrc_sql13"))
+    // v repeats within groups so distinct-count differs from row-count
+    src.append((1 to 90).map(i => (i.toLong, i % 3, (i % 10).toLong))
+      .toDF("id", "g", "v"))
+    src.registerView(spark, "mvsrc_sql13")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv13 AS SELECT g, count(*), count(DISTINCT v) " +
+      "FROM mvsrc_sql13 GROUP BY g")
+    def expect() = src.read(spark).groupBy("g")
+      .agg(count(lit(1)).as("row_count"), countDistinct($"v").as("nd_v"))
+    assertSameRows(spark.sql("SELECT g, row_count, nd_v FROM mv13"), expect())
+    // delete EVERY row carrying v=9 (ids 9,19,...,89): delta arithmetic
+    // cannot lower a distinct count — the touched-group recompute must
+    src.deleteByKeys((1 to 90).filter(_ % 10 == 9).map(_.toLong).toDF("id"))
+    // and append a DUPLICATE value into g=0: row_count moves, nd_v doesn't
+    src.append(Seq((91L, 0, 5L)).toDF("id", "g", "v"))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv13")
+      .collect().head.getString(0) shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT g, row_count, nd_v FROM mv13"), expect())
+  }
+
   // ---- join views through the DDL --------------------------------------
 
   private def mkJoinSources(f: String, d: String): (Icebox, Icebox) = {
@@ -290,7 +315,7 @@ class MvSqlSpec extends SparkSpec {
     bad("CREATE MATERIALIZED VIEW j1 AS SELECT seg, sum(v) FROM mvjf2 " +
       "LEFT JOIN mvjd2 ON mvjf2.fk = mvjd2.k GROUP BY seg", "INNER equi-joins")
     bad("CREATE MATERIALIZED VIEW j2 AS SELECT seg, min(v) FROM mvjf2 " +
-      "JOIN mvjd2 ON mvjf2.fk = mvjd2.k GROUP BY seg", "MIN/MAX over a join")
+      "JOIN mvjd2 ON mvjf2.fk = mvjd2.k GROUP BY seg", "over a join")
     bad("CREATE MATERIALIZED VIEW j3 AS SELECT seg, sum(v) FROM mvjf2 " +
       "JOIN mvjd2 ON mvjf2.fk < mvjd2.k GROUP BY seg", "AND of column")
     bad("CREATE MATERIALIZED VIEW j4 AS SELECT seg, sum(v) FROM mvjf2 " +

@@ -13,13 +13,17 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr, L2SqExpr, VectorEx
   * Equivalent to calling `VectorExpressions.register(spark)` per session,
   * but injected at session build time so pure-SQL users (thrift server,
   * notebooks) get `graft_cosine`/`graft_dot`/`graft_l2sq` with no Scala
-  * code. This is also where a future custom `Rule[LogicalPlan]` or
-  * `SparkStrategy` would be injected (`injectOptimizerRule` /
-  * `injectPlannerStrategy`) — nothing in the current operator set needs
-  * one: every operator composes from builtins + these expressions.
+  * code — plus the MATERIALIZED-VIEW REWRITE optimizer rule
+  * ([[graft.sql.MvRewriteRule]]): `SELECT k, sum(v) FROM t GROUP BY k`
+  * is answered from a fresh subsuming view with no query change (off
+  * switch: `SET spark.graft.mv.rewrite.enabled=false`; a no-op until
+  * `DmlSql.setWarehouse` names a view warehouse). Sessions built
+  * without extensions get the same rule via
+  * [[graft.sql.MvRewrite.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(spark => new graft.sql.MvRewriteRule(spark))
     ext.injectFunction((
       FunctionIdentifier(VectorExpressions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, VectorExpressions.CosineName),

@@ -636,6 +636,89 @@ object SparkEntry {
         col("nd_l_suppkey"))
     }),
 
+    // Transparent AGGREGATE REWRITE: a GROUP BY query over the base
+    // table is answered from a registered materialized view by ROLLUP —
+    // the query's single key is a subset of the view's two, so counts/
+    // sums re-sum and AVG re-derives as Σsum/Σnn from the view's k rows
+    // instead of scanning the source. Freshness is load-bearing and
+    // asserted both ways: after the source advances past the view's
+    // cursor the rewrite REFUSES (None — a stale view is never silently
+    // served), and after REFRESH it engages again naming the view. The
+    // rewritten result must equal the oracle's direct aggregate.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val wh = tmp("qmvrw_wh")
+      graft.sql.DmlSql.setWarehouse(wh)
+      val src = Icebox(tmp("qmvrw_src"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"))
+      src.append(li.filter(col("l_orderkey") % 2 === 0))
+      src.registerView(s, "qmvrw_lineitem")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvrw AS
+          |SELECT l_returnflag, l_linestatus, count(*), sum(l_quantity)
+          |FROM qmvrw_lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      val rollup =
+        """SELECT l_returnflag, count(*), sum(l_quantity), avg(l_quantity)
+          |FROM qmvrw_lineitem GROUP BY l_returnflag""".stripMargin
+      // source advances -> the view is STALE -> rewrite must refuse
+      src.append(li.filter(col("l_orderkey") % 2 === 1))
+      require(graft.sql.MvSql.answer(s, rollup, wh).isEmpty,
+        "stale view must not serve the rewrite")
+      graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmvrw")
+      val (served, df) = graft.sql.MvSql.answer(s, rollup, wh)
+        .getOrElse(sys.error("fresh subsuming view must serve the rewrite"))
+      require(served == "qmvrw", s"expected view qmvrw to serve, got $served")
+      df.select(col("l_returnflag"), col("row_count"),
+        round(col("sum_l_quantity").cast("double"), 2).as("sum_l_quantity"),
+        col("nn_l_quantity"),
+        round(col("avg_l_quantity").cast("double"), 4).as("avg_l_quantity"))
+    }),
+
+    // CATALYST-LEVEL materialized-view rewrite: the SAME `spark.sql`
+    // text — no API, no hint — is answered from the view because the
+    // optimizer rule (MvRewriteRule via spark.experimental) recognizes a
+    // fresh subsuming view over the scanned table+snapshot and swaps the
+    // full-table aggregate for a k-row view read with the original
+    // output schema (names, types, exprIds) intact. Engagement is
+    // PROVEN: every input file of the served plan lives under the view
+    // warehouse's _mv directory (asserted), and the values must equal
+    // the oracle's direct aggregate. The result is collected before the
+    // rule is uninstalled, keeping the rewrite scoped to this query.
+    "q_mv_catalyst" -> ((s, dir) => {
+      val wh = tmp("qmvcat_wh")
+      graft.sql.DmlSql.setWarehouse(wh)
+      val src = Icebox(tmp("qmvcat_src"))
+      // integer-valued doubles (quantities): float-exact at any grouping,
+      // so the rewrite/oracle comparison is bit-deterministic
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      src.append(li)
+      src.registerView(s, "qmvcat_lineitem")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvcat AS
+          |SELECT l_returnflag, l_linestatus, count(*), sum(l_quantity)
+          |FROM qmvcat_lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      graft.sql.MvRewrite.install(s)
+      try {
+        val served = s.sql(
+          """SELECT l_returnflag, count(*) AS row_count,
+            |       sum(l_quantity) AS sum_l_quantity,
+            |       avg(l_quantity) AS avg_l_quantity
+            |FROM qmvcat_lineitem GROUP BY l_returnflag""".stripMargin)
+        require(served.inputFiles.nonEmpty && served.inputFiles.forall(_.contains("/_mv/")),
+          s"optimizer rewrite must serve from the view, scanned: " +
+            served.inputFiles.take(3).mkString(","))
+        val out = served.select(col("l_returnflag"), col("row_count"),
+          round(col("sum_l_quantity").cast("double"), 2).as("sum_l_quantity"),
+          round(col("avg_l_quantity").cast("double"), 4).as("avg_l_quantity"))
+        // materialize while the rule is active, then restore the session
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+      } finally graft.sql.MvRewrite.uninstall(s)
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -2023,6 +2106,24 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 <> 2 AND c_custkey % 10 <> 6
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the optimizer-served rollup must equal the direct single-key
+    // aggregate (integer-valued quantities: float-exact on both engines)
+    "q_mv_catalyst" ->
+      """SELECT l_returnflag, count(*) AS row_count,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_l_quantity,
+        |       round(CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity), 4) AS avg_l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the rollup the rewrite must reproduce from the view's rows: the
+    // full-table single-key aggregate (both halves ingested by then)
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS row_count,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_l_quantity,
+        |       count(l_quantity) AS nn_l_quantity,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |             / count(l_quantity), 4) AS avg_l_quantity
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // distinct supplier count over the final state — the full recompute
     // the touched-group path must land on exactly (deleted orderkeys may

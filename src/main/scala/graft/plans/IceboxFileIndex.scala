@@ -34,6 +34,13 @@ final class IceboxFileIndex(
 
   private val files: Seq[DataFile] = snap.files
 
+  /** Identity for plan-level matching (e.g. the MV rewrite rule): which
+    * table this relation reads, pinned at which snapshot.
+    */
+  private[graft] def tableDirString: String = tableDir
+  private[graft] def snapshotId: Long = snap.id
+  private[graft] def snapshotSchemaJson: String = snap.schemaJson
+
   override def rootPaths: Seq[HPath] = Seq(new HPath(s"$tableDir/data"))
 
   override def refresh(): Unit = ()

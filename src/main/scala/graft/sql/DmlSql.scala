@@ -50,6 +50,11 @@ object DmlSql {
   /** Warehouse root for CTAS targets issued through [[run]]. */
   def setWarehouse(dir: String): Unit = warehouseRef.set(dir)
 
+  /** The session-global MV warehouse, if one was set — consulted by the
+    * optimizer-level materialized-view rewrite ([[MvRewriteRule]]).
+    */
+  def currentWarehouse: Option[String] = Option(warehouseRef.get)
+
   private def mvWarehouse(): String = Option(warehouseRef.get).getOrElse(
     sys.error("materialized-view DDL through run() needs DmlSql.setWarehouse(dir) first"))
 

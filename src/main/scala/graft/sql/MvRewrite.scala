@@ -1,0 +1,273 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, max, min, sum}
+import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
+import graft.operators.MaterializedView
+import graft.plans.IceboxFileIndex
+import graft.table.Icebox
+
+/** Transparent materialized-view rewrite as a CATALYST OPTIMIZER RULE —
+  * `spark.sql("SELECT k, sum(v) FROM t GROUP BY k")` over a registered
+  * Icebox table is answered from a FRESH subsuming materialized view
+  * with no query change at all (the planner-integrated flavor of
+  * [[MvSql.answer]]; Calcite's materialized-view substitution on
+  * Spark's own extension point).
+  *
+  * Install per session with [[MvRewrite.install]] (or cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions`); disable any time with
+  * `SET spark.graft.mv.rewrite.enabled=false`.
+  *
+  * The rule fires only on plans it can CERTIFY as a plain aggregate of
+  * one Icebox table read at one pinned snapshot:
+  *
+  *  - the scan subtree must be `[Project(attr/alias-only)] ⇄ [Filter]`
+  *    over a single `LogicalRelation(IceboxFileIndex)` — the shape
+  *    [[graft.plans.IceboxFileIndex.readSnapshot]] emits when no
+  *    merge-on-read deletes are pending (pending-delete plans carry
+  *    anti-joins and are conservatively left alone);
+  *  - grouping keys are plain columns ⊆ the view's keys (a strict
+  *    subset ROLLS UP: Σrow_count, Σsum, Σnn, re-extremized min/max,
+  *    AVG re-derived as Σsum/Σnn — decimal AVG is skipped because
+  *    Spark's Average carries its own decimal scale arithmetic);
+  *  - aggregates are COUNT(*)/COUNT(c)/SUM(c)/MIN(c)/MAX(c)/AVG(c) /
+  *    COUNT(DISTINCT c) (exact key set only) over bare columns, no
+  *    FILTER clauses;
+  *  - any residual Filter references view KEY columns only (it then
+  *    filters the view's rows);
+  *  - FRESHNESS, doubly pinned: the relation's snapshot must BE the
+  *    source's current head, and the view's exactly-once cursor must
+  *    sit at that same head — a stale view or a time-travel read is
+  *    never rewritten.
+  *
+  * The replacement keeps the original output exactly: each column is
+  * cast to the original attribute's type and re-aliased under the
+  * original name AND exprId, so parent operators are untouched. Sum
+  * types stay consistent under ANSI: the stored `sum_c` already carries
+  * SUM's widened type, and the rollup's re-widening casts back to the
+  * exact type the original aggregate would have produced (overflow
+  * throws in precisely the cases the original would throw).
+  *
+  * At 100 TB the rewrite turns a full-table aggregate into a k-row read
+  * of the view — and because it sits in the optimizer, EVERY surface
+  * (spark.sql, notebooks, BI dashboards emitting SQL) gets it for free.
+  */
+final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.get("spark.graft.mv.rewrite.enabled", "true") != "true") return plan
+    val wh = DmlSql.currentWarehouse.getOrElse(return plan)
+    plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg, wh).getOrElse(agg)
+    }
+  }
+
+  /** One supported output column of the aggregate: the original output
+    * attribute, how to compute it from the view (exact-key form and
+    * rollup form), and which canonical view columns it needs.
+    */
+  private final case class OutSpec(orig: Attribute, exact: Column,
+      rollup: Option[Column], isKey: Boolean, needs: Seq[String])
+
+  private def tryRewrite(agg: Aggregate, warehouse: String): Option[LogicalPlan] = {
+    val (filters, projList, index) = unwrapScan(agg.child).getOrElse(return None)
+    // physical→logical name map from the snapshot schema (project aliases
+    // re-map too, but a filter pushed below a pruned projection can
+    // reference relation attrs the projection no longer carries)
+    val snapSchema = DataType.fromJson(index.snapshotSchemaJson).asInstanceOf[StructType]
+    val physToLogical = snapSchema.fields.map(f => Icebox.physicalName(f) -> f.name).toMap
+    val idToLogical: Map[Long, String] = projList.flatMap {
+      case a @ Alias(ar: AttributeReference, n) => Seq(ar.exprId.id -> n, a.exprId.id -> n)
+      case ar: AttributeReference => Seq(ar.exprId.id -> logicalOf(ar.name, physToLogical))
+      case _ => Nil
+    }.toMap
+    def nameOf(a: AttributeReference): Option[String] =
+      idToLogical.get(a.exprId.id).orElse(Some(logicalOf(a.name, physToLogical)))
+
+    // group keys: plain columns only
+    val keys = agg.groupingExpressions.map {
+      case ar: AttributeReference => nameOf(ar).getOrElse(return None)
+      case _ => return None
+    }
+    // filters must reference key columns only (checked against the view below)
+    val filterNames = filters.flatMap(_.collect { case ar: AttributeReference =>
+      nameOf(ar).getOrElse(return None) })
+
+    // classify every output expression
+    var hasDistinct = false
+    val specs: Seq[OutSpec] = agg.aggregateExpressions.map {
+      case ar: AttributeReference =>
+        val k = nameOf(ar).getOrElse(return None)
+        if (!keys.contains(k)) return None
+        OutSpec(ar, col(k), None, isKey = true, Nil)
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.filter.isDefined) return None
+        def c0(e: Expression): Option[String] = e match {
+          case ar: AttributeReference => nameOf(ar)
+          case _ => None
+        }
+        val (exact, rollup, needs): (Column, Option[Column], Seq[String]) =
+          ae.aggregateFunction match {
+            case Count(Seq(_: Literal)) if !ae.isDistinct =>
+              (col("row_count"), Some(sum(col("row_count"))), Seq("row_count"))
+            case Count(Seq(e)) if !ae.isDistinct =>
+              val n = c0(e).getOrElse(return None)
+              (col(s"nn_$n"), Some(sum(col(s"nn_$n"))), Seq(s"nn_$n"))
+            case Count(Seq(e)) if ae.isDistinct =>
+              hasDistinct = true
+              val n = c0(e).getOrElse(return None)
+              (col(s"nd_$n"), None, Seq(s"nd_$n")) // exact keys only
+            case Sum(e, _) =>
+              val n = c0(e).getOrElse(return None)
+              (col(s"sum_$n"), Some(sum(col(s"sum_$n"))), Seq(s"sum_$n"))
+            case Min(e) =>
+              val n = c0(e).getOrElse(return None)
+              (col(s"min_$n"), Some(min(col(s"min_$n"))), Seq(s"min_$n"))
+            case Max(e) =>
+              val n = c0(e).getOrElse(return None)
+              (col(s"max_$n"), Some(max(col(s"max_$n"))), Seq(s"max_$n"))
+            case Average(e, _) if !e.dataType.isInstanceOf[DecimalType] =>
+              val n = c0(e).getOrElse(return None)
+              ((col(s"sum_$n") / col(s"nn_$n")),
+                Some(sum(col(s"sum_$n")) / sum(col(s"nn_$n"))),
+                Seq(s"sum_$n", s"nn_$n"))
+            case _ => return None
+          }
+        OutSpec(al.toAttribute, exact, rollup, isKey = false, needs)
+      case _ => return None
+    }
+
+    // find a fresh subsuming view over this exact table+snapshot
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .view.flatMap { d =>
+        serveFrom(Icebox(d.toString), index, keys, filterNames, specs,
+          hasDistinct, filters, idToLogical, physToLogical)
+      }.headOption
+  }
+
+  /** `[Project(attrs/aliases)] ⇄ [Filter]` over one Icebox relation —
+    * the certifiable no-pending-deletes read shape. Returns (filters,
+    * projection list, index).
+    */
+  private def unwrapScan(plan: LogicalPlan)
+      : Option[(Seq[Expression], Seq[NamedExpression], IceboxFileIndex)] = {
+    def relOf(p: LogicalPlan): Option[IceboxFileIndex] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case i: IceboxFileIndex => Some(i)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    def attrsOnly(pl: Seq[NamedExpression]): Boolean = pl.forall {
+      case _: AttributeReference => true
+      case Alias(_: AttributeReference, _) => true
+      case _ => false
+    }
+    plan match {
+      case Project(pl, Filter(cond, r)) if attrsOnly(pl) =>
+        relOf(r).map(i => (Seq(cond), pl, i))
+      case Filter(cond, Project(pl, r)) if attrsOnly(pl) =>
+        relOf(r).map(i => (Seq(cond), pl, i))
+      case Project(pl, r) if attrsOnly(pl) => relOf(r).map(i => (Nil, pl, i))
+      case Filter(cond, r) => relOf(r).map(i => (Seq(cond), Nil, i))
+      case r => relOf(r).map(i => (Nil, Nil, i))
+    }
+  }
+
+  private def logicalOf(name: String, physToLogical: Map[String, String]): String =
+    physToLogical.getOrElse(name, name)
+
+  private def serveFrom(target: Icebox, index: IceboxFileIndex,
+      keys: Seq[String], filterNames: Seq[String], specs: Seq[OutSpec],
+      hasDistinct: Boolean, filters: Seq[Expression],
+      idToLogical: Map[Long, String],
+      physToLogical: Map[String, String]): Option[LogicalPlan] = {
+    val props = target.properties
+    val vdSourceDir = props.get("mv.source.dir").getOrElse(return None)
+    if (props.contains("mv.source2.dir")) return None // join views: text surface only
+    if (props.get("mv.where").exists(_.nonEmpty)) return None // filtered views: ditto
+    if (vdSourceDir != index.tableDirString) return None
+    def list(k: String) = props.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val vKeys = props.get("mv.keys").map(_.split(',').toSeq).getOrElse(return None)
+    val vSums = list("mv.sums"); val vMm = list("mv.minmaxs"); val vNd = list("mv.distincts")
+    val exactKeys = keys.toSet == vKeys.toSet
+    if (!keys.toSet.subsetOf(vKeys.toSet)) return None
+    if (hasDistinct && !exactKeys) return None
+    if (!filterNames.forall(vKeys.contains)) return None
+    // column coverage: every canonical column the specs reference must exist
+    def covered(cn: String): Boolean =
+      cn == "row_count" ||
+        (cn.startsWith("sum_") && vSums.contains(cn.stripPrefix("sum_"))) ||
+        (cn.startsWith("nn_") && vSums.contains(cn.stripPrefix("nn_"))) ||
+        (cn.startsWith("min_") && vMm.contains(cn.stripPrefix("min_"))) ||
+        (cn.startsWith("max_") && vMm.contains(cn.stripPrefix("max_"))) ||
+        (cn.startsWith("nd_") && vNd.contains(cn.stripPrefix("nd_")))
+    val referenced = specs.flatMap(_.needs)
+    if (!referenced.forall(covered)) return None
+    if (!exactKeys && specs.exists(s => !s.isKey && s.rollup.isEmpty)) return None
+    // freshness: the scanned snapshot IS the source head, and the cursor
+    // sits exactly there
+    val id = props.get("mv.id").getOrElse(return None)
+    val srcHead = Icebox(vdSourceDir).currentSnapshotId
+    if (index.snapshotId != srcHead) return None
+    if (!MaterializedView.lastRefreshedSource(target, id).contains(srcHead)) return None
+
+    // build the replacement through the DataFrame API (analysis handles
+    // type coercion), then re-align names/exprIds for the parent plan
+    var df = target.read(spark)
+    filters.foreach { cond =>
+      // re-express the predicate over the view's LOGICAL column names and
+      // round-trip through SQL text (Column-from-Expression is not a
+      // public surface; the text path re-analyzes against the view read)
+      val translated = cond.transform {
+        case ar: AttributeReference => UnresolvedAttribute(
+          idToLogical.getOrElse(ar.exprId.id, logicalOf(ar.name, physToLogical)))
+      }
+      df = df.filter(org.apache.spark.sql.functions.expr(translated.sql))
+    }
+    val tmp = specs.indices.map(i => s"__mvr_$i")
+    val projected: DataFrame =
+      if (exactKeys)
+        df.select(specs.zip(tmp).map { case (s, t) =>
+          s.exact.cast(s.orig.dataType).as(t) }: _*)
+      else {
+        val aggCols = specs.zip(tmp).collect { case (s, t) if !s.isKey =>
+          s.rollup.get.as(t) }
+        val grouped =
+          if (aggCols.isEmpty) df.select(keys.map(col): _*).distinct()
+          else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(specs.zip(tmp).map { case (s, t) =>
+          (if (s.isKey) s.exact else col(t)).cast(s.orig.dataType).as(t) }: _*)
+      }
+    val analyzed = projected.queryExecution.analyzed
+    Some(Project(analyzed.output.zip(specs).map { case (na, s) =>
+      Alias(na, s.orig.name)(exprId = s.orig.exprId) }, analyzed))
+  }
+}
+
+object MvRewrite {
+  /** Install the rewrite rule into `spark`'s optimizer (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new MvRewriteRule(spark)
+
+  /** Remove the rule again (scoped installs — e.g. a test or a single
+    * job step that shares a long-lived session).
+    */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[MvRewriteRule])
+}

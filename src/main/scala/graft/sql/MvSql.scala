@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, max, min, sum}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -71,7 +72,8 @@ object MvSql {
   private[graft] final case class MvDef(source: String, keys: Seq[String],
       sums: Seq[String], avgs: Seq[String] = Nil, where: Option[String] = None,
       minmaxs: Seq[String] = Nil, source2: Option[String] = None,
-      joinOn: Seq[(String, String)] = Nil, distincts: Seq[String] = Nil)
+      joinOn: Seq[(String, String)] = Nil, distincts: Seq[String] = Nil,
+      counts: Seq[String] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -182,6 +184,7 @@ object MvSql {
         val avgs = scala.collection.mutable.ListBuffer[String]()
         val minmaxs = scala.collection.mutable.ListBuffer[String]()
         val distincts = scala.collection.mutable.ListBuffer[String]()
+        val counts = scala.collection.mutable.ListBuffer[String]()
         aggExprs.map(strip).foreach {
           case a: UnresolvedAttribute =>
             if (!keys.contains(attrName(a))) fail(
@@ -190,7 +193,9 @@ object MvSql {
             case Some(("count", Some(c), true)) =>
               if (!distincts.contains(c)) distincts += c // touched-group recompute
             case Some(("count", None, true)) => fail("COUNT(DISTINCT *)")
-            case Some(("count", _, false)) => () // row_count / nn_c: always maintained
+            case Some(("count", Some(c), false)) =>
+              if (!counts.contains(c)) counts += c // nn_c (rides with sums)
+            case Some(("count", None, false)) => () // row_count: always maintained
             case Some(("sum", Some(c), _)) => if (!sums.contains(c)) sums += c
             case Some(("avg" | "mean", Some(c), _)) =>
               if (!sums.contains(c)) sums += c // AVG = sum_c / nn_c
@@ -207,7 +212,7 @@ object MvSql {
           "MIN/MAX or COUNT(DISTINCT) over a join (the recompute would " +
           "re-join; materialize the join first, then a single-table view)")
         MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList,
-          source2, joinOn, distincts.toList)
+          source2, joinOn, distincts.toList, counts.toList)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -265,7 +270,8 @@ object MvSql {
       "mv.avgs" -> d.avgs.mkString(","),
       "mv.where" -> d.where.getOrElse(""),
       "mv.minmaxs" -> d.minmaxs.mkString(","),
-      "mv.distincts" -> d.distincts.mkString(",")) ++
+      "mv.distincts" -> d.distincts.mkString(","),
+      "mv.counts" -> d.counts.mkString(",")) ++
       src2.map(s2 => Map(
         "mv.source2.dir" -> s2.tableDir,
         "mv.source2.name" -> d.source2.get,
@@ -317,7 +323,7 @@ object MvSql {
     if (target.exists) target.setProperties(Map("mv.epoch" -> (epoch(target) + 1).toString))
     target.removeProperties(Seq(
       "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs",
-      "mv.where", "mv.minmaxs", "mv.distincts",
+      "mv.where", "mv.minmaxs", "mv.distincts", "mv.counts",
       "mv.source2.dir", "mv.source2.name", "mv.join.on"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
@@ -363,11 +369,106 @@ object MvSql {
     */
   private def registerMvView(spark: SparkSession, name: String, target: Icebox,
       d: MvDef): Unit = {
-    import org.apache.spark.sql.functions.col
     val base = target.read(spark)
     val withAvgs = d.avgs.foldLeft(base)((df, c) =>
       df.withColumn(s"avg_$c", col(s"sum_$c") / col(s"nn_$c")))
     withAvgs.createOrReplaceTempView(name)
+  }
+
+  /** Transparent AGGREGATE REWRITE (the Calcite/Materialize move): answer
+    * a `SELECT ... GROUP BY` over a base table (or inner equi-join) from
+    * a registered materialized view instead of scanning the source, when
+    * a FRESH view subsumes the query. Subsumption:
+    *
+    *  - same source shape (table, or identical join pair set);
+    *  - query group keys ⊆ view keys — a strict subset ROLLS UP: counts
+    *    and sums re-sum, min/max re-extremize, AVG re-derives as
+    *    Σsum/Σnn (COUNT(DISTINCT) cannot roll up, so it requires the
+    *    exact key set);
+    *  - query WHERE either textually equals the view's, or (unfiltered
+    *    view) references view KEY columns only — then it filters the
+    *    view's rows, never the source;
+    *  - FRESHNESS: the view's exactly-once cursor must sit at every
+    *    source's CURRENT snapshot head — a stale view is never silently
+    *    served; the caller falls back to the source (and can REFRESH
+    *    first to re-enable the rewrite).
+    *
+    * Returns the serving view's name and the result in the canonical
+    * maintenance schema (`<keys>, row_count, sum_c, nn_c, avg_c, min_c,
+    * max_c, nd_c` as requested), or None when no registered view can
+    * answer — the query then runs against the base table as usual. At
+    * 100 TB this is the difference between a metadata-read + k-row scan
+    * of the view and a full aggregate of the source.
+    */
+  def answer(spark: SparkSession, selectText: String,
+      warehouse: String): Option[(String, DataFrame)] = {
+    val qd = try parseDefinition(spark, selectText)
+      catch { case _: Exception => return None } // not MV-shaped: no rewrite
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .view.flatMap { d =>
+        val t = Icebox(d.toString)
+        lastDef(t).flatMap(vd => rewriteWith(spark, d.getName, t, vd, qd))
+      }.headOption
+  }
+
+  private def rewriteWith(spark: SparkSession, name: String, target: Icebox,
+      vd: MvDef, qd: MvDef): Option[(String, DataFrame)] = {
+    // source identity — including the join shape — must match exactly
+    if (vd.source != qd.source || vd.source2 != qd.source2 ||
+      vd.joinOn.toSet != qd.joinOn.toSet) return None
+    val exactKeys = vd.keys.toSet == qd.keys.toSet
+    if (!qd.keys.toSet.subsetOf(vd.keys.toSet)) return None
+    if (!qd.sums.toSet.subsetOf(vd.sums.toSet)) return None
+    if (!qd.avgs.toSet.subsetOf(vd.sums.toSet)) return None // avg = Σsum/Σnn
+    if (!qd.counts.toSet.subsetOf(vd.sums.toSet)) return None // nn_c rides with sums
+    if (!qd.minmaxs.toSet.subsetOf(vd.minmaxs.toSet)) return None
+    if (!qd.distincts.toSet.subsetOf(vd.distincts.toSet)) return None
+    if (qd.distincts.nonEmpty && !exactKeys) return None // nd can't roll up
+    // WHERE: identical text, or a view-key-only predicate over an
+    // unfiltered view (applied to the view's rows)
+    val extraFilter: Option[String] = (vd.where, qd.where) match {
+      case (vw, qw) if vw == qw => None
+      case (None, Some(qw)) =>
+        val cols = spark.sessionState.sqlParser.parseExpression(qw).collect {
+          case a: UnresolvedAttribute => a.nameParts.head }
+        if (cols.forall(vd.keys.contains)) Some(qw) else return None
+      case _ => return None
+    }
+    val extraCounts = qd.counts.filterNot(qd.sums.contains)
+    // freshness: cursor at every source's current head
+    val props = target.properties
+    val id = props.get("mv.id").getOrElse(return None)
+    val fresh = vd.source2 match {
+      case None => MaterializedView.lastRefreshedSource(target, id)
+        .contains(Icebox(props("mv.source.dir")).currentSnapshotId)
+      case Some(_) => MaterializedView.lastRefreshedSources(target, id)
+        .contains((Icebox(props("mv.source.dir")).currentSnapshotId,
+          Icebox(props("mv.source2.dir")).currentSnapshotId))
+    }
+    if (!fresh) return None
+    val base0 = target.read(spark)
+    val base = extraFilter.map(f => base0.filter(expr(f))).getOrElse(base0)
+    val grouped =
+      if (exactKeys) base // one row per group already
+      else {
+        val aggs = sum(col("row_count")).as("row_count") +:
+          ((qd.sums ++ extraCounts).distinct.flatMap(c => Seq(
+            sum(col(s"sum_$c")).as(s"sum_$c"),
+            sum(col(s"nn_$c")).as(s"nn_$c"))) ++
+           qd.minmaxs.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+             max(col(s"max_$c")).as(s"max_$c"))))
+        base.groupBy(qd.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    val outCols = qd.keys.map(col) ++ Seq(col("row_count")) ++
+      qd.sums.flatMap(c => Seq(col(s"sum_$c"), col(s"nn_$c"))) ++
+      extraCounts.map(c => col(s"nn_$c")) ++
+      qd.avgs.map(c => (col(s"sum_$c") / col(s"nn_$c")).as(s"avg_$c")) ++
+      qd.minmaxs.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+      qd.distincts.map(c => col(s"nd_$c"))
+    Some((name, grouped.select(outCols: _*)))
   }
 
   private def lastDef(target: Icebox): Option[MvDef] = {
@@ -379,7 +480,7 @@ object MvSql {
         p.get("mv.source2.name"),
         list("mv.join.on").map { pair =>
           val Array(l, r) = pair.split('='); (l, r) },
-        list("mv.distincts")))
+        list("mv.distincts"), list("mv.counts")))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

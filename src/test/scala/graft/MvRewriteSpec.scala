@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import graft.sql.{DmlSql, MvRewrite}
+import graft.table.Icebox
+
+/** Optimizer-level materialized-view rewrite: plain `spark.sql`
+  * aggregates over a registered Icebox table are served from a fresh
+  * subsuming view — proven by the scan's input files — with exact
+  * output schema/value preservation, conservative refusals (stale
+  * views, non-key filters, pending merge-on-read deletes), and a kill
+  * switch.
+  */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    MvRewrite.uninstall(spark)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    super.afterAll()
+  }
+
+  private def servedFromView(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("/_mv/"))
+
+  test("spark.sql rollup is served from the view; names, types and values are preserved") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw1_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw1_src"))
+    src.append((1 to 120).map(i => (i.toLong, i % 4, i % 3, i * 10L, i * 0.5))
+      .toDF("id", "g", "h", "v", "w"))
+    src.registerView(spark, "mvrw1")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw1_view AS SELECT g, h, count(*), sum(v), sum(w), " +
+      "min(v), max(v) FROM mvrw1 GROUP BY g, h")
+    val q = "SELECT g, count(*) AS cnt, sum(v) AS sv, avg(w) AS aw, " +
+      "min(v) AS mn, max(v) AS mx FROM mvrw1 GROUP BY g"
+    val served = spark.sql(q)
+    assert(servedFromView(served), s"expected view scan, got ${served.inputFiles.toSeq}")
+    // the same text with the rule off answers from the source — results equal
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    assert(!servedFromView(direct))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    served.schema shouldBe direct.schema
+    assertSameRows(served, direct)
+  }
+
+  test("exact-key query becomes a projection: no Aggregate node survives") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw2_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw2_src"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw2")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw2_view AS SELECT g, count(*), sum(v), " +
+      "count(DISTINCT v) FROM mvrw2 GROUP BY g")
+    val q = "SELECT g, count(*) AS cnt, count(DISTINCT v) AS nd FROM mvrw2 GROUP BY g"
+    val served = spark.sql(q)
+    assert(servedFromView(served))
+    served.queryExecution.optimizedPlan.collect { case a: Aggregate => a } shouldBe empty
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assertSameRows(served, direct)
+  }
+
+  test("key filters ride the rewrite; non-key filters and uncovered aggregates refuse") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw3_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw3_src"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw3")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw3_view AS SELECT g, count(*), sum(v) FROM mvrw3 GROUP BY g")
+    val fq = spark.sql("SELECT g, sum(v) AS sv FROM mvrw3 WHERE g <> 1 GROUP BY g")
+    assert(servedFromView(fq), "key-only WHERE must still serve from the view")
+    assertSameRows(fq, src.read(spark).filter($"g" =!= 1).groupBy("g")
+      .agg(sum($"v").as("sv")))
+    // non-key predicate: must scan the source
+    assert(!servedFromView(
+      spark.sql("SELECT g, sum(v) AS sv FROM mvrw3 WHERE v > 50 GROUP BY g")))
+    // aggregate the view doesn't maintain: must scan the source
+    assert(!servedFromView(
+      spark.sql("SELECT g, min(v) AS mn FROM mvrw3 GROUP BY g")))
+    // COUNT(DISTINCT) under rollup (subset keys) is not maintained here
+    assert(!servedFromView(
+      spark.sql("SELECT g, count(DISTINCT v) AS nd FROM mvrw3 GROUP BY g")))
+  }
+
+  test("stale views never serve; REFRESH re-enables; pending MoR deletes refuse conservatively") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw4_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw4_src"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw4")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw4_view AS SELECT g, count(*), sum(v) FROM mvrw4 GROUP BY g")
+    val q = "SELECT g, sum(v) AS sv FROM mvrw4 GROUP BY g"
+    assert(servedFromView(spark.sql(q)))
+    // source advances; the re-registered view reads the new head but the
+    // MV cursor is behind -> refuse, answer from source (fresh data)
+    src.append(Seq((61L, 0, 1000L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw4")
+    val stale = spark.sql(q)
+    assert(!servedFromView(stale))
+    assertSameRows(stale, src.read(spark).groupBy("g").agg(sum($"v").as("sv")))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvrw4_view")
+    assert(servedFromView(spark.sql(q)))
+    // a merge-on-read delete leaves delete files pending: the scan plan
+    // carries anti-joins, the rule stays out, results stay exact
+    src.deleteByKeys(Seq(5L, 6L).toDF("id"))
+    src.registerView(spark, "mvrw4")
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvrw4_view")
+    val afterDelete = spark.sql(q)
+    assert(!servedFromView(afterDelete))
+    assertSameRows(afterDelete, src.read(spark).groupBy("g").agg(sum($"v").as("sv")))
+  }
+
+  test("kill switch and missing warehouse are honored") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw5_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw5_src"))
+    src.append((1 to 30).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw5")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw5_view AS SELECT g, count(*), sum(v) FROM mvrw5 GROUP BY g")
+    val q = "SELECT g, sum(v) AS sv FROM mvrw5 GROUP BY g"
+    assert(servedFromView(spark.sql(q)))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    assert(!servedFromView(spark.sql(q)))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assert(servedFromView(spark.sql(q)))
+  }
+}

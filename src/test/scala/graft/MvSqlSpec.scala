@@ -268,6 +268,81 @@ class MvSqlSpec extends SparkSpec {
     assertSameRows(spark.sql("SELECT g, row_count, nd_v FROM mv13"), expect())
   }
 
+  // ---- transparent aggregate rewrite -----------------------------------
+
+  test("rewrite: a subset-key query rolls up from the view; results match the source") {
+    val wh = tmpDir("mvwh14")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvsrc_sql14"))
+    src.append((1 to 120).map(i => (i.toLong, i % 4, i % 3, i * 10L))
+      .toDF("id", "g", "h", "v"))
+    src.registerView(spark, "mvsrc_sql14")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv14 AS SELECT g, h, count(*), sum(v), min(v), max(v) " +
+      "FROM mvsrc_sql14 GROUP BY g, h")
+    val q = "SELECT g, count(*), sum(v), avg(v), min(v), max(v) FROM mvsrc_sql14 GROUP BY g"
+    val (name, df) = MvSql.answer(spark, q, wh).getOrElse(fail("rewrite must engage"))
+    name shouldBe "mv14"
+    assertSameRows(df,
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"),
+        (sum($"v") / count($"v")).as("avg_v"),
+        min($"v").as("min_v"), max($"v").as("max_v")))
+    // exact-key query serves by projection (no re-aggregation needed)
+    val qx = "SELECT g, h, count(*), sum(v) FROM mvsrc_sql14 GROUP BY g, h"
+    MvSql.answer(spark, qx, wh).map(_._1) shouldBe Some("mv14")
+  }
+
+  test("rewrite: staleness refuses; view-key WHERE filters view rows; non-key WHERE refuses") {
+    val wh = tmpDir("mvwh15")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvsrc_sql15"))
+    src.append((1 to 60).map(i => (i.toLong, i % 3, i * 10L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvsrc_sql15")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv15 AS SELECT g, count(*), sum(v) FROM mvsrc_sql15 GROUP BY g")
+    val q = "SELECT g, count(*), sum(v) FROM mvsrc_sql15 GROUP BY g"
+    MvSql.answer(spark, q, wh).map(_._1) shouldBe Some("mv15")
+    // a key-only WHERE applies to the VIEW's rows
+    val qw = "SELECT g, sum(v) FROM mvsrc_sql15 WHERE g = 1 GROUP BY g"
+    val (_, fdf) = MvSql.answer(spark, qw, wh).getOrElse(fail("key-WHERE must rewrite"))
+    assertSameRows(fdf.select($"g", $"sum_v"),
+      src.read(spark).filter($"g" === 1).groupBy("g").agg(sum($"v").as("sum_v")))
+    // a non-key WHERE cannot be answered from the view
+    MvSql.answer(spark, "SELECT g, sum(v) FROM mvsrc_sql15 WHERE v > 100 GROUP BY g",
+      wh) shouldBe None
+    // source advances -> stale -> refuse; REFRESH re-enables
+    src.append(Seq((61L, 0, 999L)).toDF("id", "g", "v"))
+    MvSql.answer(spark, q, wh) shouldBe None
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mv15")
+    MvSql.answer(spark, q, wh).map(_._1) shouldBe Some("mv15")
+    // uncovered aggregate (max not maintained) refuses
+    MvSql.answer(spark, "SELECT g, max(v) FROM mvsrc_sql15 GROUP BY g", wh) shouldBe None
+    // COUNT(DISTINCT) cannot roll up: no distincts maintained here
+    MvSql.answer(spark, "SELECT g, count(DISTINCT v) FROM mvsrc_sql15 GROUP BY g",
+      wh) shouldBe None
+  }
+
+  test("rewrite: join queries are served by matching join views, with rollup") {
+    val wh = tmpDir("mvwh16")
+    DmlSql.setWarehouse(wh)
+    val (fact, dim) = mkJoinSources("mvjf4", "mvjd4")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvj4 AS SELECT seg, fk, count(*), sum(v) " +
+      "FROM mvjf4 JOIN mvjd4 ON mvjf4.fk = mvjd4.k GROUP BY seg, fk")
+    val q = "SELECT seg, count(*), sum(v) FROM mvjf4 JOIN mvjd4 " +
+      "ON mvjf4.fk = mvjd4.k GROUP BY seg"
+    val (name, df) = MvSql.answer(spark, q, wh).getOrElse(fail("join rewrite must engage"))
+    name shouldBe "mvj4"
+    assertSameRows(df,
+      fact.read(spark).join(dim.read(spark), $"fk" === $"k")
+        .groupBy("seg").agg(count(lit(1)).as("row_count"),
+          sum($"v").as("sum_v"), count($"v").as("nn_v")))
+    // a different join shape is not served
+    MvSql.answer(spark, "SELECT seg, sum(v) FROM mvjf4 JOIN mvjd4 " +
+      "ON mvjf4.id = mvjd4.k GROUP BY seg", wh) shouldBe None
+  }
+
   // ---- join views through the DDL --------------------------------------
 
   private def mkJoinSources(f: String, d: String): (Icebox, Icebox) = {

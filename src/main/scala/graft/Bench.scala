@@ -32,7 +32,8 @@ object Bench {
     "q_ann_topk", "q_ann_ivf", "q_text_quality", "q_text_normalize", "q_bm25",
     "q_paragraph_dedup", "q_profile", "q_heavy_hitters", "q_mv_refresh",
     "q_mv_sql", "q_sessionize", "q_asof_join", "q_range_join", "q_salted_join",
-    "q_pipeline", "q_llm_pipeline", "q_image_decode", "q_multimodal_decode")
+    "q_pipeline", "q_llm_pipeline", "q_image_decode", "q_multimodal_decode",
+    "q_mv_join", "q_mv_catalyst", "q_resample")
 
   private def fmt(v: Double): String = f"$v%.3f".replace(",", ".")
 

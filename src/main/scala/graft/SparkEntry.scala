@@ -719,6 +719,22 @@ object SparkEntry {
       } finally graft.sql.MvRewrite.uninstall(s)
     }),
 
+    // Time-series RESAMPLE + GAP FILL: irregular per-user events densify
+    // to a fixed daily grid — per-(user,day) aggregates, missing days
+    // materialized with row_count=0, and a forward-filled value carrying
+    // the last observation across gaps. One map-side-combined shuffle
+    // over the events; the grid explode and fill window touch only
+    // bucket rows (output-sized, independent of event volume). min/max
+    // are order-deterministic (double-safe for the hash compare).
+    "q_resample" -> ((s, dir) => {
+      val out = graft.operators.Resample.resample(
+        t(s, dir, "events"), "ts", "user_id", "value", "day")
+      out.select(col("user_id"), col("bucket_ts"), col("row_count"),
+        round(col("min_value"), 4).as("min_value"),
+        round(col("max_value"), 4).as("max_value"),
+        round(col("filled_value"), 4).as("filled_value"))
+    }),
+
     // Metadata-only COUNT(*): manifests record per-file footer row counts
     // at write time, so the count never touches data
     "q_count_meta" -> ((s, dir) => {
@@ -2106,6 +2122,26 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 <> 2 AND c_custkey % 10 <> 6
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // dense daily grid per user (generate_series) left-joined to the
+    // bucket aggregates; forward fill via last_value IGNORE NULLS — the
+    // exact series the operator's sequence/explode + window must produce
+    "q_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+        |         count(*) AS row_count, min(value) AS min_value, max(value) AS max_value
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket_ts), max(bucket_ts),
+        |                                         INTERVAL 1 DAY)) AS bucket_ts
+        |  FROM b GROUP BY user_id)
+        |SELECT g.user_id, g.bucket_ts,
+        |       coalesce(b.row_count, 0) AS row_count,
+        |       round(b.min_value, 4) AS min_value,
+        |       round(b.max_value, 4) AS max_value,
+        |       round(last_value(b.min_value IGNORE NULLS) OVER
+        |         (PARTITION BY g.user_id ORDER BY g.bucket_ts), 4) AS filled_value
+        |FROM g LEFT JOIN b USING (user_id, bucket_ts)""".stripMargin,
 
     // the optimizer-served rollup must equal the direct single-key
     // aggregate (integer-valued quantities: float-exact on both engines)

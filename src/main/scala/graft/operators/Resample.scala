@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series RESAMPLE + GAP FILL — the feature-engineering step that
+  * turns an irregular event stream into a fixed-interval series per key
+  * (model features, rate monitoring, windowed training labels):
+  *
+  *  1. bucket events to the calendar unit (`date_trunc`) and aggregate
+  *     per (key, bucket) — count / sum / min / max of the value column;
+  *  2. densify: per key, generate the full bucket grid from its first to
+  *     its last bucket (`sequence` + `explode` — grid rows materialize
+  *     only on the output side, never against the raw events);
+  *  3. gap rows carry `row_count = 0` and null aggregates; a FORWARD
+  *     FILL column carries the last observed value across gaps
+  *     (`last(..., ignoreNulls)` over the per-key time window).
+  *
+  * Scale shape: one shuffle aggregates events to (key, bucket) — partial
+  * aggregation runs map-side, so the shuffle carries bucket rows, not
+  * events. The grid explode and the fill window shuffle only BUCKET
+  * rows (keys × series length, output-sized, independent of event
+  * volume). No driver collect anywhere; 100 TB of events with
+  * bounded-length series per key stays bounded end to end.
+  *
+  * `unit` is a calendar unit accepted by `date_trunc` (minute / hour /
+  * day / week / month); gaps step by one unit.
+  */
+object Resample {
+
+  def resample(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      unit: String): DataFrame = {
+    val step = unit.toLowerCase match {
+      case "minute" => expr("interval 1 minute")
+      case "hour" => expr("interval 1 hour")
+      case "day" => expr("interval 1 day")
+      case "week" => expr("interval 1 week")
+      case "month" => expr("interval 1 month")
+      case other => sys.error(s"resample unit '$other' (use minute/hour/day/week/month)")
+    }
+    val bucketed = df
+      .withColumn("__bucket", date_trunc(unit, col(tsCol)))
+      .groupBy(col(keyCol), col("__bucket").as("bucket_ts"))
+      .agg(count(lit(1)).as("row_count"),
+        sum(col(valueCol)).as(s"sum_$valueCol"),
+        min(col(valueCol)).as(s"min_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("__first"), max(col("bucket_ts")).as("__last"))
+      .select(col(keyCol),
+        explode(sequence(col("__first"), col("__last"), step)).as("bucket_ts"))
+    val joined = grid.join(bucketed, Seq(keyCol, "bucket_ts"), "left")
+    val fillWin = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      col(keyCol), col("bucket_ts"),
+      coalesce(col("row_count"), lit(0L)).as("row_count"),
+      col(s"sum_$valueCol"), col(s"min_$valueCol"), col(s"max_$valueCol"),
+      last(col(s"min_$valueCol"), ignoreNulls = true).over(fillWin)
+        .as(s"filled_$valueCol"))
+  }
+
+  /** Interpolation variant of the fill: gaps carry the PREVIOUS bucket's
+    * value (forward fill, above) or the linear interpolation between the
+    * surrounding observed buckets — `mode` ∈ {"forward", "linear"}.
+    * Linear needs the next observed value and its distance, so it adds
+    * one backward window pass; both passes stay per-key, bucket-row
+    * sized.
+    */
+  def resampleFilled(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, unit: String, mode: String): DataFrame = {
+    val base = resample(df, tsCol, keyCol, valueCol, unit)
+    mode match {
+      case "forward" => base
+      case "linear" =>
+        val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bwd = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val seq = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+        val v = col(s"min_$valueCol")
+        val withPos = base.withColumn("__i", row_number().over(seq).cast("double"))
+          .withColumn("__pi", when(v.isNotNull, col("__i")))
+        val prevV = last(v, ignoreNulls = true).over(fwd)
+        val nextV = first(v, ignoreNulls = true).over(bwd)
+        val prevI = last(col("__pi"), ignoreNulls = true).over(fwd)
+        val nextI = first(col("__pi"), ignoreNulls = true).over(bwd)
+        withPos.withColumn(s"filled_$valueCol",
+          when(v.isNotNull, v)
+            .when(prevV.isNotNull && nextV.isNotNull,
+              prevV + (nextV - prevV) * (col("__i") - prevI) / (nextI - prevI))
+            .otherwise(coalesce(prevV, nextV)))
+          .drop("__i", "__pi")
+      case other => sys.error(s"fill mode '$other' (use forward/linear)")
+    }
+  }
+}

@@ -44,6 +44,13 @@ object GenSf1 {
       df.withColumn("doc_id", col("doc_id") + lit(i * docMax))
         .withColumn("text", when(lit(i) === 0, col("text"))
           .otherwise(concat(col("text"), lit(" #c"), lit(i)))))
+    // the dim side of the join-MV check: customers copy over UNscaled —
+    // the orders copies keep o_custkey, so every copy joins the same dims
+    // (10x fact per dim, the realistic fact/dim growth shape)
+    val custPath = s"$out/customer.parquet"
+    if (!new java.io.File(custPath).exists())
+      Testdata.table(spark, src, "customer").repartition(4)
+        .write.mode("overwrite").parquet(custPath)
     spark.stop()
   }
 }

@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
 object VerifySf1 {
   val Headline = Seq(
     "q_icebox_upsert", "q_merge_mor", "q_delete_mor", "q_change_diff",
-    "q_dedup_components")
+    "q_dedup_components",
+    // round-11 additions: the MV family's heavy paths at 10x — join-MV
+    // bilinear delta, distinct-count touched-group recompute, and the
+    // Catalyst rewrite (its _mv-files require runs inside the query)
+    "q_mv_join", "q_mv_distinct", "q_mv_catalyst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

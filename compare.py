@@ -30,10 +30,16 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 def main(sf_dir, out_dir):
+    import os as _os
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        pat = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (e.g. the generated sf1 copies) are
+        # DIRECTORIES of part files — glob them for DuckDB
+        if _os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os
     names = [d for d in sorted(os.listdir(out_dir)) if os.path.isdir(f"{out_dir}/{d}")]

@@ -1252,7 +1252,14 @@ object SparkEntry {
       val batch2 = docs.unionByName(
         batch1.withColumn("doc_id", col("doc_id") + 10000))
       val n2 = Dedup.dedupInsert(corpus, batch2, "text", "doc_id")
-      val expected2 = docs.filter(col("doc_id") % 3 === 0).count()
+      // fresh docs = DISTINCT fingerprints batch 2 introduces (the corpus
+      // holds duplicate texts by construction at larger SFs — re-offered
+      // and re-id'd copies, and batch-2 docs duplicating batch-1 content,
+      // must all membership-drop; counting raw %3==0 rows would be wrong)
+      def fp(d: DataFrame) = d.select(graft.functions.TextFunctions
+        .fingerprint(coalesce(col("text"), lit(""))).as("fp")).distinct()
+      val expected2 = fp(docs.filter(col("doc_id") % 3 === 0))
+        .join(fp(batch1), Seq("fp"), "left_anti").count()
       require(n2 == expected2, s"expected $expected2 fresh docs in batch 2, got $n2")
       corpus.read(s).select("doc_id", "source", "n_chars", "fingerprint")
     }),
@@ -2353,10 +2360,25 @@ object SparkEntry {
     // numeric literals are DECIMAL in DuckDB and would change the rounding)
     // all original docs survive exactly once (texts are unique; every
     // copy and re-offer was dropped by the membership probe)
+    // the corpus keeps ONE doc per distinct normalized fingerprint: the
+    // min doc_id among batch-1 carriers, else (fingerprints batch 1 never
+    // saw) the min doc_id among the %3==0 batch-2 carriers — duplicate
+    // texts exist in the corpus by construction at larger SFs, and
+    // re-id'd copies (+10000) can never win the min
     "q_dedup_insert" ->
-      """SELECT doc_id, source, n_chars,
-        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin,
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |         md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |k1 AS (SELECT fingerprint, min(doc_id) AS keep FROM f
+        |       WHERE doc_id % 3 <> 0 GROUP BY fingerprint),
+        |k2 AS (SELECT fingerprint, min(doc_id) AS keep FROM f
+        |       WHERE doc_id % 3 = 0
+        |         AND fingerprint NOT IN (SELECT fingerprint FROM k1)
+        |       GROUP BY fingerprint)
+        |SELECT f.doc_id, f.source, f.n_chars, f.fingerprint
+        |FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
+        |  ON f.doc_id = k.keep""".stripMargin,
 
     // same greedy-prefix window: cumulative tokens BEFORE the doc (hash
     // order) must be under the per-source budget

@@ -1879,7 +1879,16 @@ final class Icebox(val tableDir: String) {
         val fpp = props.get("manifest.bloom.fpp").map(_.toDouble).getOrElse(0.03)
         buildFileBlooms(df.sparkSession, listedRaw.map(_.path), manifestBloomCols, maxRows, fpp)
       }
-    val newFiles = listedRaw.map { f =>
+    val (emptyFiles, keptRaw) = listedRaw.partition(f =>
+      meta.get(f.path).exists(_._1 == 0L))
+    // ZERO-ROW part files (an empty upstream partition can emit one):
+    // never enter the manifest — they hold no data, and a stats-less
+    // empty file would disable metadata-only MIN/MAX for the whole table
+    // ("a stats-less file could hide the extremum" is false when the file
+    // provably has no rows). Delete the physical files too.
+    emptyFiles.foreach(f =>
+      try store.deleteIfExists(new HPath(f.path)) catch { case _: Exception => () })
+    val newFiles = keptRaw.map { f =>
       val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
       f.copy(rows = rows, stats = stats,
         blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty))

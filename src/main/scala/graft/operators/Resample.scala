@@ -10,19 +10,22 @@ import org.apache.spark.sql.functions._
   *
   *  1. bucket events to the calendar unit (`date_trunc`) and aggregate
   *     per (key, bucket) — count / sum / min / max of the value column;
-  *  2. densify: per key, generate the full bucket grid from its first to
-  *     its last bucket (`sequence` + `explode` — grid rows materialize
-  *     only on the output side, never against the raw events);
+  *  2. densify: fold each key's buckets into one row carrying the series
+  *     as a bucket→aggregates map, then `explode(sequence(first, last))`
+  *     and look each grid bucket up in the map — grid rows materialize
+  *     only on the output side, never against the raw events, and there
+  *     is no grid join;
   *  3. gap rows carry `row_count = 0` and null aggregates; a FORWARD
   *     FILL column carries the last observed value across gaps
   *     (`last(..., ignoreNulls)` over the per-key time window).
   *
-  * Scale shape: one shuffle aggregates events to (key, bucket) — partial
-  * aggregation runs map-side, so the shuffle carries bucket rows, not
-  * events. The grid explode and the fill window shuffle only BUCKET
-  * rows (keys × series length, output-sized, independent of event
-  * volume). No driver collect anywhere; 100 TB of events with
-  * bounded-length series per key stays bounded end to end.
+  * Scale shape: ONE scan of the events and exactly TWO exchanges — the
+  * map-side-combined (key, bucket) aggregation and the key fold; the
+  * fill window matches the fold's partitioning, so it sorts within
+  * partitions without another shuffle. Everything after the first
+  * aggregation is bucket rows (keys × series length, output-sized,
+  * independent of event volume); the per-key map is bounded by the
+  * series length. No driver collect anywhere.
   *
   * `unit` is a calendar unit accepted by `date_trunc` (minute / hour /
   * day / week / month); gaps step by one unit.
@@ -39,25 +42,35 @@ object Resample {
       case "month" => expr("interval 1 month")
       case other => sys.error(s"resample unit '$other' (use minute/hour/day/week/month)")
     }
+    // ONE scan of the events: bucket aggregates shuffle to (key, bucket),
+    // then fold to one row per key carrying the series as a bucket→aggs
+    // map (size bounded by the series length); the dense grid explodes
+    // from that row and looks observed buckets up in the map — no second
+    // event scan, no grid join. The fill window's partitioning matches
+    // the fold's (key), so it adds a sort but NO further exchange.
     val bucketed = df
       .withColumn("__bucket", date_trunc(unit, col(tsCol)))
-      .groupBy(col(keyCol), col("__bucket").as("bucket_ts"))
-      .agg(count(lit(1)).as("row_count"),
-        sum(col(valueCol)).as(s"sum_$valueCol"),
-        min(col(valueCol)).as(s"min_$valueCol"),
-        max(col(valueCol)).as(s"max_$valueCol"))
-    val grid = bucketed.groupBy(col(keyCol))
-      .agg(min(col("bucket_ts")).as("__first"), max(col("bucket_ts")).as("__last"))
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("s"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val perKey = bucketed.groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("__bucket"),
+          struct(col("cnt"), col("s"), col("mn"), col("mx"))))).as("__m"),
+        min(col("__bucket")).as("__first"), max(col("__bucket")).as("__last"))
+    val joined = perKey
       .select(col(keyCol),
-        explode(sequence(col("__first"), col("__last"), step)).as("bucket_ts"))
-    val joined = grid.join(bucketed, Seq(keyCol, "bucket_ts"), "left")
+        explode(sequence(col("__first"), col("__last"), step)).as("bucket_ts"),
+        col("__m"))
+      .withColumn("__e", col("__m")(col("bucket_ts")))
     val fillWin = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     joined.select(
       col(keyCol), col("bucket_ts"),
-      coalesce(col("row_count"), lit(0L)).as("row_count"),
-      col(s"sum_$valueCol"), col(s"min_$valueCol"), col(s"max_$valueCol"),
-      last(col(s"min_$valueCol"), ignoreNulls = true).over(fillWin)
+      coalesce(col("__e.cnt"), lit(0L)).as("row_count"),
+      col("__e.s").as(s"sum_$valueCol"),
+      col("__e.mn").as(s"min_$valueCol"),
+      col("__e.mx").as(s"max_$valueCol"),
+      last(col("__e.mn"), ignoreNulls = true).over(fillWin)
         .as(s"filled_$valueCol"))
   }
 

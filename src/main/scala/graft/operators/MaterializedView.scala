@@ -282,7 +282,12 @@ object MaterializedView {
         val termB = joined(left.readForKeysAt(spark,
           dr.select(joinOn.map { case (lc, rc) => col(rc).as(lc) }: _*),
           Some(left.snapshot(fromL))), dr)
-        val diff = filtered(termA.unionByName(termB))
+        // schema evolution between the two cursors: term A reads the NEW
+        // schema, term B's left side is pinned to the OLD snapshot — a
+        // column added (or dropped) mid-stream exists on one side only.
+        // allowMissingColumns null-fills it, which IS evolution's read
+        // semantics (pre-evolution rows surface the added column as null)
+        val diff = filtered(termA.unionByName(termB, allowMissingColumns = true))
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over joins"),
           () => refreshJoin(spark, left, right, target, mvId, joinOn, keys, sums, where))

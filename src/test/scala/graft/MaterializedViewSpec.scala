@@ -350,6 +350,40 @@ class MaterializedViewSpec extends SparkSpec {
     assertSameRows(mv.read(spark), joinedAgg(fact, dim))
   }
 
+  test("join view: fact-side schema evolution mid-stream keeps the delta path exact") {
+    val fact = Icebox(tmpDir("jmvf8")); val dim = Icebox(tmpDir("jmvd8"))
+    fact.append((1 to 40).map(i => (i.toLong, i % 4, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 3).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt8"))
+    joinMv(fact, dim, mv)
+    // a new fact column appears mid-history; older files read it as null
+    fact.append(Seq((41L, 2, 500L, "mobile")).toDF("id", "fk", "v", "channel"))
+    fact.deleteByKeys(Seq(3L).toDF("id"))
+    joinMv(fact, dim, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+    mv.read(spark).columns.toSet shouldBe Set("g", "row_count", "sum_v", "nn_v")
+  }
+
+  test("join view: a concurrent commit between cursor read and publish forces clean re-entry") {
+    val fact = Icebox(tmpDir("jmvf9")); val dim = Icebox(tmpDir("jmvd9"))
+    fact.append((1 to 40).map(i => (i.toLong, i % 4, i * 10L)).toDF("id", "fk", "v"))
+    dim.append((0 to 3).map(k => (k, s"g$k")).toDF("k", "g"))
+    val mv = Icebox(tmpDir("jmvt9"))
+    joinMv(fact, dim, mv)
+    fact.append(Seq((41L, 1, 999L)).toDF("id", "fk", "v"))
+    // simulate the race: another writer moves the TARGET head after this
+    // refresher captured it — publishing with the stale expected head
+    // must abort instead of double-applying the delta
+    val staleHead = mv.currentSnapshotId
+    mv.commitMarker("maintenance-noop", expectHeadId = staleHead)
+    intercept[RuntimeException](mv.commitEqualityDeletes("mv-refresh:j:9:9",
+      Seq("g1").toDF("g"), None, Nil, expectHeadId = staleHead)) shouldBe
+      Icebox.SupersededCommit
+    // the operator's own path re-enters on the fresh head and lands exactly
+    joinMv(fact, dim, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), joinedAgg(fact, dim))
+  }
+
   test("join view: expired cursor on a source falls back to a full rebuild") {
     val fact = Icebox(tmpDir("jmvf7")); val dim = Icebox(tmpDir("jmvd7"))
     fact.append((1 to 20).map(i => (i.toLong, i % 2, i * 1L)).toDF("id", "fk", "v"))

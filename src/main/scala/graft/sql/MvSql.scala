@@ -78,7 +78,11 @@ object MvSql {
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
     */
-  private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef = {
+  private[graft] def parseDefinition(spark: SparkSession, selectText: String): MvDef =
+    parseDefinitionPlan(spark, spark.sessionState.sqlParser.parsePlan(selectText))
+
+  private[graft] def parseDefinitionPlan(spark: SparkSession,
+      parsedPlan: LogicalPlan): MvDef = {
     def fail(what: String): Nothing = sys.error(
       s"materialized views maintain one GROUP BY over one registered table " +
       s"or an INNER equi-join of two (optionally WHERE-filtered, no " +
@@ -131,7 +135,7 @@ object MvSql {
       case other => other
     }
 
-    spark.sessionState.sqlParser.parsePlan(selectText) match {
+    parsedPlan match {
       case Aggregate(groupingExprs, aggExprs, child0, _) =>
         // WHERE parses as a Filter between the Aggregate and the relation;
         // keep the predicate's SQL text (re-applied to change diffs at
@@ -388,6 +392,9 @@ object MvSql {
     *  - query WHERE either textually equals the view's, or (unfiltered
     *    view) references view KEY columns only — then it filters the
     *    view's rows, never the source;
+    *  - HAVING subsumes too: its aggregate calls map to the canonical
+    *    columns (count(*) → row_count, sum(c) → sum_c, ...) and the
+    *    predicate filters the answered rows;
     *  - FRESHNESS: the view's exactly-once cursor must sit at every
     *    source's CURRENT snapshot head — a stale view is never silently
     *    served; the caller falls back to the source (and can REFRESH
@@ -402,20 +409,29 @@ object MvSql {
     */
   def answer(spark: SparkSession, selectText: String,
       warehouse: String): Option[(String, DataFrame)] = {
-    val qd = try parseDefinition(spark, selectText)
-      catch { case _: Exception => return None } // not MV-shaped: no rewrite
+    // HAVING parses as UnresolvedHaving over the Aggregate; its predicate
+    // filters the ANSWERED result (aggregate calls map to the canonical
+    // columns), so it subsumes like the aggregates themselves do
+    val (qd, having) = try {
+      spark.sessionState.sqlParser.parsePlan(selectText) match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedHaving(cond, agg: Aggregate) =>
+          if (cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+          (parseDefinitionPlan(spark, agg), Some(cond))
+        case plan => (parseDefinitionPlan(spark, plan), None)
+      }
+    } catch { case _: Exception => return None } // not MV-shaped: no rewrite
     val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
       .view.flatMap { d =>
         val t = Icebox(d.toString)
-        lastDef(t).flatMap(vd => rewriteWith(spark, d.getName, t, vd, qd))
+        lastDef(t).flatMap(vd => rewriteWith(spark, d.getName, t, vd, qd, having))
       }.headOption
   }
 
   private def rewriteWith(spark: SparkSession, name: String, target: Icebox,
-      vd: MvDef, qd: MvDef): Option[(String, DataFrame)] = {
+      vd: MvDef, qd: MvDef, having: Option[Expression] = None): Option[(String, DataFrame)] = {
     // source identity — including the join shape — must match exactly
     if (vd.source != qd.source || vd.source2 != qd.source2 ||
       vd.joinOn.toSet != qd.joinOn.toSet) return None
@@ -468,7 +484,36 @@ object MvSql {
       qd.avgs.map(c => (col(s"sum_$c") / col(s"nn_$c")).as(s"avg_$c")) ++
       qd.minmaxs.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
       qd.distincts.map(c => col(s"nd_$c"))
-    Some((name, grouped.select(outCols: _*)))
+    val projected = grouped.select(outCols: _*)
+    // HAVING: aggregate calls become their canonical columns (count(*) →
+    // row_count, sum(c) → sum_c, ...), then the predicate filters the
+    // answered rows; anything unmappable or unresolvable refuses
+    having match {
+      case None => Some((name, projected))
+      case Some(cond) =>
+        val mapped = cond.transformUp {
+          case f: UnresolvedFunction if f.nameParts.length == 1 =>
+            val fn = f.nameParts.head.toLowerCase
+            val arg = f.arguments match {
+              case Seq(_: UnresolvedStar) | Seq(_: Literal) => None
+              case Seq(a: UnresolvedAttribute) if a.nameParts.length == 1 =>
+                Some(a.nameParts.head)
+              case _ => return None
+            }
+            (fn, arg, f.isDistinct) match {
+              case ("count", None, false) => UnresolvedAttribute("row_count")
+              case ("count", Some(c), false) => UnresolvedAttribute(s"nn_$c")
+              case ("count", Some(c), true) => UnresolvedAttribute(s"nd_$c")
+              case ("sum", Some(c), false) => UnresolvedAttribute(s"sum_$c")
+              case ("min", Some(c), false) => UnresolvedAttribute(s"min_$c")
+              case ("max", Some(c), false) => UnresolvedAttribute(s"max_$c")
+              case ("avg" | "mean", Some(c), false) => UnresolvedAttribute(s"avg_$c")
+              case _ => return None
+            }
+        }
+        scala.util.Try(projected.filter(expr(mapped.sql)))
+          .toOption.map(f => (name, f))
+    }
   }
 
   private def lastDef(target: Icebox): Option[MvDef] = {

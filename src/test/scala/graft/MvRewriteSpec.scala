@@ -122,6 +122,24 @@ class MvRewriteSpec extends SparkSpec {
     assertSameRows(afterDelete, src.read(spark).groupBy("g").agg(sum($"v").as("sv")))
   }
 
+  test("HAVING rides the optimizer rewrite for free (a Filter above the served Aggregate)") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw6_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw6_src"))
+    src.append((1 to 90).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw6")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw6_view AS SELECT g, count(*), sum(v) FROM mvrw6 GROUP BY g")
+    val q = "SELECT g, sum(v) AS sv FROM mvrw6 GROUP BY g HAVING sum(v) > 8000"
+    val served = spark.sql(q)
+    assert(servedFromView(served), "HAVING query must still serve from the view")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assertSameRows(served, direct)
+  }
+
   test("kill switch and missing warehouse are honored") {
     MvRewrite.install(spark)
     val wh = tmpDir("mvrw5_wh")

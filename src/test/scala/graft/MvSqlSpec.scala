@@ -323,6 +323,26 @@ class MvSqlSpec extends SparkSpec {
       wh) shouldBe None
   }
 
+  test("rewrite: HAVING filters the answered rows through canonical columns") {
+    val wh = tmpDir("mvwh17")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvsrc_sql17"))
+    src.append((1 to 90).map(i => (i.toLong, i % 5, i * 10L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvsrc_sql17")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mv17 AS SELECT g, count(*), sum(v) FROM mvsrc_sql17 GROUP BY g")
+    val q = "SELECT g, count(*), sum(v) FROM mvsrc_sql17 GROUP BY g HAVING sum(v) > 8000 AND count(*) >= 18"
+    val (name, df) = MvSql.answer(spark, q, wh).getOrElse(fail("HAVING query must rewrite"))
+    name shouldBe "mv17"
+    assertSameRows(df,
+      src.read(spark).groupBy("g").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+        .filter($"sum_v" > 8000 && $"row_count" >= 18))
+    // HAVING over an aggregate the view can't provide refuses
+    MvSql.answer(spark,
+      "SELECT g, count(*) FROM mvsrc_sql17 GROUP BY g HAVING min(v) > 5", wh) shouldBe None
+  }
+
   test("rewrite: join queries are served by matching join views, with rollup") {
     val wh = tmpDir("mvwh16")
     DmlSql.setWarehouse(wh)

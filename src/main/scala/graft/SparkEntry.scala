@@ -874,6 +874,37 @@ object SparkEntry {
       table.readIndexed(s).filter(col("o_custkey") === 7L)
     }),
 
+    // SHUFFLE-FREE co-bucketed join: both tables bucket(16) on the join
+    // key, data files carry Spark's bucket-id file-name stamp, and the
+    // manifest read declares a V1 BucketSpec — so the fact⋈dim join plans
+    // with ZERO exchanges (proved by the require, AQE off for a
+    // deterministic plan). At 100 TB this is the join shuffle eliminated
+    // entirely; only the final small re-aggregation by segment shuffles.
+    "q_bucket_join" -> ((s, dir) => {
+      val ot = Icebox(tmp("qbj_o"))
+      val ct = Icebox(tmp("qbj_c"))
+      ot.appendTransformed(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice").repartition(8),
+        "bucket(16, o_custkey)")
+      ct.appendTransformed(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment").repartition(4),
+        "bucket(16, c_custkey)")
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = ot.readIndexed(s).join(ct.readIndexed(s).hint("shuffle_merge"),
+          col("o_custkey") === col("c_custkey"))
+        val nshuf = j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        require(nshuf == 0, s"expected a shuffle-free co-bucketed join, got $nshuf exchanges")
+      } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+      ot.readIndexed(s).join(ct.readIndexed(s), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_count"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
     // HIDDEN days(ts) partitioning over the event stream (30 calendar days
     // — the natural grain for a log table; orders' 2400 distinct days would
     // be dir-explosion misuse): a time-range predicate prunes whole days
@@ -2251,6 +2282,14 @@ object SparkEntry {
     // hidden partitioning is transparent: the oracle is the plain filter
     "q_icebox_bucket_prune" ->
       "SELECT * FROM orders WHERE o_custkey = 7",
+
+    // bucketing changes the PLAN (zero-exchange join, proved by the
+    // query's require), never the rows: the oracle is the plain join-agg
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS order_count,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment""".stripMargin,
     "q_icebox_days_prune" ->
       "SELECT * FROM events WHERE ts < '2024-01-10'",
 

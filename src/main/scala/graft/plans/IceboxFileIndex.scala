@@ -346,6 +346,41 @@ object IceboxFileIndex {
     snap.files.partition(f => kept(new HPath(f.path).toString))
   }
 
+  /** BUCKETED (shuffle-free) reads: when the table's spec carries exactly
+    * one `bucket(n, col)` transform and EVERY live data file's name parses
+    * that file's bucket id (stamped at commit — see
+    * `Icebox.renameBucketedFiles`), the relation declares a V1
+    * `BucketSpec(n, col)`. The scan then reports
+    * `HashPartitioning(col, n)` — bit-identical to the dir derivation
+    * `pmod(hash(col), n)` — so a join of two tables co-bucketed on the
+    * join key, or a `groupBy(col)`, plans with NO Exchange on this side:
+    * the shuffle that dominates a 100 TB join simply disappears. Any
+    * doubt (multiple transforms, a file whose name or dir doesn't parse,
+    * mixed generations, `read.bucketed.enabled=false`) falls back to a
+    * plain scan — the gate can only withhold the optimization, never
+    * produce a wrong plan. Bucket pruning on `col = lit` filters comes
+    * free from Spark's own bucketed-scan machinery.
+    */
+  private def bucketSpecFor(table: Icebox, snap: Snapshot,
+      dataSchema: StructType): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    if (table.properties.get("read.bucketed.enabled").contains("false")) return None
+    val bts =
+      try table.partitionSpec.collect { case b: graft.table.BucketTransform => b }
+      catch { case _: Exception => Nil }
+    if (bts.size != 1) return None
+    val b = bts.head
+    val phys = table.toPhysical(b.source)
+    if (!dataSchema.fieldNames.contains(phys)) return None
+    val allStamped = snap.files.nonEmpty && snap.files.forall { f =>
+      f.partition.get(b.name).flatMap(_.toIntOption).exists(dirId =>
+        dirId >= 0 && dirId < b.n &&
+          Icebox.bucketIdFromName(new HPath(f.path).getName).contains(dirId))
+    }
+    if (allStamped)
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(phys), Nil))
+    else None
+  }
+
   /** Same, pinned to an arbitrary snapshot (time travel reads plan through
     * the same index). Partition columns come from the snapshot's own files,
     * so an old snapshot with a different layout still reads correctly.
@@ -377,7 +412,7 @@ object IceboxFileIndex {
       location = index,
       partitionSchema = partSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpecFor(table, snap, dataSchema),
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     val base = spark.baseRelationToDataFrame(relation)

@@ -1838,7 +1838,7 @@ final class Icebox(val tableDir: String) {
     }
     (if (partitionByPhys.nonEmpty) writer.partitionBy(partitionByPhys: _*) else writer)
       .parquet(store.render(commitDir))
-    val listedRaw = listDataFiles(commitDir)
+    val listedRaw = renameBucketedFiles(listDataFiles(commitDir))
     // Footer-decodable primitive columns are stats-tracked BY DEFAULT: the
     // footer pass already runs once per commit for row counts, so their
     // min/max is metadata-free — every table gets file skipping and
@@ -2041,6 +2041,18 @@ final class Icebox(val tableDir: String) {
     }
     require(ok, s"cannot widen ${f.dataType.simpleString} to ${newType.simpleString} " +
       "(allowed: int->bigint, int->double, float->double)")
+    // a hidden-partition transform derived its dir values from the OLD
+    // type: bucket dirs hash the 32-bit value, truncate dirs floor the old
+    // representation — widening the source would make literal-through-
+    // transform pruning (and bucketed-read hashing) silently wrong for
+    // every existing file, so refuse rather than mis-prune
+    if (f.dataType != newType) {
+      val hit = partitionSpec.filterNot(_.isInstanceOf[IdentityTransform])
+        .find(_.source.equalsIgnoreCase(f.name))
+      require(hit.isEmpty, s"cannot widen ${f.name}: it is the source of hidden " +
+        s"partition transform ${hit.map(PartitionTransform.render).getOrElse("")} — " +
+        "existing dir values were derived from the old type")
+    }
     val next = StructType(schema.fields.map(x =>
       if (x eq f) x.copy(dataType = newType) else x))
     commitMetaResolved("alter", p => p.map(_.files).getOrElse(Nil), next.json)
@@ -2415,6 +2427,48 @@ final class Icebox(val tableDir: String) {
     }
   }
 
+  /** V1-BUCKETED FILE NAMES: when the table's spec carries exactly one
+    * bucket transform, stamp each just-written data file's bucket id (its
+    * `<col>_bucket` dir value — already Spark's `pmod(hash(col), n)`, see
+    * [[PartitionTransform]]) into the file NAME using Spark's bucketed-file
+    * convention (a `_NNNNN` suffix before the extension, the shape
+    * `BucketingUtils.getBucketId` parses). Reads can then declare a V1
+    * `BucketSpec`, and a join or aggregation keyed on the bucket column
+    * runs with ZERO shuffle on this side — at 100 TB the single biggest
+    * exchange eliminated. The rename is commit-private (files are invisible
+    * until the manifest lands) and metadata-only on file:// and HDFS;
+    * object-store renames copy bytes, so `write.bucket-filenames=false`
+    * turns the stamping off (reads just fall back to non-bucketed plans).
+    * A rename failure keeps the original name — the read-side gate admits
+    * bucketed plans only when EVERY live file parses, so a partial stamp
+    * degrades to a normal scan, never to a wrong plan.
+    */
+  private def renameBucketedFiles(files: Seq[DataFile]): Seq[DataFile] = {
+    val bts =
+      try partitionSpec.collect { case b: BucketTransform => b }
+      catch { case _: Exception => Nil }
+    if (bts.size != 1 || properties.get("write.bucket-filenames").contains("false"))
+      return files
+    val b = bts.head
+    files.map { f =>
+      f.partition.get(b.name).flatMap(_.toIntOption) match {
+        case Some(id) if id >= 0 && id < b.n =>
+          val p = new HPath(f.path)
+          val name = p.getName
+          if (Icebox.bucketIdFromName(name).contains(id)) f // already stamped
+          else {
+            val dot = name.indexOf('.')
+            val stamped =
+              if (dot < 0) f"${name}_$id%05d"
+              else f"${name.substring(0, dot)}_$id%05d${name.substring(dot)}"
+            val np = new HPath(p.getParent, stamped)
+            if (store.renamePlain(p, np)) f.copy(path = store.render(np)) else f
+          }
+        case _ => f
+      }
+    }
+  }
+
   private def listDataFiles(commitDir: HPath): Seq[DataFile] = {
     if (!store.exists(commitDir)) return Nil
     val prefix = store.render(commitDir)
@@ -2660,6 +2714,14 @@ final class Icebox(val tableDir: String) {
 object Icebox {
   /** Reserved synthetic partition column carrying the commit id in data paths. */
   val CommitCol = "graft_commit"
+
+  /** Bucket id a file name encodes, parsed by SPARK'S OWN convention
+    * (`BucketingUtils`) — using Spark's parser, not a re-implementation,
+    * guarantees the writer's stamp and the scan's expectation can never
+    * drift.
+    */
+  private[graft] def bucketIdFromName(name: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(name)
 
   /** Process-wide bloom side-file cache, keyed by content sha (immutable).
     * Bounded LRU — filters are MBs for large files, so the bound is small;

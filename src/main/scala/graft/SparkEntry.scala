@@ -719,6 +719,44 @@ object SparkEntry {
       } finally graft.sql.MvRewrite.uninstall(s)
     }),
 
+    // Catalyst rewrite over a JOIN materialized view: an unchanged
+    // fact⋈dim GROUP BY in spark.sql text is served from the join view —
+    // the rule certifies BOTH scans as pinned-snapshot Icebox reads,
+    // matches the equi-join condition to the view's definition, absorbs
+    // the optimizer's pushed-down isnotnull(joinkey) filters, rolls the
+    // key-subset grouping up, and gates on the TWO-source cursor sitting
+    // at both heads. Proven the same way: every scanned file under _mv.
+    "q_mv_join_catalyst" -> ((s, dir) => {
+      import s.implicits._
+      val wh = tmp("qmvjc_wh")
+      graft.sql.DmlSql.setWarehouse(wh)
+      val fact = Icebox(tmp("qmvjc_f"))
+      fact.append(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
+      val dim = Icebox(tmp("qmvjc_d"))
+      dim.append(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+      fact.registerView(s, "qmvjc_orders")
+      dim.registerView(s, "qmvjc_customer")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvjc AS
+          |SELECT c_mktsegment, o_orderpriority, count(*)
+          |FROM qmvjc_orders JOIN qmvjc_customer
+          |  ON qmvjc_orders.o_custkey = qmvjc_customer.c_custkey
+          |GROUP BY c_mktsegment, o_orderpriority""".stripMargin)
+      graft.sql.MvRewrite.install(s)
+      try {
+        val served = s.sql(
+          """SELECT c_mktsegment, count(*) AS order_count
+            |FROM qmvjc_orders JOIN qmvjc_customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        require(served.inputFiles.nonEmpty && served.inputFiles.forall(_.contains("/_mv/")),
+          s"join rewrite must serve from the view, scanned: " +
+            served.inputFiles.take(3).mkString(","))
+        val rows = served.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows), served.schema)
+      } finally graft.sql.MvRewrite.uninstall(s)
+    }),
+
     // Time-series RESAMPLE + GAP FILL: irregular per-user events densify
     // to a fixed daily grid — per-(user,day) aggregates, missing days
     // materialized with row_count=0, and a forward-filled value carrying
@@ -903,6 +941,41 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("order_count"),
           round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // DYNAMIC PARTITION PRUNING through the manifest index: the dim-side
+    // filter's surviving keys prune the fact scan's partitions AT RUNTIME
+    // (Spark plants a DynamicPruningExpression on the scan — the require
+    // proves it's there; IceboxFileIndex.listFiles then drops every
+    // partition the dim filter didn't name). At 100 TB: the fact table
+    // reads O(selected partitions), not O(table), with zero caller hints.
+    "q_dpp_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = Icebox(tmp("qdpp_f"))
+      fact.append(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .repartition(4), partitionBy = Seq("o_orderstatus"))
+      val dimT = Icebox(tmp("qdpp_d"))
+      dimT.append(Seq(("F", "archive"), ("O", "live"), ("P", "live"))
+        .toDF("status", "tier"))
+      def q = fact.readIndexed(s)
+        .join(broadcast(dimT.readIndexed(s)), col("o_orderstatus") === col("status"))
+        .filter(col("tier") === "archive")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val planted = q.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec
+              if sc.relation.partitionSchema.nonEmpty =>
+            sc.partitionFilters.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        }
+        require(planted.contains(true),
+          "expected a runtime partition-pruning subquery on the fact scan")
+      } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+      q
     }),
 
     // HIDDEN days(ts) partitioning over the event stream (30 calendar days
@@ -2217,6 +2290,13 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 <> 7
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // the join rewrite changes which files are SCANNED (all under _mv,
+    // proved by the query's require), never the answer
+    "q_mv_join_catalyst" ->
+      """SELECT c_mktsegment, count(*) AS order_count
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment""".stripMargin,
+
     // min/max over the final state — the full recompute the incremental
     // touched-group path must land on exactly
     "q_mv_minmax" ->
@@ -2282,6 +2362,14 @@ object SparkEntry {
     // hidden partitioning is transparent: the oracle is the plain filter
     "q_icebox_bucket_prune" ->
       "SELECT * FROM orders WHERE o_custkey = 7",
+
+    // runtime partition pruning changes the SCAN (the require proves the
+    // planted subquery), never the rows: the dim filter keeps only 'F'
+    "q_dpp_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_orderstatus = 'F'
+        | GROUP BY o_orderpriority""".stripMargin,
 
     // bucketing changes the PLAN (zero-exchange join, proved by the
     // query's require), never the rows: the oracle is the plain join-agg

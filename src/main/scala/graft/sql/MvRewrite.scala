@@ -1,10 +1,11 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, max, min, sum}
@@ -64,7 +65,8 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (spark.conf.get("spark.graft.mv.rewrite.enabled", "true") != "true") return plan
     val wh = DmlSql.currentWarehouse.getOrElse(return plan)
     plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg, wh).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg, wh).orElse(tryJoinRewrite(agg, wh)).getOrElse(agg)
     }
   }
 
@@ -90,16 +92,33 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def nameOf(a: AttributeReference): Option[String] =
       idToLogical.get(a.exprId.id).orElse(Some(logicalOf(a.name, physToLogical)))
 
-    // group keys: plain columns only
-    val keys = agg.groupingExpressions.map {
-      case ar: AttributeReference => nameOf(ar).getOrElse(return None)
-      case _ => return None
-    }
     // filters must reference key columns only (checked against the view below)
     val filterNames = filters.flatMap(_.collect { case ar: AttributeReference =>
       nameOf(ar).getOrElse(return None) })
 
-    // classify every output expression
+    val (keys, specs, hasDistinct) = classify(agg, nameOf).getOrElse(return None)
+
+    // find a fresh subsuming view over this exact table+snapshot
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .view.flatMap { d =>
+        serveFrom(Icebox(d.toString), index, keys, filterNames, specs,
+          hasDistinct, filters, idToLogical, physToLogical)
+      }.headOption
+  }
+
+  /** Group keys + output specs of a supported aggregate, resolved through
+    * `nameOf` (shared by the single-table and join paths). None on any
+    * unsupported expression shape.
+    */
+  private def classify(agg: Aggregate, nameOf: AttributeReference => Option[String])
+      : Option[(Seq[String], Seq[OutSpec], Boolean)] = {
+    val keys = agg.groupingExpressions.map {
+      case ar: AttributeReference => nameOf(ar).getOrElse(return None)
+      case _ => return None
+    }
     var hasDistinct = false
     val specs: Seq[OutSpec] = agg.aggregateExpressions.map {
       case ar: AttributeReference =>
@@ -142,16 +161,146 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         OutSpec(al.toAttribute, exact, rollup, isKey = false, needs)
       case _ => return None
     }
+    Some((keys, specs, hasDistinct))
+  }
 
-    // find a fresh subsuming view over this exact table+snapshot
+  /** The JOIN flavor: an aggregate over `[Project] Join(Inner, a.x = b.y)`
+    * of two certifiable pinned-snapshot Icebox scans is answered from a
+    * fresh JOIN materialized view whose sources, join condition, and
+    * column coverage subsume the query. Post-pushdown reality the
+    * certification must absorb: the optimizer has already pushed the
+    * query's WHERE into the join sides and planted `isnotnull` on the
+    * join keys — so side filters are accepted iff each conjunct is (a) an
+    * IsNotNull on a join-key column (implied by the inner join the view
+    * already performed — dropped), or (b) a predicate over view KEY
+    * columns only (re-applied on the view's rows). Freshness is the
+    * two-source cursor: both scans pinned at their sources' heads AND the
+    * view's last refresh processed exactly that head pair.
+    */
+  private def tryJoinRewrite(agg: Aggregate, warehouse: String): Option[LogicalPlan] = {
+    val (projAbove, joinPlan) = agg.child match {
+      case Project(pl, j: Join) if attrsOnly(pl) => (pl, j)
+      case j: Join => (Seq.empty[NamedExpression], j)
+      case _ => return None
+    }
+    if (joinPlan.joinType != Inner) return None
+    val cond = joinPlan.condition.getOrElse(return None)
+    val (lFilters, lProj, lIndex) = unwrapScan(joinPlan.left).getOrElse(return None)
+    val (rFilters, rProj, rIndex) = unwrapScan(joinPlan.right).getOrElse(return None)
+
+    def sideMaps(index: IceboxFileIndex, proj: Seq[NamedExpression])
+        : (Map[Long, String], Map[String, String]) = {
+      val snapSchema = DataType.fromJson(index.snapshotSchemaJson).asInstanceOf[StructType]
+      val physToLogical = snapSchema.fields.map(f => Icebox.physicalName(f) -> f.name).toMap
+      val idTo: Map[Long, String] = proj.flatMap {
+        case a @ Alias(ar: AttributeReference, n) => Seq(ar.exprId.id -> n, a.exprId.id -> n)
+        case ar: AttributeReference =>
+          Seq(ar.exprId.id -> physToLogical.getOrElse(ar.name, ar.name))
+        case _ => Nil
+      }.toMap
+      (idTo, physToLogical)
+    }
+    val (lIds, lPhys) = sideMaps(lIndex, lProj)
+    val (rIds, rPhys) = sideMaps(rIndex, rProj)
+    // disjoint logical namespaces (the join-MV DDL contract) — a collision
+    // would make name-based resolution ambiguous, so refuse
+    if (lPhys.values.toSet.intersect(rPhys.values.toSet).nonEmpty) return None
+    val lOut = joinPlan.left.outputSet
+    val rOut = joinPlan.right.outputSet
+    def sideNameOf(ar: AttributeReference): Option[(String, Boolean)] =
+      if (lOut.contains(ar))
+        Some((lIds.getOrElse(ar.exprId.id, lPhys.getOrElse(ar.name, ar.name)), true))
+      else if (rOut.contains(ar))
+        Some((rIds.getOrElse(ar.exprId.id, rPhys.getOrElse(ar.name, ar.name)), false))
+      else None
+    def nameOf(ar: AttributeReference): Option[String] = sideNameOf(ar).map(_._1)
+
+    // join condition: conjunction of left-col = right-col pairs only
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    val joinPairs: Set[(String, String)] = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (sideNameOf(a), sideNameOf(b)) match {
+          case (Some((an, true)), Some((bn, false))) => (an, bn)
+          case (Some((an, false)), Some((bn, true))) => (bn, an)
+          case _ => return None
+        }
+      case _ => return None
+    }.toSet
+    val lJoinCols = joinPairs.map(_._1)
+    val rJoinCols = joinPairs.map(_._2)
+
+    val (keys, specs, hasDistinct) = classify(agg, nameOf).getOrElse(return None)
+    if (hasDistinct) return None // join views carry no nd_ columns
+
+    // side filters: drop implied isnotnull(joinkey); the rest must be
+    // view-key-only predicates, re-applied on the view's rows
+    def splitSide(filters: Seq[Expression], joinCols: Set[String]): Seq[Expression] =
+      filters.flatMap(conjuncts).flatMap {
+        case IsNotNull(ar: AttributeReference)
+            if nameOf(ar).exists(joinCols.contains) => None
+        case other => Some(other)
+      }
+    val residual = splitSide(lFilters, lJoinCols) ++ splitSide(rFilters, rJoinCols)
+    val filterNames = residual.flatMap(_.collect { case ar: AttributeReference =>
+      nameOf(ar).getOrElse(return None) })
+
+    val mergedIds = lIds ++ rIds
+    val mergedPhys = lPhys ++ rPhys
+
     val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
       .view.flatMap { d =>
-        serveFrom(Icebox(d.toString), index, keys, filterNames, specs,
-          hasDistinct, filters, idToLogical, physToLogical)
+        serveJoinFrom(Icebox(d.toString), lIndex, rIndex, joinPairs, keys,
+          filterNames, specs, residual, mergedIds, mergedPhys)
       }.headOption
+  }
+
+  private def serveJoinFrom(target: Icebox, lIndex: IceboxFileIndex,
+      rIndex: IceboxFileIndex, joinPairs: Set[(String, String)],
+      keys: Seq[String], filterNames: Seq[String], specs: Seq[OutSpec],
+      filters: Seq[Expression], idToLogical: Map[Long, String],
+      physToLogical: Map[String, String]): Option[LogicalPlan] = {
+    val props = target.properties
+    val src1 = props.get("mv.source.dir").getOrElse(return None)
+    val src2 = props.get("mv.source2.dir").getOrElse(return None)
+    if (props.get("mv.where").exists(_.nonEmpty)) return None
+    // orient the query's sides onto the view's (source, source2)
+    val (qs1, qs2, pairsOriented) =
+      if (lIndex.tableDirString == src1 && rIndex.tableDirString == src2)
+        (lIndex, rIndex, joinPairs)
+      else if (lIndex.tableDirString == src2 && rIndex.tableDirString == src1)
+        (rIndex, lIndex, joinPairs.map(_.swap))
+      else return None
+    def list(k: String) = props.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val vPairs = list("mv.join.on").map { pair =>
+      val Array(l, r) = pair.split('='); (l, r) }.toSet
+    if (pairsOriented != vPairs) return None
+    val vKeys = props.get("mv.keys").map(_.split(',').toSeq).getOrElse(return None)
+    val vSums = list("mv.sums")
+    val exactKeys = keys.toSet == vKeys.toSet
+    if (!keys.toSet.subsetOf(vKeys.toSet)) return None
+    if (!filterNames.forall(vKeys.contains)) return None
+    def covered(cn: String): Boolean =
+      cn == "row_count" ||
+        (cn.startsWith("sum_") && vSums.contains(cn.stripPrefix("sum_"))) ||
+        (cn.startsWith("nn_") && vSums.contains(cn.stripPrefix("nn_")))
+    if (!specs.flatMap(_.needs).forall(covered)) return None
+    if (!exactKeys && specs.exists(s => !s.isKey && s.rollup.isEmpty)) return None
+    // freshness: both scans pinned at their sources' heads, and the view's
+    // two-source cursor sits exactly on that pair
+    val id = props.get("mv.id").getOrElse(return None)
+    if (qs1.snapshotId != Icebox(src1).currentSnapshotId) return None
+    if (qs2.snapshotId != Icebox(src2).currentSnapshotId) return None
+    if (!MaterializedView.lastRefreshedSources(target, id)
+      .contains((qs1.snapshotId, qs2.snapshotId))) return None
+
+    Some(buildReplacement(target, translate(filters, idToLogical, physToLogical),
+      specs, keys, exactKeys))
   }
 
   /** `[Project(attrs/aliases)] ⇄ [Filter]` over one Icebox relation —
@@ -170,11 +319,6 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
-    def attrsOnly(pl: Seq[NamedExpression]): Boolean = pl.forall {
-      case _: AttributeReference => true
-      case Alias(_: AttributeReference, _) => true
-      case _ => false
-    }
     plan match {
       case Project(pl, Filter(cond, r)) if attrsOnly(pl) =>
         relOf(r).map(i => (Seq(cond), pl, i))
@@ -188,6 +332,54 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def logicalOf(name: String, physToLogical: Map[String, String]): String =
     physToLogical.getOrElse(name, name)
+
+  private def attrsOnly(pl: Seq[NamedExpression]): Boolean = pl.forall {
+    case _: AttributeReference => true
+    case Alias(_: AttributeReference, _) => true
+    case _ => false
+  }
+
+  /** Re-express pushed-down predicates over the view's LOGICAL column
+    * names and round-trip through SQL text (Column-from-Expression is not
+    * a public surface; the text path re-analyzes against the view read).
+    */
+  private def translate(filters: Seq[Expression], idToLogical: Map[Long, String],
+      physToLogical: Map[String, String]): Seq[Column] =
+    filters.map { cond =>
+      val translated = cond.transform {
+        case ar: AttributeReference => UnresolvedAttribute(
+          idToLogical.getOrElse(ar.exprId.id, logicalOf(ar.name, physToLogical)))
+      }
+      org.apache.spark.sql.functions.expr(translated.sql)
+    }
+
+  /** The substituted plan: the view read, optional key filters, then
+    * either the exact-key projection or the rollup aggregate — each
+    * output cast to the ORIGINAL attribute's type and re-aliased under
+    * the original name AND exprId, so parent operators are untouched.
+    */
+  private def buildReplacement(target: Icebox, viewFilters: Seq[Column],
+      specs: Seq[OutSpec], keys: Seq[String], exactKeys: Boolean): LogicalPlan = {
+    var df = target.read(spark)
+    viewFilters.foreach(f => df = df.filter(f))
+    val tmp = specs.indices.map(i => s"__mvr_$i")
+    val projected: DataFrame =
+      if (exactKeys)
+        df.select(specs.zip(tmp).map { case (s, t) =>
+          s.exact.cast(s.orig.dataType).as(t) }: _*)
+      else {
+        val aggCols = specs.zip(tmp).collect { case (s, t) if !s.isKey =>
+          s.rollup.get.as(t) }
+        val grouped =
+          if (aggCols.isEmpty) df.select(keys.map(col): _*).distinct()
+          else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(specs.zip(tmp).map { case (s, t) =>
+          (if (s.isKey) s.exact else col(t)).cast(s.orig.dataType).as(t) }: _*)
+      }
+    val analyzed = projected.queryExecution.analyzed
+    Project(analyzed.output.zip(specs).map { case (na, s) =>
+      Alias(na, s.orig.name)(exprId = s.orig.exprId) }, analyzed)
+  }
 
   private def serveFrom(target: Icebox, index: IceboxFileIndex,
       keys: Seq[String], filterNames: Seq[String], specs: Seq[OutSpec],
@@ -226,34 +418,8 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // build the replacement through the DataFrame API (analysis handles
     // type coercion), then re-align names/exprIds for the parent plan
-    var df = target.read(spark)
-    filters.foreach { cond =>
-      // re-express the predicate over the view's LOGICAL column names and
-      // round-trip through SQL text (Column-from-Expression is not a
-      // public surface; the text path re-analyzes against the view read)
-      val translated = cond.transform {
-        case ar: AttributeReference => UnresolvedAttribute(
-          idToLogical.getOrElse(ar.exprId.id, logicalOf(ar.name, physToLogical)))
-      }
-      df = df.filter(org.apache.spark.sql.functions.expr(translated.sql))
-    }
-    val tmp = specs.indices.map(i => s"__mvr_$i")
-    val projected: DataFrame =
-      if (exactKeys)
-        df.select(specs.zip(tmp).map { case (s, t) =>
-          s.exact.cast(s.orig.dataType).as(t) }: _*)
-      else {
-        val aggCols = specs.zip(tmp).collect { case (s, t) if !s.isKey =>
-          s.rollup.get.as(t) }
-        val grouped =
-          if (aggCols.isEmpty) df.select(keys.map(col): _*).distinct()
-          else df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        grouped.select(specs.zip(tmp).map { case (s, t) =>
-          (if (s.isKey) s.exact else col(t)).cast(s.orig.dataType).as(t) }: _*)
-      }
-    val analyzed = projected.queryExecution.analyzed
-    Some(Project(analyzed.output.zip(specs).map { case (na, s) =>
-      Alias(na, s.orig.name)(exprId = s.orig.exprId) }, analyzed))
+    Some(buildReplacement(target, translate(filters, idToLogical, physToLogical),
+      specs, keys, exactKeys))
   }
 }
 

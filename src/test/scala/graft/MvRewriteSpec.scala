@@ -140,6 +140,75 @@ class MvRewriteSpec extends SparkSpec {
     assertSameRows(served, direct)
   }
 
+  test("join query is served from a join view by the optimizer rule, with rollup") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrwj1_wh")
+    DmlSql.setWarehouse(wh)
+    val fact = Icebox(tmpDir("mvrwj1_f"))
+    fact.append((1 to 80).map(i => (i.toLong, (i % 5).toLong, i * 10L)).toDF("id", "fk", "v"))
+    val dim = Icebox(tmpDir("mvrwj1_d"))
+    dim.append((0 to 4).map(k => (k.toLong, s"seg${k % 2}")).toDF("k", "seg"))
+    fact.registerView(spark, "mvrwj1_f")
+    dim.registerView(spark, "mvrwj1_d")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrwj1 AS SELECT seg, fk, count(*), sum(v) " +
+      "FROM mvrwj1_f JOIN mvrwj1_d ON mvrwj1_f.fk = mvrwj1_d.k GROUP BY seg, fk")
+    // rollup to a key subset, straight through spark.sql
+    val q = "SELECT seg, count(*) AS cnt, sum(v) AS sv, avg(v) AS av " +
+      "FROM mvrwj1_f JOIN mvrwj1_d ON mvrwj1_f.fk = mvrwj1_d.k GROUP BY seg"
+    val served = spark.sql(q)
+    assert(servedFromView(served), s"expected view scan, got ${served.inputFiles.toSeq}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    assert(!servedFromView(direct))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    served.schema shouldBe direct.schema
+    assertSameRows(served, direct)
+    // a key filter (pushed into the dim side by the optimizer) still serves
+    val fq = "SELECT seg, sum(v) AS sv FROM mvrwj1_f JOIN mvrwj1_d " +
+      "ON mvrwj1_f.fk = mvrwj1_d.k WHERE seg = 'seg1' GROUP BY seg"
+    val fServed = spark.sql(fq)
+    assert(servedFromView(fServed), "key-filtered join query must serve from the view")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val fDirect = spark.sql(fq)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assertSameRows(fServed, fDirect)
+  }
+
+  test("join rewrite refuses: different join shape, non-key filter, staleness") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrwj2_wh")
+    DmlSql.setWarehouse(wh)
+    val fact = Icebox(tmpDir("mvrwj2_f"))
+    fact.append((1 to 40).map(i => (i.toLong, (i % 4).toLong, i * 10L)).toDF("id", "fk", "v"))
+    val dim = Icebox(tmpDir("mvrwj2_d"))
+    dim.append((0 to 3).map(k => (k.toLong, s"s$k")).toDF("k", "seg"))
+    fact.registerView(spark, "mvrwj2_f")
+    dim.registerView(spark, "mvrwj2_d")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrwj2 AS SELECT seg, count(*), sum(v) " +
+      "FROM mvrwj2_f JOIN mvrwj2_d ON mvrwj2_f.fk = mvrwj2_d.k GROUP BY seg")
+    val good = "SELECT seg, sum(v) AS sv FROM mvrwj2_f JOIN mvrwj2_d " +
+      "ON mvrwj2_f.fk = mvrwj2_d.k GROUP BY seg"
+    assert(servedFromView(spark.sql(good)))
+    // a different join condition is a different result — never served
+    assert(!servedFromView(spark.sql("SELECT seg, sum(v) AS sv FROM mvrwj2_f " +
+      "JOIN mvrwj2_d ON mvrwj2_f.id = mvrwj2_d.k GROUP BY seg")))
+    // a filter on a non-key column can't be applied to the view's rows
+    assert(!servedFromView(spark.sql("SELECT seg, sum(v) AS sv FROM mvrwj2_f " +
+      "JOIN mvrwj2_d ON mvrwj2_f.fk = mvrwj2_d.k WHERE v > 100 GROUP BY seg")))
+    // staleness: a fact append un-serves until REFRESH catches the cursor up
+    fact.append(Seq((1000L, 1L, 5L)).toDF("id", "fk", "v"))
+    fact.registerView(spark, "mvrwj2_f")
+    val stale = spark.sql(good)
+    assert(!servedFromView(stale), "stale join view must never be served")
+    assertSameRows(stale,
+      fact.read(spark).join(dim.read(spark), $"fk" === $"k")
+        .groupBy("seg").agg(sum($"v").as("sv")))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvrwj2")
+    assert(servedFromView(spark.sql(good)), "refresh must re-enable the join rewrite")
+  }
+
   test("kill switch and missing warehouse are honored") {
     MvRewrite.install(spark)
     val wh = tmpDir("mvrw5_wh")

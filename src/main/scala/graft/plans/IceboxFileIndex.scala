@@ -376,9 +376,21 @@ object IceboxFileIndex {
         dirId >= 0 && dirId < b.n &&
           Icebox.bucketIdFromName(new HPath(f.path).getName).contains(dirId))
     }
-    if (allStamped)
-      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(phys), Nil))
-    else None
+    if (allStamped) {
+      // SORTED buckets: `write.sort.columns` sorts every task's output
+      // before the write and compaction honors the declared order, so each
+      // data FILE is individually sorted. Declaring the sort here lets a
+      // merge join skip its SortExec entirely — but only when Spark's own
+      // guards hold: at most ONE file per bucket (compact first) and the
+      // user's explicit opt-in conf
+      // `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (the
+      // double opt-in mirrors Hive sorted-bucketed tables; with >1 file
+      // per bucket Spark ignores the ordering and sorts as usual).
+      val sortCols = table.properties.get("write.sort.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .map(table.toPhysical).filter(dataSchema.fieldNames.contains)
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(phys), sortCols))
+    } else None
   }
 
   /** Same, pinned to an arbitrary snapshot (time travel reads plan through

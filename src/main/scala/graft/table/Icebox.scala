@@ -1826,7 +1826,16 @@ final class Icebox(val tableDir: String) {
     val shaped = props.get("write.sort.columns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
       case Some(cols) if cols.nonEmpty =>
-        distributed.sortWithinPartitions(cols.map(c => col(phys(c))): _*)
+        // the PARTITION columns lead the sort: a partitioned write requires
+        // task rows ordered by the partition columns, and if the incoming
+        // order doesn't satisfy that, FileFormatWriter inserts its own
+        // NON-STABLE sort on just those columns — silently destroying the
+        // declared order inside every file. Leading with them satisfies
+        // the writer's requirement, so no extra sort is inserted and each
+        // file stays sorted by the declared columns.
+        distributed.sortWithinPartitions(
+          (partitionByPhys ++ cols.map(phys).filterNot(partitionByPhys.contains))
+            .map(col): _*)
       case _ => distributed
     }
     val bloomCols = props.get("write.bloom.columns")

@@ -130,6 +130,39 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("sorted buckets: after compaction to one file per bucket, the merge join drops its sorts") {
+    noAqe {
+      def mk(prefix: String, payload: String): Icebox = {
+        val t = Icebox(tmpDir(prefix))
+        t.setProperties(Map("write.sort.columns" -> "id"))
+        t.appendTransformed((1L to 400L).map(i => (i, i * 2)).toDF("id", payload)
+          .repartition(3), "bucket(4, id)")
+        t.appendTransformed((401L to 800L).map(i => (i, i * 2)).toDF("id", payload)
+          .repartition(3), "bucket(4, id)")
+        t.compact(spark) // one sorted file per bucket
+        val perBucket = t.currentSnapshot.get.files.groupBy(_.partition("id_bucket"))
+        perBucket.values.foreach(fs => fs should have size 1)
+        t
+      }
+      val a = mk("bjs-a", "v")
+      val b = mk("bjs-b", "w")
+      val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val prev = spark.conf.get(ordKey, "false")
+      spark.conf.set(ordKey, "true")
+      try {
+        val j = a.readIndexed(spark)
+          .join(b.readIndexed(spark).hint("shuffle_merge"), "id")
+        shuffles(j) shouldBe 0
+        val sorts = j.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        sorts shouldBe empty
+        assertSameRows(j,
+          (1L to 800L).map(i => (i, i * 2, i * 2)).toDF("id", "v", "w"))
+      } finally spark.conf.set(ordKey, prev)
+    }
+  }
+
   test("widening a transform-source column is refused") {
     val t = Icebox(tmpDir("bj-widen"))
     val df = (1 to 100).map(i => (i, i)).toDF("id", "v")

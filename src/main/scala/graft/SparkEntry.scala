@@ -804,6 +804,38 @@ object SparkEntry {
           round(col("min_price"), 2).as("min_price"), round(col("max_price"), 2).as("max_price"))
     }),
 
+    // Manifest NDV index: ANALYZE TABLE builds per-file HyperLogLog
+    // sketches as content-addressed side files (one parquet pass, executor-
+    // built, O(new files) on later commits — sticky like stats); approx
+    // COUNT(DISTINCT) is then answered from metadata with ZERO data I/O.
+    // The requires prove each metadata estimate lands within the sketch's
+    // error budget; the checked output is the exact distinct counts so the
+    // oracle hash-matches.
+    "q_ndv_meta" -> ((s, dir) => {
+      val table = Icebox(tmp("qndv"))
+      val li = t(s, dir, "lineitem")
+      table.append(li.filter(col("l_orderkey") % 2 === 0))
+      table.append(li.filter(col("l_orderkey") % 2 =!= 0))
+      graft.sql.MergeSql.register("qndv_t", table)
+      graft.sql.DmlSql.run(s,
+        "ANALYZE TABLE qndv_t COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_suppkey, l_returnflag")
+      val exact = table.read(s).agg(
+        countDistinct(col("l_orderkey")).as("nd_orderkey"),
+        countDistinct(col("l_suppkey")).as("nd_suppkey"),
+        countDistinct(col("l_returnflag")).as("nd_returnflag"))
+      val r0 = exact.head()
+      def check(c: String, exactV: Long): Unit = {
+        val est = table.approxCountDistinctMeta(c)
+          .getOrElse(sys.error(s"NDV index can't answer $c"))
+        require(math.abs(est - exactV).toDouble <= math.max(0.05 * exactV, 2.0),
+          s"NDV estimate for $c out of budget: est=$est exact=$exactV")
+      }
+      check("l_orderkey", r0.getLong(0))
+      check("l_suppkey", r0.getLong(1))
+      check("l_returnflag", r0.getLong(2))
+      exact
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -2192,6 +2224,12 @@ object SparkEntry {
     "q_minmax_meta" ->
       """SELECT round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
         |       round(min(l_extendedprice), 2) AS min_price, round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "q_ndv_meta" ->
+      """SELECT count(DISTINCT l_orderkey) AS nd_orderkey,
+        |       count(DISTINCT l_suppkey) AS nd_suppkey,
+        |       count(DISTINCT l_returnflag) AS nd_returnflag
         |FROM lineitem""".stripMargin,
 
     // the UPDATE's row-level effect, written longhand

@@ -80,6 +80,10 @@ object DmlSql {
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*""".r
+  private val ShowStatsRe =
+    """(?is)\s*SHOW\s+STATS\s+FOR\s+(\w+)\s*;?\s*""".r
   private val SetTblPropsRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetTblPropsRe =
@@ -168,6 +172,18 @@ object DmlSql {
       t.properties.toSeq.sortBy(_._1).toDF("key", "value")
     case ShowPartitionsRe(name) =>
       lookupRegistered(name, "SHOW PARTITIONS").partitionsDf(spark)
+    // manifest NDV index (Trino's ANALYZE / SHOW STATS spelling): builds
+    // per-file HLL sketches for the named columns (sticky — later commits
+    // keep sketching their new files) and answers approximate
+    // COUNT(DISTINCT) from metadata alone
+    case AnalyzeRe(name, cols) =>
+      val t = lookupRegistered(name, "ANALYZE")
+      val columns = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      t.analyze(spark, columns)
+      spark.createDataFrame(Seq(("analyze", columns.size.toLong)))
+        .toDF("operation", "snapshot_id")
+    case ShowStatsRe(name) =>
+      lookupRegistered(name, "SHOW STATS").ndvStatsDf(spark)
     // persistent catalog listings (the reference's REST-catalog listing
     // surface, catalog_manager.py:29-69, at the engine's path-rooted
     // design point): answered from the warehouse's registry table

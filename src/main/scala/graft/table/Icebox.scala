@@ -66,7 +66,8 @@ object Snapshot {
 final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, String],
     stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L,
     deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    sketches: Map[String, String] = Map.empty)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -160,6 +161,8 @@ final class Icebox(val tableDir: String) {
   private def shardPath(sha: String): HPath = new HPath(shardsDir, s"$sha.json")
   private def bloomsDir: HPath = new HPath(snapshotsDir, "blooms")
   private def bloomPath(sha: String): HPath = new HPath(bloomsDir, s"$sha.bloom")
+  private def sketchesDir: HPath = new HPath(snapshotsDir, "sketches")
+  private def sketchPath(sha: String): HPath = new HPath(sketchesDir, s"$sha.hll")
 
   /** Parsed manifests, keyed by snapshot id. Manifests are immutable once
     * committed (CREATE_NEW; the expiry rebase replaces a manifest with a
@@ -326,6 +329,147 @@ final class Icebox(val tableDir: String) {
     */
   def columnMinMaxMeta(column: String): Option[(Double, Double)] =
     minMaxMeta(column)(s => scala.util.Try(s.toDouble).toOption)(_ min _, _ max _)
+
+  // ----------------------------------------------------- NDV sketch index
+
+  private def rollupProp(physCol: String) = s"sketch.ndv.rollup.$physCol"
+
+  /** `ANALYZE TABLE`'s engine: build per-file NDV (HyperLogLog) sketches
+    * for `columns` — side files under `_snapshots/sketches/`, pointers in
+    * the manifest — then fold them into ONE table-level rollup sketch per
+    * column, cached as a side file keyed to the snapshot it describes.
+    *
+    * O(delta) everywhere: only files MISSING a sketch are read (a second
+    * ANALYZE after an append scans just the new files — and commits made
+    * after the first ANALYZE sketch their own files inline, making the
+    * re-ANALYZE metadata-only), and the rollup refresh reuses the previous
+    * rollup when the old snapshot's files all survive (pure appends),
+    * folding only the new files' sketches. Compaction rewrites rows
+    * unchanged, so surviving rollups stay valid; copy-on-write DELETE
+    * rewrites files, which invalidates the subset check and forces a full
+    * per-file re-fold — never a stale estimate.
+    */
+  def analyze(spark: SparkSession, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "ANALYZE needs at least one column")
+    val existing = properties.get("sketch.ndv.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val phys = columns.map(toPhysical)
+    val merged = (existing ++ phys).distinct
+    setProperties(Map("sketch.ndv.columns" -> merged.mkString(",")))
+    val snap = currentSnapshot.getOrElse(return) // empty table: sticky property only
+    val p = properties.get("sketch.ndv.precision").map(_.toInt)
+      .getOrElse(graft.functions.Hll.DefaultP)
+    val missing = snap.files.filter(f => phys.exists(c => !f.sketches.contains(c)))
+    if (missing.nonEmpty) {
+      val shas = buildFileSketches(spark, missing.map(_.path), phys, p)
+      commitMetaResolved("analyze",
+        parent => parent.map(_.files).getOrElse(Nil).map { f =>
+          shas.get(pathOnly(f.path)) match {
+            case Some(m) => f.copy(sketches = f.sketches ++ m)
+            case None => f
+          }
+        }, snap.schemaJson)
+    }
+    phys.foreach(refreshRollup)
+  }
+
+  /** Fold the current snapshot's per-file sketches for `physCol` into a
+    * table-level rollup side file + `sketch.ndv.rollup.<col>` property
+    * (`<snapshotId>:<sha>`), reusing the previous rollup incrementally
+    * when every file it covered is still live.
+    */
+  private def refreshRollup(physCol: String): Unit = {
+    val snap = currentSnapshot.getOrElse(return)
+    val fs = snap.files
+    if (fs.exists(f => !f.sketches.contains(physCol))) return // not fully covered
+    val prev = properties.get(rollupProp(physCol)).flatMap { v =>
+      v.split(':') match {
+        case Array(sid, sha) => scala.util.Try(sid.toLong).toOption.map(_ -> sha)
+        case _ => None
+      }
+    }
+    if (prev.exists(_._1 == snap.id)) return // already current
+    def fold(shas: Seq[String], seed: Option[Array[Byte]]): Option[Array[Byte]] = {
+      val loaded = shas.map(loadSketch)
+      if (loaded.exists(_.isEmpty)) None
+      else if (loaded.isEmpty) seed.map(_.clone())
+      else {
+        val init = seed.getOrElse(loaded.head.get).clone() // never mutate cached bytes
+        Some(loaded.flatten.foldLeft(init)(graft.functions.Hll.merge))
+      }
+    }
+    val mergedOpt = prev match {
+      case Some((oldId, oldSha)) =>
+        // incremental when the old snapshot's files all survive (appends /
+        // metadata commits since); otherwise full re-fold
+        val oldPaths = scala.util.Try(snapshot(oldId).files.map(_.path).toSet).toOption
+        val curPaths = fs.map(_.path).toSet
+        oldPaths match {
+          case Some(op) if op.subsetOf(curPaths) =>
+            val newShas = fs.filterNot(f => op(f.path)).flatMap(_.sketches.get(physCol))
+            loadSketch(oldSha).map(_.clone()).flatMap(seed => fold(newShas, Some(seed)))
+              .orElse(fold(fs.flatMap(_.sketches.get(physCol)), None))
+          case _ => fold(fs.flatMap(_.sketches.get(physCol)), None)
+        }
+      case None => fold(fs.flatMap(_.sketches.get(physCol)), None)
+    }
+    mergedOpt.foreach { bytes =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+      store.mkdirs(sketchesDir)
+      // content-addressed: racing writers produce identical bytes, so a
+      // plain atomic replace needs no claim ceremony
+      if (!store.exists(sketchPath(sha))) store.atomicReplace(sketchPath(sha), bytes)
+      setProperties(Map(rollupProp(physCol) -> s"${snap.id}:$sha"))
+    }
+  }
+
+  /** Approximate COUNT(DISTINCT `column`) from the manifest NDV index with
+    * ZERO data-file I/O: one rollup side-file read when the cached rollup
+    * matches the current snapshot, else a fold over the per-file sketch
+    * side files. None when the index can't answer soundly: a file without
+    * a sketch, or pending merge-on-read deletes (a removed value would
+    * still be counted — same refusal contract as [[columnMinMaxMeta]]).
+    * Standard error 1.04/sqrt(2^p) ≈ 1.6% at the default p=12.
+    */
+  def approxCountDistinctMeta(column: String): Option[Long] = {
+    val key = toPhysical(column)
+    currentSnapshot.flatMap { snap =>
+      val fs = snap.files
+      if (fs.exists(f => f.deletes.nonEmpty || f.eqDeletes.nonEmpty)) None
+      else if (fs.isEmpty) Some(0L)
+      else properties.get(rollupProp(key)) match {
+        case Some(v) if v.split(':').headOption.flatMap(s =>
+            scala.util.Try(s.toLong).toOption).contains(snap.id) =>
+          loadSketch(v.split(':')(1)).map(graft.functions.Hll.estimate)
+        case _ =>
+          val shas = fs.map(_.sketches.get(key))
+          if (shas.exists(_.isEmpty)) None
+          else {
+            val loaded = shas.flatten.map(loadSketch)
+            if (loaded.exists(_.isEmpty)) None
+            else Some(graft.functions.Hll.estimate(
+              loaded.flatten.foldLeft(graft.functions.Hll.empty(
+                graft.functions.Hll.precision(loaded.head.get)))(graft.functions.Hll.merge)))
+          }
+      }
+    }
+  }
+
+  /** `SHOW STATS FOR t`: one row per sketched column — (column, ndv) from
+    * the manifest NDV index, metadata-only. Columns whose index can't
+    * answer (missing sketches, pending deletes) surface a null ndv rather
+    * than a silent scan.
+    */
+  def ndvStatsDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val logical = currentSchemaStruct.map(_.fields.toSeq).getOrElse(Nil)
+    val sketched = currentSnapshot.map(_.files.flatMap(_.sketches.keys).distinct)
+      .getOrElse(Nil).toSet
+    logical.filter(f => sketched.contains(Icebox.physicalName(f)))
+      .map(f => (f.name, approxCountDistinctMeta(f.name)))
+      .toDF("column", "ndv")
+  }
 
   /** String variant of [[columnMinMaxMeta]] — unsigned-byte UTF8 order,
     * the order Spark string min/max and parquet footer stats use.
@@ -1247,6 +1391,23 @@ final class Icebox(val tableDir: String) {
           st.getModificationTime < cutoffMs
       }.foreach(st => store.deleteIfExists(st.getPath))
     }
+    // NDV-sketch side-file GC: same liveness rule as blooms (a sha is live
+    // while any kept snapshot's file entry — or the table-level rollup
+    // property — references it), same mtime grace.
+    if (store.exists(sketchesDir)) {
+      val rollupShas = properties.collect {
+        case (k, v) if k.startsWith("sketch.ndv.rollup.") =>
+          v.split(':').lift(1)
+      }.flatten.toSet
+      val liveSketchShas =
+        (keep ++ refChains).flatMap(_.files.flatMap(_.sketches.values)).toSet ++ rollupShas
+      store.list(sketchesDir).filter { st =>
+        val name = st.getPath.getName
+        st.isFile && name.endsWith(".hll") &&
+          !liveSketchShas(name.stripSuffix(".hll")) &&
+          st.getModificationTime < cutoffMs
+      }.foreach(st => store.deleteIfExists(st.getPath))
+    }
     // delete data files not referenced by any kept snapshot (incl. orphans),
     // with an mtime grace period so an in-flight commit is never corrupted
     deleteUnreferenced(liveFiles, cutoffMs)
@@ -1888,6 +2049,23 @@ final class Icebox(val tableDir: String) {
         val fpp = props.get("manifest.bloom.fpp").map(_.toDouble).getOrElse(0.03)
         buildFileBlooms(df.sparkSession, listedRaw.map(_.path), manifestBloomCols, maxRows, fpp)
       }
+    // Manifest NDV index (`sketch.ndv.columns`, usually set via ANALYZE
+    // TABLE): per-file HyperLogLog sketches as content-addressed side
+    // files. Sticky like blooms/stats: once any live file sketches a
+    // column, every later commit keeps sketching its new files — so after
+    // one ANALYZE the table-level approx COUNT(DISTINCT) stays answerable
+    // from metadata across appends/compactions with O(new files) build
+    // cost per commit, never a second full pass.
+    val sketchSticky = base.map(_.files.flatMap(_.sketches.keys).distinct
+      .filter(df.columns.contains)).getOrElse(Nil)
+    val sketchCols = (props.get("sketch.ndv.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(phys).filter(df.columns.contains) ++ sketchSticky).distinct
+    val sketchShas: Map[String, Map[String, String]] =
+      if (sketchCols.isEmpty) Map.empty
+      else buildFileSketches(df.sparkSession, listedRaw.map(_.path), sketchCols,
+        props.get("sketch.ndv.precision").map(_.toInt)
+          .getOrElse(graft.functions.Hll.DefaultP))
     val (emptyFiles, keptRaw) = listedRaw.partition(f =>
       meta.get(f.path).exists(_._1 == 0L))
     // ZERO-ROW part files (an empty upstream partition can emit one):
@@ -1900,7 +2078,8 @@ final class Icebox(val tableDir: String) {
     val newFiles = keptRaw.map { f =>
       val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
       f.copy(rows = rows, stats = stats,
-        blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty))
+        blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty),
+        sketches = sketchShas.getOrElse(pathOnly(f.path), Map.empty))
     }
     commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch)
   }
@@ -2255,6 +2434,60 @@ final class Icebox(val tableDir: String) {
     Some(bf)
   }
 
+  /** Per-file NDV (HyperLogLog) sketches for `cols`, written as content-
+    * addressed side files under `_snapshots/sketches/` — the manifest
+    * entry carries only the sha. Same executor-side write discipline as
+    * [[buildFileBlooms]]: the driver receives (file, column, sha) triples,
+    * never the sketch bytes. One parquet pass over `paths` covers every
+    * column; nulls are excluded BEFORE hashing (xxhash64 maps null to the
+    * seed, which would otherwise count null as a value — COUNT(DISTINCT)
+    * excludes it).
+    */
+  private def buildFileSketches(spark: SparkSession, paths: Seq[String], cols: Seq[String],
+      p: Int): Map[String, Map[String, String]] = {
+    if (paths.isEmpty || cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name, when, xxhash64}
+    val base = spark.read.parquet(paths: _*)
+    val present = cols.filter(base.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val hashed = base.select(
+      input_file_name().as("__file") +:
+        present.map(c => when(fcol(c).isNotNull, xxhash64(fcol(c))).as(c)): _*)
+    val aggs = present.map(c => graft.functions.HllBuild.agg(spark, fcol(c), p).as(c))
+    store.mkdirs(sketchesDir)
+    val confBc = spark.sparkContext.broadcast(
+      new Icebox.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val sketchesDirStr = sketchesDir.toString
+    val presentLocal = present
+    import spark.implicits._
+    val triples = hashed.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val file = r.getString(0)
+          presentLocal.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.getAs[Array[Byte]](i + 1)).map { bytes =>
+              (file, c, Icebox.writeSideFile(confBc.value.value, sketchesDirStr, bytes, "hll"))
+            }
+          }
+        }
+      }.collect()
+    triples.groupBy(t => pathOnly(t._1))
+      .map { case (p0, ts) => p0 -> ts.map(t => t._2 -> t._3).toMap }
+  }
+
+  /** Load one NDV sketch side file by content sha (process-wide cache —
+    * sketches are 2-4 KB and immutable).
+    */
+  private[graft] def loadSketch(sha: String): Option[Array[Byte]] = {
+    val hit = Icebox.sketchCache.get(sha)
+    if (hit != null) return Some(hit)
+    val p = sketchPath(sha)
+    if (!store.exists(p)) return None
+    val bytes = store.readBytes(p)
+    Icebox.sketchCache.put(sha, bytes)
+    Some(bytes)
+  }
+
   /** One executor-fanned footer read per file: block row counts + row-group
     * min/max for `cols`. No data pages are read.
     */
@@ -2534,6 +2767,10 @@ final class Icebox(val tableDir: String) {
         val bl = o.putObject("blooms")
         f.blooms.toSeq.sortBy(_._1).foreach { case (c, sha) => bl.put(c, sha) }
       }
+      if (f.sketches.nonEmpty) {
+        val sk = o.putObject("sketches")
+        f.sketches.toSeq.sortBy(_._1).foreach { case (c, sha) => sk.put(c, sha) }
+      }
     }
   }
 
@@ -2555,8 +2792,12 @@ final class Icebox(val tableDir: String) {
       val blooms = Option(f.get("blooms")).map { bn =>
         bn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
+      val sketches = Option(f.get("sketches")).map { sn =>
+        sn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
       DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
-        if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes, blooms)
+        if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes, blooms,
+        sketches)
     }.toSeq).getOrElse(Nil)
 
   private def manifestJson(m: Icebox.Manifest): String = {
@@ -2750,6 +2991,17 @@ object Icebox {
   private[graft] def cachedBloom(sha: String): Option[org.apache.spark.util.sketch.BloomFilter] =
     Option(bloomCache.get(sha))
 
+  /** Process-wide NDV-sketch side-file cache, keyed by content sha.
+    * Sketches are 2-4 KB each, so the bound is generous.
+    */
+  private[table] val sketchCache: java.util.Map[String, Array[Byte]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[Byte]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+          size > 1024
+      })
+
   /** Hadoop Configuration is not Serializable; this is the standard
     * write/readFields envelope so a broadcast can ship the session's
     * Hadoop conf (filesystem schemes, credentials) to executor-side
@@ -2774,14 +3026,19 @@ object Icebox {
     * a temp file the expiry GC removes as an unreferenced side file.
     */
   private[table] def writeBloomSideFile(conf: org.apache.hadoop.conf.Configuration,
-      bloomsDir: String, bytes: Array[Byte]): String = {
+      bloomsDir: String, bytes: Array[Byte]): String =
+    writeSideFile(conf, bloomsDir, bytes, "bloom")
+
+  /** Shared content-addressed side-file write (blooms, NDV sketches). */
+  private[table] def writeSideFile(conf: org.apache.hadoop.conf.Configuration,
+      dirStr: String, bytes: Array[Byte], ext: String): String = {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
-    val dir = new HPath(bloomsDir)
+    val dir = new HPath(dirStr)
     val fs = dir.getFileSystem(conf)
-    val dst = new HPath(dir, s"$sha.bloom")
+    val dst = new HPath(dir, s"$sha.$ext")
     if (!fs.exists(dst)) {
-      val tmp = new HPath(dir, s"_tmp-$sha-${java.util.UUID.randomUUID()}.bloom")
+      val tmp = new HPath(dir, s"_tmp-$sha-${java.util.UUID.randomUUID()}.$ext")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
       if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost the race: identical bytes won

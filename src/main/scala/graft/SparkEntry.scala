@@ -2052,6 +2052,20 @@ object SparkEntry {
       graft.operators.PassageDedup.duplicatedNgramStats(
         t(s, dir, "documents"), "text", "doc_id", n = 3, minDf = 1L)),
 
+    // LLM: ExactSubstr duplicated-SPAN removal (Lee et al.) — the corpus is
+    // reconstructed with a shared boilerplate footer AND a full self-repeat
+    // of every document, so every doc carries removable duplication; each
+    // >=12-word repeated span is cut everywhere but its global first
+    // occurrence and the survivors rejoin whitespace-canonically
+    "q_exact_substr" -> ((s, dir) => {
+      val boiler = "end of document boilerplate footer line rights " +
+        "reserved contact us terms privacy policy sitemap"
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" " + boiler + " "), col("text")).as("text"))
+      graft.operators.PassageDedup.removeDuplicateSpans(
+        corpus, "text", "doc_id", minWords = 12)
+    }),
+
     // LLM: Misra-Gries heavy hitters — per-language top-10 words via the
     // mergeable bounded-memory sketch; capacity 64 > the corpus vocabulary
     // (31 distinct words) so the sketch is provably EXACT and the oracle
@@ -3134,6 +3148,40 @@ object SparkEntry {
         |       count(CASE WHEN rn <> 1 THEN 1 END) AS dropped_paragraphs
         |  FROM ranked GROUP BY doc_id
         |HAVING count(CASE WHEN rn = 1 THEN 1 END) > 0""".stripMargin,
+
+    // ExactSubstr span removal, written longhand: L-gram cover of
+    // duplicated substrings, keeper = global first (doc_id, pos), window
+    // overlap-merge via gaps-and-islands, covered words cut
+    "q_exact_substr" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' end of document boilerplate footer line rights reserved contact us terms privacy policy sitemap ' || text AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM corpus),
+        |pos AS (SELECT doc_id, words,
+        |        unnest(generate_series(1, greatest(len(words) - 11, 0))) AS i FROM w),
+        |g AS (SELECT doc_id, i, array_to_string(words[i:i+11], ' ') AS gram FROM pos),
+        |d AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+        |           count(*) OVER (PARTITION BY gram) AS c FROM g) WHERE c > 1 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, i, CASE WHEN max(i) OVER (PARTITION BY doc_id ORDER BY i
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 11 >= i THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl AS (SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM m),
+        |spans AS (SELECT doc_id, min(i) AS s, max(i) + 11 AS e FROM isl GROUP BY doc_id, island),
+        |wordpos AS (SELECT doc_id, unnest(generate_series(1, len(words))) AS j,
+        |            unnest(words) AS word FROM w),
+        |covered AS (
+        |  SELECT wp.doc_id, wp.j, wp.word,
+        |         EXISTS (SELECT 1 FROM spans s
+        |                 WHERE s.doc_id = wp.doc_id AND wp.j BETWEEN s.s AND s.e) AS cov
+        |  FROM wordpos wp)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(word ORDER BY j) FILTER (WHERE NOT cov), ' '), '') AS clean_text,
+        |       CAST(count(*) FILTER (WHERE cov) AS BIGINT) AS removed_words,
+        |       CAST(count(*) AS BIGINT) AS total_words
+        |FROM covered GROUP BY doc_id""".stripMargin,
 
     // duplicated word-3-gram occurrence counts: an n-gram is "hot" when it
     // appears in more than one distinct document; dup_ngrams counts the

@@ -128,4 +128,89 @@ object PassageDedup {
       .select(col(idCol))
     df.join(stats, Seq(idCol), "left_semi")
   }
+
+  /** ExactSubstr-style duplicated-SPAN removal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": cut the duplicated
+    * substring, keep the rest of the document). The suffix-array pass of
+    * the paper is inherently sequential; the distributed surrogate is the
+    * standard L-gram cover, and at granularity L it is EXACT: a position
+    * lies inside some corpus-duplicated substring of length ≥ `minWords`
+    * iff it lies inside some duplicated `minWords`-gram window (a span of
+    * length ≥ L duplicates iff all its L-windows do, and the windows tile
+    * every position of the span).
+    *
+    * Semantics, fully deterministic: tokenize on whitespace; every
+    * `minWords`-gram occurring MORE THAN ONCE in the corpus marks its
+    * window at every occurrence EXCEPT the global first — "first" =
+    * lowest (`idCol`, position), so one canonical copy of each repeated
+    * passage always survives, the paper's practical variant. Marked
+    * windows merge into spans per document (overlap merge); covered words
+    * are cut and the survivors rejoin with single spaces (output text is
+    * whitespace-canonical for every document, touched or not).
+    *
+    * Output: (`idCol`, `clean_text`, `removed_words`, `total_words`).
+    *
+    * 100 TB shape: one map-side-combined aggregation over gram TEXT (the
+    * exactness contract — a hash would admit collision false-positives;
+    * grams shuffle once, ~L× the corpus bytes, the price the paper's
+    * method also pays in suffix-array bytes), one shuffle join of gram
+    * occurrences back to the duplicated grams, then per-document windows
+    * and reassembly keyed by `idCol`. No all-pairs, no driver state;
+    * per-gram state is (first occurrence, count) — a million-fold repeated
+    * boilerplate gram folds to one row.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val L = minWords
+    val words = df.select(col(idCol).as("__id"),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    // one row per L-gram occurrence, 1-based position, gram as text
+    val grams = words
+      .select(col("__id"), col("__w"),
+        explode(when(size(col("__w")) >= L,
+          sequence(lit(1), size(col("__w")) - L + 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(col("__id"), col("__i"),
+        concat_ws(" ", slice(col("__w"), col("__i"), lit(L))).as("__gram"))
+    // per-gram: global first occurrence + occurrence count (map-side
+    // partials collapse hot boilerplate grams before the shuffle)
+    val dupGrams = grams
+      .groupBy(col("__gram"))
+      .agg(min(struct(col("__id"), col("__i"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__gram"), col("__first"))
+    // duplicated occurrences = all but the keeper
+    val dups = grams
+      .join(dupGrams.hint("shuffle_hash"), Seq("__gram"))
+      .filter(!(col("__id") === col("__first.__id") && col("__i") === col("__first.__i")))
+      .select(col("__id"), col("__i"))
+    // overlap-merge the L-windows into spans per document
+    val prevEnd = Window.partitionBy(col("__id")).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ordered = Window.partitionBy(col("__id")).orderBy(col("__i"))
+    val spans = dups
+      .withColumn("__brk",
+        when(max(col("__i")).over(prevEnd) + L - 1 >= col("__i"), 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(ordered))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__i")).as("__s"), (max(col("__i")) + L - 1).as("__e"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    // cut covered words, rejoin with single spaces. Indexed lambdas (i is
+    // 0-based; spans are 1-based): a null __spans (untouched doc) makes
+    // exists() null — IF picks the keep branch and filter drops the
+    // element, i.e. zero removal, no coalesce ceremony needed. concat_ws
+    // skips the nulls the cut leaves behind.
+    val covered = "iv -> i + 1 >= iv.__s AND i + 1 <= iv.__e"
+    words.join(spans, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        concat_ws(" ", expr(
+          s"transform(__w, (w, i) -> IF(exists(__spans, $covered), NULL, w))"))
+          .as("clean_text"),
+        expr(s"size(filter(__w, (w, i) -> exists(__spans, $covered)))")
+          .cast("long").as("removed_words"),
+        size(col("__w")).cast("long").as("total_words"))
+  }
 }

@@ -1400,6 +1400,42 @@ object SparkEntry {
       corpus.read(s).select("doc_id", "source", "n_chars", "fingerprint")
     }),
 
+    // Streaming dedup-on-arrival: three file waves (fresh halves, re-id'd
+    // copies, a full verbatim re-offer) ingest through a micro-batch loop
+    // that membership-probes the growing corpus per batch — whatever order
+    // the batches land, the corpus converges to exactly one row per
+    // distinct content fingerprint (the order-invariant checked output;
+    // the require proves zero duplicates ever committed)
+    "q_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val srcDir = tmp("qsd_files")
+      val corpus = Icebox(tmp("qsd_corpus"))
+      corpus.setProperties(Map("manifest.bloom.columns" -> "fingerprint"))
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars", "text")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val waves = Seq(
+        evens,
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(evens.withColumn("doc_id", col("doc_id") + 100000)),
+        docs)
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val stage = tmp(s"qsd_stage$i")
+        w.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = scala.util.Using.resource(JFiles.list(Paths.get(stage)))(
+          _.iterator().asScala.find(_.toString.endsWith(".parquet")).get)
+        JFiles.copy(part, Paths.get(srcDir, s"w$i.parquet"))
+      }
+      val q = graft.streaming.Streaming.dedupIngest(s, srcDir, docs.schema,
+        corpus, tmp("qsd_ckpt"), "text", "doc_id", maxFilesPerTrigger = Some(1))
+      q.awaitTermination(180000)
+      val out = corpus.read(s).select("fingerprint")
+      val rows = corpus.rowCount.getOrElse(0L)
+      val distinctFps = out.distinct().count()
+      require(rows == distinctFps,
+        s"corpus holds $rows rows but $distinctFps distinct fingerprints")
+      out
+    }),
+
     // Deterministic token-budget corpus assembly: per source, docs admit
     // in hash order until the running total fills that source's budget
     // (greedy prefix, ≤ one-doc overshoot) — the "N tokens of web, M of
@@ -2558,6 +2594,13 @@ object SparkEntry {
         |SELECT f.doc_id, f.source, f.n_chars, f.fingerprint
         |FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
         |  ON f.doc_id = k.keep""".stripMargin,
+
+    // every wave's content comes from documents, so the converged corpus
+    // is exactly the distinct content-fingerprint set
+    "q_stream_dedup" ->
+      """SELECT DISTINCT
+        |  md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
 
     // same greedy-prefix window: cumulative tokens BEFORE the doc (hash
     // order) must be under the per-source budget

@@ -89,6 +89,52 @@ object Streaming {
       .start()
   }
 
+  /** Dedup-on-arrival corpus ingest: a file stream whose every micro-batch
+    * lands through [[graft.operators.Dedup.dedupInsert]] — the batch
+    * in-dedups on the content fingerprint, membership-probes the corpus
+    * through stats/bloom-PRUNED reads (O(batch-relevant files), never
+    * O(corpus)), and appends only genuinely new content in one atomic
+    * commit. The continuous corpus-builder shape: re-offered files,
+    * re-crawled pages with new ids, and cross-batch duplicates all drop at
+    * the door instead of requiring a later full-corpus dedup pass.
+    *
+    * Exactly-once needs NO batch marker here: `dedupInsert` is content-
+    * idempotent (the membership probe drops every already-ingested
+    * fingerprint), so a batch replayed after a crash-before-checkpoint
+    * converges to the same corpus — same contract as the pk upsert path
+    * in [[fileIngest]]. Declare `manifest.bloom.columns=fingerprint` on
+    * the corpus for planning-time probe pruning at scale.
+    *
+    * `refreshViews` refreshes materialized views right after each batch's
+    * commit, as in [[fileIngest]].
+    */
+  def dedupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpus: Icebox,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      format: String = "parquet",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None,
+      refreshViews: Seq[Icebox] = Nil): StreamingQuery = {
+    val reader = spark.readStream.format(format).schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(sourceDir).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.dedupInsert(corpus, batch, textCol, idCol)
+          refreshViews.foreach(
+            graft.operators.MaterializedView.refreshFromProperties(spark, _))
+        }
+      }
+      .start()
+  }
+
   /** Streaming read FROM an Icebox table (the Iceberg streaming-read
     * analog): every commit writes new files under `data/graft_commit=<id>/`,
     * so Spark's file stream over the data dir surfaces each commit's rows as

@@ -81,6 +81,33 @@ class StreamingSpec extends SparkSpec {
       Some(graft.operators.MaterializedView.NoOp)
   }
 
+  test("dedupIngest drops re-offered and re-id'd content at the door; restart converges") {
+    val src = tmpDir("stream-dd-src")
+    val ckpt = tmpDir("stream-dd-ckpt")
+    val corpus = Icebox(tmpDir("stream-dd-corpus"))
+    corpus.setProperties(Map("manifest.bloom.columns" -> "fingerprint"))
+    def doc(id: Long, text: String) = (id, text, 1L)
+    // wave 1: three distinct docs (one internal duplicate pair)
+    writeBatch(src, "w1.parquet", Seq(
+      doc(1, "alpha beta gamma"), doc(2, "delta epsilon"), doc(3, "alpha beta gamma")))
+    // wave 2: one fresh doc + a re-offer of doc 1 + a re-id'd copy of doc 2
+    writeBatch(src, "w2.parquet", Seq(
+      doc(10, "zeta eta theta"), doc(1, "alpha beta gamma"), doc(99, "delta epsilon")))
+    val schema = Seq(doc(0, "x")).toDF("id", "v", "ver").schema
+    val q = Streaming.dedupIngest(spark, src, schema, corpus, ckpt,
+      textCol = "v", idCol = "id", maxFilesPerTrigger = Some(1))
+    q.awaitTermination(60000)
+    val texts = corpus.read(spark).select("v").as[String].collect().sorted
+    texts shouldBe Array("alpha beta gamma", "delta epsilon", "zeta eta theta")
+    // restart with a pure-duplicate wave: nothing may append
+    val before = corpus.rowCount.get
+    writeBatch(src, "w3.parquet", Seq(doc(200, "zeta eta theta"), doc(201, "delta epsilon")))
+    val q2 = Streaming.dedupIngest(spark, src, schema, corpus, ckpt,
+      textCol = "v", idCol = "id", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(60000)
+    corpus.rowCount.get shouldBe before
+  }
+
   test("windowedCounts declares watermark + tumbling window on a stream") {
     val src = tmpDir("stream-src2")
     val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema

@@ -607,6 +607,43 @@ object SparkEntry {
         col("nn_o_totalprice"))
     }),
 
+    // STAR-SCHEMA materialized view (fact ⋈ 2 dims) maintained by the
+    // TELESCOPED bilinear delta rule: each term swaps one source for its
+    // change diff, reading sources before it at NEW snapshots and after
+    // it at OLD — every non-delta read key-pruned to the files the deltas
+    // touch. Appends on the fact plus key-deletes on BOTH dims flow
+    // through ONE incremental refresh (asserted) and must land exactly on
+    // the oracle's full recompute of the final joined state.
+    "q_mv_star" -> ((s, dir) => {
+      val fact = Icebox(tmp("qmvs_li"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(12,2)").as("l_extendedprice"))
+      fact.append(li.filter(col("l_orderkey") % 2 === 0))
+      val dOrders = Icebox(tmp("qmvs_ord"))
+      dOrders.append(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")))
+      val dSupp = Icebox(tmp("qmvs_sup"))
+      dSupp.append(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")))
+      val dims = Seq(
+        graft.operators.MaterializedView.StarDim(dOrders, Seq("l_orderkey" -> "o_orderkey")),
+        graft.operators.MaterializedView.StarDim(dSupp, Seq("l_suppkey" -> "s_suppkey")))
+      val mv = Icebox(tmp("qmvs_tgt"))
+      def refresh() = graft.operators.MaterializedView.refreshStar(
+        s, fact, dims, mv, "qstar", Seq("o_orderstatus", "s_nationkey"),
+        Seq("l_extendedprice"))
+      refresh()
+      fact.append(li.filter(col("l_orderkey") % 2 === 1))
+      dOrders.deleteByKeys(t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 2).select("o_orderkey").distinct())
+      dSupp.deleteByKeys(t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 6).select("s_suppkey").distinct())
+      val mode = refresh()
+      require(mode == graft.operators.MaterializedView.Incremental,
+        s"expected incremental star refresh, got $mode")
+      mv.read(s).select(col("o_orderstatus"), col("s_nationkey"), col("row_count"),
+        round(col("sum_l_extendedprice").cast("double"), 2).as("sum_l_extendedprice"),
+        col("nn_l_extendedprice"))
+    }),
+
     // COUNT(DISTINCT c) materialized-view column via BOUNDED TOUCHED-
     // GROUP RECOMPUTE (the MIN/MAX machinery generalized): a key-delete
     // may remove a group's last carrier of a value, which delta
@@ -2321,6 +2358,18 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 <> 2 AND c_custkey % 10 <> 6
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // full recompute of the star view's final state: the dim deletes
+    // surface as inner-join drop-out
+    "q_mv_star" ->
+      """SELECT o_orderstatus, s_nationkey, count(*) AS row_count,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_l_extendedprice,
+        |       count(l_extendedprice) AS nn_l_extendedprice
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_orderkey % 7 <> 2 AND s_suppkey % 10 <> 6
+        |GROUP BY o_orderstatus, s_nationkey""".stripMargin,
 
     // dense daily grid per user (generate_series) left-joined to the
     // bucket aggregates; forward fill via last_value IGNORE NULLS — the

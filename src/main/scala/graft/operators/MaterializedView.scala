@@ -120,18 +120,28 @@ object MaterializedView {
     val props = target.properties
     def list(k: String) =
       props.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def pairs(s: String) = s.split(',').filter(_.nonEmpty).toSeq.map { pair =>
+      val Array(l, r) = pair.split('='); (l, r) }
     for {
       id <- props.get("mv.id")
       srcDir <- props.get("mv.source.dir")
       keys <- props.get("mv.keys")
-    } yield props.get("mv.source2.dir") match {
-      case Some(dir2) =>
-        val joinOn = list("mv.join.on").map { pair =>
-          val Array(l, r) = pair.split('='); (l, r) }
-        refreshJoin(spark, Icebox(srcDir), Icebox(dir2), target, id, joinOn,
+    } yield (props.get("mv.star.dims"), props.get("mv.source2.dir")) match {
+      case (Some(dimDirs), _) =>
+        // star view: fact + N dims (`mv.star.dims` = ';'-joined dirs,
+        // `mv.star.on` = ';'-joined per-dim 'f=d,f=d' pair lists)
+        val dims = dimDirs.split(';').filter(_.nonEmpty).toSeq
+          .zip(props("mv.star.on").split(';').filter(_.nonEmpty).toSeq)
+          .map { case (dir, on) => StarDim(Icebox(dir), pairs(on)) }
+        refreshStar(spark, Icebox(srcDir), dims, target, id,
           keys.split(',').toSeq, list("mv.sums"),
           props.get("mv.where").filter(_.nonEmpty))
-      case None =>
+      case (None, Some(dir2)) =>
+        refreshJoin(spark, Icebox(srcDir), Icebox(dir2), target, id,
+          pairs(props.getOrElse("mv.join.on", "")),
+          keys.split(',').toSeq, list("mv.sums"),
+          props.get("mv.where").filter(_.nonEmpty))
+      case (None, None) =>
         refresh(spark, Icebox(srcDir), target, id, keys.split(',').toSeq,
           list("mv.sums"), props.get("mv.where").filter(_.nonEmpty),
           list("mv.minmaxs"), list("mv.distincts"))
@@ -291,6 +301,145 @@ object MaterializedView {
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over joins"),
           () => refreshJoin(spark, left, right, target, mvId, joinOn, keys, sums, where))
+    }
+  }
+
+  /** One dimension of a STAR view: the dim table plus the fact→dim join
+    * pairs (`factCol = dimCol`). Dim column names (beyond the join pairs)
+    * must be disjoint from the fact's and each other's.
+    */
+  final case class StarDim(table: Icebox, joinOn: Seq[(String, String)])
+
+  /** N-part cursor of a star view: fact snapshot then one per dim, in
+    * declaration order (`mv-refresh:<id>:<f>:<d1>:...:<dk>`).
+    */
+  def lastRefreshedStar(target: Icebox, mvId: String, nDims: Int): Option[Seq[Long]] = {
+    val prefix = opPrefix(mvId)
+    if (!target.exists) return None
+    target.allSnapshots.iterator.map(_.operation).collectFirst {
+      case op if op.startsWith(prefix) =>
+        val parts = op.stripPrefix(prefix).split(':').toSeq
+        if (parts.length != nDims + 1) sys.error(
+          s"mv '$mvId': marker '$op' is not a ${nDims + 1}-source cursor")
+        parts.map(_.toLong)
+    }
+  }
+
+  /** Incrementally maintained aggregate over a STAR JOIN — one fact table
+    * inner-equi-joined to `dims` dimension tables, each on its own
+    * fact-column = dim-column pairs. The 2-way bilinear rule telescopes:
+    * with old/new marked 1/2,
+    *
+    * {{{
+    * Δ(F⋈D¹⋈…⋈Dᵏ) = ΔF ⋈ D¹₂ ⋈ … ⋈ Dᵏ₂
+    *              + Σⱼ  F₁ ⋈ D¹₂ ⋈ … ⋈ Dʲ⁻¹₂ ⋈ ΔDʲ ⋈ Dʲ⁺¹₁ ⋈ … ⋈ Dᵏ₁
+    * }}}
+    *
+    * i.e. each term swaps exactly one source for its change diff, reading
+    * the sources BEFORE it at their NEW snapshots and the ones AFTER it at
+    * their OLD (cursor) snapshots — the signed union then feeds the same
+    * group-delta arithmetic as every other view.
+    *
+    * '''Pruning.''' Every non-delta read is key-pruned ([[Icebox.readForKeysAt]],
+    * pinned to the term's snapshot): in the ΔF term each dim is pruned to
+    * files admitting ΔF's join-key values; in a ΔDʲ term the FACT read is
+    * pruned to files admitting ΔDʲ's keys, and every other dim is pruned
+    * by the join-key values of that already-pruned fact slice. A refresh
+    * therefore costs O(Δ × files the deltas touch transitively), never a
+    * full scan of the fact or any dim — the star-schema warehouse shape
+    * at 100 TB. Same N-part-cursor exactly-once and concurrent-refresher
+    * guarantees as [[refreshJoin]] (which is the k=1 special case).
+    *
+    * MIN/MAX/COUNT(DISTINCT) are not offered over stars (same contract as
+    * 2-way joins); dim column names beyond the join pairs must be disjoint
+    * from the fact's and each other's.
+    */
+  def refreshStar(spark: SparkSession, fact: Icebox, dims: Seq[StarDim],
+      target: Icebox, mvId: String, keys: Seq[String], sums: Seq[String],
+      where: Option[String] = None): Mode = {
+    require(mvId.nonEmpty && !mvId.contains(":"), s"mvId must be non-empty without ':' (got '$mvId')")
+    require(keys.nonEmpty, "materialized view needs at least one group key")
+    require(dims.nonEmpty, "star view needs at least one dimension")
+    require(dims.forall(_.joinOn.nonEmpty), "every dim needs at least one equi-join pair")
+    val fSnap = fact.currentSnapshot.getOrElse(
+      sys.error(s"fact table ${fact.tableDir} has no snapshot"))
+    val dSnaps = dims.map(d => d.table.currentSnapshot.getOrElse(
+      sys.error(s"dim table ${d.table.tableDir} has no snapshot")))
+    val heads = fSnap.id +: dSnaps.map(_.id)
+    // same TOCTOU discipline as refresh(): head before cursor
+    val tgtHead = if (target.exists) target.currentSnapshotId else -1L
+    val last = lastRefreshedStar(target, mvId, dims.size)
+    if (last.contains(heads)) return NoOp
+    val op = opPrefix(mvId) + heads.mkString(":")
+
+    def filtered(df: DataFrame): DataFrame =
+      where.map(w => df.filter(expr(w))).getOrElse(df)
+    // inner equi-join hiding the dim-side join columns (values equal the
+    // fact pair column's) — same rename trick as refreshJoin's joined()
+    def joinDim(a: DataFrame, b0: DataFrame, joinOn: Seq[(String, String)]): DataFrame = {
+      val tmps = joinOn.indices.map(i => s"__mvs_$i")
+      val b = joinOn.zip(tmps).foldLeft(b0) { case (df, ((_, rc), tmp)) =>
+        df.withColumnRenamed(rc, tmp) }
+      val cond = joinOn.zip(tmps).map { case ((fc, _), tmp) =>
+        col(fc) === col(tmp) }.reduce(_ && _)
+      a.join(b, cond, "inner").drop(tmps: _*)
+    }
+    def fullAggs: Seq[Column] =
+      count(lit(1)).as("row_count") +: sums.flatMap(c =>
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"nn_$c")))
+    // keys of `from` projected as the dim's OWN column names, for pruning
+    def dimKeysOf(from: DataFrame, joinOn: Seq[(String, String)]): DataFrame =
+      from.select(joinOn.map { case (fc, dc) => col(fc).as(dc) }: _*)
+
+    def fullBuild(): Mode = {
+      val joined = dims.zipWithIndex.foldLeft(fact.read(spark)) {
+        case (acc, (d, _)) => joinDim(acc, d.table.read(spark), d.joinOn)
+      }
+      val df = filtered(joined).groupBy(keys.map(col): _*)
+        .agg(fullAggs.head, fullAggs.tail: _*)
+      target.overwriteAs(op, df, Nil)
+      FullBuild
+    }
+
+    last match {
+      case None => fullBuild()
+      case Some(cursor) =>
+        val fromF = cursor.head
+        val fromD = cursor.tail
+        val (df0, dDiffs) =
+          try (fact.changeDiff(spark, fromF, fSnap.id),
+            dims.zip(fromD).zip(dSnaps).map { case ((d, from), snap) =>
+              d.table.changeDiff(spark, from, snap.id) })
+          catch { case _: Exception => return fullBuild() } // cursor expired
+        // term 0: ΔF ⋈ every dim at its NEW snapshot, pruned by ΔF's keys
+        val term0 = dims.zip(dSnaps).foldLeft(df0: DataFrame) {
+          case (acc, (d, snap)) =>
+            joinDim(acc, d.table.readForKeysAt(spark,
+              dimKeysOf(df0, d.joinOn), Some(snap)), d.joinOn)
+        }
+        // term j: F@old (pruned by ΔDʲ) ⋈ dims<j @new ⋈ ΔDʲ ⋈ dims>j @old,
+        // the other dims pruned by the pruned fact slice's keys
+        val dimTerms = dims.zipWithIndex.map { case (dj, j) =>
+          val dDiff = dDiffs(j)
+          val fPruned = fact.readForKeysAt(spark,
+            dDiff.select(dj.joinOn.map { case (fc, dc) => col(dc).as(fc) }: _*),
+            Some(fact.snapshot(fromF)))
+          dims.zipWithIndex.foldLeft(fPruned) { case (acc, (dm, m)) =>
+            if (m == j) joinDim(acc, dDiff, dj.joinOn)
+            else {
+              val snap = if (m < j) dSnaps(m) else dims(m).table.snapshot(fromD(m))
+              joinDim(acc, dm.table.readForKeysAt(spark,
+                dimKeysOf(fPruned, dm.joinOn), Some(snap)), dm.joinOn)
+            }
+          }
+        }
+        // schema evolution between cursors: null-fill columns one side
+        // lacks, the read semantics evolution itself defines
+        val diff = filtered((term0 +: dimTerms).reduce(
+          _.unionByName(_, allowMissingColumns = true)))
+        applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
+          _ => sys.error("min/max not maintained over stars"),
+          () => refreshStar(spark, fact, dims, target, mvId, keys, sums, where))
     }
   }
 

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MaterializedView
+import graft.operators.MaterializedView.StarDim
+import graft.table.Icebox
+
+/** Star-schema materialized views: one fact inner-joined to N dims,
+  * maintained by the telescoped bilinear delta rule with key-pruned
+  * non-delta reads and an N-part exactly-once cursor.
+  */
+class StarMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** fact(id, ck, pk2, v) ⋈ cust(ck→seg) ⋈ prod(pk2→cat), grouped by (seg, cat). */
+  private def mkTables(tag: String): (Icebox, Icebox, Icebox, Icebox) = {
+    val fact = Icebox(tmpDir(s"star-f$tag"))
+    val cust = Icebox(tmpDir(s"star-c$tag"))
+    val prod = Icebox(tmpDir(s"star-p$tag"))
+    val mv = Icebox(tmpDir(s"star-t$tag"))
+    fact.append((1 to 120).map(i => (i.toLong, i % 8, i % 5, i * 10L))
+      .toDF("id", "ck", "pk2", "v"))
+    cust.append((0 to 7).map(k => (k, s"seg${k % 3}")).toDF("c_id", "seg"))
+    prod.append((0 to 4).map(k => (k, s"cat${k % 2}")).toDF("p_id", "cat"))
+    (fact, cust, prod, mv)
+  }
+
+  private def dims(cust: Icebox, prod: Icebox) = Seq(
+    StarDim(cust, Seq("ck" -> "c_id")),
+    StarDim(prod, Seq("pk2" -> "p_id")))
+
+  private def starAgg(fact: Icebox, cust: Icebox, prod: Icebox) =
+    fact.read(spark)
+      .join(cust.read(spark), $"ck" === $"c_id", "inner")
+      .join(prod.read(spark), $"pk2" === $"p_id", "inner")
+      .groupBy("seg", "cat").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+
+  private def refresh(fact: Icebox, cust: Icebox, prod: Icebox, mv: Icebox) =
+    MaterializedView.refreshStar(spark, fact, dims(cust, prod), mv, "st",
+      Seq("seg", "cat"), Seq("v"))
+
+  test("full build matches the 3-way aggregate; 3-part cursor lands NoOp") {
+    val (fact, cust, prod, mv) = mkTables("1")
+    refresh(fact, cust, prod, mv) shouldBe MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), starAgg(fact, cust, prod))
+    MaterializedView.lastRefreshedStar(mv, "st", 2) shouldBe
+      Some(Seq(fact.currentSnapshotId, cust.currentSnapshotId, prod.currentSnapshotId))
+    refresh(fact, cust, prod, mv) shouldBe MaterializedView.NoOp
+  }
+
+  test("appends on fact AND both dims in one cycle refresh incrementally") {
+    val (fact, cust, prod, mv) = mkTables("2")
+    refresh(fact, cust, prod, mv)
+    // new facts reference old dims AND dims inserted in the same cycle
+    // (ck=8, pk2=5): the term with ΔF must see both dims at NEW snapshots,
+    // the ΔD terms must not re-count the new facts
+    fact.append((121 to 160).map(i => (i.toLong, i % 9, i % 6, i * 10L))
+      .toDF("id", "ck", "pk2", "v"))
+    cust.append(Seq((8, "seg9")).toDF("c_id", "seg"))
+    prod.append(Seq((5, "cat9")).toDF("p_id", "cat"))
+    refresh(fact, cust, prod, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), starAgg(fact, cust, prod))
+  }
+
+  test("deletes: a dim row drops its facts, a fact leaves its group; exact vs recompute") {
+    val (fact, cust, prod, mv) = mkTables("3")
+    refresh(fact, cust, prod, mv)
+    cust.deleteByKeys(Seq(3).toDF("c_id"))
+    prod.deleteByKeys(Seq(1).toDF("p_id"))
+    fact.deleteByKeys((1 to 15).map(_.toLong).toDF("id"))
+    refresh(fact, cust, prod, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), starAgg(fact, cust, prod))
+  }
+
+  test("dim UPDATE re-points its facts across groups (delete+insert version pair)") {
+    val (fact, cust, prod, mv) = mkTables("4")
+    refresh(fact, cust, prod, mv)
+    // customer 2 moves segments: its facts must migrate wholesale
+    cust.deleteByKeys(Seq(2).toDF("c_id"))
+    cust.append(Seq((2, "segMOVED")).toDF("c_id", "seg"))
+    refresh(fact, cust, prod, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), starAgg(fact, cust, prod))
+    mv.read(spark).filter($"seg" === "segMOVED").count() should be > 0L
+  }
+
+  test("WHERE filters every term; data-neutral commits advance by marker") {
+    val (fact, cust, prod, mv) = mkTables("5")
+    MaterializedView.refreshStar(spark, fact, dims(cust, prod), mv, "st",
+      Seq("seg", "cat"), Seq("v"), where = Some("v > 300"))
+    fact.append((121 to 140).map(i => (i.toLong, i % 8, i % 5, i * 10L))
+      .toDF("id", "ck", "pk2", "v"))
+    MaterializedView.refreshStar(spark, fact, dims(cust, prod), mv, "st",
+      Seq("seg", "cat"), Seq("v"), where = Some("v > 300")) shouldBe
+      MaterializedView.Incremental
+    val expected = fact.read(spark).filter($"v" > 300)
+      .join(cust.read(spark), $"ck" === $"c_id", "inner")
+      .join(prod.read(spark), $"pk2" === $"p_id", "inner")
+      .groupBy("seg", "cat").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(mv.read(spark), expected)
+    // property-only commit on a dim: cursor advances with zero data change
+    cust.setProperties(Map("custom.note" -> "x"))
+    cust.commitMarker("note")
+    MaterializedView.refreshStar(spark, fact, dims(cust, prod), mv, "st",
+      Seq("seg", "cat"), Seq("v"), where = Some("v > 300")) shouldBe
+      MaterializedView.MarkerOnly
+  }
+
+  test("refreshFromProperties routes mv.star.* definitions (service/stream surface)") {
+    val (fact, cust, prod, mv) = mkTables("6")
+    mv.setProperties(Map(
+      "mv.id" -> "st6",
+      "mv.source.dir" -> fact.tableDir,
+      "mv.keys" -> "seg,cat",
+      "mv.sums" -> "v",
+      "mv.star.dims" -> s"${cust.tableDir};${prod.tableDir}",
+      "mv.star.on" -> "ck=c_id;pk2=p_id"))
+    MaterializedView.refreshFromProperties(spark, mv) shouldBe
+      Some(MaterializedView.FullBuild)
+    fact.append(Seq((200L, 1, 1, 999L)).toDF("id", "ck", "pk2", "v"))
+    MaterializedView.refreshFromProperties(spark, mv) shouldBe
+      Some(MaterializedView.Incremental)
+    assertSameRows(mv.read(spark), starAgg(fact, cust, prod))
+  }
+}

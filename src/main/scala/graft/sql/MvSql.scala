@@ -24,9 +24,13 @@ import graft.table.Icebox
   * Spark's), then validated against the incremental-maintenance contract:
   * one `GROUP BY` over one registered Icebox table OR an INNER EQUI-JOIN
   * of two (`FROM a JOIN b ON a.x = b.y` — maintained via the bilinear
-  * delta rule, [[graft.operators.MaterializedView.refreshJoin]]; apart
-  * from the join pairs the two tables' column names must be disjoint,
-  * and keys/aggregates/WHERE reference them unqualified), optionally
+  * delta rule, [[graft.operators.MaterializedView.refreshJoin]]) OR a
+  * STAR chain (`FROM f JOIN d1 ON f.x = d1.y JOIN d2 ON f.z = d2.w` —
+  * every ON relating the FIRST table to the newly joined dim, maintained
+  * by the telescoped rule, [[graft.operators.MaterializedView.refreshStar]];
+  * snowflake chains refuse). Apart from the join pairs all sides' column
+  * names must be disjoint, and keys/aggregates/WHERE reference them
+  * unqualified. The FROM may be optionally
   * filtered by a subquery-free `WHERE` — the delta arithmetic filters
   * the change diff with the same predicate — with aggregates drawn from
   * `COUNT(*)` / `SUM(c)` / `COUNT(c)` / `AVG(c)` / `MIN(c)` / `MAX(c)`.
@@ -73,7 +77,8 @@ object MvSql {
       sums: Seq[String], avgs: Seq[String] = Nil, where: Option[String] = None,
       minmaxs: Seq[String] = Nil, source2: Option[String] = None,
       joinOn: Seq[(String, String)] = Nil, distincts: Seq[String] = Nil,
-      counts: Seq[String] = Nil)
+      counts: Seq[String] = Nil,
+      starDims: Seq[(String, Seq[(String, String)])] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -155,32 +160,56 @@ object MvSql {
             (Some(cond.sql), inner)
           case other => (None, other)
         }
-        // INNER equi-join of two registered tables maintains via the
-        // bilinear delta rule (MaterializedView.refreshJoin); the ON
-        // clause must be an AND of qualifier.col = qualifier.col pairs
-        val (source, source2, joinOn) = child match {
-          case Join(l, r, Inner, Some(cond), _) =>
-            val (lt, lq) = relationOf(l)
-            val (rt, rq) = relationOf(r)
-            if (lq == rq) fail(s"both join sides are called '$lq' (alias one)")
-            def side(x: UnresolvedAttribute): (String, String) = x.nameParts match {
-              case Seq(q, c) => (q, c)
-              case _ => fail(s"join column '${x.name}' must be qualified (t.col)")
+        // INNER equi-join maintains via the bilinear delta rule — two
+        // tables through MaterializedView.refreshJoin, a left-deep STAR
+        // chain (every ON relating the FIRST table to the newly joined
+        // one) through refreshStar. The ON clauses must be ANDs of
+        // qualifier.col = qualifier.col pairs; anything non-star
+        // (snowflake chains, outer joins, joins without ON) refuses.
+        def side(x: UnresolvedAttribute): (String, String) = x.nameParts match {
+          case Seq(q, c) => (q, c)
+          case _ => fail(s"join column '${x.name}' must be qualified (t.col)")
+        }
+        def pairsBetween(e: Expression, lq: String, rq: String): Seq[(String, String)] =
+          e match {
+            case And(a, b) => pairsBetween(a, lq, rq) ++ pairsBetween(b, lq, rq)
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+              val (qa, ca) = side(a); val (qb, cb) = side(b)
+              if (qa == lq && qb == rq) Seq((ca, cb))
+              else if (qa == rq && qb == lq) Seq((cb, ca))
+              else fail(s"join condition must relate $lq to $rq, got ${a.name} = ${b.name}" +
+                " (star views join every dim to the FIRST table; snowflake" +
+                " chains are not incrementally maintained)")
+            case other => fail(s"join condition must be an AND of column " +
+              s"equalities, got ${other.sql}")
+          }
+        // flatten a left-deep Inner-join chain to (leftmost, [(dim, cond)])
+        def flatten(p: LogicalPlan): (LogicalPlan, Seq[(LogicalPlan, Expression)]) =
+          p match {
+            case Join(l, r, Inner, Some(cond), _) =>
+              val (root, rest) = flatten(l)
+              (root, rest :+ (r, cond))
+            case j: Join => fail(if (j.condition.isEmpty) "join without ON"
+              else s"${j.joinType.sql} join (only INNER equi-joins maintain incrementally)")
+            case other => (other, Nil)
+          }
+        val (source, source2, joinOn, starDims) = child match {
+          case j: Join =>
+            val (factPlan, dimPlans) = flatten(j)
+            val (ft, fq) = relationOf(factPlan)
+            val dims = dimPlans.map { case (dp, cond) =>
+              val (dt, dq) = relationOf(dp)
+              if (dq == fq) fail(s"join side '$dq' collides with the first table (alias one)")
+              (dt, dq, pairsBetween(cond, fq, dq))
             }
-            def pairs(e: Expression): Seq[(String, String)] = e match {
-              case And(a, b) => pairs(a) ++ pairs(b)
-              case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-                val (qa, ca) = side(a); val (qb, cb) = side(b)
-                if (qa == lq && qb == rq) Seq((ca, cb))
-                else if (qa == rq && qb == lq) Seq((cb, ca))
-                else fail(s"join condition must relate $lq to $rq, got ${a.name} = ${b.name}")
-              case other => fail(s"join condition must be an AND of column " +
-                s"equalities, got ${other.sql}")
+            val quals = fq +: dims.map(_._2)
+            if (quals.distinct.size != quals.size) fail(
+              s"duplicate join-side names ${quals.mkString(", ")} (alias them)")
+            dims match {
+              case Seq((dt, _, on)) => (ft, Some(dt), on, Nil) // 2-way path
+              case many => (ft, None, Nil, many.map(d => (d._1, d._3)))
             }
-            (lt, Some(rt), pairs(cond))
-          case j: Join => fail(if (j.condition.isEmpty) "join without ON"
-            else s"${j.joinType.sql} join (only INNER equi-joins maintain incrementally)")
-          case _ => (sourceOf(child), None, Nil)
+          case _ => (sourceOf(child), None, Nil, Nil)
         }
         val keys = groupingExprs.map(attrName)
         if (keys.isEmpty) fail("GROUP BY is required")
@@ -212,11 +241,12 @@ object MvSql {
             case None => fail(s"unsupported select expression $e")
           }
         }
-        if (source2.isDefined && (minmaxs.nonEmpty || distincts.nonEmpty)) fail(
+        if ((source2.isDefined || starDims.nonEmpty) &&
+            (minmaxs.nonEmpty || distincts.nonEmpty)) fail(
           "MIN/MAX or COUNT(DISTINCT) over a join (the recompute would " +
           "re-join; materialize the join first, then a single-table view)")
         MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList,
-          source2, joinOn, distincts.toList, counts.toList)
+          source2, joinOn, distincts.toList, counts.toList, starDims)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -232,28 +262,39 @@ object MvSql {
       s"materialized-view source '${d.source}' is not a registered Icebox table"))
     val src2 = d.source2.map(s2 => MergeSql.lookup(s2).getOrElse(sys.error(
       s"materialized-view join source '$s2' is not a registered Icebox table")))
+    val starTables = d.starDims.map { case (name, on) =>
+      (MergeSql.lookup(name).getOrElse(sys.error(
+        s"materialized-view join source '$name' is not a registered Icebox table")), on)
+    }
     val whereCols = d.where.toSeq.flatMap(w =>
       spark.sessionState.sqlParser.parseExpression(w).collect {
         case a: UnresolvedAttribute => a.nameParts.head
       })
     // the maintained row's column set: one table's columns, or for a join
-    // the left columns plus the right's non-join columns — which must not
-    // collide with the left's (every downstream reference is unqualified)
-    val visibleCols = src2 match {
-      case None => src.read(spark).columns.toSeq
-      case Some(s2) =>
-        val lCols = src.read(spark).columns.toSeq
-        val rCols = s2.read(spark).columns.toSeq
-        val badL = d.joinOn.map(_._1).filterNot(lCols.contains)
-        val badR = d.joinOn.map(_._2).filterNot(rCols.contains)
+    // the fact's columns plus each dim's non-join columns — which must not
+    // collide with the fact's or each other's (every downstream reference
+    // is unqualified)
+    def joinVisible(lCols: Seq[String],
+        sides: Seq[(String, Seq[String], Seq[(String, String)])]): Seq[String] =
+      sides.foldLeft(lCols) { case (acc, (name, rCols, on)) =>
+        val badL = on.map(_._1).filterNot(lCols.contains)
+        val badR = on.map(_._2).filterNot(rCols.contains)
         if (badL.nonEmpty || badR.nonEmpty) sys.error(
           s"join columns ${(badL ++ badR).mkString(", ")} not in their side")
-        val rExposed = rCols.diff(d.joinOn.map(_._2))
-        val overlap = lCols.intersect(rExposed)
+        val rExposed = rCols.diff(on.map(_._2))
+        val overlap = acc.intersect(rExposed)
         if (overlap.nonEmpty) sys.error(
           s"ambiguous columns ${overlap.mkString(", ")}: apart from the join " +
-          s"pairs, '${d.source}' and '${d.source2.get}' column names must be disjoint")
-        lCols ++ rExposed
+          s"pairs, '$name' must not repeat earlier sides' column names")
+        acc ++ rExposed
+      }
+    val visibleCols = (src2, starTables) match {
+      case (None, Nil) => src.read(spark).columns.toSeq
+      case (Some(s2), _) => joinVisible(src.read(spark).columns.toSeq,
+        Seq((d.source2.get, s2.read(spark).columns.toSeq, d.joinOn)))
+      case (None, dims) => joinVisible(src.read(spark).columns.toSeq,
+        d.starDims.zip(dims).map { case ((name, on), (t, _)) =>
+          (name, t.read(spark).columns.toSeq, on) })
     }
     val badKeys = (d.keys ++ d.sums ++ d.minmaxs ++ d.distincts ++ whereCols)
       .distinct.filterNot(visibleCols.contains)
@@ -280,7 +321,12 @@ object MvSql {
         "mv.source2.dir" -> s2.tableDir,
         "mv.source2.name" -> d.source2.get,
         "mv.join.on" -> d.joinOn.map { case (l, r) => s"$l=$r" }.mkString(","))
-      ).getOrElse(Map.empty))
+      ).getOrElse(Map.empty) ++
+      (if (starTables.isEmpty) Map.empty[String, String] else Map(
+        "mv.star.dims" -> starTables.map(_._1.tableDir).mkString(";"),
+        "mv.star.names" -> d.starDims.map(_._1).mkString(";"),
+        "mv.star.on" -> d.starDims.map(_._2.map { case (l, r) => s"$l=$r" }
+          .mkString(",")).mkString(";"))))
     val mode = runRefresh(spark, src, src2, target, name, d)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
@@ -292,6 +338,12 @@ object MvSql {
     src2 match {
       case Some(s2) => MaterializedView.refreshJoin(spark, src, s2, target,
         mvId(name, target), d.joinOn, d.keys, d.sums, d.where)
+      case None if d.starDims.nonEmpty =>
+        val dims = target.properties("mv.star.dims").split(';').filter(_.nonEmpty)
+          .toSeq.zip(d.starDims).map { case (dir, (_, on)) =>
+            MaterializedView.StarDim(Icebox(dir), on) }
+        MaterializedView.refreshStar(spark, src, dims, target,
+          mvId(name, target), d.keys, d.sums, d.where)
       case None => MaterializedView.refresh(spark, src, target,
         mvId(name, target), d.keys, d.sums, d.where, d.minmaxs, d.distincts)
     }
@@ -328,7 +380,8 @@ object MvSql {
     target.removeProperties(Seq(
       "mv.id", "mv.source.dir", "mv.source.name", "mv.keys", "mv.sums", "mv.avgs",
       "mv.where", "mv.minmaxs", "mv.distincts", "mv.counts",
-      "mv.source2.dir", "mv.source2.name", "mv.join.on"))
+      "mv.source2.dir", "mv.source2.name", "mv.join.on",
+      "mv.star.dims", "mv.star.names", "mv.star.on"))
     spark.catalog.dropTempView(name)
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
@@ -351,8 +404,11 @@ object MvSql {
           lastDef(t).map { df =>
             val cursor = t.properties.get("mv.id")
               .flatMap(id => MaterializedView.lastRefreshCursor(t, id))
-            val srcDisplay = df.source2
-              .map(s2 => s"${df.source} JOIN $s2").getOrElse(df.source)
+            val srcDisplay =
+              if (df.starDims.nonEmpty)
+                (df.source +: df.starDims.map(_._1)).mkString(" JOIN ")
+              else df.source2
+                .map(s2 => s"${df.source} JOIN $s2").getOrElse(df.source)
             (d.getName, srcDisplay, df.keys.mkString(","), df.sums.mkString(","),
               cursor.orNull)
           }
@@ -433,8 +489,11 @@ object MvSql {
   private def rewriteWith(spark: SparkSession, name: String, target: Icebox,
       vd: MvDef, qd: MvDef, having: Option[Expression] = None): Option[(String, DataFrame)] = {
     // source identity — including the join shape — must match exactly
+    // (star dims as a set of (table, pair-set): FROM-order is irrelevant)
     if (vd.source != qd.source || vd.source2 != qd.source2 ||
-      vd.joinOn.toSet != qd.joinOn.toSet) return None
+      vd.joinOn.toSet != qd.joinOn.toSet ||
+      vd.starDims.map { case (n, on) => (n, on.toSet) }.toSet !=
+        qd.starDims.map { case (n, on) => (n, on.toSet) }.toSet) return None
     val exactKeys = vd.keys.toSet == qd.keys.toSet
     if (!qd.keys.toSet.subsetOf(vd.keys.toSet)) return None
     if (!qd.sums.toSet.subsetOf(vd.sums.toSet)) return None
@@ -457,12 +516,17 @@ object MvSql {
     // freshness: cursor at every source's current head
     val props = target.properties
     val id = props.get("mv.id").getOrElse(return None)
-    val fresh = vd.source2 match {
-      case None => MaterializedView.lastRefreshedSource(target, id)
+    val fresh = (vd.source2, vd.starDims) match {
+      case (None, Nil) => MaterializedView.lastRefreshedSource(target, id)
         .contains(Icebox(props("mv.source.dir")).currentSnapshotId)
-      case Some(_) => MaterializedView.lastRefreshedSources(target, id)
+      case (Some(_), _) => MaterializedView.lastRefreshedSources(target, id)
         .contains((Icebox(props("mv.source.dir")).currentSnapshotId,
           Icebox(props("mv.source2.dir")).currentSnapshotId))
+      case (None, dims) =>
+        val heads = Icebox(props("mv.source.dir")).currentSnapshotId +:
+          props("mv.star.dims").split(';').filter(_.nonEmpty).toSeq
+            .map(Icebox(_).currentSnapshotId)
+        MaterializedView.lastRefreshedStar(target, id, dims.size).contains(heads)
     }
     if (!fresh) return None
     val base0 = target.read(spark)
@@ -519,13 +583,21 @@ object MvSql {
   private def lastDef(target: Icebox): Option[MvDef] = {
     val p = target.properties
     def list(k: String) = p.get(k).map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def pairs(s: String) = s.split(',').filter(_.nonEmpty).toSeq.map { pair =>
+      val Array(l, r) = pair.split('='); (l, r) }
+    val starDims = (p.get("mv.star.names"), p.get("mv.star.on")) match {
+      case (Some(names), Some(on)) =>
+        names.split(';').filter(_.nonEmpty).toSeq
+          .zip(on.split(';').filter(_.nonEmpty).toSeq.map(pairs))
+      case _ => Nil
+    }
     p.get("mv.source.name").map(s =>
       MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs"),
         p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"),
         p.get("mv.source2.name"),
         list("mv.join.on").map { pair =>
           val Array(l, r) = pair.split('='); (l, r) },
-        list("mv.distincts"), list("mv.counts")))
+        list("mv.distincts"), list("mv.counts"), starDims))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

@@ -107,6 +107,90 @@ class StarMvSpec extends SparkSpec {
       MaterializedView.MarkerOnly
   }
 
+  // ---- star views through the SQL DDL ----------------------------------
+
+  private def registerStar(tag: String): (Icebox, Icebox, Icebox) = {
+    val (fact, cust, prod, _) = mkTables(tag)
+    fact.registerView(spark, s"sfact$tag")
+    cust.registerView(spark, s"scust$tag")
+    prod.registerView(spark, s"sprod$tag")
+    (fact, cust, prod)
+  }
+
+  test("CREATE over a star chain maintains incrementally through fact and dims") {
+    val wh = tmpDir("starwh1")
+    graft.sql.DmlSql.setWarehouse(wh)
+    val (fact, cust, prod) = registerStar("7")
+    graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW starmv AS
+        |SELECT seg, cat, count(*), sum(v) FROM sfact7
+        |JOIN scust7 ON sfact7.ck = scust7.c_id
+        |JOIN sprod7 ON sfact7.pk2 = sprod7.p_id
+        |GROUP BY seg, cat""".stripMargin)
+    assertSameRows(spark.sql("SELECT * FROM starmv"), starAgg(fact, cust, prod))
+    fact.append(Seq((500L, 1, 1, 777L)).toDF("id", "ck", "pk2", "v"))
+    cust.deleteByKeys(Seq(4).toDF("c_id"))
+    val op = graft.sql.DmlSql.run(spark, "REFRESH MATERIALIZED VIEW starmv")
+      .head.getString(0)
+    op shouldBe "refresh-mv:Incremental"
+    assertSameRows(spark.sql("SELECT * FROM starmv"), starAgg(fact, cust, prod))
+  }
+
+  test("snowflake chains and dim-name collisions refuse loudly at CREATE") {
+    val wh = tmpDir("starwh2")
+    graft.sql.DmlSql.setWarehouse(wh)
+    registerStar("8")
+    // d2 joined to d1, not to the fact: snowflake — refused
+    val snow = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW snowmv AS
+        |SELECT seg, count(*) FROM sfact8
+        |JOIN scust8 ON sfact8.ck = scust8.c_id
+        |JOIN sprod8 ON scust8.c_id = sprod8.p_id
+        |GROUP BY seg""".stripMargin))
+    snow.getMessage should include("FIRST table")
+    // MIN over a star — refused like 2-way joins
+    val mm = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW mmstar AS
+        |SELECT seg, min(v) FROM sfact8
+        |JOIN scust8 ON sfact8.ck = scust8.c_id
+        |JOIN sprod8 ON sfact8.pk2 = sprod8.p_id
+        |GROUP BY seg""".stripMargin))
+    mm.getMessage should include("MIN/MAX")
+  }
+
+  test("rewrite: star queries are served by a fresh matching star view, with rollup") {
+    val wh = tmpDir("starwh3")
+    graft.sql.DmlSql.setWarehouse(wh)
+    val (fact, cust, prod) = registerStar("9")
+    graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW starmv9 AS
+        |SELECT seg, cat, count(*), sum(v) FROM sfact9
+        |JOIN scust9 ON sfact9.ck = scust9.c_id
+        |JOIN sprod9 ON sfact9.pk2 = sprod9.p_id
+        |GROUP BY seg, cat""".stripMargin)
+    val q = """SELECT seg, count(*), sum(v) FROM sfact9
+      |JOIN scust9 ON sfact9.ck = scust9.c_id
+      |JOIN sprod9 ON sfact9.pk2 = sprod9.p_id
+      |GROUP BY seg""".stripMargin
+    val (name, df) = graft.sql.MvSql.answer(spark, q, wh)
+      .getOrElse(fail("star rewrite must engage"))
+    name shouldBe "starmv9"
+    assertSameRows(df, starAgg(fact, cust, prod).groupBy("seg")
+      .agg(sum($"row_count").as("row_count"),
+        sum($"sum_v").as("sum_v"), sum($"nn_v").as("nn_v")))
+    // dim order in FROM is irrelevant to matching
+    val qSwapped = """SELECT seg, count(*) FROM sfact9
+      |JOIN sprod9 ON sfact9.pk2 = sprod9.p_id
+      |JOIN scust9 ON sfact9.ck = scust9.c_id
+      |GROUP BY seg""".stripMargin
+    graft.sql.MvSql.answer(spark, qSwapped, wh).map(_._1) shouldBe Some("starmv9")
+    // staleness refuses: a fact append invalidates until REFRESH
+    fact.append(Seq((600L, 2, 2, 888L)).toDF("id", "ck", "pk2", "v"))
+    graft.sql.MvSql.answer(spark, q, wh) shouldBe None
+    graft.sql.DmlSql.run(spark, "REFRESH MATERIALIZED VIEW starmv9")
+    graft.sql.MvSql.answer(spark, q, wh).map(_._1) shouldBe Some("starmv9")
+  }
+
   test("refreshFromProperties routes mv.star.* definitions (service/stream surface)") {
     val (fact, cust, prod, mv) = mkTables("6")
     mv.setProperties(Map(

@@ -439,6 +439,19 @@ object SparkEntry {
       table.changeDiff(s, 0L, 1L)
     }),
 
+    // The same row-level change feed through SQL TEXT (Delta's CDF
+    // spelling): `table_changes('t', from[, to])` becomes a pinned view
+    // over the manifest-pruned diff and composes with any SELECT
+    "q_table_changes" -> ((s, dir) => {
+      val table = Icebox(tmp("qtc"))
+      table.append(t(s, dir, "orders").repartitionByRange(8, col("o_totalprice")),
+        collectStats = Seq("o_totalprice"))
+      table.registerView(s, "qtc_t")
+      graft.sql.DmlSql.update(s,
+        "UPDATE qtc_t SET o_totalprice = o_totalprice * 2 WHERE o_totalprice < 10000")
+      graft.sql.DmlSql.run(s, "SELECT * FROM table_changes('qtc_t', 0, 1)")
+    }),
+
     // Incrementally maintained materialized aggregate: build the view,
     // mutate the source (append + merge-on-read delete), then refresh in
     // O(delta) — the refresh must be INCREMENTAL (asserted), commit
@@ -2321,6 +2334,15 @@ object SparkEntry {
 
     // the UPDATE's row-level effect, written longhand
     "q_change_diff" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        |       o_orderdate, o_orderpriority, 'insert' AS _change_type
+        |  FROM orders WHERE o_totalprice < 10000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority, 'delete' AS _change_type
+        |  FROM orders WHERE o_totalprice < 10000""".stripMargin,
+
+    "q_table_changes" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
         |       o_orderdate, o_orderpriority, 'insert' AS _change_type
         |  FROM orders WHERE o_totalprice < 10000

@@ -82,6 +82,10 @@ object DmlSql {
     """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*;?\s*""".r
+  // Delta's CDF table-valued-function spelling, registered as a temp view
+  // before the parser sees the query so it composes with any SELECT
+  private val TableChangesRe =
+    """(?is)\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val ShowStatsRe =
     """(?is)\s*SHOW\s+STATS\s+FOR\s+(\w+)\s*;?\s*""".r
   private val SetTblPropsRe =
@@ -108,7 +112,7 @@ object DmlSql {
      """|\b(\w+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)\s+(?:'([^']+)'|(\d+))""").r
 
   def run(spark: SparkSession, sqlText0: String): DataFrame = {
-  val sqlText = rewriteTimeTravel(spark, sqlText0)
+  val sqlText = rewriteTableChanges(spark, rewriteTimeTravel(spark, sqlText0))
   sqlText match {
     // maintenance verbs (Delta-style syntax; not in Spark's grammar, so
     // matched on the text before the parser sees it)
@@ -209,6 +213,27 @@ object DmlSql {
     * the manifest-backed FileIndex. Unregistered names pass through
     * untouched (Spark's own error surfaces them).
     */
+  /** `table_changes('t', from[, to])` (Delta's CDF spelling) anywhere in a
+    * query over a REGISTERED Icebox table: replaced by a temp view over
+    * [[Icebox.changeDiff]] — rows + `_change_type`, manifest-pruned to the
+    * files the commits actually changed — so the row-level change feed
+    * composes with any surrounding SELECT. `to` defaults to the current
+    * snapshot. Unregistered names pass through untouched.
+    */
+  private def rewriteTableChanges(spark: SparkSession, sqlText: String): String =
+    TableChangesRe.replaceAllIn(sqlText, m => {
+      val name = m.group(1)
+      MergeSql.lookup(name) match {
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+        case Some(t) =>
+          val from = m.group(2).toLong
+          val to = Option(m.group(3)).map(_.toLong).getOrElse(t.currentSnapshotId)
+          val view = s"__tc_${name}_${from}_$to"
+          t.changeDiff(spark, from, to).createOrReplaceTempView(view)
+          view
+      }
+    })
+
   private def rewriteTimeTravel(spark: SparkSession, sqlText: String): String =
     TimeTravelRe.replaceAllIn(sqlText, m => {
       // pin: Left(snapshotId) | Left via ref resolution | Right(epochMs)

@@ -261,6 +261,27 @@ class DmlSqlSpec extends SparkSpec {
     diff.inputFiles.length should be <= 4
   }
 
+  test("table_changes('t', from[, to]) reads the change feed through SQL text") {
+    val t = Icebox(tmpDir("dml-tcf"))
+    t.append((1L to 40L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    MergeSql.register("tcf_t", t)
+    DmlSql.update(spark, "UPDATE tcf_t SET v = -1.0 WHERE id <= 3")
+    // explicit (from, to) — composes with aggregation
+    val counts = DmlSql.run(spark,
+      "SELECT _change_type, count(*) AS n FROM table_changes('tcf_t', 0, 1) " +
+      "GROUP BY _change_type ORDER BY _change_type")
+      .as[(String, Long)].collect()
+    counts shouldBe Array(("delete", 3L), ("insert", 3L))
+    // `to` defaults to the current snapshot; joins compose
+    t.append(Seq((100L, 5.0)).toDF("id", "v"))
+    DmlSql.run(spark,
+      "SELECT count(*) FROM table_changes('tcf_t', 1) WHERE _change_type = 'insert'")
+      .head.getLong(0) shouldBe 1L
+    // unregistered names pass through to Spark's own resolution error
+    intercept[Exception](DmlSql.run(spark,
+      "SELECT * FROM table_changes('nope_t', 0, 1)"))
+  }
+
   test("filesDf exposes the manifest: paths, sizes, rows, stats") {
     val t = Icebox(tmpDir("dml-filesdf"))
     t.append((1L to 50L).map(i => (i, s"p${i % 2}")).toDF("id", "p"),

@@ -66,7 +66,8 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val wh = DmlSql.currentWarehouse.getOrElse(return plan)
     plan.transformDown {
       case agg: Aggregate =>
-        tryRewrite(agg, wh).orElse(tryJoinRewrite(agg, wh)).getOrElse(agg)
+        tryRewrite(agg, wh).orElse(tryJoinRewrite(agg, wh))
+          .orElse(tryStarRewrite(agg, wh)).getOrElse(agg)
     }
   }
 
@@ -300,6 +301,163 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .contains((qs1.snapshotId, qs2.snapshotId))) return None
 
     Some(buildReplacement(target, translate(filters, idToLogical, physToLogical),
+      specs, keys, exactKeys))
+  }
+
+  /** One leaf of a flattened join tree: its pushed filters, scan-level
+    * projection, file index, and output attribute set (side identity).
+    */
+  private final case class Leaf(filters: Seq[Expression],
+      proj: Seq[NamedExpression], index: IceboxFileIndex,
+      out: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+
+  /** The STAR flavor: an aggregate over an arbitrary tree of INNER joins
+    * whose leaves are 3+ certifiable pinned-snapshot Icebox scans is
+    * answered from a fresh STAR materialized view. Shape-INDEPENDENT:
+    * leaves match the view's (fact, dims) by TABLE DIR, and every join
+    * conjunct must pair a fact column with one dim's column exactly as
+    * the view's `mv.star.on` records — so the optimizer's join reorder
+    * can't defeat the match. Intermediate projections must be bare
+    * attributes (what column pruning plants); side filters absorb the
+    * planted `isnotnull(joinkey)`s and otherwise must reference view
+    * KEYS only. Freshness gates on the N-part cursor at every source's
+    * head.
+    */
+  private def tryStarRewrite(agg: Aggregate, warehouse: String): Option[LogicalPlan] = {
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)
+      case x => Seq(x)
+    }
+    // flatten Inner-join trees; attr-only Projects pass through (bare
+    // attributes preserve exprIds, so leaf-level name maps stay valid)
+    def flatten(p: LogicalPlan): Option[(Seq[Leaf], Seq[Expression])] = p match {
+      case Join(l, r, Inner, Some(cond), _) =>
+        for { (ll, lc) <- flatten(l); (rl, rc) <- flatten(r) }
+          yield (ll ++ rl, lc ++ rc ++ conjunctsOf(cond))
+      case Project(pl, inner: Join) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(inner)
+      case other => unwrapScan(other).map { case (f, pl, i) =>
+        (Seq(Leaf(f, pl, i, other.outputSet)), Nil) }
+    }
+    val (leaves, pairConds) = (agg.child match {
+      case Project(pl, j: Join) if attrsOnly(pl) => flatten(j)
+      case j: Join => flatten(j)
+      case _ => None
+    }).getOrElse(return None)
+    if (leaves.size < 3) return None // 2-leaf plans go through tryJoinRewrite
+
+    // per-leaf logical-name maps; all leaves' namespaces must be disjoint
+    val maps = leaves.map { lf =>
+      val snapSchema = DataType.fromJson(lf.index.snapshotSchemaJson).asInstanceOf[StructType]
+      val physToLogical = snapSchema.fields.map(f => Icebox.physicalName(f) -> f.name).toMap
+      val idTo: Map[Long, String] = lf.proj.flatMap {
+        case a @ Alias(ar: AttributeReference, n) => Seq(ar.exprId.id -> n, a.exprId.id -> n)
+        case ar: AttributeReference =>
+          Seq(ar.exprId.id -> physToLogical.getOrElse(ar.name, ar.name))
+        case _ => Nil
+      }.toMap
+      (idTo, physToLogical)
+    }
+    val allLogical = maps.map(_._2.values.toSet)
+    if (allLogical.combinations(2).exists(p => p(0).intersect(p(1)).nonEmpty)) return None
+
+    def leafNameOf(ar: AttributeReference): Option[(Int, String)] =
+      leaves.indexWhere(_.out.contains(ar)) match {
+        case -1 => None
+        case i =>
+          val (idTo, phys) = maps(i)
+          Some((i, idTo.getOrElse(ar.exprId.id, phys.getOrElse(ar.name, ar.name))))
+      }
+    def nameOf(ar: AttributeReference): Option[String] = leafNameOf(ar).map(_._2)
+
+    // every join conjunct: leafA.col = leafB.col
+    val pairs: Seq[((Int, String), (Int, String))] = pairConds.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (leafNameOf(a).getOrElse(return None), leafNameOf(b).getOrElse(return None))
+      case _ => return None
+    }
+    val (keys, specs, hasDistinct) = classify(agg, nameOf).getOrElse(return None)
+    if (hasDistinct) return None // star views carry no nd_ columns
+
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .view.flatMap { d =>
+        serveStarFrom(Icebox(d.toString), leaves, maps, pairs, keys, specs, nameOf)
+      }.headOption
+  }
+
+  private def serveStarFrom(target: Icebox, leaves: Seq[Leaf],
+      maps: Seq[(Map[Long, String], Map[String, String])],
+      pairs: Seq[((Int, String), (Int, String))], keys: Seq[String],
+      specs: Seq[OutSpec],
+      nameOf: AttributeReference => Option[String]): Option[LogicalPlan] = {
+    val props = target.properties
+    val factDir = props.get("mv.source.dir").getOrElse(return None)
+    val dimDirs = props.get("mv.star.dims")
+      .map(_.split(';').filter(_.nonEmpty).toSeq).getOrElse(return None)
+    if (props.get("mv.where").exists(_.nonEmpty)) return None
+    // leaves ↔ (fact, dims) by table dir, each exactly once
+    val byDir = leaves.zipWithIndex.map { case (lf, i) => lf.index.tableDirString -> i }
+    if (byDir.map(_._1).distinct.size != leaves.size) return None // self-join: refuse
+    val dirToLeaf = byDir.toMap
+    val factLeaf = dirToLeaf.getOrElse(factDir, return None)
+    val dimLeaves = dimDirs.map(d => dirToLeaf.getOrElse(d, return None))
+    if ((factLeaf +: dimLeaves).toSet.size != leaves.size) return None
+    // pairs: each must relate the fact leaf to one dim leaf; collect per dim
+    val perDim = scala.collection.mutable.Map.empty[Int, Set[(String, String)]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach {
+      case ((la, ca), (lb, cb)) if la == factLeaf && dimLeaves.contains(lb) =>
+        perDim(lb) = perDim(lb) + ((ca, cb))
+      case ((la, ca), (lb, cb)) if lb == factLeaf && dimLeaves.contains(la) =>
+        perDim(la) = perDim(la) + ((cb, ca))
+      case _ => return None // a dim-dim conjunct: not this view's star
+    }
+    val vOn = props.get("mv.star.on").map(_.split(';').filter(_.nonEmpty).toSeq)
+      .getOrElse(return None)
+      .map(_.split(',').filter(_.nonEmpty).toSeq.map { pr =>
+        val Array(l, r) = pr.split('='); (l, r) }.toSet)
+    if (dimLeaves.size != vOn.size) return None
+    if (dimLeaves.zip(vOn).exists { case (dl, on) => perDim(dl) != on }) return None
+
+    // side filters: drop isnotnull on any join-key column; residuals must
+    // be over view KEY columns only
+    val joinKeyCols: Set[String] = vOn.flatten.flatMap(p => Seq(p._1, p._2)).toSet
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjunctsOf(a) ++ conjunctsOf(b)
+      case x => Seq(x)
+    }
+    val residual = leaves.flatMap(_.filters).flatMap(conjunctsOf).flatMap {
+      case IsNotNull(ar: AttributeReference)
+          if nameOf(ar).exists(joinKeyCols.contains) => None
+      case other => Some(other)
+    }
+    val vKeys = props.get("mv.keys").map(_.split(',').toSeq).getOrElse(return None)
+    val filterNames = residual.flatMap(_.collect { case ar: AttributeReference =>
+      nameOf(ar).getOrElse(return None) })
+    if (!filterNames.forall(vKeys.contains)) return None
+    val vSums = props.get("mv.sums").map(_.split(',').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exactKeys = keys.toSet == vKeys.toSet
+    if (!keys.toSet.subsetOf(vKeys.toSet)) return None
+    def covered(cn: String): Boolean =
+      cn == "row_count" ||
+        (cn.startsWith("sum_") && vSums.contains(cn.stripPrefix("sum_"))) ||
+        (cn.startsWith("nn_") && vSums.contains(cn.stripPrefix("nn_")))
+    if (!specs.flatMap(_.needs).forall(covered)) return None
+    if (!exactKeys && specs.exists(s => !s.isKey && s.rollup.isEmpty)) return None
+    // freshness: every leaf pinned at its source's head, N-part cursor there
+    val id = props.get("mv.id").getOrElse(return None)
+    val srcHeads = (factDir +: dimDirs).map(Icebox(_).currentSnapshotId)
+    val leafSnaps = (factLeaf +: dimLeaves).map(i => leaves(i).index.snapshotId)
+    if (leafSnaps != srcHeads) return None
+    if (!MaterializedView.lastRefreshedStar(target, id, dimDirs.size)
+      .contains(srcHeads)) return None
+
+    val mergedIds = maps.flatMap(_._1).toMap
+    val mergedPhys = maps.flatMap(_._2).toMap
+    Some(buildReplacement(target, translate(residual, mergedIds, mergedPhys),
       specs, keys, exactKeys))
   }
 

@@ -209,6 +209,54 @@ class MvRewriteSpec extends SparkSpec {
     assert(servedFromView(spark.sql(good)), "refresh must re-enable the join rewrite")
   }
 
+  test("star query (fact + 2 dims) is served from a star view by the optimizer rule") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw9_wh")
+    DmlSql.setWarehouse(wh)
+    val fact = Icebox(tmpDir("mvrw9_f"))
+    fact.append((1 to 120).map(i => (i.toLong, i % 8, i % 5, i * 10L))
+      .toDF("id", "ck", "pk2", "v"))
+    fact.registerView(spark, "mvrw9f")
+    val cust = Icebox(tmpDir("mvrw9_c"))
+    cust.append((0 to 7).map(k => (k, s"seg${k % 3}")).toDF("c_id", "seg"))
+    cust.registerView(spark, "mvrw9c")
+    val prod = Icebox(tmpDir("mvrw9_p"))
+    prod.append((0 to 4).map(k => (k, s"cat${k % 2}")).toDF("p_id", "cat"))
+    prod.registerView(spark, "mvrw9p")
+    DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW mvrw9_view AS
+        |SELECT seg, cat, count(*), sum(v) FROM mvrw9f
+        |JOIN mvrw9c ON mvrw9f.ck = mvrw9c.c_id
+        |JOIN mvrw9p ON mvrw9f.pk2 = mvrw9p.p_id
+        |GROUP BY seg, cat""".stripMargin)
+    // a ROLLUP over the star (subset keys), plain spark.sql text
+    val q = """SELECT seg, count(*) AS cnt, sum(v) AS sv FROM mvrw9f
+      |JOIN mvrw9c ON mvrw9f.ck = mvrw9c.c_id
+      |JOIN mvrw9p ON mvrw9f.pk2 = mvrw9p.p_id
+      |GROUP BY seg""".stripMargin
+    val served = spark.sql(q)
+    assert(servedFromView(served), s"expected view scan, got ${served.inputFiles.toSeq}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    assert(!servedFromView(direct))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    served.schema shouldBe direct.schema
+    assertSameRows(served, direct)
+    // staleness: a dim append refuses the rewrite until REFRESH
+    prod.append(Seq((5, "catX")).toDF("p_id", "cat"))
+    prod.registerView(spark, "mvrw9p") // temp view re-pinned at the new head
+    assert(!servedFromView(spark.sql(q)))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvrw9_view")
+    assert(servedFromView(spark.sql(q)))
+    // a dim-dim condition (snowflake query shape) is never served
+    val snow = spark.sql(
+      """SELECT seg, count(*) FROM mvrw9f
+        |JOIN mvrw9c ON mvrw9f.ck = mvrw9c.c_id
+        |JOIN mvrw9p ON mvrw9c.c_id = mvrw9p.p_id
+        |GROUP BY seg""".stripMargin)
+    assert(!servedFromView(snow))
+  }
+
   test("kill switch and missing warehouse are honored") {
     MvRewrite.install(spark)
     val wh = tmpDir("mvrw5_wh")

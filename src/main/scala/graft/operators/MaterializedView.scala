@@ -411,19 +411,28 @@ object MaterializedView {
             dims.zip(fromD).zip(dSnaps).map { case ((d, from), snap) =>
               d.table.changeDiff(spark, from, snap.id) })
           catch { case _: Exception => return fullBuild() } // cursor expired
+        // every diff feeds k+1 consumers (its own term's join plus every
+        // OTHER source's pruning-key collection) and each pruning probe is
+        // a separate collect job — persist so the diff scans run once
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cached = scala.collection.mutable.ListBuffer[DataFrame]()
+        def cache(df: DataFrame): DataFrame = { cached += df.persist(lvl); df }
+        try {
+        val df0c = cache(df0)
+        val dDiffsC = dDiffs.map(cache)
         // term 0: ΔF ⋈ every dim at its NEW snapshot, pruned by ΔF's keys
-        val term0 = dims.zip(dSnaps).foldLeft(df0: DataFrame) {
+        val term0 = dims.zip(dSnaps).foldLeft(df0c: DataFrame) {
           case (acc, (d, snap)) =>
             joinDim(acc, d.table.readForKeysAt(spark,
-              dimKeysOf(df0, d.joinOn), Some(snap)), d.joinOn)
+              dimKeysOf(df0c, d.joinOn), Some(snap)), d.joinOn)
         }
         // term j: F@old (pruned by ΔDʲ) ⋈ dims<j @new ⋈ ΔDʲ ⋈ dims>j @old,
         // the other dims pruned by the pruned fact slice's keys
         val dimTerms = dims.zipWithIndex.map { case (dj, j) =>
-          val dDiff = dDiffs(j)
-          val fPruned = fact.readForKeysAt(spark,
+          val dDiff = dDiffsC(j)
+          val fPruned = cache(fact.readForKeysAt(spark,
             dDiff.select(dj.joinOn.map { case (fc, dc) => col(dc).as(fc) }: _*),
-            Some(fact.snapshot(fromF)))
+            Some(fact.snapshot(fromF))))
           dims.zipWithIndex.foldLeft(fPruned) { case (acc, (dm, m)) =>
             if (m == j) joinDim(acc, dDiff, dj.joinOn)
             else {
@@ -440,6 +449,7 @@ object MaterializedView {
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over stars"),
           () => refreshStar(spark, fact, dims, target, mvId, keys, sums, where))
+        } finally cached.foreach(_.unpersist(blocking = false))
     }
   }
 

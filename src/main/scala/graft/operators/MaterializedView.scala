@@ -281,10 +281,16 @@ object MaterializedView {
     last match {
       case None => fullBuild()
       case Some((fromL, fromR)) =>
-        val (dl, dr) =
+        val (dl0, dr0) =
           try (left.changeDiff(spark, fromL, lSnap.id),
             right.changeDiff(spark, fromR, rSnap.id))
           catch { case _: Exception => return fullBuild() } // cursor expired
+        // each diff feeds its term's join AND the other side's pruning-key
+        // collection (a separate collect job) — persist so each diff's
+        // scan runs once (same move as refreshStar)
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val dl = dl0.persist(lvl); val dr = dr0.persist(lvl)
+        try {
         // ΔA⋈B@new — right read pruned to files admitting ΔA's join keys
         val termA = joined(dl, right.readForKeysAt(spark,
           dl.select(joinOn.map { case (lc, rc) => col(lc).as(rc) }: _*), Some(rSnap)))
@@ -301,6 +307,7 @@ object MaterializedView {
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over joins"),
           () => refreshJoin(spark, left, right, target, mvId, joinOn, keys, sums, where))
+        } finally { dl.unpersist(blocking = false); dr.unpersist(blocking = false) }
     }
   }
 

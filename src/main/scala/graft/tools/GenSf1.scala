@@ -51,6 +51,12 @@ object GenSf1 {
     if (!new java.io.File(custPath).exists())
       Testdata.table(spark, src, "customer").repartition(4)
         .write.mode("overwrite").parquet(custPath)
+    // supplier: second dim of the STAR-MV check, unscaled like customer
+    // (lineitem copies keep l_suppkey, so 10x facts per supplier)
+    val supPath = s"$out/supplier.parquet"
+    if (!new java.io.File(supPath).exists())
+      Testdata.table(spark, src, "supplier").repartition(4)
+        .write.mode("overwrite").parquet(supPath)
     spark.stop()
   }
 }

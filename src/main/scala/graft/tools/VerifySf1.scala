@@ -15,11 +15,17 @@ object VerifySf1 {
     // round-11 additions: the MV family's heavy paths at 10x — join-MV
     // bilinear delta, distinct-count touched-group recompute, and the
     // Catalyst rewrite (its _mv-files require runs inside the query)
-    "q_mv_join", "q_mv_distinct", "q_mv_catalyst")
+    "q_mv_join", "q_mv_distinct", "q_mv_catalyst",
+    // round-11 session additions: star-MV telescoped delta over a 6M-row
+    // fact with both-dim deletes; NDV sketch accuracy require at 1.5M
+    // distinct keys (both requires run INSIDE the queries)
+    "q_mv_star", "q_ndv_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"
     val outDir = if (args.length > 1) args(1) else "/tmp/verify-sf1"
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,7 +33,7 @@ object VerifySf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Headline.foreach { name =>
+    Headline.filter(n => only.forall(_.contains(n))).foreach { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/$name")

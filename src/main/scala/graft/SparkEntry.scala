@@ -2138,6 +2138,18 @@ object SparkEntry {
       graft.operators.PassageDedup.duplicatedNgramStats(
         t(s, dir, "documents"), "text", "doc_id", n = 3, minDf = 1L)),
 
+    // LLM: DSIR importance weights (Xie et al. 2023) — every document
+    // scored by how much likelier its hashed unigram+bigram features are
+    // under the high-quality target sample (lang=en, src0) than under the
+    // raw corpus; md5-bucket hashing so the oracle replicates the exact
+    // arithmetic; one aggregation per distribution + a broadcast ratio join
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en" && col("source") === "src0"),
+        "text", "doc_id", buckets = 4096)
+    }),
+
     // LLM: ExactSubstr duplicated-SPAN removal (Lee et al.) — the corpus is
     // reconstructed with a shared boilerplate footer AND a full self-repeat
     // of every document, so every doc carries removable duplication; each
@@ -3262,6 +3274,32 @@ object SparkEntry {
         |       count(CASE WHEN rn <> 1 THEN 1 END) AS dropped_paragraphs
         |  FROM ranked GROUP BY doc_id
         |HAVING count(CASE WHEN rn = 1 THEN 1 END) > 0""".stripMargin,
+
+    // DSIR importance weights, written longhand: same md5-bucket hashing,
+    // Laplace-smoothed bucket distributions, per-doc log-ratio sum
+    "q_dsir_weights" ->
+      """WITH cw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |cu AS (SELECT doc_id, unnest(list_filter(w, x -> x <> '')) AS g FROM cw),
+        |cbi AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-1,0))) AS i FROM cw),
+        |cb AS (SELECT doc_id, w[i]||' '||w[i+1] AS g FROM cbi),
+        |cg AS (SELECT doc_id, g FROM cu UNION ALL SELECT doc_id, g FROM cb),
+        |cgb AS (SELECT doc_id, (('0x'||substring(md5(g),1,15))::UBIGINT % 4096) AS b FROM cg),
+        |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |       WHERE lang = 'en' AND source = 'src0'),
+        |tu AS (SELECT doc_id, unnest(list_filter(w, x -> x <> '')) AS g FROM tw),
+        |tbi AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-1,0))) AS i FROM tw),
+        |tb AS (SELECT doc_id, w[i]||' '||w[i+1] AS g FROM tbi),
+        |tg AS (SELECT doc_id, g FROM tu UNION ALL SELECT doc_id, g FROM tb),
+        |tgb AS (SELECT doc_id, (('0x'||substring(md5(g),1,15))::UBIGINT % 4096) AS b FROM tg),
+        |rawc AS (SELECT b, count(*) AS cr FROM cgb GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS ct FROM tgb GROUP BY b),
+        |tots AS (SELECT (SELECT count(*) FROM cgb) AS nr, (SELECT count(*) FROM tgb) AS nt),
+        |ratio AS (SELECT coalesce(rawc.b, tgtc.b) AS b,
+        |   ln((coalesce(ct,0) + 1.0) / (nt + 1.0*4096)) -
+        |   ln((coalesce(cr,0) + 1.0) / (nr + 1.0*4096)) AS r
+        |   FROM rawc FULL OUTER JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tots)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, round(sum(r), 6) AS weight
+        |FROM cgb JOIN ratio USING (b) GROUP BY doc_id""".stripMargin,
 
     // ExactSubstr span removal, written longhand: L-gram cover of
     // duplicated substrings, keeper = global first (doc_id, pos), window

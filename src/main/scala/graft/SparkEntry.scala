@@ -886,6 +886,24 @@ object SparkEntry {
       exact
     }),
 
+    // Equi-width histogram stats: bucket bounds FIXED from the manifest's
+    // min/max make the counts exact integers (not an approximation), so
+    // the oracle replicates them bit-for-bit; the persisted histogram is
+    // snapshot-keyed — served from metadata, never silently stale
+    "q_histogram" -> ((s, dir) => {
+      val table = Icebox(tmp("qhist"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("price"))
+      table.append(li, collectStats = Seq("price"))
+      table.analyzeHistogram(s, "price", buckets = 16)
+      val (_, _, cnts) = table.histogramMeta("price")
+        .getOrElse(sys.error("no current histogram"))
+      require(cnts.sum == table.rowCount.getOrElse(-1L),
+        s"histogram covers ${cnts.sum} of ${table.rowCount} rows")
+      import s.implicits._
+      cnts.zipWithIndex.map { case (c, b) => (b.toLong, c) }.toDF("bucket", "cnt")
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -2343,6 +2361,18 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS nd_suppkey,
         |       count(DISTINCT l_returnflag) AS nd_returnflag
         |FROM lineitem""".stripMargin,
+
+    // same fixed-bound equi-width bucket arithmetic, empty buckets kept
+    "q_histogram" ->
+      """WITH s AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |                  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+        |b AS (SELECT greatest(least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |        / ((hi - lo) / 16)) AS BIGINT), 15), 0) AS bucket
+        |      FROM lineitem CROSS JOIN s WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT unnest(generate_series(0, 15)) AS bucket)
+        |SELECT CAST(g.bucket AS BIGINT) AS bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM g LEFT JOIN (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket) c
+        |  USING (bucket)""".stripMargin,
 
     // the UPDATE's row-level effect, written longhand
     "q_change_diff" ->

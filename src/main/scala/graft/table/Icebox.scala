@@ -456,6 +456,54 @@ final class Icebox(val tableDir: String) {
     }
   }
 
+  /** Equi-width HISTOGRAM stats for a numeric column: bucket bounds are
+    * FIXED from the manifest's min/max (so the arithmetic is exact and
+    * data-independent — bucket counts are plain integers any engine can
+    * replicate), one scan counts rows per bucket, and the result persists
+    * in table properties keyed to the snapshot it describes
+    * (`hist.<col>` = `<snapshotId>:<lo>:<hi>:<c0>,<c1>,...`). Nulls are
+    * excluded; values at the upper bound clamp into the last bucket.
+    * Refuses (loudly) when metadata min/max can't answer — run with
+    * `collectStats` on the column first.
+    */
+  def analyzeHistogram(spark: SparkSession, column: String, buckets: Int = 32): Unit = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val key = toPhysical(column)
+    val snap = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
+    val (lo, hi) = columnMinMaxMeta(column).getOrElse(sys.error(
+      s"histogram needs metadata min/max for '$column' (collectStats it)"))
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount, floor, least, greatest, lit}
+    val counts: Map[Long, Long] =
+      if (hi == lo) Map(0L -> read(spark).filter(fcol(column).isNotNull).count())
+      else {
+        val w = (hi - lo) / buckets
+        read(spark).filter(fcol(column).isNotNull)
+          .select(greatest(least(floor((fcol(column).cast("double") - lo) / w),
+            lit(buckets - 1L)), lit(0L)).as("__bk"))
+          .groupBy(fcol("__bk")).agg(fcount(lit(1)).as("__c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    val arr = (0 until buckets).map(b => counts.getOrElse(b.toLong, 0L))
+    setProperties(Map(s"hist.$key" ->
+      s"${snap.id}:$lo:$hi:${arr.mkString(",")}"))
+  }
+
+  /** The persisted histogram for `column`, metadata-only — None when none
+    * was analyzed or the table has advanced past the snapshot it
+    * describes (a stale histogram is never silently served; re-ANALYZE
+    * refreshes it). Returns (lo, hi, bucket counts).
+    */
+  def histogramMeta(column: String): Option[(Double, Double, Seq[Long])] = {
+    val key = toPhysical(column)
+    for {
+      snap <- currentSnapshot
+      v <- properties.get(s"hist.$key")
+      parts = v.split(':')
+      if parts.length == 4 && scala.util.Try(parts(0).toLong).toOption.contains(snap.id)
+    } yield (parts(1).toDouble, parts(2).toDouble,
+      parts(3).split(',').map(_.toLong).toSeq)
+  }
+
   /** `SHOW STATS FOR t`: one row per sketched column — (column, ndv) from
     * the manifest NDV index, metadata-only. Columns whose index can't
     * answer (missing sketches, pending deletes) surface a null ndv rather

@@ -132,6 +132,36 @@ class NdvSketchSpec extends SparkSpec {
     math.abs(est - 3000).toDouble / 3000 should be < 0.05
   }
 
+  test("histogram: exact fixed-bound bucket counts; stale after commit; re-analyze refreshes") {
+    val t = Icebox(tmpDir("hist1"))
+    t.append((1 to 1000).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "v"),
+      collectStats = Seq("v"))
+    t.analyzeHistogram(spark, "v", buckets = 8)
+    val (lo, hi, cnts) = t.histogramMeta("v").get
+    lo shouldBe 0.0; hi shouldBe 96.0
+    cnts.sum shouldBe 1000L
+    // exact: recompute the same buckets directly
+    val w = (hi - lo) / 8
+    val direct = t.read(spark).groupBy(
+      greatest(least(floor((col("v") - lo) / w), lit(7L)), lit(0L)).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cnts.zipWithIndex.foreach { case (c, b) => c shouldBe direct.getOrElse(b.toLong, 0L) }
+    // staleness: a commit invalidates; re-analyze serves again
+    t.append(Seq((2000L, 5.0)).toDF("id", "v"))
+    t.histogramMeta("v") shouldBe None
+    t.analyzeHistogram(spark, "v", buckets = 8)
+    t.histogramMeta("v").get._3.sum shouldBe 1001L
+    // constant column: one bucket holds everything
+    val c = Icebox(tmpDir("hist2"))
+    c.append((1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v"), collectStats = Seq("v"))
+    c.analyzeHistogram(spark, "v", buckets = 4)
+    c.histogramMeta("v").get._3.head shouldBe 50L
+    // no stats -> loud refusal
+    val n = Icebox(tmpDir("hist3"))
+    n.append((1 to 10).map(i => (i.toLong, s"x$i")).toDF("id", "s"))
+    intercept[RuntimeException](n.analyzeHistogram(spark, "s", 4))
+  }
+
   test("SQL verbs: ANALYZE TABLE + SHOW STATS FOR; expiry GCs dead sketch files") {
     val dir = tmpDir("ndv5")
     val t = Icebox(dir)

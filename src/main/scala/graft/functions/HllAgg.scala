@@ -145,6 +145,8 @@ object HllBuild {
         FunctionIdentifier(Name),
         new ExpressionInfo(classOf[HllBuildAgg].getName, Name),
         (children: Seq[Expression]) => {
+          if (children.length != 2)
+            sys.error(s"$Name expects (hashCol, precision) — got ${children.length} argument(s)")
           val p = children(1) match {
             case Literal(v: Int, IntegerType) => v
             case other => sys.error(s"$Name needs a literal int precision, got $other")

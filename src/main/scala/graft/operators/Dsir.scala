@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * xxhash64 because the SAME arithmetic is expressible in the DuckDB
   * oracle, keeping the operator end-to-end verifiable.
   *
-  * 100 TB shape: one gram explode + ONE map-side-combined aggregation per
-  * distribution (the bucket tables are ≤ `buckets` rows — broadcast), a
-  * broadcast join of corpus gram occurrences to their bucket ratios, and
-  * a per-document sum. No all-pairs, no driver state beyond the broadcast
-  * bucket table; the target sample is small by definition.
+  * 100 TB shape: ONE map-side-combined aggregation per distribution (the
+  * bucket tables are ≤ `buckets` rows — collected, then broadcast as the
+  * ratio table), a broadcast join of corpus gram occurrences to their
+  * bucket ratios, and a per-document sum. The corpus gram explode runs
+  * twice (counts pass + join pass) by design: recomputing a linear
+  * tokenization beats caching an L×-corpus-bytes gram table, and the
+  * call holds NO persisted state after it returns. No all-pairs, no
+  * driver state beyond the ≤2·buckets-row maps; the target sample is
+  * small by definition.
   */
 object Dsir {
 
@@ -61,29 +65,37 @@ object Dsir {
   def importanceWeights(corpus: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
     require(buckets > 0 && alpha > 0, s"need buckets>0, alpha>0 (got $buckets, $alpha)")
-    // the raw gram table feeds two consumers (bucket counts + the ratio
-    // join) — persist so the explode runs once. Totals derive from the
-    // tiny (≤ buckets rows) persisted count tables, not extra gram scans;
-    // the two sum() actions make this call EAGER.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val rawG = gramBuckets(corpus, textCol, idCol, buckets).persist(lvl)
-    val rawCnt = rawG.groupBy(col("__b")).agg(count(lit(1)).as("__cr")).persist(lvl)
-    val tgtCnt = gramBuckets(target, textCol, idCol, buckets)
-      .groupBy(col("__b")).agg(count(lit(1)).as("__ct")).persist(lvl)
-    // bucket ratio table: ≤ `buckets` rows, outer-joined so a bucket seen
-    // on either side (or neither — smoothing) gets a finite ratio
-    def total(df: DataFrame, c: String): Double = {
-      val r = df.agg(sum(col(c))).head()
-      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble // empty side: pure smoothing
+    // The per-bucket count tables are ≤ `buckets` rows — COLLECT them to
+    // the driver and rebuild the ratio table as a local DataFrame instead
+    // of persisting the gram explode. The explode therefore runs twice
+    // (once for the corpus counts here, once in the final join), which is
+    // the right trade at scale: an L×-corpus-bytes gram table cached
+    // MEMORY_AND_DISK is itself a spill hazard at 100 TB, and the old
+    // persists were never released (they outlived the call — a
+    // session-lifetime leak under repeated invocation). The ratio
+    // arithmetic stays in Column form over the same (__b,__cr,__ct)
+    // shape, so the doubles are bit-identical to the pre-collect plan.
+    val spark = corpus.sparkSession
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      gramBuckets(df, textCol, idCol, buckets)
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawMap = bucketCounts(corpus)
+    val tgtMap = bucketCounts(target)
+    val nRaw = rawMap.values.sum.toDouble
+    val nTgt = tgtMap.values.sum.toDouble
+    // full-outer merge of the two local maps (a bucket seen on either side
+    // — or neither: smoothing — gets a finite ratio)
+    val mergedRows = (rawMap.keySet ++ tgtMap.keySet).toSeq.sorted.map { b =>
+      (b, rawMap.get(b), tgtMap.get(b))
     }
-    val nRaw = total(rawCnt, "__cr")
-    val nTgt = total(tgtCnt, "__ct")
-    val ratios = rawCnt.join(tgtCnt, Seq("__b"), "full_outer")
+    import spark.implicits._
+    val ratios = mergedRows.toDF("__b", "__cr", "__ct")
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)) + alpha) / (nTgt + alpha * buckets)) -
          log((coalesce(col("__cr"), lit(0L)) + alpha) / (nRaw + alpha * buckets)))
           .as("__ratio"))
-    rawG.join(broadcast(ratios), Seq("__b"))
+    gramBuckets(corpus, textCol, idCol, buckets).join(broadcast(ratios), Seq("__b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("__ratio")), 6).as("weight"))

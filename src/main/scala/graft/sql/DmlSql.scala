@@ -219,6 +219,15 @@ object DmlSql {
     * files the commits actually changed — so the row-level change feed
     * composes with any surrounding SELECT. `to` defaults to the current
     * snapshot. Unregistered names pass through untouched.
+    *
+    * Caveats (shared with [[rewriteTimeTravel]]): the rewrite is textual —
+    * a `table_changes(...)` spelling inside a string literal or comment is
+    * rewritten too (same caveat as Spark's own SQL-comment stripping lives
+    * with; don't put the call text in literals). Temp views are
+    * deterministic per (table, from, to) and REUSED — per-table older
+    * ranges are dropped on each new registration so the catalog holds at
+    * most a handful of `__tc_*` views per table, not one per range ever
+    * queried.
     */
   private def rewriteTableChanges(spark: SparkSession, sqlText: String): String =
     TableChangesRe.replaceAllIn(sqlText, m => {
@@ -229,7 +238,15 @@ object DmlSql {
           val from = m.group(2).toLong
           val to = Option(m.group(3)).map(_.toLong).getOrElse(t.currentSnapshotId)
           val view = s"__tc_${name}_${from}_$to"
-          t.changeDiff(spark, from, to).createOrReplaceTempView(view)
+          val cat = spark.catalog
+          if (!cat.tableExists(view)) {
+            // evict this table's views for OTHER ranges before registering:
+            // bounded catalog footprint under varying (from, to)
+            spark.sessionState.catalog.listLocalTempViews(s"__tc_${name}_*")
+              .map(_.table).filter(v => v.startsWith(s"__tc_${name}_") && v != view)
+              .foreach(cat.dropTempView)
+            t.changeDiff(spark, from, to).createOrReplaceTempView(view)
+          }
           view
       }
     })

@@ -362,13 +362,16 @@ final class Icebox(val tableDir: String) {
     val missing = snap.files.filter(f => phys.exists(c => !f.sketches.contains(c)))
     if (missing.nonEmpty) {
       val shas = buildFileSketches(spark, missing.map(_.path), phys, p)
-      commitMetaResolved("analyze",
+      // schema rides the RESOLVED parent, not the pre-scan snapshot: an
+      // ALTER TABLE landing during the (potentially long) sketch pass must
+      // not be reverted by this metadata-only commit
+      commitMetaResolvedFn("analyze",
         parent => parent.map(_.files).getOrElse(Nil).map { f =>
           shas.get(pathOnly(f.path)) match {
             case Some(m) => f.copy(sketches = f.sketches ++ m)
             case None => f
           }
-        }, snap.schemaJson)
+        }, parent => parent.map(_.schemaJson).getOrElse(snap.schemaJson))
     }
     phys.foreach(refreshRollup)
   }
@@ -395,7 +398,11 @@ final class Icebox(val tableDir: String) {
       else if (loaded.isEmpty) seed.map(_.clone())
       else {
         val init = seed.getOrElse(loaded.head.get).clone() // never mutate cached bytes
-        Some(loaded.flatten.foldLeft(init)(graft.functions.Hll.merge))
+        // mixed sketch.ndv.precision across commits → no rollup (None),
+        // same refusal contract as a missing sketch — never a throw
+        if ((loaded.flatten :+ init).map(graft.functions.Hll.precision).distinct.size != 1)
+          None
+        else Some(loaded.flatten.foldLeft(init)(graft.functions.Hll.merge))
       }
     }
     val mergedOpt = prev match {
@@ -448,9 +455,16 @@ final class Icebox(val tableDir: String) {
           else {
             val loaded = shas.flatten.map(loadSketch)
             if (loaded.exists(_.isEmpty)) None
-            else Some(graft.functions.Hll.estimate(
-              loaded.flatten.foldLeft(graft.functions.Hll.empty(
-                graft.functions.Hll.precision(loaded.head.get)))(graft.functions.Hll.merge)))
+            else {
+              // files sketched under different sketch.ndv.precision values
+              // (property changed between commits) can't be merged — treat
+              // mixed-precision coverage like a missing sketch, not a crash
+              val ps = loaded.flatten.map(graft.functions.Hll.precision).distinct
+              if (ps.size != 1) None
+              else Some(graft.functions.Hll.estimate(
+                loaded.flatten.foldLeft(graft.functions.Hll.empty(ps.head))(
+                  graft.functions.Hll.merge)))
+            }
           }
       }
     }
@@ -2318,7 +2332,19 @@ final class Icebox(val tableDir: String) {
   }
 
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
-      schemaJson: String, onBranch: Option[String] = None): Snapshot = this.synchronized {
+      schemaJson: String, onBranch: Option[String] = None): Snapshot =
+    commitMetaResolvedFn(op, resolve, _ => schemaJson, onBranch)
+
+  /** Core of the metadata commit loop. `schemaJsonOf` is re-evaluated
+    * against the freshly-resolved parent on EVERY retry, so a commit whose
+    * schema should just carry the head's schema forward (analyze, rollup
+    * refresh) names the schema of the snapshot it actually lands on — not
+    * one captured before a long scan, which would silently revert a
+    * concurrent ALTER TABLE.
+    */
+  private def commitMetaResolvedFn(op: String, resolve: Option[Snapshot] => Seq[DataFile],
+      schemaJsonOf: Option[Snapshot] => String,
+      onBranch: Option[String] = None): Snapshot = this.synchronized {
     store.mkdirs(snapshotsDir)
     var attempt = 0
     // Snapshot ids are claimed across ALL lineages by CREATE_NEW on
@@ -2334,7 +2360,7 @@ final class Icebox(val tableDir: String) {
         case None    => currentSnapshot
       }
       val id = math.max(parent.map(_.id + 1).getOrElse(0L), bumpId)
-      val (m, canonical) = buildManifest(id, parent, op, resolve(parent), schemaJson)
+      val (m, canonical) = buildManifest(id, parent, op, resolve(parent), schemaJsonOf(parent))
       val claimed = store.createNew(manifestPath(id),
         manifestJson(m).getBytes(StandardCharsets.UTF_8))
       if (!claimed) { attempt += 1; bumpId = id + 1 }
@@ -2380,7 +2406,7 @@ final class Icebox(val tableDir: String) {
         if (published) {
           manifestCache.put(id, m)
           filesCache.put(id, canonical)
-          return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJson,
+          return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJsonOf(parent),
             m.fileCount, m.totalBytes, () => canonical)
         }
       }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts the run to named queries —
   * the regression-adjudication path (isolates a query from whole-suite
   * JVM/GC/ordering effects).
+  *
+  * The run self-certifies against host stalls: a fixed sentinel query is
+  * timed throughout and the artifact carries `"degraded": true` when any
+  * reading exceeds 2× the run's own floor — numbers captured in a stall
+  * window announce themselves instead of reading as code regressions.
   */
 object Bench {
   /** Round-over-round comparison anchors: one per major subsystem, names
@@ -54,12 +59,35 @@ object Bench {
     // query doesn't absorb JVM startup
     try SparkEntry.queries("q_count")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // DRIFT CANARY: a fixed sentinel query (the q_normalize projection —
+    // code untouched for many rounds, ~0.4 s isolated) timed at the start,
+    // every `SentinelEvery` queries, and at the end. A host stall window
+    // (four rounds of phantom "regressions" were adjudicated to exactly
+    // this) shows up as a sentinel reading far above the run's own floor —
+    // the artifact then SELF-CERTIFIES as degraded instead of demanding a
+    // post-hoc isolated-rerun investigation.
+    val SentinelEvery = 25
+    val DegradedRatio = 2.0
+    val sentinelReadings = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q_normalize")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinel(): Unit = sentinelReadings += sentinelOnce()
+    sentinelOnce() // warm-up: the first execution absorbs codegen/plan
+                   // compile and would read as phantom drift — discard it
+    sentinel(); sentinel() // two at the start: the floor is in-run, not a constant
     // BEST-OF-2 per query (basis change recorded in BASELINE.md): a
     // transient host stall lands on one run, not both — rounds 7-9 each
     // recorded a multi-second phantom regression from a single-pass time
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % SentinelEvery == 0) sentinel()
         def once(): Double = {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -70,18 +98,27 @@ object Bench {
         }
         name -> math.min(once(), once())
       }
+    sentinel()
+    val floor = sentinelReadings.min
+    // both a RELATIVE (2× floor) and an ABSOLUTE (≥ 1 s over floor) excess:
+    // sub-second readings jitter well past 2× from scheduling noise alone,
+    // while the stall windows being guarded against are multi-second
+    val degraded = sentinelReadings.max > DegradedRatio * floor &&
+      sentinelReadings.max - floor > 1.0
+    val sentinelJson = s""""sentinel":{"query":"q_normalize","readings":[${sentinelReadings.map(fmt).mkString(",")}],"floor":${fmt(floor)},"max":${fmt(sentinelReadings.max)},"degraded":$degraded}"""
+    System.err.println(s"[bench] $sentinelJson")
     val total = results.map(_._2).sum
     def enc(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // full map -> file (survives the stdout tail window; committed
     // in-repo). Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the
     // committed full-suite artifact with a partial map.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},$sentinelJson}"""
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json"); w.println(full); w.close()
     } catch { case _: Throwable => () }
     val line = results.filter { case (k, _) => only.isDefined || headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(line)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(line)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},"degraded":$degraded,"full":"BENCH_FULL.json"}""")
     System.out.flush()
     spark.stop()
   }

@@ -24,6 +24,10 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr, L2SqExpr, VectorEx
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new graft.sql.MvRewriteRule(spark))
+    // CBO stats bridge: manifest rowCount / min-max / NDV attach to Icebox
+    // relations right before the cost-based batches (join reorder,
+    // broadcast selection) — a no-op unless spark.sql.cbo.enabled
+    ext.injectPreCBORule(spark => new graft.plans.IceboxStatsRule(spark))
     ext.injectFunction((
       FunctionIdentifier(VectorExpressions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, VectorExpressions.CosineName),

@@ -657,6 +657,48 @@ object SparkEntry {
         col("nn_l_extendedprice"))
     }),
 
+    // SNOWFLAKE-chain materialized view (dim-of-dim joins — the TPC-H
+    // lineitem→orders→customer→nation shape): the telescoped delta rule
+    // is join-shape agnostic, so chains maintain with the same algebra;
+    // a ΔDʲ term's fact pruning maps the delta's keys UP the chain level
+    // by level. Exercised through the DDL surface with appends on the
+    // fact plus a MID-CHAIN (customer) key-delete, refreshed in ONE
+    // incremental pass (asserted).
+    "q_mv_snowflake" -> ((s, dir) => {
+      graft.sql.DmlSql.setWarehouse(tmp("qmvsn_wh"))
+      val fact = Icebox(tmp("qmvsn_li"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      fact.append(li.filter(col("l_orderkey") % 2 === 0))
+      val dOrd = Icebox(tmp("qmvsn_ord"))
+      dOrd.append(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val dCust = Icebox(tmp("qmvsn_cust"))
+      dCust.append(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")))
+      val dNat = Icebox(tmp("qmvsn_nat"))
+      dNat.append(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      graft.sql.MergeSql.register("qmvsn_li", fact)
+      graft.sql.MergeSql.register("qmvsn_ord", dOrd)
+      graft.sql.MergeSql.register("qmvsn_cust", dCust)
+      graft.sql.MergeSql.register("qmvsn_nat", dNat)
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvsn AS
+          |SELECT n_name, count(*), sum(l_quantity) FROM qmvsn_li
+          |JOIN qmvsn_ord ON qmvsn_li.l_orderkey = qmvsn_ord.o_orderkey
+          |JOIN qmvsn_cust ON qmvsn_ord.o_custkey = qmvsn_cust.c_custkey
+          |JOIN qmvsn_nat ON qmvsn_cust.c_nationkey = qmvsn_nat.n_nationkey
+          |GROUP BY n_name""".stripMargin)
+      fact.append(li.filter(col("l_orderkey") % 2 === 1))
+      // mid-chain delete: dropping customers drops their orders' lineitems
+      dCust.deleteByKeys(t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 3).select("c_custkey").distinct())
+      val op = graft.sql.DmlSql.run(s, "REFRESH MATERIALIZED VIEW qmvsn")
+        .head.getString(0)
+      require(op == "refresh-mv:Incremental", s"expected incremental refresh, got $op")
+      s.sql("SELECT * FROM qmvsn").select(col("n_name"), col("row_count"),
+        round(col("sum_l_quantity").cast("double"), 2).as("sum_qty"),
+        col("nn_l_quantity").as("nn_qty"))
+    }),
+
     // COUNT(DISTINCT c) materialized-view column via BOUNDED TOUCHED-
     // GROUP RECOMPUTE (the MIN/MAX machinery generalized): a key-delete
     // may remove a group's last carrier of a value, which delta
@@ -743,26 +785,35 @@ object SparkEntry {
       // integer-valued doubles (quantities): float-exact at any grouping,
       // so the rewrite/oracle comparison is bit-deterministic
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        // decimal column: exercises the rewrite's decimal-AVG rollup (the
+        // rolled-up sum casts back to SUM's result type so the division
+        // scale — and the HALF_UP rounding — matches Spark's Average)
+        col("l_quantity").cast("decimal(12,2)").as("l_qdec"))
       src.append(li)
       src.registerView(s, "qmvcat_lineitem")
       graft.sql.DmlSql.run(s,
         """CREATE MATERIALIZED VIEW qmvcat AS
-          |SELECT l_returnflag, l_linestatus, count(*), sum(l_quantity)
+          |SELECT l_returnflag, l_linestatus, count(*), sum(l_quantity), sum(l_qdec)
           |FROM qmvcat_lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)
       graft.sql.MvRewrite.install(s)
       try {
         val served = s.sql(
           """SELECT l_returnflag, count(*) AS row_count,
             |       sum(l_quantity) AS sum_l_quantity,
-            |       avg(l_quantity) AS avg_l_quantity
+            |       avg(l_quantity) AS avg_l_quantity,
+            |       avg(l_qdec) AS avg_l_qdec
             |FROM qmvcat_lineitem GROUP BY l_returnflag""".stripMargin)
         require(served.inputFiles.nonEmpty && served.inputFiles.forall(_.contains("/_mv/")),
           s"optimizer rewrite must serve from the view, scanned: " +
             served.inputFiles.take(3).mkString(","))
         val out = served.select(col("l_returnflag"), col("row_count"),
           round(col("sum_l_quantity").cast("double"), 2).as("sum_l_quantity"),
-          round(col("avg_l_quantity").cast("double"), 4).as("avg_l_quantity"))
+          round(col("avg_l_quantity").cast("double"), 4).as("avg_l_quantity"),
+          // decimal avg × 10^6 is integral at the result scale (6) — an
+          // EXACT integer the oracle reproduces with integer arithmetic,
+          // no float-boundary rounding risk
+          (col("avg_l_qdec") * lit(1000000)).cast("bigint").as("avg_qdec_micro"))
         // materialize while the rule is active, then restore the session
         val rows = out.collect().toSeq
         s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
@@ -2435,6 +2486,17 @@ object SparkEntry {
         |WHERE o_orderkey % 7 <> 2 AND s_suppkey % 10 <> 6
         |GROUP BY o_orderstatus, s_nationkey""".stripMargin,
 
+    "q_mv_snowflake" ->
+      """SELECT n_name, count(*) AS row_count,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       count(l_quantity) AS nn_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey % 7 <> 3
+        |GROUP BY n_name""".stripMargin,
+
     // dense daily grid per user (generate_series) left-joined to the
     // bucket aggregates; forward fill via last_value IGNORE NULLS — the
     // exact series the operator's sequence/explode + window must produce
@@ -2460,7 +2522,9 @@ object SparkEntry {
     "q_mv_catalyst" ->
       """SELECT l_returnflag, count(*) AS row_count,
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_l_quantity,
-        |       round(CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity), 4) AS avg_l_quantity
+        |       round(CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity), 4) AS avg_l_quantity,
+        |       (2 * CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100) AS BIGINT) * 10000
+        |        + count(l_quantity)) // (2 * count(l_quantity)) AS avg_qdec_micro
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // the rollup the rewrite must reproduce from the view's rows: the

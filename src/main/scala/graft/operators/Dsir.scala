@@ -46,14 +46,19 @@ object Dsir {
     */
   private def gramBuckets(df: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val bigrams = when(size(words) >= 2,
-      expr(s"""transform(sequence(1, size(split(trim($textCol), '\\\\s+')) - 1),
-        i -> concat_ws(' ', split(trim($textCol), '\\\\s+')[i-1],
-                            split(trim($textCol), '\\\\s+')[i]))"""))
+    // materialize the split ONCE per row in its own projection: the word
+    // array is referenced four times below, and inlining the split into
+    // each use (what a single fused expression would do) re-tokenizes the
+    // document per bigram index — O(words²) per doc. CollapseProject keeps
+    // the projection because the reference is non-cheap and multi-use.
+    val withWords = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val bigrams = when(size(col("__w")) >= 2,
+      expr("transform(sequence(1, size(__w) - 1), " +
+        "i -> concat_ws(' ', __w[i-1], __w[i]))"))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(concat(
-        filter(words, w => w =!= ""), bigrams)).as("__g"))
+    withWords.select(col(idCol), explode(concat(
+        filter(col("__w"), w => w =!= ""), bigrams)).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), buckets).as("__b"))
   }
 

@@ -129,10 +129,16 @@ object MaterializedView {
     } yield (props.get("mv.star.dims"), props.get("mv.source2.dir")) match {
       case (Some(dimDirs), _) =>
         // star view: fact + N dims (`mv.star.dims` = ';'-joined dirs,
-        // `mv.star.on` = ';'-joined per-dim 'f=d,f=d' pair lists)
-        val dims = dimDirs.split(';').filter(_.nonEmpty).toSeq
+        // `mv.star.on` = ';'-joined per-dim 'p=d,p=d' pair lists,
+        // `mv.star.parents` = ';'-joined parent indexes, absent = all fact)
+        val dirsSeq = dimDirs.split(';').filter(_.nonEmpty).toSeq
+        val parents = props.get("mv.star.parents")
+          .map(_.split(';').filter(_.nonEmpty).toSeq.map(_.toInt))
+          .getOrElse(dirsSeq.map(_ => -1))
+        val dims = dirsSeq
           .zip(props("mv.star.on").split(';').filter(_.nonEmpty).toSeq)
-          .map { case (dir, on) => StarDim(Icebox(dir), pairs(on)) }
+          .zip(parents)
+          .map { case ((dir, on), par) => StarDim(Icebox(dir), pairs(on), par) }
         refreshStar(spark, Icebox(srcDir), dims, target, id,
           keys.split(',').toSeq, list("mv.sums"),
           props.get("mv.where").filter(_.nonEmpty))
@@ -311,11 +317,15 @@ object MaterializedView {
     }
   }
 
-  /** One dimension of a STAR view: the dim table plus the fact→dim join
-    * pairs (`factCol = dimCol`). Dim column names (beyond the join pairs)
-    * must be disjoint from the fact's and each other's.
+  /** One dimension of a STAR (or SNOWFLAKE) view: the dim table plus the
+    * parent→dim join pairs (`parentCol = dimCol`). `parent` is -1 when the
+    * dim joins the FACT (the star shape), or the index of an EARLIER dim
+    * in the declaration order (a snowflake chain — customer→nation→region).
+    * Dim column names (beyond the join pairs) must be disjoint from the
+    * fact's and each other's.
     */
-  final case class StarDim(table: Icebox, joinOn: Seq[(String, String)])
+  final case class StarDim(table: Icebox, joinOn: Seq[(String, String)],
+      parent: Int = -1)
 
   /** N-part cursor of a star view: fact snapshot then one per dim, in
     * declaration order (`mv-refresh:<id>:<f>:<d1>:...:<dk>`).
@@ -357,6 +367,15 @@ object MaterializedView {
     * at 100 TB. Same N-part-cursor exactly-once and concurrent-refresher
     * guarantees as [[refreshJoin]] (which is the k=1 special case).
     *
+    * '''Snowflake chains''' ([[StarDim.parent]] >= 0, e.g.
+    * customer→nation→region): the telescoped delta rule is join-shape
+    * agnostic — each term still swaps exactly one source for its diff with
+    * sources ordered along the declaration — so chains maintain with the
+    * SAME algebra; only the pruning walks change. A chain dim prunes by
+    * the accumulated join slice (its parent's columns exist only after the
+    * parent joined), and a ΔDʲ term's fact pruning maps ΔDʲ's keys up the
+    * chain level by level (dim slice → parent keys → … → fact files).
+    *
     * MIN/MAX/COUNT(DISTINCT) are not offered over stars (same contract as
     * 2-way joins); dim column names beyond the join pairs must be disjoint
     * from the fact's and each other's.
@@ -368,6 +387,11 @@ object MaterializedView {
     require(keys.nonEmpty, "materialized view needs at least one group key")
     require(dims.nonEmpty, "star view needs at least one dimension")
     require(dims.forall(_.joinOn.nonEmpty), "every dim needs at least one equi-join pair")
+    // snowflake chains: a dim's parent must be declared BEFORE it so the
+    // left-deep join fold (and the telescoped delta's before-new/after-old
+    // snapshot assignment) sees the parent's columns when the dim joins
+    require(dims.zipWithIndex.forall { case (d, i) => d.parent >= -1 && d.parent < i },
+      "each dim's parent must be the fact (-1) or an earlier dim index")
     val fSnap = fact.currentSnapshot.getOrElse(
       sys.error(s"fact table ${fact.tableDir} has no snapshot"))
     val dSnaps = dims.map(d => d.table.currentSnapshot.getOrElse(
@@ -427,27 +451,49 @@ object MaterializedView {
         try {
         val df0c = cache(df0)
         val dDiffsC = dDiffs.map(cache)
-        // term 0: ΔF ⋈ every dim at its NEW snapshot, pruned by ΔF's keys
-        val term0 = dims.zip(dSnaps).foldLeft(df0c: DataFrame) {
-          case (acc, (d, snap)) =>
-            joinDim(acc, d.table.readForKeysAt(spark,
-              dimKeysOf(df0c, d.joinOn), Some(snap)), d.joinOn)
-        }
-        // term j: F@old (pruned by ΔDʲ) ⋈ dims<j @new ⋈ ΔDʲ ⋈ dims>j @old,
-        // the other dims pruned by the pruned fact slice's keys
-        val dimTerms = dims.zipWithIndex.map { case (dj, j) =>
-          val dDiff = dDiffsC(j)
-          val fPruned = cache(fact.readForKeysAt(spark,
-            dDiff.select(dj.joinOn.map { case (fc, dc) => col(dc).as(fc) }: _*),
-            Some(fact.snapshot(fromF))))
-          dims.zipWithIndex.foldLeft(fPruned) { case (acc, (dm, m)) =>
-            if (m == j) joinDim(acc, dDiff, dj.joinOn)
+        // snapshot of dim m as seen by term j: before the swapped source at
+        // NEW, at-or-after it at OLD (term 0 = the ΔF term sees all-new)
+        def dimSnapInTerm(m: Int, j: Int): graft.table.Snapshot =
+          if (m < j) dSnaps(m) else dims(m).table.snapshot(fromD(m))
+        // term 0: ΔF ⋈ every dim at its NEW snapshot. Star dims prune by
+        // ΔF's keys directly; CHAIN dims (parent >= 0) prune by the
+        // accumulated slice — the parent's columns only exist after the
+        // parent has joined, so the accumulated join is cached at that
+        // step and its parent-col values become the dim's pruning keys.
+        def foldDims(base: DataFrame, pruneBase: DataFrame, j: Int,
+            atJ: DataFrame => DataFrame): DataFrame =
+          dims.zipWithIndex.foldLeft(base) { case (acc, (dm, m)) =>
+            if (m == j) atJ(acc)
             else {
-              val snap = if (m < j) dSnaps(m) else dims(m).table.snapshot(fromD(m))
+              val snap = if (j < 0) dSnaps(m) else dimSnapInTerm(m, j)
+              val pruneSrc = if (dm.parent < 0) pruneBase else cache(acc)
               joinDim(acc, dm.table.readForKeysAt(spark,
-                dimKeysOf(fPruned, dm.joinOn), Some(snap)), dm.joinOn)
+                dimKeysOf(pruneSrc, dm.joinOn), Some(snap)), dm.joinOn)
             }
           }
+        val term0 = foldDims(df0c, df0c, -1, identity)
+        // term j: F@old ⋈ dims<j @new ⋈ ΔDʲ ⋈ dims>j @old. The fact read
+        // is key-pruned TRANSITIVELY: ΔDʲ's keys map to its parent's
+        // columns; if the parent is a dim, that dim's (pruned, term-j
+        // snapshot) slice maps keys one level up, until the fact is
+        // reached — O(Δ × files the deltas touch through the chain).
+        val dimTerms = dims.zipWithIndex.map { case (dj, j) =>
+          val dDiff = dDiffsC(j)
+          // walk up from dim j to the fact, converting keys level by level
+          var keysUp: DataFrame = dDiff.select(
+            dj.joinOn.map { case (pc, dc) => col(dc).as(pc) }: _*)
+          var p = dj.parent
+          while (p >= 0) {
+            val dp = dims(p)
+            val slice = cache(dp.table.readForKeysAt(spark, keysUp,
+              Some(dimSnapInTerm(p, j))))
+            keysUp = slice.select(
+              dp.joinOn.map { case (pc, dc) => col(dc).as(pc) }: _*)
+            p = dp.parent
+          }
+          val fPruned = cache(fact.readForKeysAt(spark, keysUp,
+            Some(fact.snapshot(fromF))))
+          foldDims(fPruned, fPruned, j, acc => joinDim(acc, dDiff, dj.joinOn))
         }
         // schema evolution between cursors: null-fill columns one side
         // lacks, the read semantics evolution itself defines

@@ -34,6 +34,12 @@ final class IceboxFileIndex(
 
   private val files: Seq[DataFile] = snap.files
 
+  /** Manifest entries backing this relation — the CBO stats bridge
+    * ([[IceboxStats]]) folds row counts / min-max / NDV pointers from
+    * these without any data scan.
+    */
+  private[graft] def manifestFiles: Seq[DataFile] = files
+
   /** Identity for plan-level matching (e.g. the MV rewrite rule): which
     * table this relation reads, pinned at which snapshot.
     */

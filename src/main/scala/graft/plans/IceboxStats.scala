@@ -1,0 +1,198 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import graft.table.Icebox
+
+/** Feeds the manifest's statistics suite to Catalyst's COST-BASED
+  * OPTIMIZER. The engine already maintains, per snapshot and without any
+  * data scan: exact row counts (manifest), per-column min/max (parquet
+  * footer stats folded at commit), and per-column NDV (HyperLogLog rollup
+  * sketches from `ANALYZE TABLE`). Without this bridge Spark plans blind —
+  * the relation reports only on-disk `sizeInBytes`, so join reordering,
+  * broadcast-side selection, and filter-selectivity estimation all fall
+  * back to byte-size heuristics. At 100 TB a wrong join order or a missed
+  * broadcast is the difference between hours and minutes; the numbers to
+  * plan correctly were already in the manifests.
+  *
+  * Mechanism: [[IceboxStatsRule]] runs as a PRE-CBO optimizer rule
+  * (`SparkSessionExtensions.injectPreCBORule`, registered by
+  * [[graft.GraftExtensions]]) and attaches a stats-bearing `CatalogTable`
+  * to every Icebox `LogicalRelation` that lacks one. `LogicalRelation
+  * .computeStats` then surfaces rowCount + column stats to
+  * `CostBasedJoinReorder` and `JoinSelection` whenever
+  * `spark.sql.cbo.enabled` (or plan-stats) is on. Everything is
+  * metadata-only and snapshot-pinned — time-travel reads get the stats of
+  * the snapshot they read.
+  *
+  * Soundness contract (same refusal rules as the metadata query paths):
+  * no rowCount when any file carries merge-on-read deletes (counts would
+  * overstate); no min/max for a column unless EVERY file has footer stats
+  * for it; NDV only when the rollup sketch is keyed to exactly this
+  * snapshot. Absent stats degrade to the byte-size heuristic Spark used
+  * anyway — never a wrong estimate.
+  */
+object IceboxStats {
+
+  /** Bounded per-(table, snapshot) cache: stats are derived from an
+    * immutable snapshot, so entries never go stale — eviction exists only
+    * to bound memory across many tables. An NDV rollup that lands AFTER an
+    * entry is cached becomes visible at the next snapshot (conservative:
+    * stats may be missing for one generation, never wrong).
+    */
+  private val cache = new ConcurrentHashMap[(String, Long), Option[CatalogStatistics]]()
+  private val MaxCache = 256
+
+  private[graft] def invalidate(): Unit = cache.clear()
+
+  /** The column types whose manifest min/max strings round-trip through
+    * `CatalogColumnStat.fromExternalString` exactly: integral/floating
+    * types render as plain numbers, dates as ISO `yyyy-MM-dd`, booleans as
+    * `true`/`false` ([[Icebox.decodeFooterMinMax]]). Strings are excluded
+    * (Spark's estimator ignores string min/max), timestamps and decimals
+    * are excluded (the manifest rendering is not the catalog's external
+    * format — refusal, not risk).
+    */
+  private def minMaxSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | BooleanType => true
+    case _ => false
+  }
+
+  def statsFor(index: IceboxFileIndex): Option[CatalogStatistics] = {
+    val key = (index.tableDirString, index.snapshotId)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val computed =
+      try compute(index)
+      catch { case scala.util.control.NonFatal(_) => None } // stats are advisory
+    if (cache.size >= MaxCache) cache.clear()
+    cache.put(key, computed)
+    computed
+  }
+
+  private def compute(index: IceboxFileIndex): Option[CatalogStatistics] = {
+    val fs = index.manifestFiles
+    // MoR deletes: manifest row counts are upper bounds, not exact — refuse
+    if (fs.isEmpty || fs.exists(f => f.deletes.nonEmpty || f.eqDeletes.nonEmpty) ||
+        fs.exists(_.rows < 0L)) return None
+    val rowCount = fs.map(_.rows).sum
+    val sizeInBytes = fs.map(_.sizeBytes).sum
+    val table = Icebox(index.tableDirString)
+    val schema = DataType.fromJson(index.snapshotSchemaJson).asInstanceOf[StructType]
+    val colStats = schema.fields.flatMap { f =>
+      val phys = Icebox.physicalName(f)
+      val ndv = ndvFor(table, index, phys)
+      val mm: Option[(String, String)] =
+        if (!minMaxSafe(f.dataType)) None
+        else {
+          val perFile = fs.map(_.stats.get(phys))
+          if (perFile.exists(_.isEmpty)) None // a stats-less file could hide the extremum
+          else {
+            val (mns, mxs) = (perFile.flatten.map(_._1), perFile.flatten.map(_._2))
+            foldMinMax(f.dataType, mns, mxs)
+          }
+        }
+      // exact null counts from the commit-time footer pass — only when
+      // every file recorded one (Spark's FilterEstimation needs nullCount
+      // alongside min/max/NDV before it will estimate selectivity)
+      val nulls: Option[Long] = {
+        val perFile = fs.map(_.nullCounts.get(phys))
+        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+      }
+      if (ndv.isEmpty && mm.isEmpty && nulls.isEmpty) None
+      else Some(phys -> CatalogColumnStat(
+        distinctCount = ndv.map(BigInt(_)),
+        min = mm.map(_._1), max = mm.map(_._2),
+        nullCount = nulls.map(BigInt(_))))
+    }.toMap
+    Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rowCount)), colStats))
+  }
+
+  /** NDV from the table-level HLL rollup ONLY when it is keyed to exactly
+    * the snapshot this relation reads — a rollup for any other snapshot
+    * (older head, or the read is time travel) is not this data's NDV.
+    */
+  private def ndvFor(table: Icebox, index: IceboxFileIndex, phys: String): Option[Long] =
+    table.properties.get(s"sketch.ndv.rollup.$phys").flatMap { v =>
+      v.split(':') match {
+        case Array(sid, sha) if scala.util.Try(sid.toLong).toOption.contains(index.snapshotId) =>
+          table.loadSketch(sha).map(graft.functions.Hll.estimate)
+        case _ => None
+      }
+    }
+
+  /** Fold per-file min/max strings in the column's native order, returning
+    * the catalog external-string form (identical to the manifest form for
+    * the [[minMaxSafe]] types).
+    */
+  private def foldMinMax(dt: DataType, mns: Seq[String],
+      mxs: Seq[String]): Option[(String, String)] = {
+    def viaLong = scala.util.Try((mns.map(_.toLong).min.toString,
+      mxs.map(_.toLong).max.toString)).toOption
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => viaLong
+      case FloatType | DoubleType =>
+        scala.util.Try((mns.map(_.toDouble).min, mxs.map(_.toDouble).max))
+          .toOption.map { case (a, b) =>
+            // preserve the Float rendering for float columns (1.5 not 1.5000...)
+            if (dt == FloatType) (a.toFloat.toString, b.toFloat.toString)
+            else (a.toString, b.toString)
+          }
+      case DateType =>
+        scala.util.Try((mns.map(java.time.LocalDate.parse).min(
+            Ordering.by((d: java.time.LocalDate) => d.toEpochDay)).toString,
+          mxs.map(java.time.LocalDate.parse).max(
+            Ordering.by((d: java.time.LocalDate) => d.toEpochDay)).toString)).toOption
+      case BooleanType =>
+        scala.util.Try((mns.map(_.toBoolean).min.toString,
+          mxs.map(_.toBoolean).max.toString)).toOption
+      case _ => None
+    }
+  }
+
+  /** Minimal stats-bearing catalog descriptor — everything but `stats` is
+    * plumbing (`LogicalRelation.computeStats` reads only the stats).
+    */
+  private[graft] def catalogTableFor(index: IceboxFileIndex,
+      rel: HadoopFsRelation): Option[CatalogTable] =
+    statsFor(index).map { st =>
+      CatalogTable(
+        identifier = TableIdentifier(
+          s"icebox_${java.lang.Long.toHexString(index.tableDirString.hashCode & 0xffffffffL)}_${index.snapshotId}"),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = rel.schema,
+        provider = Some("parquet"),
+        stats = Some(st))
+    }
+}
+
+/** Pre-CBO rule: attach manifest-derived [[CatalogStatistics]] to Icebox
+  * relations so `CostBasedJoinReorder` / `JoinSelection` see exact row
+  * counts, min/max, and NDV instead of byte-size heuristics. A no-op
+  * unless CBO or plan-stats is enabled (nothing downstream would read the
+  * stats) or when `spark.graft.stats.enabled=false`.
+  */
+class IceboxStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.stats.enabled", "true").toBoolean &&
+      (spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean ||
+        spark.conf.get("spark.sql.cbo.planStats.enabled", "false").toBoolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case lr @ LogicalRelation(rel: HadoopFsRelation, _, None, _, _)
+          if rel.location.isInstanceOf[IceboxFileIndex] =>
+        IceboxStats.catalogTableFor(rel.location.asInstanceOf[IceboxFileIndex], rel)
+          .map(ct => lr.copy(catalogTable = Some(ct)))
+          .getOrElse(lr)
+    }
+}

@@ -35,8 +35,10 @@ import graft.table.Icebox
   *    anti-joins and are conservatively left alone);
   *  - grouping keys are plain columns ⊆ the view's keys (a strict
   *    subset ROLLS UP: Σrow_count, Σsum, Σnn, re-extremized min/max,
-  *    AVG re-derived as Σsum/Σnn — decimal AVG is skipped because
-  *    Spark's Average carries its own decimal scale arithmetic);
+  *    AVG re-derived as Σsum/Σnn — for DECIMAL inputs the rolled-up
+  *    sum is cast back to SUM's own result type before the divide so
+  *    the division scale, and therefore the rounding, matches
+  *    Spark's Average exactly);
   *  - aggregates are COUNT(*)/COUNT(c)/SUM(c)/MIN(c)/MAX(c)/AVG(c) /
   *    COUNT(DISTINCT c) (exact key set only) over bare columns, no
   *    FILTER clauses;
@@ -99,14 +101,13 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val (keys, specs, hasDistinct) = classify(agg, nameOf).getOrElse(return None)
 
-    // find a fresh subsuming view over this exact table+snapshot
-    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    // find a fresh subsuming view over this exact table+snapshot (registry:
+    // one mtime probe per aggregate; listStatus only when _mv changed)
+    MvRewrite.mvDirs(spark, warehouse)
       .view.flatMap { d =>
-        serveFrom(Icebox(d.toString), index, keys, filterNames, specs,
+        try serveFrom(Icebox(d), index, keys, filterNames, specs,
           hasDistinct, filters, idToLogical, physToLogical)
+        catch { case scala.util.control.NonFatal(_) => None } // racing DROP
       }.headOption
   }
 
@@ -152,10 +153,24 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Max(e) =>
               val n = c0(e).getOrElse(return None)
               (col(s"max_$n"), Some(max(col(s"max_$n"))), Seq(s"max_$n"))
-            case Average(e, _) if !e.dataType.isInstanceOf[DecimalType] =>
+            case Average(e, _) =>
               val n = c0(e).getOrElse(return None)
+              val rolledSum: Column = e.dataType match {
+                // Decimal AVG: Average divides SUM's result type
+                // (DecimalType.bounded(p+10, s)) by the long count, and the
+                // DIVISION's result scale derives from the operand types. A
+                // rollup re-sum widens the sum again (p+20), which would
+                // change the division scale — and with it the rounding ulp —
+                // so cast the re-summed total back to SUM's original result
+                // type first: the true total fit in p+10 in the original
+                // plan, so the cast overflows exactly when the original
+                // aggregate would have.
+                case dt: DecimalType => // Sum.resultType = bounded(p+10, s)
+                  sum(col(s"sum_$n")).cast(DecimalType(math.min(38, dt.precision + 10), dt.scale))
+                case _ => sum(col(s"sum_$n"))
+              }
               ((col(s"sum_$n") / col(s"nn_$n")),
-                Some(sum(col(s"sum_$n")) / sum(col(s"nn_$n"))),
+                Some(rolledSum / sum(col(s"nn_$n"))),
                 Seq(s"sum_$n", s"nn_$n"))
             case _ => return None
           }
@@ -251,13 +266,11 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val mergedIds = lIds ++ rIds
     val mergedPhys = lPhys ++ rPhys
 
-    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    MvRewrite.mvDirs(spark, warehouse)
       .view.flatMap { d =>
-        serveJoinFrom(Icebox(d.toString), lIndex, rIndex, joinPairs, keys,
+        try serveJoinFrom(Icebox(d), lIndex, rIndex, joinPairs, keys,
           filterNames, specs, residual, mergedIds, mergedPhys)
+        catch { case scala.util.control.NonFatal(_) => None } // racing DROP
       }.headOption
   }
 
@@ -379,12 +392,10 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (keys, specs, hasDistinct) = classify(agg, nameOf).getOrElse(return None)
     if (hasDistinct) return None // star views carry no nd_ columns
 
-    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    MvRewrite.mvDirs(spark, warehouse)
       .view.flatMap { d =>
-        serveStarFrom(Icebox(d.toString), leaves, maps, pairs, keys, specs, nameOf)
+        try serveStarFrom(Icebox(d), leaves, maps, pairs, keys, specs, nameOf)
+        catch { case scala.util.control.NonFatal(_) => None } // racing DROP
       }.headOption
   }
 
@@ -398,6 +409,10 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val dimDirs = props.get("mv.star.dims")
       .map(_.split(';').filter(_.nonEmpty).toSeq).getOrElse(return None)
     if (props.get("mv.where").exists(_.nonEmpty)) return None
+    // snowflake views (dim-of-dim parents): the certification below
+    // orients every join conjunct fact→dim, which a chain view doesn't
+    // satisfy — refuse conservatively (the SELECT-name path serves them)
+    if (props.get("mv.star.parents").exists(_.split(';').exists(_ != "-1"))) return None
     // leaves ↔ (fact, dims) by table dir, each exactly once
     val byDir = leaves.zipWithIndex.map { case (lf, i) => lf.index.tableDirString -> i }
     if (byDir.map(_._1).distinct.size != leaves.size) return None // self-join: refuse
@@ -582,6 +597,47 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object MvRewrite {
+
+  /** MV discovery registry: the candidate view directories under
+    * `<warehouse>/_mv`, cached against the `_mv` directory's modification
+    * time. The rewrite rule consults this once per Aggregate node on the
+    * PLANNING hot path — at tens of views × BI-dashboard query volume a
+    * full `listStatus` per aggregate is driver-side FS chatter, while a
+    * single `getFileStatus` (mtime probe) is one cheap RPC. CREATE/DROP
+    * MATERIALIZED VIEW add/remove a child directory, which bumps the
+    * parent's mtime on every Hadoop filesystem — so the registry
+    * invalidates itself with no explicit hook. A same-millisecond race
+    * window only delays discovery of a just-created view to the next
+    * mtime tick (the query is then answered from source — conservative).
+    */
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+
+  /** Count of actual `listStatus` calls — spec instrumentation proving the
+    * registry serves repeated rewrites from one listing.
+    */
+  private[graft] val mvListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def invalidateRegistry(): Unit = dirCache.clear()
+
+  private[sql] def mvDirs(spark: SparkSession, warehouse: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(warehouse, "_mv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException =>
+        dirCache.remove(warehouse); return Nil
+      }
+    val hit = dirCache.get(warehouse)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      mvListings.incrementAndGet()
+      val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+      dirCache.put(warehouse, (mtime, dirs))
+      dirs
+    }
+  }
   /** Install the rewrite rule into `spark`'s optimizer (idempotent). */
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule]))

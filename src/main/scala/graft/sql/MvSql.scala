@@ -78,7 +78,10 @@ object MvSql {
       minmaxs: Seq[String] = Nil, source2: Option[String] = None,
       joinOn: Seq[(String, String)] = Nil, distincts: Seq[String] = Nil,
       counts: Seq[String] = Nil,
-      starDims: Seq[(String, Seq[(String, String)])] = Nil)
+      starDims: Seq[(String, Seq[(String, String)])] = Nil,
+      // per-dim parent index (-1 = the fact); Nil ⇔ all -1 (pure star) so
+      // legacy persisted definitions compare equal to re-parsed ones
+      starParents: Seq[Int] = Nil)
 
   /** Validate `selectText` against the incremental-maintenance contract
     * and extract (source, keys, sums). Errors name the offending clause.
@@ -162,27 +165,37 @@ object MvSql {
         }
         // INNER equi-join maintains via the bilinear delta rule — two
         // tables through MaterializedView.refreshJoin, a left-deep STAR
-        // chain (every ON relating the FIRST table to the newly joined
-        // one) through refreshStar. The ON clauses must be ANDs of
-        // qualifier.col = qualifier.col pairs; anything non-star
-        // (snowflake chains, outer joins, joins without ON) refuses.
+        // or SNOWFLAKE chain through refreshStar: every ON must relate
+        // the newly joined table to exactly ONE already-joined table (the
+        // fact → star dim, an earlier dim → snowflake chain). The ON
+        // clauses must be ANDs of qualifier.col = qualifier.col pairs;
+        // outer joins, joins without ON, and ONs spanning several earlier
+        // tables (a non-tree join graph) refuse.
         def side(x: UnresolvedAttribute): (String, String) = x.nameParts match {
           case Seq(q, c) => (q, c)
           case _ => fail(s"join column '${x.name}' must be qualified (t.col)")
         }
-        def pairsBetween(e: Expression, lq: String, rq: String): Seq[(String, String)] =
-          e match {
-            case And(a, b) => pairsBetween(a, lq, rq) ++ pairsBetween(b, lq, rq)
+        /** (parent qualifier, parentCol=dimCol pairs) of `rq`'s ON. */
+        def pairsFor(e: Expression, earlier: Seq[String],
+            rq: String): (String, Seq[(String, String)]) = {
+          def walk(e: Expression): Seq[(String, (String, String))] = e match {
+            case And(a, b) => walk(a) ++ walk(b)
             case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
               val (qa, ca) = side(a); val (qb, cb) = side(b)
-              if (qa == lq && qb == rq) Seq((ca, cb))
-              else if (qa == rq && qb == lq) Seq((cb, ca))
-              else fail(s"join condition must relate $lq to $rq, got ${a.name} = ${b.name}" +
-                " (star views join every dim to the FIRST table; snowflake" +
-                " chains are not incrementally maintained)")
+              if (earlier.contains(qa) && qb == rq) Seq((qa, (ca, cb)))
+              else if (earlier.contains(qb) && qa == rq) Seq((qb, (cb, ca)))
+              else fail(s"join condition must relate an already-joined table " +
+                s"to $rq, got ${a.name} = ${b.name}")
             case other => fail(s"join condition must be an AND of column " +
               s"equalities, got ${other.sql}")
           }
+          val ps = walk(e)
+          val parents = ps.map(_._1).distinct
+          if (parents.size != 1) fail(s"'$rq' joins ${parents.mkString(" AND ")}: " +
+            "each table must join exactly ONE earlier table (tree-shaped " +
+            "star/snowflake; a cyclic join graph is not incrementally maintained)")
+          (parents.head, ps.map(_._2))
+        }
         // flatten a left-deep Inner-join chain to (leftmost, [(dim, cond)])
         def flatten(p: LogicalPlan): (LogicalPlan, Seq[(LogicalPlan, Expression)]) =
           p match {
@@ -193,23 +206,28 @@ object MvSql {
               else s"${j.joinType.sql} join (only INNER equi-joins maintain incrementally)")
             case other => (other, Nil)
           }
-        val (source, source2, joinOn, starDims) = child match {
+        val (source, source2, joinOn, starDims, starParents) = child match {
           case j: Join =>
             val (factPlan, dimPlans) = flatten(j)
             val (ft, fq) = relationOf(factPlan)
+            var quals = Seq(fq)
             val dims = dimPlans.map { case (dp, cond) =>
               val (dt, dq) = relationOf(dp)
-              if (dq == fq) fail(s"join side '$dq' collides with the first table (alias one)")
-              (dt, dq, pairsBetween(cond, fq, dq))
+              if (quals.contains(dq)) fail(
+                s"join side '$dq' collides with an earlier table (alias one)")
+              val (parentQ, on) = pairsFor(cond, quals, dq)
+              quals = quals :+ dq
+              // parent index: -1 for the fact, else the dim's position
+              (dt, dq, on, quals.indexOf(parentQ) - 1)
             }
-            val quals = fq +: dims.map(_._2)
-            if (quals.distinct.size != quals.size) fail(
-              s"duplicate join-side names ${quals.mkString(", ")} (alias them)")
             dims match {
-              case Seq((dt, _, on)) => (ft, Some(dt), on, Nil) // 2-way path
-              case many => (ft, None, Nil, many.map(d => (d._1, d._3)))
+              case Seq((dt, _, on, -1)) => (ft, Some(dt), on, Nil, Nil) // 2-way path
+              case many =>
+                val parents = many.map(_._4)
+                (ft, None, Nil, many.map(d => (d._1, d._3)),
+                  if (parents.forall(_ == -1)) Nil else parents)
             }
-          case _ => (sourceOf(child), None, Nil, Nil)
+          case _ => (sourceOf(child), None, Nil, Nil, Nil)
         }
         val keys = groupingExprs.map(attrName)
         if (keys.isEmpty) fail("GROUP BY is required")
@@ -246,7 +264,7 @@ object MvSql {
           "MIN/MAX or COUNT(DISTINCT) over a join (the recompute would " +
           "re-join; materialize the join first, then a single-table view)")
         MvDef(source, keys, sums.toList, avgs.toList, where, minmaxs.toList,
-          source2, joinOn, distincts.toList, counts.toList, starDims)
+          source2, joinOn, distincts.toList, counts.toList, starDims, starParents)
       case other => fail(s"top-level ${other.getClass.getSimpleName} is not an aggregate")
     }
   }
@@ -277,7 +295,9 @@ object MvSql {
     def joinVisible(lCols: Seq[String],
         sides: Seq[(String, Seq[String], Seq[(String, String)])]): Seq[String] =
       sides.foldLeft(lCols) { case (acc, (name, rCols, on)) =>
-        val badL = on.map(_._1).filterNot(lCols.contains)
+        // the parent side of a pair may be the fact OR an earlier dim
+        // (snowflake chain) — check against everything joined so far
+        val badL = on.map(_._1).filterNot(acc.contains)
         val badR = on.map(_._2).filterNot(rCols.contains)
         if (badL.nonEmpty || badR.nonEmpty) sys.error(
           s"join columns ${(badL ++ badR).mkString(", ")} not in their side")
@@ -326,7 +346,9 @@ object MvSql {
         "mv.star.dims" -> starTables.map(_._1.tableDir).mkString(";"),
         "mv.star.names" -> d.starDims.map(_._1).mkString(";"),
         "mv.star.on" -> d.starDims.map(_._2.map { case (l, r) => s"$l=$r" }
-          .mkString(",")).mkString(";"))))
+          .mkString(",")).mkString(";")) ++
+        (if (d.starParents.isEmpty) Map.empty[String, String]
+         else Map("mv.star.parents" -> d.starParents.mkString(";")))))
     val mode = runRefresh(spark, src, src2, target, name, d)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
@@ -339,9 +361,11 @@ object MvSql {
       case Some(s2) => MaterializedView.refreshJoin(spark, src, s2, target,
         mvId(name, target), d.joinOn, d.keys, d.sums, d.where)
       case None if d.starDims.nonEmpty =>
+        val parents =
+          if (d.starParents.nonEmpty) d.starParents else d.starDims.map(_ => -1)
         val dims = target.properties("mv.star.dims").split(';').filter(_.nonEmpty)
-          .toSeq.zip(d.starDims).map { case (dir, (_, on)) =>
-            MaterializedView.StarDim(Icebox(dir), on) }
+          .toSeq.zip(d.starDims).zip(parents).map { case ((dir, (_, on)), par) =>
+            MaterializedView.StarDim(Icebox(dir), on, par) }
         MaterializedView.refreshStar(spark, src, dims, target,
           mvId(name, target), d.keys, d.sums, d.where)
       case None => MaterializedView.refresh(spark, src, target,
@@ -494,6 +518,10 @@ object MvSql {
       vd.joinOn.toSet != qd.joinOn.toSet ||
       vd.starDims.map { case (n, on) => (n, on.toSet) }.toSet !=
         qd.starDims.map { case (n, on) => (n, on.toSet) }.toSet) return None
+    // snowflake chains: parent indexes are declaration-order-dependent, so
+    // require the orders (and parents) to match exactly — conservative
+    if ((vd.starParents.nonEmpty || qd.starParents.nonEmpty) &&
+      (vd.starDims != qd.starDims || vd.starParents != qd.starParents)) return None
     val exactKeys = vd.keys.toSet == qd.keys.toSet
     if (!qd.keys.toSet.subsetOf(vd.keys.toSet)) return None
     if (!qd.sums.toSet.subsetOf(vd.sums.toSet)) return None
@@ -591,13 +619,15 @@ object MvSql {
           .zip(on.split(';').filter(_.nonEmpty).toSeq.map(pairs))
       case _ => Nil
     }
+    val starParents = p.get("mv.star.parents")
+      .map(_.split(';').filter(_.nonEmpty).toSeq.map(_.toInt)).getOrElse(Nil)
     p.get("mv.source.name").map(s =>
       MvDef(s, p("mv.keys").split(',').toSeq, list("mv.sums"), list("mv.avgs"),
         p.get("mv.where").filter(_.nonEmpty), list("mv.minmaxs"),
         p.get("mv.source2.name"),
         list("mv.join.on").map { pair =>
           val Array(l, r) = pair.split('='); (l, r) },
-        list("mv.distincts"), list("mv.counts"), starDims))
+        list("mv.distincts"), list("mv.counts"), starDims, starParents))
   }
 
   private def summary(spark: SparkSession, op: String, t: Icebox): DataFrame =

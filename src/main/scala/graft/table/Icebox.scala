@@ -67,7 +67,8 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
     stats: Map[String, (String, String)] = Map.empty, rows: Long = -1L,
     deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
     blooms: Map[String, String] = Map.empty,
-    sketches: Map[String, String] = Map.empty)
+    sketches: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -2138,8 +2139,9 @@ final class Icebox(val tableDir: String) {
     emptyFiles.foreach(f =>
       try store.deleteIfExists(new HPath(f.path)) catch { case _: Exception => () })
     val newFiles = keptRaw.map { f =>
-      val (rows, stats) = meta.getOrElse(f.path, (-1L, Map.empty[String, (String, String)]))
-      f.copy(rows = rows, stats = stats,
+      val (rows, stats, nulls) = meta.getOrElse(
+        f.path, (-1L, Map.empty[String, (String, String)], Map.empty[String, Long]))
+      f.copy(rows = rows, stats = stats, nullCounts = nulls,
         blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty),
         sketches = sketchShas.getOrElse(pathOnly(f.path), Map.empty))
     }
@@ -2425,7 +2427,8 @@ final class Icebox(val tableDir: String) {
     * entry (pruning then keeps the file — conservative).
     */
   private def collectFileStats(spark: SparkSession, paths: Seq[String], cols: Seq[String],
-      schema: StructType): Map[String, (Long, Map[String, (String, String)])] = {
+      schema: StructType)
+      : Map[String, (Long, Map[String, (String, String)], Map[String, Long])] = {
     def fieldType(c: String) = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     val (footerCols, scanCols) = cols.partition(c => fieldType(c).exists(Icebox.footerDecodable))
     val fromFooters = footerMeta(spark, paths, footerCols,
@@ -2433,8 +2436,9 @@ final class Icebox(val tableDir: String) {
     val fromScan = if (scanCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
                    else fileStats(spark, paths, scanCols)
     paths.map { p =>
-      val (rows, fstats) = fromFooters.getOrElse(p, (-1L, Map.empty[String, (String, String)]))
-      p -> (rows, fstats ++ fromScan.getOrElse(p, Map.empty))
+      val (rows, fstats, nulls) = fromFooters.getOrElse(
+        p, (-1L, Map.empty[String, (String, String)], Map.empty[String, Long]))
+      p -> (rows, fstats ++ fromScan.getOrElse(p, Map.empty), nulls)
     }.toMap
   }
 
@@ -2566,7 +2570,8 @@ final class Icebox(val tableDir: String) {
     * min/max for `cols`. No data pages are read.
     */
   private def footerMeta(spark: SparkSession, paths: Seq[String], cols: Seq[String],
-      colTypes: Map[String, DataType]): Map[String, (Long, Map[String, (String, String)])] = {
+      colTypes: Map[String, DataType])
+      : Map[String, (Long, Map[String, (String, String)], Map[String, Long])] = {
     if (paths.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
     val colsV = cols.toVector
@@ -2587,7 +2592,17 @@ final class Icebox(val tableDir: String) {
           else Icebox.decodeFooterMinMax(colTypes(c), nonNull).map(c -> _)
         }
       }.toMap
-      p -> (rows, st)
+      // EXACT per-column null counts — same footer pass, no extra IO. Only
+      // recorded when every block's chunk carries the count (a single
+      // unset chunk would understate); the CBO bridge folds these into
+      // ColumnStat.nullCount with the same all-files-covered refusal rule.
+      val nc = colsV.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
+        val ss = chunks.map(_.getStatistics)
+        if (chunks.size != blocks.size || ss.exists(s => s == null || !s.isNumNullsSet)) None
+        else Some(c -> ss.map(_.getNumNulls).sum)
+      }.toMap
+      p -> (rows, st, nc)
     }.collect().toMap
   }
 
@@ -2845,6 +2860,10 @@ final class Icebox(val tableDir: String) {
         val sk = o.putObject("sketches")
         f.sketches.toSeq.sortBy(_._1).foreach { case (c, sha) => sk.put(c, sha) }
       }
+      if (f.nullCounts.nonEmpty) {
+        val nc = o.putObject("nulls")
+        f.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) => nc.put(c, n) }
+      }
     }
   }
 
@@ -2869,9 +2888,12 @@ final class Icebox(val tableDir: String) {
       val sketches = Option(f.get("sketches")).map { sn =>
         sn.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
+      val nullCounts = Option(f.get("nulls")).map { nn =>
+        nn.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+      }.getOrElse(Map.empty[String, Long])
       DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
         if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes, blooms,
-        sketches)
+        sketches, nullCounts)
     }.toSeq).getOrElse(Nil)
 
   private def manifestJson(m: Icebox.Manifest): String = {

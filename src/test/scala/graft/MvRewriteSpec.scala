@@ -273,4 +273,65 @@ class MvRewriteSpec extends SparkSpec {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
     assert(servedFromView(spark.sql(q)))
   }
+
+  test("decimal AVG rolls up bit-exactly (division scale preserved)") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw10_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw10_src"))
+    // awkward divisors: group sizes that make repeating-decimal quotients,
+    // where a wrong division scale would shift the HALF_UP rounding
+    src.append((1 to 121).map(i => (i.toLong, i % 4, i % 3))
+      .toDF("id", "g", "h")
+      .withColumn("d", (col("id") * 7 + lit(0.13)).cast("decimal(12,2)")))
+    src.registerView(spark, "mvrw10")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw10_view AS SELECT g, h, count(*), sum(d) " +
+      "FROM mvrw10 GROUP BY g, h")
+    // subset grouping → ROLLUP path (re-summed sum cast back to SUM's type)
+    val q = "SELECT g, avg(d) AS ad FROM mvrw10 GROUP BY g"
+    val served = spark.sql(q)
+    assert(servedFromView(served), s"expected view scan, got ${served.inputFiles.toSeq}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    served.schema shouldBe direct.schema // decimal(16,6) both — Average's resultType
+    assertSameRows(served, direct) // BigDecimal equality is exact, not approximate
+    // exact-key form too
+    val q2 = "SELECT g, h, avg(d) AS ad FROM mvrw10 GROUP BY g, h"
+    val served2 = spark.sql(q2)
+    assert(servedFromView(served2))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct2 = spark.sql(q2)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    assertSameRows(served2, direct2)
+  }
+
+  test("MV discovery registry: one listing serves N rewrites; DDL invalidates") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw11_wh")
+    DmlSql.setWarehouse(wh)
+    val src = Icebox(tmpDir("mvrw11_src"))
+    src.append((1 to 40).map(i => (i.toLong, i % 3, i * 2L)).toDF("id", "g", "v"))
+    src.registerView(spark, "mvrw11")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw11_view AS SELECT g, count(*), sum(v) FROM mvrw11 GROUP BY g")
+    MvRewrite.invalidateRegistry()
+    val q = "SELECT g, sum(v) AS sv FROM mvrw11 GROUP BY g"
+    val before = MvRewrite.mvListings.get()
+    (1 to 5).foreach(_ => assert(servedFromView(spark.sql(q))))
+    withClue("5 rewritten queries must share ONE _mv listing:") {
+      (MvRewrite.mvListings.get() - before) shouldBe 1L
+    }
+    // DDL bumps the _mv dir mtime → registry refreshes and discovers the
+    // new view (sleep past local-FS mtime granularity)
+    Thread.sleep(15)
+    val src2 = Icebox(tmpDir("mvrw11b_src"))
+    src2.append((1 to 20).map(i => (i.toLong, i % 2, i * 3L)).toDF("id", "k", "w"))
+    src2.registerView(spark, "mvrw11b")
+    DmlSql.run(spark,
+      "CREATE MATERIALIZED VIEW mvrw11b_view AS SELECT k, count(*), sum(w) FROM mvrw11b GROUP BY k")
+    assert(servedFromView(spark.sql("SELECT k, sum(w) AS sw FROM mvrw11b GROUP BY k")))
+    (MvRewrite.mvListings.get() - before) shouldBe 2L
+  }
 }

@@ -136,18 +136,28 @@ class StarMvSpec extends SparkSpec {
     assertSameRows(spark.sql("SELECT * FROM starmv"), starAgg(fact, cust, prod))
   }
 
-  test("snowflake chains and dim-name collisions refuse loudly at CREATE") {
+  test("non-tree joins and dim-name collisions refuse loudly at CREATE") {
     val wh = tmpDir("starwh2")
     graft.sql.DmlSql.setWarehouse(wh)
     registerStar("8")
-    // d2 joined to d1, not to the fact: snowflake — refused
-    val snow = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
+    // d2 joined via d1's HIDDEN join column (c_id equals ck after the
+    // join, so the fact-side spelling exists) — refused with the
+    // not-in-side error, the chain must use an exposed parent column
+    val hidden = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
       """CREATE MATERIALIZED VIEW snowmv AS
         |SELECT seg, count(*) FROM sfact8
         |JOIN scust8 ON sfact8.ck = scust8.c_id
         |JOIN sprod8 ON scust8.c_id = sprod8.p_id
         |GROUP BY seg""".stripMargin))
-    snow.getMessage should include("FIRST table")
+    hidden.getMessage should include("not in their side")
+    // a dim joining TWO earlier tables: cyclic join graph — refused
+    val cyclic = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW cyclemv AS
+        |SELECT seg, count(*) FROM sfact8
+        |JOIN scust8 ON sfact8.ck = scust8.c_id
+        |JOIN sprod8 ON sfact8.pk2 = sprod8.p_id AND scust8.seg = sprod8.cat
+        |GROUP BY seg""".stripMargin))
+    cyclic.getMessage should include("exactly ONE earlier table")
     // MIN over a star — refused like 2-way joins
     val mm = intercept[RuntimeException](graft.sql.DmlSql.run(spark,
       """CREATE MATERIALIZED VIEW mmstar AS
@@ -156,6 +166,105 @@ class StarMvSpec extends SparkSpec {
         |JOIN sprod8 ON sfact8.pk2 = sprod8.p_id
         |GROUP BY seg""".stripMargin))
     mm.getMessage should include("MIN/MAX")
+  }
+
+  // ------------------------------------------------------ snowflake chains
+
+  /** fact(id, ck, v) ⋈ cust(c_id, nk) ⋈ nation(n_id, rk, nname) ⋈
+    * region(r_id, rname) — the TPC-H customer→nation→region shape.
+    */
+  private def mkSnowflake(tag: String): (Icebox, Icebox, Icebox, Icebox, Icebox) = {
+    val fact = Icebox(tmpDir(s"snow-f$tag"))
+    val cust = Icebox(tmpDir(s"snow-c$tag"))
+    val nat = Icebox(tmpDir(s"snow-n$tag"))
+    val reg = Icebox(tmpDir(s"snow-r$tag"))
+    val mv = Icebox(tmpDir(s"snow-t$tag"))
+    fact.append((1 to 150).map(i => (i.toLong, i % 10, i * 10L)).toDF("id", "ck", "v"))
+    cust.append((0 to 9).map(k => (k, k % 4)).toDF("c_id", "nk"))
+    nat.append((0 to 3).map(k => (k, k % 2, s"nation$k")).toDF("n_id", "rk", "nname"))
+    reg.append((0 to 1).map(k => (k, s"region$k")).toDF("r_id", "rname"))
+    (fact, cust, nat, reg, mv)
+  }
+
+  private def snowDims(cust: Icebox, nat: Icebox, reg: Icebox) = Seq(
+    StarDim(cust, Seq("ck" -> "c_id")),            // joins the fact
+    StarDim(nat, Seq("nk" -> "n_id"), parent = 0), // joins cust
+    StarDim(reg, Seq("rk" -> "r_id"), parent = 1)) // joins nation
+
+  private def snowAgg(fact: Icebox, cust: Icebox, nat: Icebox, reg: Icebox) =
+    fact.read(spark)
+      .join(cust.read(spark), $"ck" === $"c_id", "inner")
+      .join(nat.read(spark), $"nk" === $"n_id", "inner")
+      .join(reg.read(spark), $"rk" === $"r_id", "inner")
+      .groupBy("rname", "nname").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+
+  private def snowRefresh(fact: Icebox, cust: Icebox, nat: Icebox, reg: Icebox,
+      mv: Icebox) =
+    MaterializedView.refreshStar(spark, fact, snowDims(cust, nat, reg), mv, "sn",
+      Seq("rname", "nname"), Seq("v"))
+
+  test("snowflake chain: full build, appends at every level, mid-chain delete") {
+    val (fact, cust, nat, reg, mv) = mkSnowflake("1")
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.FullBuild
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+    // appends on the fact AND at every chain level in one cycle: new facts
+    // reference a new customer, pointing at a new nation in a new region
+    fact.append((151 to 180).map(i => (i.toLong, i % 11, i * 10L)).toDF("id", "ck", "v"))
+    cust.append(Seq((10, 4)).toDF("c_id", "nk"))
+    nat.append(Seq((4, 2, "nation4")).toDF("n_id", "rk", "nname"))
+    reg.append(Seq((2, "region2")).toDF("r_id", "rname"))
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+    // MID-CHAIN delete: dropping a nation drops every fact row whose
+    // customer points at it — the ΔDʲ term's fact pruning walks the chain
+    nat.deleteByKeys(Seq(1).toDF("n_id"))
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+    // and a LEAF delete (region) prunes transitively down to the fact
+    reg.deleteByKeys(Seq(0).toDF("r_id"))
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.Incremental
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.NoOp
+  }
+
+  test("snowflake DDL: CREATE accepts the chain, persists parents, maintains") {
+    val (fact, cust, nat, reg, _) = mkSnowflake("2")
+    val wh = tmpDir("snowwh")
+    graft.sql.DmlSql.setWarehouse(wh)
+    graft.sql.MergeSql.register("snf2", fact)
+    graft.sql.MergeSql.register("snc2", cust)
+    graft.sql.MergeSql.register("snn2", nat)
+    graft.sql.MergeSql.register("snr2", reg)
+    graft.sql.DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW snowview AS
+        |SELECT rname, count(*), sum(v) FROM snf2
+        |JOIN snc2 ON snf2.ck = snc2.c_id
+        |JOIN snn2 ON snc2.nk = snn2.n_id
+        |JOIN snr2 ON snn2.rk = snr2.r_id
+        |GROUP BY rname""".stripMargin)
+    val target = Icebox(s"$wh/_mv/snowview")
+    target.properties.get("mv.star.parents") shouldBe Some("-1;0;1")
+    val expected = fact.read(spark)
+      .join(cust.read(spark), $"ck" === $"c_id", "inner")
+      .join(nat.read(spark), $"nk" === $"n_id", "inner")
+      .join(reg.read(spark), $"rk" === $"r_id", "inner")
+      .groupBy("rname").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(target.read(spark), expected)
+    // incremental through the DDL surface: append + mid-chain delete
+    fact.append(Seq((500L, 3, 5000L)).toDF("id", "ck", "v"))
+    nat.deleteByKeys(Seq(2).toDF("n_id"))
+    graft.sql.DmlSql.run(spark, "REFRESH MATERIALIZED VIEW snowview")
+    val expected2 = fact.read(spark)
+      .join(cust.read(spark), $"ck" === $"c_id", "inner")
+      .join(nat.read(spark), $"nk" === $"n_id", "inner")
+      .join(reg.read(spark), $"rk" === $"r_id", "inner")
+      .groupBy("rname").agg(count(lit(1)).as("row_count"),
+        sum($"v").as("sum_v"), count($"v").as("nn_v"))
+    assertSameRows(target.read(spark), expected2)
+    // the refresh after the DDL CREATE was incremental, not a rebuild
+    target.allSnapshots.map(_.operation).exists(_.startsWith("mv-refresh:")) shouldBe true
   }
 
   test("rewrite: star queries are served by a fresh matching star view, with rollup") {

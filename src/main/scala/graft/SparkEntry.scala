@@ -1969,19 +1969,43 @@ object SparkEntry {
         .select(col("doc_id"), col("contaminated"))
     }),
 
-    // LLM: MinHash-LSH near-dup candidate pairs (rows-only check: the banded
-    // LSH bucketing is not expressible in ANSI SQL)
+    // LLM: MinHash-LSH near-dup candidates, RECALL-EXACT oracle: the raw
+    // banded bucketing isn't ANSI-expressible (xxhash64 signatures), but
+    // its recall guarantee is — identical NORMALIZED text ⇒ identical
+    // signature ⇒ every band collides ⇒ candidate. The query emits the
+    // candidates restricted to normalized-equal pairs; the oracle computes
+    // that same set by self-join, so a candidate LOST by the LSH pipeline
+    // (a recall bug) hash-mismatches the driver artifact. Precision-side
+    // junk is bounded by the end-to-end q_minhash_dedup oracle.
     "q_minhash_candidates" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
-      Dedup.minHashCandidates(doubled, "text", "doc_id")
+      val cands = Dedup.minHashCandidates(doubled, "text", "doc_id")
+      // the signature pipeline's own normalization (ShingleExpressions)
+      val norm = doubled.select(col("doc_id"),
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")).as("__n"))
+      cands
+        .join(norm.select(col("doc_id").as("idA"), col("__n").as("__na")), Seq("idA"))
+        .join(norm.select(col("doc_id").as("idB"), col("__n").as("__nb")), Seq("idB"))
+        .filter(col("__na") === col("__nb"))
+        .select(col("idA"), col("idB"))
     }),
 
-    // LLM: SimHash banded near-dup pairs (rows-only)
+    // LLM: SimHash banded pairs, RECALL-EXACT oracle (same construction —
+    // simhash tokenizes on whitespace WITHOUT lowercasing, so the oracle's
+    // equality is case-sensitive whitespace-normalized text; equal tokens
+    // ⇒ equal simhash ⇒ hamming 0 ⇒ in every band bucket)
     "q_simhash_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
-      Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
+      val cands = Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
+      val norm = doubled.select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("__n"))
+      cands
+        .join(norm.select(col("doc_id").as("idA"), col("__n").as("__na")), Seq("idA"))
+        .join(norm.select(col("doc_id").as("idB"), col("__n").as("__nb")), Seq("idB"))
+        .filter(col("__na") === col("__nb"))
+        .select(col("idA"), col("idB"), col("hamming"))
     }),
 
     // LLM: end-to-end MinHash-LSH dedup, oracle-checkable construction — at
@@ -3524,6 +3548,27 @@ object SparkEntry {
         |       CAST(length(nfc_normalize(substr(text, 1, 40) || 'cafe' || chr(769)
         |         || 'end')) AS INT) AS n_codepoints
         |  FROM documents""".stripMargin,
-    // rows-only (no ANSI-SQL oracle): q_minhash_candidates, q_simhash_pairs
+    // recall-exact oracles for the LSH candidate dumps: identical
+    // normalized text MUST be a candidate pair (minhash lowercases, simhash
+    // does not) — a lost candidate is a recall bug and hash-mismatches
+    "q_minhash_candidates" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |), n AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM dd)
+        |SELECT a.doc_id AS "idA", b.doc_id AS "idB"
+        |FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |), n AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |  FROM dd)
+        |SELECT a.doc_id AS "idA", b.doc_id AS "idB", 0 AS hamming
+        |FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id""".stripMargin
   )
 }

@@ -57,6 +57,12 @@ object GenSf1 {
     if (!new java.io.File(supPath).exists())
       Testdata.table(spark, src, "supplier").repartition(4)
         .write.mode("overwrite").parquet(supPath)
+    // nation: tail of the SNOWFLAKE chain check, unscaled (customer copies
+    // keep c_nationkey)
+    val natPath = s"$out/nation.parquet"
+    if (!new java.io.File(natPath).exists())
+      Testdata.table(spark, src, "nation").repartition(1)
+        .write.mode("overwrite").parquet(natPath)
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ object VerifySf1 {
     // round-11 session additions: star-MV telescoped delta over a 6M-row
     // fact with both-dim deletes; NDV sketch accuracy require at 1.5M
     // distinct keys (both requires run INSIDE the queries)
-    "q_mv_star", "q_ndv_meta")
+    "q_mv_star", "q_ndv_meta",
+    // round-12: ExactSubstr span removal at 10x corpus bytes (the gram
+    // shuffle is ~L x corpus — the one r11 operator with no 10x proof),
+    // and the snowflake-chain MV through the DDL surface
+    "q_exact_substr", "q_mv_snowflake")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

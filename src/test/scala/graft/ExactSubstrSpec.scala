@@ -63,4 +63,37 @@ class ExactSubstrSpec extends SparkSpec {
     out(1L) shouldBe (("gap", 8L, 9L))
     out(0L)._2 shouldBe 0L
   }
+
+  test("hot boilerplate gram folds map-side: one row per partition reaches the shuffle") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // 200 docs × 1989 windows of the SAME 12-gram ≈ 400k occurrences of one
+    // distinct gram — the boilerplate-skew shape. The per-gram (first,
+    // count) state must collapse in the partial aggregate, so the agg
+    // shuffle carries ~#partitions rows, never ~#occurrences.
+    val words = Seq.fill(2000)("boiler").mkString(" ")
+    val docs = (1L to 200L).map(i => (i, words)).toDF("id", "text").repartition(8)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = PassageDedup.removeDuplicateSpans(docs, "text", "id", minWords = 12)
+      out.write.format("noop").mode("overwrite").save()
+      val aggExchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child match {
+          // min(struct) buffers aren't fixed-width, so the partial agg may
+          // plan as ObjectHashAggregate — match any aggregate exec
+          case h: BaseAggregateExec
+              if h.groupingExpressions.exists(_.toString.contains("__gram")) &&
+                h.aggregateExpressions.forall(_.mode == org.apache.spark.sql
+                  .catalyst.expressions.aggregate.Partial) => Some(e)
+          case _ => None
+        }
+      }.flatten
+      aggExchanges should not be empty
+      val records = aggExchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+      withClue(s"partial agg shuffled $records records for ~400k occurrences of 1 gram:") {
+        records should be <= 16L // ≤ #map partitions × #distinct grams, with margin
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
 }

@@ -51,6 +51,14 @@ object IceboxStats {
 
   private[graft] def invalidate(): Unit = cache.clear()
 
+  /** Drop cached stats for one table — called by the stats-PRODUCING
+    * operations (ANALYZE, histogram build, rollup refresh): their own
+    * internal reads plan through the rule and would otherwise cache a
+    * pre-property entry for the very snapshot the new stats describe.
+    */
+  private[graft] def invalidate(tableDir: String): Unit =
+    cache.keySet.removeIf(_._1 == tableDir)
+
   /** The column types whose manifest min/max strings round-trip through
     * `CatalogColumnStat.fromExternalString` exactly: integral/floating
     * types render as plain numbers, dates as ISO `yyyy-MM-dd`, booleans as
@@ -106,11 +114,13 @@ object IceboxStats {
         val perFile = fs.map(_.nullCounts.get(phys))
         if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
       }
-      if (ndv.isEmpty && mm.isEmpty && nulls.isEmpty) None
+      val hist = histogramFor(table, index, phys, ndv)
+      if (ndv.isEmpty && mm.isEmpty && nulls.isEmpty && hist.isEmpty) None
       else Some(phys -> CatalogColumnStat(
         distinctCount = ndv.map(BigInt(_)),
         min = mm.map(_._1), max = mm.map(_._2),
-        nullCount = nulls.map(BigInt(_))))
+        nullCount = nulls.map(BigInt(_)),
+        histogram = hist))
     }.toMap
     Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rowCount)), colStats))
   }
@@ -155,6 +165,68 @@ object IceboxStats {
           mxs.map(_.toBoolean).max.toString)).toOption
       case _ => None
     }
+  }
+
+  /** The exact equi-WIDTH histogram (`ANALYZE ... HISTOGRAM`, `hist.<col>`
+    * table property) converted to the equi-HEIGHT form Catalyst's
+    * `FilterEstimation` consumes — the consumer the r11 histogram stats
+    * were built for. Under skew this is the difference between a sane and
+    * a wildly wrong selectivity: min/max alone assumes UNIFORM density, so
+    * a predicate over a sparse tail of the range estimates at the tail's
+    * width share; the histogram knows where the rows actually are. Only
+    * served when the property is keyed to exactly this snapshot — same
+    * staleness refusal as `histogramMeta`.
+    *
+    * The conversion walks the exact bucket counts as a piecewise-linear
+    * CDF and cuts `bins` equal-mass bins at interpolated positions —
+    * bin BOUNDS are what range estimation uses; per-bin NDV (used for
+    * equality estimates) is approximated as an equal share of the
+    * table-level NDV when the sketch rollup knows it.
+    */
+  private def histogramFor(table: Icebox, index: IceboxFileIndex, phys: String,
+      tableNdv: Option[Long]): Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+    table.properties.get(s"hist.$phys").flatMap { v =>
+      val parts = v.split(':')
+      if (parts.length != 4 ||
+        !scala.util.Try(parts(0).toLong).toOption.contains(index.snapshotId)) None
+      else {
+        val (lo, hi) = (parts(1).toDouble, parts(2).toDouble)
+        val counts = parts(3).split(',').map(_.toLong)
+        toEquiHeight(lo, hi, counts, tableNdv)
+      }
+    }
+
+  private def toEquiHeight(lo: Double, hi: Double, counts: Array[Long],
+      tableNdv: Option[Long]): Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    val total = counts.sum
+    if (total <= 0L) return None
+    val nBins = math.min(counts.length, 254) // Spark's own histogram bin cap
+    val height = total.toDouble / nBins
+    val width = if (hi > lo) (hi - lo) / counts.length else 0.0
+    val binNdv = math.max(1L, tableNdv.getOrElse(total) / nBins)
+    // piecewise-linear CDF over the equi-width buckets; cut at every
+    // multiple of `height`, interpolating inside the covering bucket
+    def invCdf(target: Double): Double = {
+      if (width == 0.0) return lo
+      var acc = 0.0
+      var i = 0
+      while (i < counts.length) {
+        val c = counts(i).toDouble
+        if (acc + c >= target && c > 0)
+          return lo + i * width + ((target - acc) / c) * width
+        acc += c
+        i += 1
+      }
+      hi
+    }
+    val bounds = (0 to nBins).map {
+      case 0 => lo
+      case `nBins` => hi
+      case k => invCdf(k * height)
+    }
+    Some(Histogram(height,
+      (0 until nBins).map(k => HistogramBin(bounds(k), bounds(k + 1), binNdv)).toArray))
   }
 
   /** Minimal stats-bearing catalog descriptor — everything but `stats` is

@@ -375,6 +375,8 @@ final class Icebox(val tableDir: String) {
         }, parent => parent.map(_.schemaJson).getOrElse(snap.schemaJson))
     }
     phys.foreach(refreshRollup)
+    // the sketch build's reads cached pre-NDV stats for this snapshot
+    graft.plans.IceboxStats.invalidate(tableDir)
   }
 
   /** Fold the current snapshot's per-file sketches for `physCol` into a
@@ -501,6 +503,9 @@ final class Icebox(val tableDir: String) {
     val arr = (0 until buckets).map(b => counts.getOrElse(b.toLong, 0L))
     setProperties(Map(s"hist.$key" ->
       s"${snap.id}:$lo:$hi:${arr.mkString(",")}"))
+    // the bucket-count read above planned through the CBO stats rule and
+    // cached a pre-histogram entry for this very snapshot — drop it
+    graft.plans.IceboxStats.invalidate(tableDir)
   }
 
   /** The persisted histogram for `column`, metadata-only — None when none

@@ -125,6 +125,57 @@ class IceboxStatsSpec extends SparkSpec {
     cboRows shouldBe plainRows // the plan changed; the answer did not
   } }
 
+  test("histogram consumer: skew-aware selectivity flips a broadcast min/max alone gets wrong") { withCbo {
+    import cboSpark.implicits._
+    val dim = Icebox(tmpDir("stats-skewdim"))
+    val fact = Icebox(tmpDir("stats-skewfact"))
+    // SKEWED dim: 99% of 30k rows in [0,10], 1% spread over (10,10000].
+    // A predicate on the sparse tail is where uniform density lies:
+    // min/max estimates `v >= 200` at ~98% of rows (the tail's WIDTH
+    // share), the histogram knows it's ~1% (the tail's MASS share). The
+    // literal sits past the first equi-width bucket boundary (~156), so
+    // the skewed head mass is fully outside the covered bins — within-
+    // bucket uniformity can't smear it into the estimate.
+    val lowRows = (1L to 29700L).map(i => (i, (i % 11).toDouble))
+    val tailRows = (29701L to 30000L).map(i => (i, 10.0 + (i % 999) * 10.0))
+    dim.append((lowRows ++ tailRows).toDF("id", "v"), collectStats = Seq("id", "v"))
+    dim.analyze(cboSpark, Seq("id", "v"))
+    dim.analyzeHistogram(cboSpark, "v", buckets = 64)
+    fact.append((1L to 60000L).map(i => (i % 30000L + 1L, i.toDouble))
+      .toDF("fk", "w"), collectStats = Seq("fk"))
+
+    def joined(withHist: Boolean) = {
+      graft.plans.IceboxStats.invalidate()
+      // histogram absence is simulated by blanking the property (the
+      // bridge's parse refuses it); presence by a fresh ANALYZE HISTOGRAM
+      if (!withHist) dim.setProperties(Map("hist.v" -> ""))
+      else dim.analyzeHistogram(cboSpark, "v", buckets = 64)
+      val d = dim.read(cboSpark).filter(col("v") >= 200.0)
+      fact.read(cboSpark).join(d, col("fk") === col("id")).agg(sum("w").as("s"))
+    }
+    val threshold = 64 * 1024 // between the ~1% and ~99% row estimates
+    val old = cboSpark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    cboSpark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // force each plan INSIDE its histogram state — planning is lazy, so
+      // interleaving the two builds would plan both under the second state
+      val noHist = joined(withHist = false)
+      val bcNo = collectPlan(noHist.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[BroadcastExchangeExec])
+      val rowsNo = canon(noHist)
+      val withH = joined(withHist = true)
+      val bcYes = collectPlan(withH.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[BroadcastExchangeExec])
+      withClue("uniform min/max estimate must refuse the broadcast (~29.7k-row estimate):") {
+        bcNo shouldBe false
+      }
+      withClue("histogram estimate must take the broadcast (~300-row estimate):") {
+        bcYes shouldBe true
+      }
+      rowsNo shouldBe canon(withH) // the decision changed; the answer did not
+    } finally cboSpark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  } }
+
   test("refusal: MoR deletes drop the stats, plans fall back to bytes") { withCbo {
     import cboSpark.implicits._
     val t = Icebox(tmpDir("stats-mor"))

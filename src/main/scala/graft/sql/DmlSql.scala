@@ -184,6 +184,17 @@ object DmlSql {
       val t = lookupRegistered(name, "ANALYZE")
       val columns = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       t.analyze(spark, columns)
+      // Spark's own conf semantics (spark.sql.statistics.histogram.enabled):
+      // when the graft analog is on, ANALYZE also builds the exact
+      // equi-width histograms the CBO bridge serves to FilterEstimation.
+      // Columns whose metadata min/max can't anchor the bounds (no footer
+      // stats, non-numeric) are skipped, as Spark skips unsupported types.
+      if (spark.conf.get("spark.graft.stats.histogram.enabled", "false").toBoolean) {
+        val bins = spark.conf.get("spark.graft.stats.histogram.numBins", "32").toInt
+        columns.foreach(c =>
+          try t.analyzeHistogram(spark, c, bins)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
       spark.createDataFrame(Seq(("analyze", columns.size.toLong)))
         .toDF("operation", "snapshot_id")
     case ShowStatsRe(name) =>

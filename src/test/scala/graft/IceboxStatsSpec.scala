@@ -176,6 +176,58 @@ class IceboxStatsSpec extends SparkSpec {
     } finally cboSpark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   } }
 
+  test("3-table join ORDER flips: CBO pairs the fact with the tiny dim first") { withCbo {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import cboSpark.implicits._
+    val fact = Icebox(tmpDir("ro-fact"))
+    val tiny = Icebox(tmpDir("ro-tiny"))
+    val mid = Icebox(tmpDir("ro-mid"))
+    fact.append((1L to 50000L).map(i => (i, i % 5L + 1L, i % 5000L + 1L, i.toDouble))
+      .toDF("id", "bk", "ck", "v"), collectStats = Seq("bk", "ck"))
+    tiny.append((1L to 5L).map(k => (k, s"t$k")).toDF("b_id", "b_name"))
+    mid.append((1L to 5000L).map(k => (k, s"m$k")).toDF("c_id", "c_name"))
+    // NDV on every join key: JoinEstimation sizes an equi-join from the
+    // key distinct counts, and CostBasedJoinReorder only reorders items
+    // whose estimates it trusts
+    fact.analyze(cboSpark, Seq("bk", "ck"))
+    tiny.analyze(cboSpark, Seq("b_id"))
+    mid.analyze(cboSpark, Seq("c_id"))
+
+    // written order joins the 5000-row mid FIRST — the expensive shape;
+    // the 5-row tiny dim is declared last
+    def query(s: SparkSession) =
+      fact.read(s)
+        .join(mid.read(s), col("ck") === col("c_id"))
+        .join(tiny.read(s), col("bk") === col("b_id"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+
+    /** Table dirs under the INNERMOST join (both children join-free). */
+    def firstJoinDirs(plan: LogicalPlan): Set[String] = {
+      def dirs(p: LogicalPlan): Set[String] = p.collect {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+            if r.location.isInstanceOf[graft.plans.IceboxFileIndex] =>
+          r.location.asInstanceOf[graft.plans.IceboxFileIndex].tableDirString
+      }.toSet
+      plan.collect {
+        case j: Join if !j.left.exists(_.isInstanceOf[Join]) &&
+          !j.right.exists(_.isInstanceOf[Join]) => dirs(j)
+      }.headOption.getOrElse(Set.empty)
+    }
+
+    val cboFirst = firstJoinDirs(query(cboSpark).queryExecution.optimizedPlan)
+    withClue("CBO must pair the fact with the TINY dim first (reorder):") {
+      cboFirst shouldBe Set(fact.tableDir, tiny.tableDir)
+    }
+    // the control session keeps the written (expensive) order
+    SparkSession.setActiveSession(spark)
+    val plainFirst = try firstJoinDirs(query(spark).queryExecution.optimizedPlan)
+    finally SparkSession.setActiveSession(cboSpark)
+    plainFirst shouldBe Set(fact.tableDir, mid.tableDir)
+    // and the answer is order-independent
+    canon(query(cboSpark)) shouldBe canon(query(spark))
+  } }
+
   test("refusal: MoR deletes drop the stats, plans fall back to bytes") { withCbo {
     import cboSpark.implicits._
     val t = Icebox(tmpDir("stats-mor"))

@@ -186,4 +186,30 @@ class NdvSketchSpec extends SparkSpec {
     live.subsetOf(onDisk) shouldBe true // live shas survive
     (onDisk -- live) shouldBe empty     // dead shas gone
   }
+
+  test("ANALYZE builds histograms under the conf, Spark's own semantics") {
+    val t = Icebox(tmpDir("ndv6"))
+    t.append(docsDf(2000, 200), collectStats = Seq("id"))
+    graft.sql.MergeSql.register("ndv6t", t)
+    // off by default: no histogram property lands
+    graft.sql.DmlSql.run(spark, "ANALYZE TABLE ndv6t COMPUTE STATISTICS FOR COLUMNS id")
+    t.histogramMeta("id") shouldBe None
+    // the spark.sql.statistics.histogram.enabled analog
+    spark.conf.set("spark.graft.stats.histogram.enabled", "true")
+    spark.conf.set("spark.graft.stats.histogram.numBins", "16")
+    try {
+      graft.sql.DmlSql.run(spark, "ANALYZE TABLE ndv6t COMPUTE STATISTICS FOR COLUMNS id, src")
+      val (lo, hi, counts) = t.histogramMeta("id").get
+      counts.length shouldBe 16
+      counts.sum shouldBe 2000L
+      lo should be <= 1.0
+      hi should be >= 1999.0
+      // `src` is a string column — no numeric min/max anchor, silently
+      // skipped (Spark skips unsupported types the same way)
+      t.histogramMeta("src") shouldBe None
+    } finally {
+      spark.conf.unset("spark.graft.stats.histogram.enabled")
+      spark.conf.unset("spark.graft.stats.histogram.numBins")
+    }
+  }
 }

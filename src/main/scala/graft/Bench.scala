@@ -44,13 +44,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's own session defaults (GraftSession): AQE coalesces
+      // the small shuffles this suite is full of, so wide masters don't
+      // pay 32-way task overhead on 600k-row stages
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     // ERROR, not WARN: interleaved WARN lines have corrupted the one-line
     // JSON capture downstream (BENCH_r02/r03 both show parsed: null)
@@ -113,12 +120,12 @@ object Bench {
     // full map -> file (survives the stdout tail window; committed
     // in-repo). Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the
     // committed full-suite artifact with a partial map.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},$sentinelJson}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(results)},"sf":"$sfDir","basis":"best-of-2-min","cpus":$cpus,"n_queries":${results.size},$sentinelJson}"""
     if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json"); w.println(full); w.close()
     } catch { case _: Throwable => () }
     val line = results.filter { case (k, _) => only.isDefined || headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(line)},"sf":"$sfDir","basis":"best-of-2-min","n_queries":${results.size},"degraded":$degraded,"full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${enc(line)},"sf":"$sfDir","basis":"best-of-2-min","cpus":$cpus,"n_queries":${results.size},"degraded":$degraded,"full":"BENCH_FULL.json"}""")
     System.out.flush()
     spark.stop()
   }

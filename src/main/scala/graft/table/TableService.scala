@@ -18,6 +18,19 @@ import org.apache.spark.sql.SparkSession
   *  - `maintenance.expire.max-age-ms`  — expire snapshots older than this
   *    (default 7 days, the reference's aging default)
   *  - `maintenance.expire.retain-last` — always keep this many (default 10)
+  *  - `maintenance.analyze.columns`    — keep the NDV sketch index fresh
+  *    for these columns on every tick. O(delta) by construction: only
+  *    files missing a sketch are read, and sticky columns mean commits
+  *    after the first ANALYZE sketch their own files — a steady-state
+  *    tick is metadata-only. Runs AFTER compaction so rewritten files are
+  *    covered in the same pass.
+  *  - `maintenance.analyze.histogram`  — 'true': also rebuild the exact
+  *    equi-width histogram for any of those columns whose snapshot-keyed
+  *    histogram went stale (histograms invalidate at every commit, so
+  *    this is ONE column scan per ticked-through commit — opt-in, priced
+  *    accordingly). `maintenance.analyze.histogram.buckets` (default 32).
+  *    Together these keep the CBO stats bridge fed without a scheduler
+  *    ever issuing ANALYZE by hand.
   *
   * 100 TB behavior: the partitioned path compacts ONLY partitions over the
   * file threshold (O(hot partitions), not a whole-table rewrite), expiry
@@ -32,7 +45,9 @@ object TableService {
       compactedWholeTable: Boolean,
       compactedPartitions: Seq[Map[String, String]],
       expiredSnapshots: Seq[Long],
-      mvRefresh: Option[String] = None) {
+      mvRefresh: Option[String] = None,
+      analyzedColumns: Seq[String] = Nil,
+      histogramColumns: Seq[String] = Nil) {
     def actedOnData: Boolean =
       compactedWholeTable || compactedPartitions.nonEmpty ||
         mvRefresh.exists(m => m == "FullBuild" || m == "Incremental")
@@ -80,7 +95,29 @@ object TableService {
     val mvMode = graft.operators.MaterializedView
       .refreshFromProperties(spark, table).map(_.toString)
 
+    // auto-stats: keep the NDV index (and optionally histograms) fresh so
+    // the CBO bridge always plans from current numbers. ANALYZE here is
+    // O(delta) — post-compaction files get sketched in this same tick,
+    // steady-state appends were sketched inline at commit.
+    val analyzeCols = table.properties.get("maintenance.analyze.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val analyzed =
+      if (analyzeCols.isEmpty) Nil
+      else { table.analyze(spark, analyzeCols); analyzeCols }
+    val histCols =
+      if (analyzeCols.isEmpty ||
+        !table.properties.get("maintenance.analyze.histogram")
+          .exists(_.trim.equalsIgnoreCase("true"))) Nil
+      else {
+        val bins = intProp(table, "maintenance.analyze.histogram.buckets", 32)
+        analyzeCols.filter { c =>
+          table.histogramMeta(c).isEmpty && // fresh one already serves: skip
+            (try { table.analyzeHistogram(spark, c, bins); true }
+             catch { case scala.util.control.NonFatal(_) => false }) // no min/max anchor
+        }
+      }
+
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
-    Report(whole, parts, expired, mvMode)
+    Report(whole, parts, expired, mvMode, analyzed, histCols)
   }
 }

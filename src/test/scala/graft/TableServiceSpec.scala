@@ -79,4 +79,34 @@ class TableServiceSpec extends SparkSpec {
     TableService.tick(spark, t) shouldBe TableService.Noop
     t.currentSnapshot.get.files.size should be > 1
   }
+
+  test("auto-stats tick keeps the NDV index and histograms fresh for the CBO bridge") {
+    val t = Icebox(tmpDir("svc-stats"))
+    t.append((1L to 4000L).map(i => (i, (i % 500).toDouble)).toDF("id", "v"),
+      collectStats = Seq("v"))
+    t.setProperties(Map(
+      "maintenance.analyze.columns" -> "v",
+      "maintenance.analyze.histogram" -> "true",
+      "maintenance.analyze.histogram.buckets" -> "8"))
+    val r1 = TableService.tick(spark, t)
+    r1.analyzedColumns shouldBe Seq("v")
+    r1.histogramColumns shouldBe Seq("v")
+    val ndv1 = t.approxCountDistinctMeta("v").get
+    math.abs(ndv1 - 500).toDouble / 500 should be < 0.05
+    t.histogramMeta("v").get._3.sum shouldBe 4000L
+    // an append stales both; the NEXT tick refreshes them — O(delta) for
+    // the sketches (the append sketched its own files inline), one scan
+    // for the opted-in histogram
+    t.append((4001L to 5000L).map(i => (i, (i % 800).toDouble)).toDF("id", "v"))
+    t.histogramMeta("v") shouldBe None // stale, loudly absent
+    val r2 = TableService.tick(spark, t)
+    r2.histogramColumns shouldBe Seq("v")
+    t.histogramMeta("v").get._3.sum shouldBe 5000L
+    val ndv2 = t.approxCountDistinctMeta("v").get
+    math.abs(ndv2 - 800).toDouble / 800 should be < 0.05
+    // a fresh histogram short-circuits: nothing rebuilt on an idle tick
+    val r3 = TableService.tick(spark, t)
+    r3.histogramColumns shouldBe Nil
+    r3.analyzedColumns shouldBe Seq("v") // metadata-only re-fold, 0 files
+  }
 }

@@ -228,6 +228,60 @@ class StarMvSpec extends SparkSpec {
     snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.NoOp
   }
 
+  test("snowflake churn stress: 6 random mutate-refresh cycles track the recompute exactly") {
+    // seeded randomness — deterministic failures reproduce; each cycle
+    // mutates a RANDOM subset of the four sources (fact appends, dim
+    // appends at any chain level, key-deletes at any level incl.
+    // mid-chain) and one incremental refresh must land on the recompute
+    val rnd = new scala.util.Random(20260814L)
+    val (fact, cust, nat, reg, mv) = mkSnowflake("stress")
+    var nextFactId = 151L
+    var nextCust = 11
+    var nextNat = 5
+    var nextReg = 2
+    snowRefresh(fact, cust, nat, reg, mv) shouldBe MaterializedView.FullBuild
+    (1 to 6).foreach { cycle =>
+      if (rnd.nextBoolean()) { // fact appends (possibly dangling ck — inner join drops)
+        val n = 10 + rnd.nextInt(40)
+        fact.append((0 until n).map(i =>
+          (nextFactId + i, rnd.nextInt(nextCust + 2).toLong, (nextFactId + i) * 7L))
+          .toDF("id", "ck", "v"))
+        nextFactId += n
+      }
+      if (rnd.nextBoolean()) { // new customer, random nation (maybe dangling)
+        cust.append(Seq((nextCust, rnd.nextInt(nextNat + 1))).toDF("c_id", "nk"))
+        nextCust += 1
+      }
+      if (rnd.nextBoolean()) { // new nation, random region
+        nat.append(Seq((nextNat, rnd.nextInt(nextReg + 1), s"nation$nextNat"))
+          .toDF("n_id", "rk", "nname"))
+        nextNat += 1
+      }
+      if (rnd.nextBoolean()) { // new region
+        reg.append(Seq((nextReg, s"region$nextReg")).toDF("r_id", "rname"))
+        nextReg += 1
+      }
+      if (rnd.nextInt(3) == 0) // mid-chain delete: a random nation
+        nat.deleteByKeys(Seq(rnd.nextInt(nextNat)).toDF("n_id"))
+      if (rnd.nextInt(3) == 0) // head delete: a random customer
+        cust.deleteByKeys(Seq(rnd.nextInt(nextCust)).toDF("c_id"))
+      if (rnd.nextInt(4) == 0) // leaf delete: a random region
+        reg.deleteByKeys(Seq(rnd.nextInt(nextReg)).toDF("r_id"))
+      if (rnd.nextInt(3) == 0) { // mid-chain UPDATE: re-point a nation to a
+        val nid = rnd.nextInt(nextNat) // different region (delete+insert pair)
+        nat.deleteByKeys(Seq(nid).toDF("n_id"))
+        nat.append(Seq((nid, rnd.nextInt(nextReg), s"nation$nid"))
+          .toDF("n_id", "rk", "nname"))
+      }
+      val mode = snowRefresh(fact, cust, nat, reg, mv)
+      withClue(s"cycle $cycle mode $mode:") {
+        Seq(MaterializedView.Incremental, MaterializedView.NoOp,
+          MaterializedView.MarkerOnly) should contain(mode)
+        assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+      }
+    }
+  }
+
   test("snowflake DDL: CREATE accepts the chain, persists parents, maintains") {
     val (fact, cust, nat, reg, _) = mkSnowflake("2")
     val wh = tmpDir("snowwh")

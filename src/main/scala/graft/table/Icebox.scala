@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType}
 
 /** One committed table state: an immutable file manifest + lineage.
   *
@@ -524,19 +524,53 @@ final class Icebox(val tableDir: String) {
       parts(3).split(',').map(_.toLong).toSeq)
   }
 
-  /** `SHOW STATS FOR t`: one row per sketched column — (column, ndv) from
-    * the manifest NDV index, metadata-only. Columns whose index can't
-    * answer (missing sketches, pending deletes) surface a null ndv rather
-    * than a silent scan.
+  /** `SHOW STATS FOR t`: one row per stats-covered column — everything
+    * the CBO bridge serves, all metadata-only: approximate NDV (HLL
+    * rollup), exact null count (commit-time footer pass, only when every
+    * file recorded one), min/max (folded manifest stats), and whether a
+    * CURRENT (snapshot-keyed) histogram exists. Columns whose index can't
+    * answer a field (missing sketches, pending deletes, partial coverage)
+    * surface null there rather than a silent scan.
     */
   def ndvStatsDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val logical = currentSchemaStruct.map(_.fields.toSeq).getOrElse(Nil)
-    val sketched = currentSnapshot.map(_.files.flatMap(_.sketches.keys).distinct)
-      .getOrElse(Nil).toSet
-    logical.filter(f => sketched.contains(Icebox.physicalName(f)))
-      .map(f => (f.name, approxCountDistinctMeta(f.name)))
-      .toDF("column", "ndv")
+    val fs = currentSnapshot.map(_.files).getOrElse(Nil)
+    val covered = fs.flatMap(f => f.sketches.keys ++ f.stats.keys ++ f.nullCounts.keys)
+      .distinct.toSet
+    logical.filter(f => covered.contains(Icebox.physicalName(f)))
+      .map { f =>
+        val phys = Icebox.physicalName(f)
+        val nulls: Option[Long] = {
+          val perFile = fs.map(_.nullCounts.get(phys))
+          if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+          else Some(perFile.flatten.sum)
+        }
+        val mm = columnMinMaxMetaRendered(f.name)
+        (f.name, approxCountDistinctMeta(f.name), nulls,
+          mm.map(_._1), mm.map(_._2), histogramMeta(f.name).isDefined)
+      }
+      .toDF("column", "ndv", "null_count", "min", "max", "has_histogram")
+  }
+
+  /** Metadata min/max as display strings in the column's natural order —
+    * numeric fold for numeric types, UTF8 fold for strings, raw
+    * first-file rendering otherwise refused (None).
+    */
+  private def columnMinMaxMetaRendered(column: String): Option[(String, String)] = {
+    val dt = currentSchemaStruct.flatMap(
+      _.fields.find(_.name.equalsIgnoreCase(column)).map(_.dataType))
+    dt match {
+      case Some(ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType) =>
+        columnMinMaxMeta(column).map { case (lo, hi) =>
+          // integral columns render without the .0 the double fold adds
+          def r(v: Double) =
+            if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+          (r(lo), r(hi))
+        }
+      case Some(StringType) => columnMinMaxMetaString(column)
+      case _ => None
+    }
   }
 
   /** String variant of [[columnMinMaxMeta]] — unsigned-byte UTF8 order,

@@ -168,11 +168,22 @@ class NdvSketchSpec extends SparkSpec {
     t.append(docsDf(3000, 300))
     graft.sql.MergeSql.register("ndv5t", t)
     graft.sql.DmlSql.run(spark, "ANALYZE TABLE ndv5t COMPUTE STATISTICS FOR COLUMNS id, k")
-    val stats = graft.sql.DmlSql.run(spark, "SHOW STATS FOR ndv5t")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    stats.keySet shouldBe Set("id", "k")
-    math.abs(stats("id") - 3000).toDouble / 3000 should be < 0.05
-    math.abs(stats("k") - 300).toDouble / 300 should be < 0.05
+    val rows = graft.sql.DmlSql.run(spark, "SHOW STATS FOR ndv5t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // every stats-covered column lists; un-sketched ones carry null ndv
+    rows.keySet shouldBe Set("id", "k", "src")
+    val ndv = rows.view.mapValues(r =>
+      if (r.isNullAt(1)) None else Some(r.getLong(1))).toMap
+    math.abs(ndv("id").get - 3000).toDouble / 3000 should be < 0.05
+    math.abs(ndv("k").get - 300).toDouble / 300 should be < 0.05
+    ndv("src") shouldBe None // footer stats only — no sketch, loud null
+    // the bridge's full surface: exact null counts, min/max, histogram flag
+    rows("id").getLong(2) shouldBe 0L                   // null_count
+    rows("id").getString(3) shouldBe "0"                // min
+    rows("id").getString(4) shouldBe "2999"             // max
+    rows("id").getBoolean(5) shouldBe false             // no histogram yet
+    rows("src").getString(3) shouldBe "s0"              // UTF8 string fold
+    rows("src").getString(4) shouldBe "s6"
     // overwrite drops the old files; expiry with no retention should GC
     // their sketch side files but keep live ones
     t.overwrite(docsDf(1000, 100))

@@ -354,6 +354,26 @@ class StarMvSpec extends SparkSpec {
     graft.sql.MvSql.answer(spark, q, wh).map(_._1) shouldBe Some("starmv9")
   }
 
+  test("refreshFromProperties routes snowflake parents (service/stream surface)") {
+    val (fact, cust, nat, reg, mv) = mkSnowflake("props")
+    mv.setProperties(Map(
+      "mv.id" -> "snp",
+      "mv.source.dir" -> fact.tableDir,
+      "mv.keys" -> "rname,nname",
+      "mv.sums" -> "v",
+      "mv.star.dims" -> s"${cust.tableDir};${nat.tableDir};${reg.tableDir}",
+      "mv.star.on" -> "ck=c_id;nk=n_id;rk=r_id",
+      "mv.star.parents" -> "-1;0;1"))
+    MaterializedView.refreshFromProperties(spark, mv) shouldBe
+      Some(MaterializedView.FullBuild)
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+    fact.append(Seq((900L, 3, 9000L)).toDF("id", "ck", "v"))
+    nat.deleteByKeys(Seq(0).toDF("n_id")) // mid-chain through the property surface
+    MaterializedView.refreshFromProperties(spark, mv) shouldBe
+      Some(MaterializedView.Incremental)
+    assertSameRows(mv.read(spark), snowAgg(fact, cust, nat, reg))
+  }
+
   test("refreshFromProperties routes mv.star.* definitions (service/stream surface)") {
     val (fact, cust, prod, mv) = mkTables("6")
     mv.setProperties(Map(

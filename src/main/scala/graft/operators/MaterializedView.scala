@@ -58,6 +58,14 @@ import graft.table.Icebox
   */
 object MaterializedView {
 
+  /** Below this pinned-snapshot size the refreshers read a join side
+    * outright instead of key-pruning it: the pruning bounds probe is a
+    * Spark job over the (possibly joined) key plan, and skipping IO on a
+    * table this small cannot repay it. Matches the order of Spark's
+    * broadcast threshold — a side this size broadcasts anyway.
+    */
+  private val SmallDimBytes: Long = 8L * 1024 * 1024
+
   /** What a refresh did: full rebuild, incremental delta, cursor-only
     * advance, or nothing (already current).
     */
@@ -287,33 +295,48 @@ object MaterializedView {
     last match {
       case None => fullBuild()
       case Some((fromL, fromR)) =>
+        // a side whose cursor already sits at its head (metadata compare,
+        // zero I/O) has an empty diff — its whole term vanishes. The
+        // steady-state fact-only refresh runs ONE term, not two.
         val (dl0, dr0) =
-          try (left.changeDiff(spark, fromL, lSnap.id),
-            right.changeDiff(spark, fromR, rSnap.id))
+          try ((if (fromL != lSnap.id) Some(left.changeDiff(spark, fromL, lSnap.id)) else None),
+            if (fromR != rSnap.id) Some(right.changeDiff(spark, fromR, rSnap.id)) else None)
           catch { case _: Exception => return fullBuild() } // cursor expired
         // each diff feeds its term's join AND the other side's pruning-key
         // collection (a separate collect job) — persist so each diff's
         // scan runs once (same move as refreshStar)
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val dl = dl0.persist(lvl); val dr = dr0.persist(lvl)
+        val dl = dl0.map(_.persist(lvl)); val dr = dr0.map(_.persist(lvl))
         try {
+        // small-side fast path: when the pinned side is a few MB the
+        // bounds-probe job costs more than the IO it saves
+        def pinnedRead(t: Icebox, snap: graft.table.Snapshot, keys: => DataFrame): DataFrame =
+          if (snap.totalBytes <= SmallDimBytes) t.readPinned(spark, snap)
+          else t.readForKeysAt(spark, keys, Some(snap))
         // ΔA⋈B@new — right read pruned to files admitting ΔA's join keys
-        val termA = joined(dl, right.readForKeysAt(spark,
-          dl.select(joinOn.map { case (lc, rc) => col(lc).as(rc) }: _*), Some(rSnap)))
+        val termA = dl.map(d => joined(d, pinnedRead(right, rSnap,
+          d.select(joinOn.map { case (lc, rc) => col(lc).as(rc) }: _*))))
         // A@old⋈ΔB — left read pruned likewise, pinned to the CURSOR snapshot
-        val termB = joined(left.readForKeysAt(spark,
-          dr.select(joinOn.map { case (lc, rc) => col(rc).as(lc) }: _*),
-          Some(left.snapshot(fromL))), dr)
+        val termB = dr.map(d => joined(pinnedRead(left, left.snapshot(fromL),
+          d.select(joinOn.map { case (lc, rc) => col(rc).as(lc) }: _*)), d))
+        val terms = termA.toSeq ++ termB
+        if (terms.isEmpty) { // unreachable when last != heads — guard
+          target.commitMarker(op, expectHeadId = tgtHead)
+          return MarkerOnly
+        }
         // schema evolution between the two cursors: term A reads the NEW
         // schema, term B's left side is pinned to the OLD snapshot — a
         // column added (or dropped) mid-stream exists on one side only.
         // allowMissingColumns null-fills it, which IS evolution's read
         // semantics (pre-evolution rows surface the added column as null)
-        val diff = filtered(termA.unionByName(termB, allowMissingColumns = true))
+        val diff = filtered(terms.reduce(_.unionByName(_, allowMissingColumns = true)))
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over joins"),
           () => refreshJoin(spark, left, right, target, mvId, joinOn, keys, sums, where))
-        } finally { dl.unpersist(blocking = false); dr.unpersist(blocking = false) }
+        } finally {
+          dl.foreach(_.unpersist(blocking = false))
+          dr.foreach(_.unpersist(blocking = false))
+        }
     }
   }
 
@@ -437,10 +460,19 @@ object MaterializedView {
       case Some(cursor) =>
         val fromF = cursor.head
         val fromD = cursor.tail
+        // UNCHANGED sources (cursor already at the head — pure metadata
+        // comparison, zero I/O) contribute an EMPTY diff, and an inner
+        // join with an empty factor is empty: their whole terms vanish.
+        // This is the steady-state shape at scale — dims change rarely,
+        // so the usual refresh runs ONE term (ΔF), not k+1 pipelines of
+        // prune-collect jobs that all produce nothing.
+        val changedF = fromF != fSnap.id
+        val changedD = dims.indices.map(j => fromD(j) != dSnaps(j).id)
         val (df0, dDiffs) =
-          try (fact.changeDiff(spark, fromF, fSnap.id),
-            dims.zip(fromD).zip(dSnaps).map { case ((d, from), snap) =>
-              d.table.changeDiff(spark, from, snap.id) })
+          try ((if (changedF) Some(fact.changeDiff(spark, fromF, fSnap.id)) else None),
+            dims.zip(fromD).zip(dSnaps).zip(changedD).map {
+              case (((d, from), snap), ch) =>
+                if (ch) Some(d.table.changeDiff(spark, from, snap.id)) else None })
           catch { case _: Exception => return fullBuild() } // cursor expired
         // every diff feeds k+1 consumers (its own term's join plus every
         // OTHER source's pruning-key collection) and each pruning probe is
@@ -449,8 +481,8 @@ object MaterializedView {
         val cached = scala.collection.mutable.ListBuffer[DataFrame]()
         def cache(df: DataFrame): DataFrame = { cached += df.persist(lvl); df }
         try {
-        val df0c = cache(df0)
-        val dDiffsC = dDiffs.map(cache)
+        val df0c = df0.map(cache)
+        val dDiffsC = dDiffs.map(_.map(cache))
         // snapshot of dim m as seen by term j: before the swapped source at
         // NEW, at-or-after it at OLD (term 0 = the ΔF term sees all-new)
         def dimSnapInTerm(m: Int, j: Int): graft.table.Snapshot =
@@ -466,19 +498,30 @@ object MaterializedView {
             if (m == j) atJ(acc)
             else {
               val snap = if (j < 0) dSnaps(m) else dimSnapInTerm(m, j)
-              val pruneSrc = if (dm.parent < 0) pruneBase else cache(acc)
-              joinDim(acc, dm.table.readForKeysAt(spark,
-                dimKeysOf(pruneSrc, dm.joinOn), Some(snap)), dm.joinOn)
+              // SMALL-DIM FAST PATH: the keyDisjoint bounds probe is a
+              // Spark job executing the (cached) prune-source plan; when
+              // the dim's whole snapshot is a few MB, skipping IO on it
+              // saves nothing — read it outright, the join filters. At
+              // scale the typical star has exactly this shape: one big
+              // fact, dims that fit in a broadcast.
+              val dimDf =
+                if (snap.totalBytes <= SmallDimBytes) dm.table.readPinned(spark, snap)
+                else {
+                  val pruneSrc = if (dm.parent < 0) pruneBase else cache(acc)
+                  dm.table.readForKeysAt(spark,
+                    dimKeysOf(pruneSrc, dm.joinOn), Some(snap))
+                }
+              joinDim(acc, dimDf, dm.joinOn)
             }
           }
-        val term0 = foldDims(df0c, df0c, -1, identity)
+        val term0 = df0c.map(d => foldDims(d, d, -1, identity))
         // term j: F@old ⋈ dims<j @new ⋈ ΔDʲ ⋈ dims>j @old. The fact read
         // is key-pruned TRANSITIVELY: ΔDʲ's keys map to its parent's
         // columns; if the parent is a dim, that dim's (pruned, term-j
         // snapshot) slice maps keys one level up, until the fact is
         // reached — O(Δ × files the deltas touch through the chain).
-        val dimTerms = dims.zipWithIndex.map { case (dj, j) =>
-          val dDiff = dDiffsC(j)
+        val dimTerms = dims.zipWithIndex.flatMap { case (dj, j) =>
+          dDiffsC(j).map { dDiff =>
           // walk up from dim j to the fact, converting keys level by level
           var keysUp: DataFrame = dDiff.select(
             dj.joinOn.map { case (pc, dc) => col(dc).as(pc) }: _*)
@@ -494,10 +537,18 @@ object MaterializedView {
           val fPruned = cache(fact.readForKeysAt(spark, keysUp,
             Some(fact.snapshot(fromF))))
           foldDims(fPruned, fPruned, j, acc => joinDim(acc, dDiff, dj.joinOn))
+          }
+        }
+        val terms = term0.toSeq ++ dimTerms
+        if (terms.isEmpty) {
+          // heads moved but every move was already processed under this
+          // cursor shape — unreachable when last != heads, but guard it
+          target.commitMarker(op, expectHeadId = tgtHead)
+          return MarkerOnly
         }
         // schema evolution between cursors: null-fill columns one side
         // lacks, the read semantics evolution itself defines
-        val diff = filtered((term0 +: dimTerms).reduce(
+        val diff = filtered(terms.reduce(
           _.unionByName(_, allowMissingColumns = true)))
         applyDelta(spark, target, op, tgtHead, diff, keys, sums, Nil,
           _ => sys.error("min/max not maintained over stars"),

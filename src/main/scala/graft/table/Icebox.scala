@@ -1890,6 +1890,14 @@ final class Icebox(val tableDir: String) {
         readFiles(spark, cur.files.filterNot(disjoint), Some(cur.schemaJson))
     }
 
+  /** Plain pinned-snapshot read with NO pruning pass — for callers that
+    * know pruning can't pay (e.g. the MV refreshers' small-dim fast path:
+    * the keyDisjoint bounds probe is a Spark job, and skipping IO on a
+    * one-file dim saves nothing).
+    */
+  private[graft] def readPinned(spark: SparkSession, snap: Snapshot): DataFrame =
+    readFiles(spark, snap.files, Some(snap.schemaJson))
+
   /** EQUALITY-delete commit (Iceberg v2's other merge-on-read delete type):
     * records `keys` as an equality-delete file attached to every data file
     * that existed when the deleter read the table — minus files whose

@@ -99,4 +99,38 @@ class PropertySpec extends SparkSpec {
       rows.dropRight(1).foreach(c => c.split(" ").count(_.nonEmpty) shouldBe size)
     }
   }
+
+  test("property: manifest stats round-trip — null counts, min/max, rows exact under random nulls") {
+    // random nullable columns → append → REOPEN with a fresh handle (full
+    // manifest JSON re-parse) → the recorded footer stats must equal what
+    // a scan computes, for every generated table
+    val tblGen = for {
+      n <- Gen.chooseNum(5, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.option(Gen.chooseNum(-1000L, 1000L))
+        b <- Gen.option(Gen.chooseNum(-50.0, 50.0))
+        s <- Gen.alphaLowerStr.map(_.take(4))
+      } yield (a, b, s))
+    } yield rows
+    for ((rows, i) <- samples(tblGen, 12).zipWithIndex) {
+      val dir = tmpDir(s"prop-mf$i")
+      Icebox(dir).append(
+        rows.toDF("a", "b", "s").repartition(3), collectStats = Seq("a", "b"))
+      val t2 = Icebox(dir) // fresh handle: manifest parsed from bytes
+      val fs = t2.currentSnapshot.get.files
+      fs.map(_.rows).sum shouldBe rows.size.toLong
+      // exact null counts: per-file entries fold to the scan's truth
+      val nullsA = rows.count(_._1.isEmpty).toLong
+      val nullsB = rows.count(_._2.isEmpty).toLong
+      fs.map(_.nullCounts.getOrElse("a", -1L)).forall(_ >= 0L) shouldBe true
+      fs.map(_.nullCounts("a")).sum shouldBe nullsA
+      fs.map(_.nullCounts("b")).sum shouldBe nullsB
+      // min/max (refused iff a column is all-null somewhere → conservative)
+      val presentA = rows.flatMap(_._1)
+      if (presentA.nonEmpty) t2.columnMinMaxMeta("a").foreach { case (lo, hi) =>
+        lo shouldBe presentA.min.toDouble
+        hi shouldBe presentA.max.toDouble
+      }
+    }
+  }
 }

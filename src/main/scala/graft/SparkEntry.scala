@@ -1907,6 +1907,19 @@ object SparkEntry {
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
         col("doc_id"), defaultRate = 0.25, seed = "mix")),
 
+    // LLM: WEIGHTED sampling — every row carries its OWN keep probability
+    // (here a length-derived quality proxy); acceptance is the
+    // content-keyed uniform vs that probability, so the kept set is
+    // deterministic and the oracle replays the identical integer-hash
+    // arithmetic. The per-row-probability generalization of q_hash_sample
+    // (importance resampling's acceptance step).
+    "q_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Sampling.weightedSample(d, col("doc_id"),
+          (length(col("text")).cast("double") / lit(400.0)), seed = "w")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // LLM capstone: the full modern data-prep pipeline composed from this
     // round's operators — token gate → benchmark decontamination →
     // fingerprint dedup → weighted source mix → sequence packing — one
@@ -3098,6 +3111,15 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN 'e6666666'
         |              ELSE '40000000' END""".stripMargin,
+
+    // per-row probability: the content-keyed uniform (8-hex md5 prefix /
+    // 2^32) compared against the same length-derived probability — pure
+    // integer-hash + double arithmetic, identical in both engines
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0
+        |      < least(1.0, greatest(0.0, CAST(length(text) AS DOUBLE) / 400.0))""".stripMargin,
 
     // the whole chain as CTEs: gate (n>=5) → decontaminate (8-gram overlap
     // vs doc_id%19) → fingerprint dedup → mix (0.2/0.8/0.5 thresholds

@@ -116,4 +116,23 @@ object Dsir {
       .orderBy(col("weight").desc, col(idCol)).limit(k)
     corpus.join(w.select(col(idCol), col("weight")), Seq(idCol))
   }
+
+  /** Importance RESAMPLING (the paper's selection step proper, vs the
+    * [[selectTop]] rank cutoff): accept each document independently with
+    * probability `min(1, scale · exp(weight))` — documents that look more
+    * target-like than raw-like (positive log weight) are kept
+    * proportionally more often. The acceptance uniform is CONTENT-KEYED
+    * ([[Sampling.weightedSample]]), so the sample is deterministic and
+    * partitioning-independent; `scale` tunes the expected kept fraction.
+    * The weight is the 6-decimal-rounded value [[importanceWeights]]
+    * emits, so the acceptance arithmetic is replicable externally.
+    */
+  def resample(corpus: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, scale: Double, buckets: Int = 8192, alpha: Double = 1.0,
+      seed: String = ""): DataFrame = {
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val w = importanceWeights(corpus, target, textCol, idCol, buckets, alpha)
+    val withW = corpus.join(w.select(col(idCol), col("weight")), Seq(idCol))
+    Sampling.weightedSample(withW, col(idCol), exp(col("weight")) * scale, seed)
+  }
 }

@@ -48,6 +48,28 @@ object Sampling {
       seed: String = ""): DataFrame =
     df.filter(prefix(keyCol, seed) < lit(thresholdHex(rate)))
 
+  /** The content-keyed uniform in [0,1): first 8 hex chars of
+    * `md5(seed || key)` over 2³². Same arithmetic is expressible in SQL
+    * oracles (`('0x' || substring(md5(...),1,8))::BIGINT / 4294967296.0`).
+    */
+  def uniform01(keyCol: Column, seed: String = ""): Column =
+    conv(prefix(keyCol, seed), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** WEIGHTED sampling: keep each row independently with its OWN
+    * probability (`probCol`, clamped to [0,1]) — importance resampling's
+    * acceptance step, quality-proportional downsampling, per-source decay.
+    * Deterministic and partitioning-independent like [[hashSample]] (which
+    * is the constant-probability special case): the decision is
+    * `uniform01(key) < p`, so re-running, re-partitioning, or re-ordering
+    * the corpus keeps exactly the same rows. No RNG state, no seed
+    * plumbing across executors — at 100 TB the sample is reproducible
+    * from content alone.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, probCol: Column,
+      seed: String = ""): DataFrame =
+    df.filter(uniform01(keyCol, seed) <
+      least(lit(1.0), greatest(lit(0.0), coalesce(probCol.cast("double"), lit(0.0)))))
+
   /** Deterministic per-key quota: keep the `n` rows of each `keyCol` group
     * with the smallest `md5(seed || id)` — a reproducible "at most N docs
     * per source" cap (the hash order is a fixed uniform permutation, so

@@ -53,4 +53,23 @@ class DsirSpec extends SparkSpec {
     w.length shouldBe 6
     w.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
+
+  test("resample keeps target-like docs proportionally more often; deterministic") {
+    // corpus big enough for acceptance statistics: half the docs look like
+    // the target distribution, half do not
+    val docs = (1L to 400L).map { i =>
+      val text = if (i % 2 == 0) s"alpha beta gamma delta common phrase $i"
+                 else s"zz$i yy$i xx$i ww$i vv$i uu$i"
+      (i, text)
+    }.toDF("id", "text")
+    val tgt = (1L to 40L).map(i => (i, s"alpha beta gamma delta common phrase t$i"))
+      .toDF("id", "text")
+    val kept = Dsir.resample(docs, tgt, "text", "id", scale = 0.5, buckets = 512)
+    assertSameRows(kept, Dsir.resample(docs.repartition(5), tgt, "text", "id",
+      scale = 0.5, buckets = 512))
+    val keptEven = kept.filter($"id" % 2 === 0).count().toDouble
+    val keptOdd = kept.filter($"id" % 2 =!= 0).count().toDouble
+    keptEven should be > (keptOdd * 2) // target-like docs dominate the sample
+    kept.columns should contain("weight")
+  }
 }

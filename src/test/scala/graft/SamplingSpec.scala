@@ -96,4 +96,26 @@ class SamplingSpec extends SparkSpec {
     bySrc("s0") should be < 60L    // capped
     bySrc("s1") should be > 400L   // default admits everything
   }
+
+  test("weightedSample: per-row probabilities, deterministic, clamped, monotone") {
+    val rows = (1L to 4000L).map(i => (i, (i % 100).toDouble / 100.0)).toDF("id", "p")
+    val kept = Sampling.weightedSample(rows, $"id", $"p", seed = "ws")
+    // determinism under repartitioning
+    assertSameRows(kept,
+      Sampling.weightedSample(rows.repartition(7), $"id", $"p", seed = "ws"))
+    // p=0 rows never survive; p≈1 rows (p=0.99) nearly all do
+    kept.filter($"p" === 0.0).count() shouldBe 0L
+    kept.filter($"p" === 0.99).count().toDouble should be > 30.0 // of 40
+    // aggregate keep fraction tracks the mean probability (±5 points)
+    val frac = kept.count().toDouble / 4000.0
+    math.abs(frac - 0.495) should be < 0.05
+    // clamping: probabilities beyond [0,1] behave as 0/1
+    val wild = Seq((1L, 5.0), (2L, -3.0)).toDF("id", "p")
+    Sampling.weightedSample(wild, $"id", $"p").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // constant probability degenerates to hashSample's decision exactly
+    val const = rows.withColumn("p", lit(0.35))
+    assertSameRows(
+      Sampling.weightedSample(const, $"id", $"p", seed = "s"),
+      Sampling.hashSample(const, $"id", 0.35, seed = "s"))
+  }
 }

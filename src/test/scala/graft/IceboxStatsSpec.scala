@@ -228,6 +228,22 @@ class IceboxStatsSpec extends SparkSpec {
     canon(query(cboSpark)) shouldBe canon(query(spark))
   } }
 
+  test("rule is a strict no-op when CBO is off (no planning overhead for non-CBO users)") {
+    import spark.implicits._
+    val t = Icebox(tmpDir("stats-noop"))
+    t.append((1L to 100L).map(i => (i, i * 2)).toDF("id", "v"), collectStats = Seq("id"))
+    val plan = t.read(spark).queryExecution.analyzed
+    // the control session has cbo/planStats off → the rule must return the
+    // SAME plan object without touching manifests or the cache
+    val rule = new graft.plans.IceboxStatsRule(spark)
+    graft.plans.IceboxStats.invalidate()
+    rule(plan) should be theSameInstanceAs plan
+    // and the kill switch overrides even a CBO session
+    cboSpark.conf.set("spark.graft.stats.enabled", "false")
+    try new graft.plans.IceboxStatsRule(cboSpark)(plan) should be theSameInstanceAs plan
+    finally cboSpark.conf.set("spark.graft.stats.enabled", "true")
+  }
+
   test("refusal: MoR deletes drop the stats, plans fall back to bytes") { withCbo {
     import cboSpark.implicits._
     val t = Icebox(tmpDir("stats-mor"))

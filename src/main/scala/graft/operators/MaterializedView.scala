@@ -143,8 +143,16 @@ object MaterializedView {
         val parents = props.get("mv.star.parents")
           .map(_.split(';').filter(_.nonEmpty).toSeq.map(_.toInt))
           .getOrElse(dirsSeq.map(_ => -1))
+        // zip silently truncates — a corrupt/hand-edited `mv.star.parents`
+        // shorter than the dim list would otherwise drop dims and refresh
+        // a WRONG view; fail loudly instead
+        val onSeq = props("mv.star.on").split(';').filter(_.nonEmpty).toSeq
+        require(parents.length == dirsSeq.length && onSeq.length == dirsSeq.length,
+          s"corrupt star-view properties: ${dirsSeq.length} dims but " +
+          s"${parents.length} parents / ${onSeq.length} join lists " +
+          "(mv.star.dims / mv.star.parents / mv.star.on out of sync)")
         val dims = dirsSeq
-          .zip(props("mv.star.on").split(';').filter(_.nonEmpty).toSeq)
+          .zip(onSeq)
           .zip(parents)
           .map { case ((dir, on), par) => StarDim(Icebox(dir), pairs(on), par) }
         refreshStar(spark, Icebox(srcDir), dims, target, id,

@@ -252,9 +252,17 @@ object DmlSql {
           val cat = spark.catalog
           if (!cat.tableExists(view)) {
             // evict this table's views for OTHER ranges before registering:
-            // bounded catalog footprint under varying (from, to)
+            // bounded catalog footprint under varying (from, to). The suffix
+            // after the table name must be exactly `<from>_<to>` (two number
+            // groups) — a bare prefix test would also match views of tables
+            // whose name extends `name` with an underscore (`orders` vs
+            // `orders_archive`) and evict another table's live range.
+            val prefix = s"__tc_${name}_"
+            val rangeSuffix = "^\\d+_\\d+$".r
             spark.sessionState.catalog.listLocalTempViews(s"__tc_${name}_*")
-              .map(_.table).filter(v => v.startsWith(s"__tc_${name}_") && v != view)
+              .map(_.table)
+              .filter(v => v.startsWith(prefix) && v != view &&
+                rangeSuffix.findFirstIn(v.stripPrefix(prefix)).isDefined)
               .foreach(cat.dropTempView)
             t.changeDiff(spark, from, to).createOrReplaceTempView(view)
           }

@@ -549,9 +549,20 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         grouped.select(specs.zip(tmp).map { case (s, t) =>
           (if (s.isKey) s.exact else col(t)).cast(s.orig.dataType).as(t) }: _*)
       }
-    val analyzed = projected.queryExecution.analyzed
-    Project(analyzed.output.zip(specs).map { case (na, s) =>
-      Alias(na, s.orig.name)(exprId = s.orig.exprId) }, analyzed)
+    // the rule runs in extraOptimizations, AFTER the main optimizer
+    // batches — a merely-ANALYZED subtree spliced in here still carries
+    // operators the planner requires the optimizer to have replaced
+    // (ResolvedHint and Deduplicate both appear in the view read when the
+    // backing table has merge-on-read deletes: applyDeletes broadcasts the
+    // delete-key sides and dropDuplicates them) and planning dies with an
+    // INTERNAL_ERROR. Splice the fully OPTIMIZED subtree instead; the
+    // optimizer preserves output attributes, so the exprId re-alias below
+    // still lines the parent plan up. (Re-entering the optimizer from a
+    // rule is safe — rules are stateless — and an MV-over-MV chain
+    // terminates because each nesting level moves strictly up the chain.)
+    val optimized = projected.queryExecution.optimizedPlan
+    Project(optimized.output.zip(specs).map { case (na, s) =>
+      Alias(na, s.orig.name)(exprId = s.orig.exprId) }, optimized)
   }
 
   private def serveFrom(target: Icebox, index: IceboxFileIndex,
@@ -606,9 +617,12 @@ object MvRewrite {
     * single `getFileStatus` (mtime probe) is one cheap RPC. CREATE/DROP
     * MATERIALIZED VIEW add/remove a child directory, which bumps the
     * parent's mtime on every Hadoop filesystem — so the registry
-    * invalidates itself with no explicit hook. A same-millisecond race
-    * window only delays discovery of a just-created view to the next
-    * mtime tick (the query is then answered from source — conservative).
+    * invalidates itself across processes with no explicit hook. In-process
+    * DDL additionally calls [[invalidateRegistry]] directly (MvSql
+    * create/drop): a CREATE landing in the same mtime granule as a cached
+    * listing would otherwise be missed FOREVER (no later DDL ⇒ no later
+    * mtime tick), which on coarse-granularity (1 s) filesystems is a real
+    * window, not a millisecond one.
     */
   private val dirCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()

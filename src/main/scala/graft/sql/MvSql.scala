@@ -352,6 +352,12 @@ object MvSql {
     val mode = runRefresh(spark, src, src2, target, name, d)
     registerMvView(spark, name, target, d)
     MergeSql.register(name, target)
+    // In-process CREATE must be visible to the rewrite immediately: if it
+    // lands within the same mtime granule as a cached `_mv` listing,
+    // nothing ever bumps the parent's mtime again and the registry would
+    // silently miss this view forever. The mtime probe still covers
+    // cross-process DDL.
+    MvRewrite.invalidateRegistry()
     summary(spark, s"create-mv:$mode", target)
   }
 
@@ -407,6 +413,9 @@ object MvSql {
       "mv.source2.dir", "mv.source2.name", "mv.join.on",
       "mv.star.dims", "mv.star.names", "mv.star.on"))
     spark.catalog.dropTempView(name)
+    // same-mtime-granule blindness as in create(): a drop landing in the
+    // cached listing's granule must not leave the rewrite serving a dead view
+    MvRewrite.invalidateRegistry()
     spark.createDataFrame(Seq(("drop-mv", -1L))).toDF("operation", "snapshot_id")
   }
 

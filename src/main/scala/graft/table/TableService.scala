@@ -47,7 +47,8 @@ object TableService {
       expiredSnapshots: Seq[Long],
       mvRefresh: Option[String] = None,
       analyzedColumns: Seq[String] = Nil,
-      histogramColumns: Seq[String] = Nil) {
+      histogramColumns: Seq[String] = Nil,
+      analyzeError: Option[String] = None) {
     def actedOnData: Boolean =
       compactedWholeTable || compactedPartitions.nonEmpty ||
         mvRefresh.exists(m => m == "FullBuild" || m == "Incremental")
@@ -101,11 +102,18 @@ object TableService {
     // steady-state appends were sketched inline at commit.
     val analyzeCols = table.properties.get("maintenance.analyze.columns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val analyzed =
-      if (analyzeCols.isEmpty) Nil
-      else { table.analyze(spark, analyzeCols); analyzeCols }
+    // A stale `maintenance.analyze.columns` entry (column since dropped or
+    // renamed) must not abort the tick: an unguarded throw here would
+    // permanently block the expireSnapshots below and metadata would grow
+    // without bound. Failure is surfaced in the Report instead.
+    val (analyzed, analyzeErr) =
+      if (analyzeCols.isEmpty) (Nil, None)
+      else
+        try { table.analyze(spark, analyzeCols); (analyzeCols, None) }
+        catch { case scala.util.control.NonFatal(e) =>
+          (Nil, Some(s"analyze(${analyzeCols.mkString(",")}): ${e.getMessage}")) }
     val histCols =
-      if (analyzeCols.isEmpty ||
+      if (analyzed.isEmpty ||
         !table.properties.get("maintenance.analyze.histogram")
           .exists(_.trim.equalsIgnoreCase("true"))) Nil
       else {
@@ -118,6 +126,6 @@ object TableService {
       }
 
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
-    Report(whole, parts, expired, mvMode, analyzed, histCols)
+    Report(whole, parts, expired, mvMode, analyzed, histCols, analyzeErr)
   }
 }

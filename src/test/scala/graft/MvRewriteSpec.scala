@@ -331,7 +331,14 @@ class MvRewriteSpec extends SparkSpec {
     src2.registerView(spark, "mvrw11b")
     DmlSql.run(spark,
       "CREATE MATERIALIZED VIEW mvrw11b_view AS SELECT k, count(*), sum(w) FROM mvrw11b GROUP BY k")
+    // CREATE now invalidates the registry explicitly (r12 advice) — the
+    // rule's own queries during the create may re-list once; what matters
+    // is the new view is discovered and steady-state stays one listing
+    val afterCreate = MvRewrite.mvListings.get()
     assert(servedFromView(spark.sql("SELECT k, sum(w) AS sw FROM mvrw11b GROUP BY k")))
-    (MvRewrite.mvListings.get() - before) shouldBe 2L
+    (MvRewrite.mvListings.get() - afterCreate) should be <= 1L
+    (1 to 3).foreach(_ =>
+      assert(servedFromView(spark.sql("SELECT k, sum(w) AS sw FROM mvrw11b GROUP BY k"))))
+    (MvRewrite.mvListings.get() - afterCreate) should be <= 1L
   }
 }

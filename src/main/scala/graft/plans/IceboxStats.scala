@@ -32,11 +32,13 @@ import graft.table.Icebox
   * the snapshot they read.
   *
   * Soundness contract (same refusal rules as the metadata query paths):
-  * no rowCount when any file carries merge-on-read deletes (counts would
-  * overstate); no min/max for a column unless EVERY file has footer stats
-  * for it; NDV only when the rollup sketch is keyed to exactly this
-  * snapshot. Absent stats degrade to the byte-size heuristic Spark used
-  * anyway — never a wrong estimate.
+  * no rowCount under EQUALITY deletes (matched cardinality needs a scan)
+  * or legacy manifests without position counts; under POSITION deletes
+  * rowCount is exact (rows - per-file deleteRows) but column stats are
+  * refused (they describe pre-delete file contents); no min/max for a
+  * column unless EVERY file has footer stats for it; NDV only when the
+  * rollup sketch is keyed to exactly this snapshot. Absent stats degrade
+  * to the byte-size heuristic Spark used anyway — never a wrong estimate.
   */
 object IceboxStats {
 
@@ -59,17 +61,29 @@ object IceboxStats {
   private[graft] def invalidate(tableDir: String): Unit =
     cache.keySet.removeIf(_._1 == tableDir)
 
-  /** The column types whose manifest min/max strings round-trip through
-    * `CatalogColumnStat.fromExternalString` exactly: integral/floating
-    * types render as plain numbers, dates as ISO `yyyy-MM-dd`, booleans as
-    * `true`/`false` ([[Icebox.decodeFooterMinMax]]). Strings are excluded
-    * (Spark's estimator ignores string min/max), timestamps and decimals
-    * are excluded (the manifest rendering is not the catalog's external
-    * format — refusal, not risk).
+  /** The column types whose manifest min/max strings convert exactly to
+    * `CatalogColumnStat`'s external form: integral/floating types render
+    * as plain numbers, dates as ISO `yyyy-MM-dd`, booleans as
+    * `true`/`false` ([[Icebox.decodeFooterMinMax]]); decimals
+    * (`BigDecimal.toString` from the scan-path stats — `Decimal(s)`
+    * parses any decimal rendering) and zone-free timestamps
+    * (`LocalDateTime.toString`, converted to micros and re-rendered
+    * through Spark's own `toExternalString` formatter) convert at attach
+    * time in [[foldMinMax]]. These are the reference domain's
+    * most-filtered columns — the money (o_totalprice) and CDC-timestamp
+    * shapes (reference: oracle_to_iceberg_cdc_operator.py:182-191).
+    * Strings stay excluded (Spark's estimator ignores string min/max);
+    * ZONED timestamps serve only under a fixed-offset JVM default zone,
+    * where `java.sql.Timestamp.toString` (the manifest rendering) is
+    * bijective — under a DST zone the local rendering is ambiguous one
+    * hour a year, so refuse (same contract as the pruning path,
+    * IceboxFileIndex admit()).
     */
   private def minMaxSafe(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-         DateType | BooleanType => true
+         DateType | BooleanType | TimestampNTZType => true
+    case _: DecimalType => true
+    case TimestampType => java.time.ZoneId.systemDefault().getRules.isFixedOffset
     case _ => false
   }
 
@@ -87,14 +101,25 @@ object IceboxStats {
 
   private def compute(index: IceboxFileIndex): Option[CatalogStatistics] = {
     val fs = index.manifestFiles
-    // MoR deletes: manifest row counts are upper bounds, not exact — refuse
-    if (fs.isEmpty || fs.exists(f => f.deletes.nonEmpty || f.eqDeletes.nonEmpty) ||
-        fs.exists(_.rows < 0L)) return None
-    val rowCount = fs.map(_.rows).sum
+    // EQUALITY deletes: matched cardinality genuinely needs a scan — refuse
+    // everything. POSITION deletes: manifests record exact per-file
+    // attached-position counts (DataFile.deleteRows), so rowCount serves
+    // as rows - deleteRows — the engine's flagship CDC write mode would
+    // otherwise plan stats-blind. Legacy manifests (deleteRows = -1) refuse.
+    if (fs.isEmpty || fs.exists(_.eqDeletes.nonEmpty) ||
+        fs.exists(_.rows < 0L) || fs.exists(_.deleteRows < 0L)) return None
+    val rowCount = fs.map(f => f.rows - f.deleteRows).sum
     val sizeInBytes = fs.map(_.sizeBytes).sum
+    // COLUMN stats under pending position deletes stay refused: per-file
+    // min/max/null-counts/sketches describe the PRE-delete file contents
+    // (a delete may remove the extremum; nullCount could exceed live
+    // rowCount and corrupt selectivity math). rowCount + sizeInBytes are
+    // what broadcast/join-side decisions need, and those are exact.
+    val hasPosDeletes = fs.exists(_.deletes.nonEmpty)
     val table = Icebox(index.tableDirString)
     val schema = DataType.fromJson(index.snapshotSchemaJson).asInstanceOf[StructType]
-    val colStats = schema.fields.flatMap { f =>
+    val colStats = if (hasPosDeletes) Map.empty[String, CatalogColumnStat]
+    else schema.fields.flatMap { f =>
       val phys = Icebox.physicalName(f)
       val ndv = ndvFor(table, index, phys)
       val mm: Option[(String, String)] =
@@ -163,8 +188,48 @@ object IceboxStats {
       case BooleanType =>
         scala.util.Try((mns.map(_.toBoolean).min.toString,
           mxs.map(_.toBoolean).max.toString)).toOption
+      case _: DecimalType =>
+        // manifest form is BigDecimal.toString (scan-path stats); the
+        // catalog parses any decimal rendering via Decimal(s) — fold in
+        // numeric order and render through Spark's own external form
+        scala.util.Try {
+          val mn = mns.map(new java.math.BigDecimal(_)).min
+          val mx = mxs.map(new java.math.BigDecimal(_)).max
+          (CatalogColumnStat.toExternalString(Decimal(mn), "", dt),
+           CatalogColumnStat.toExternalString(Decimal(mx), "", dt))
+        }.toOption
+      case TimestampNTZType =>
+        // manifest form is LocalDateTime.toString (ISO, 'T'; older scan
+        // batches may carry "yyyy-MM-dd HH:mm:ss[.f]") — zone-free, so
+        // micros conversion is exact; render via the catalog's own
+        // TimestampFormatter so fromExternalString round-trips
+        scala.util.Try {
+          (CatalogColumnStat.toExternalString(ntzMicros(mns.min(Ordering.by(ntzMicros))), "", dt),
+           CatalogColumnStat.toExternalString(ntzMicros(mxs.max(Ordering.by(ntzMicros))), "", dt))
+        }.toOption
+      case TimestampType =>
+        // only reached under a fixed-offset JVM zone (minMaxSafe), where
+        // java.sql.Timestamp.toString/valueOf are exact inverses
+        scala.util.Try {
+          def micros(s: String): Long = {
+            val i = java.sql.Timestamp.valueOf(s).toInstant
+            Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+          }
+          (CatalogColumnStat.toExternalString(mns.map(micros).min, "", dt),
+           CatalogColumnStat.toExternalString(mxs.map(micros).max, "", dt))
+        }.toOption
       case _ => None
     }
+  }
+
+  /** Zone-free timestamp stat string → micros since epoch (same parse as
+    * the pruning path: normalize the scan-path " " separator to ISO 'T').
+    */
+  private def ntzMicros(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(
+      if (s.contains('T')) s else s.replaceFirst(" ", "T"))
+    Math.addExact(Math.multiplyExact(
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), ldt.getNano / 1000L)
   }
 
   /** The exact equi-WIDTH histogram (`ANALYZE ... HISTOGRAM`, `hist.<col>`

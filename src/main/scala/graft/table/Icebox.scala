@@ -68,7 +68,14 @@ final case class DataFile(path: String, sizeBytes: Long, partition: Map[String, 
     deletes: Seq[String] = Nil, eqDeletes: Seq[String] = Nil,
     blooms: Map[String, String] = Map.empty,
     sketches: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty)
+    nullCounts: Map[String, Long] = Map.empty,
+    // exact count of this file's rows removed by its attached position-
+    // delete dirs (positions are per-file distinct at write; in-process
+    // commits serialize on the handle). -1 = unknown (manifest written
+    // before counts were recorded) — consumers refuse, never estimate.
+    // Always 0 when `deletes` is empty; equality deletes are NOT counted
+    // here (their matched cardinality genuinely needs a scan).
+    deleteRows: Long = 0L)
 
 /** "Icebox" — a minimal snapshot-logged table format over plain parquet.
   *
@@ -313,10 +320,14 @@ final class Icebox(val tableDir: String) {
     * data — Iceberg's metadata-query behavior.
     */
   def rowCount: Option[Long] = currentSnapshot.map(_.files).flatMap { fs =>
-    // a file with position or equality deletes makes its manifest row count
-    // an upper bound, not exact — callers fall back to a scan (conservative)
-    if (fs.forall(_.rows >= 0L) && fs.forall(f => f.deletes.isEmpty && f.eqDeletes.isEmpty))
-      Some(fs.map(_.rows).sum)
+    // equality deletes make the manifest count an upper bound (matched
+    // cardinality needs a scan) — fall back. POSITION deletes subtract
+    // exactly: manifests record per-file attached-position counts
+    // (DataFile.deleteRows); only legacy manifests (deleteRows = -1,
+    // written before counts were recorded) still fall back.
+    if (fs.forall(_.rows >= 0L) && fs.forall(_.eqDeletes.isEmpty) &&
+        fs.forall(_.deleteRows >= 0L))
+      Some(fs.map(f => f.rows - f.deleteRows).sum)
     else None
   }
 
@@ -1728,7 +1739,11 @@ final class Icebox(val tableDir: String) {
       partitionBy: Seq[String]): Snapshot = retryOnStaleHead {
     val cur = currentSnapshot.getOrElse(sys.error(s"no table at $tableDir"))
     val schemaJson = cur.schemaJson
-    val affected = affectedPaths(positions)
+    // per-file position counts ride the manifest (DataFile.deleteRows) so
+    // metadata row counts and the CBO stats bridge stay EXACT under
+    // merge-on-read position deletes: live rows = rows - deleteRows
+    val affectedCounts = affectedPathCounts(positions)
+    val affected = affectedCounts.keySet
     if (affected.isEmpty) // no matching rows: commit an explicit no-op snapshot
       commitMetaResolved(op, p => p.map(_.files).getOrElse(Nil), schemaJson)
     else {
@@ -1762,7 +1777,11 @@ final class Icebox(val tableDir: String) {
       if (!parent.map(_.id).contains(cur.id)) throw Icebox.StaleCommitState
       parent.map(_.files).getOrElse(Nil).flatMap {
         case f if overPaths(f.path) => None // replaced by this commit's rewrite
-        case f if affected(pathOnly(f.path)) => Some(f.copy(deletes = f.deletes :+ dir))
+        case f if affected(pathOnly(f.path)) => Some(f.copy(
+          deletes = f.deletes :+ dir,
+          deleteRows = // unknown stays unknown; never fabricate exactness
+            if (f.deleteRows < 0L) -1L
+            else f.deleteRows + affectedCounts(pathOnly(f.path))))
         case f => Some(f)
       }
     }
@@ -1999,9 +2018,14 @@ final class Icebox(val tableDir: String) {
     * scheme through `spark.read` but manifests may or may not, depending on
     * the table's filesystem.
     */
-  private def affectedPaths(positions: DataFrame): Set[String] =
-    positions.select("file_path").distinct().collect()
-      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+  /** Per-file position count of one DML batch's `(file_path, pos)` frame —
+    * one aggregate over a small frame; positions are per-file distinct by
+    * construction (each physical row contributes at most one pair to a
+    * DELETE/UPDATE match), so counts subtract exactly from manifest rows.
+    */
+  private def affectedPathCounts(positions: DataFrame): Map[String, Long] =
+    positions.groupBy("file_path").count().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1)).toMap
 
   /** A path string reduced to its filesystem path — scheme/authority
     * stripped — for comparisons against `_metadata.file_path` /
@@ -2894,6 +2918,9 @@ final class Icebox(val tableDir: String) {
       if (f.deletes.nonEmpty) {
         val ds = o.putArray("deletes")
         f.deletes.foreach(ds.add)
+        // written (incl. -1 = unknown) whenever deletes exist, so a
+        // manifest rewrite never upgrades unknown to a fake count
+        o.put("deleteRows", f.deleteRows)
       }
       if (f.eqDeletes.nonEmpty) {
         val eds = o.putArray("eqDeletes")
@@ -2940,7 +2967,10 @@ final class Icebox(val tableDir: String) {
       }.getOrElse(Map.empty[String, Long])
       DataFile(f.get("path").asText, f.get("sizeBytes").asLong, partition, stats,
         if (f.has("rows")) f.get("rows").asLong else -1L, deletes, eqDeletes, blooms,
-        sketches, nullCounts)
+        sketches, nullCounts,
+        // legacy manifests recorded no count alongside their deletes: unknown
+        deleteRows = if (f.has("deleteRows")) f.get("deleteRows").asLong
+          else if (deletes.nonEmpty) -1L else 0L)
     }.toSeq).getOrElse(Nil)
 
   private def manifestJson(m: Icebox.Manifest): String = {

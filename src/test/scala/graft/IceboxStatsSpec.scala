@@ -244,7 +244,7 @@ class IceboxStatsSpec extends SparkSpec {
     finally cboSpark.conf.set("spark.graft.stats.enabled", "true")
   }
 
-  test("refusal: MoR deletes drop the stats, plans fall back to bytes") { withCbo {
+  test("position deletes: rowCount stays EXACT (rows - deleteRows); column stats refused") { withCbo {
     import cboSpark.implicits._
     val t = Icebox(tmpDir("stats-mor"))
     t.append((1L to 500L).map(i => (i, i.toDouble)).toDF("id", "v"),
@@ -254,8 +254,134 @@ class IceboxStatsSpec extends SparkSpec {
     graft.sql.MergeSql.register("stats_mor_t", t)
     graft.sql.DmlSql.delete(cboSpark, "DELETE FROM stats_mor_t WHERE id IN (1, 2, 3)")
     t.currentSnapshot.get.files.count(_.deletes.nonEmpty) should be > 0
-    // row counts would overstate under merge-on-read deletes — refuse
+    // the manifests record per-file attached-position counts — the CDC
+    // write mode plans with an exact rowCount instead of stats-blind
+    graft.plans.IceboxStats.invalidate()
+    val st = t.read(cboSpark).queryExecution.optimizedPlan.stats
+    st.rowCount shouldBe Some(BigInt(497))
+    // ...but per-column stats describe the PRE-delete file contents — refused
+    st.attributeStats shouldBe empty
+  } }
+
+  test("refusal: equality deletes and legacy no-count manifests drop rowCount") { withCbo {
+    import cboSpark.implicits._
+    val t = Icebox(tmpDir("stats-eqmor"))
+    t.append((1L to 300L).map(i => (i, s"s$i")).toDF("id", "s"), collectStats = Seq("id"))
+    t.deleteByKeys(Seq(5L, 6L).toDF("id"))
+    t.currentSnapshot.get.files.count(_.eqDeletes.nonEmpty) should be > 0
+    // equality-delete matched cardinality genuinely needs a scan — refuse
     graft.plans.IceboxStats.invalidate()
     t.read(cboSpark).queryExecution.optimizedPlan.stats.rowCount shouldBe None
+    t.rowCount shouldBe None
+
+    // legacy manifest: position deletes recorded WITHOUT deleteRows (a
+    // pre-r13 writer) — strip the field from the manifest JSON on disk and
+    // re-open; unknown must refuse, never estimate
+    val t2 = Icebox(tmpDir("stats-legacy"))
+    t2.append((1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    t2.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    graft.sql.MergeSql.register("stats_legacy_t", t2)
+    graft.sql.DmlSql.delete(cboSpark, "DELETE FROM stats_legacy_t WHERE id = 7")
+    t2.rowCount shouldBe Some(99L)
+    val snapDir = new java.io.File(t2.tableDir, "_snapshots")
+    snapDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      java.nio.file.Files.write(f.toPath,
+        txt.replaceAll("\"deleteRows\"\\s*:\\s*-?\\d+\\s*,?", "")
+           .replaceAll(",\\s*\\}", "}").getBytes("UTF-8"))
+    }
+    val reopened = Icebox(t2.tableDir) // fresh handle: no cached manifests
+    reopened.currentSnapshot.get.files.filter(_.deletes.nonEmpty)
+      .foreach(_.deleteRows shouldBe -1L)
+    reopened.rowCount shouldBe None
+    graft.plans.IceboxStats.invalidate()
+    reopened.read(cboSpark).queryExecution.optimizedPlan.stats.rowCount shouldBe None
+  } }
+
+  test("decimal min/max flips a broadcast the byte heuristic refuses") { withCbo {
+    import cboSpark.implicits._
+    val dim = Icebox(tmpDir("stats-decdim"))
+    val fact = Icebox(tmpDir("stats-decfact"))
+    // price: DECIMAL(12,2) with distinct cents so parquet can't dictionary-
+    // compress it to nothing; 20k rows, filter keeps ~10
+    val dimDf = (1L to 20000L).map(i => (i, BigDecimal(i * 100L + i % 97, 2)))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(12,2)").as("price"))
+    dim.append(dimDf, collectStats = Seq("id", "price"))
+    dim.analyze(cboSpark, Seq("id", "price"))
+    fact.append((1L to 50000L).map(i => (i % 20000L + 1L, i.toDouble))
+      .toDF("fk", "v"), collectStats = Seq("fk"))
+    val dimBytes = dim.currentSnapshot.get.files.map(_.sizeBytes).sum
+    val threshold = 10 * 1024
+    assert(dimBytes > threshold, s"test setup: dim on disk $dimBytes must exceed $threshold")
+    // sanity: the bridge serves the decimal extrema in catalog form
+    val byName = dim.read(cboSpark).queryExecution.optimizedPlan.stats
+      .attributeStats.map { case (a, cs) => a.name -> cs }
+    byName("price").min.map(_.toString) shouldBe Some("1.01")
+    byName("price").max.map(_.toString) shouldBe Some("20000.18")
+
+    def joined(s: SparkSession) = {
+      // keeps prices <= 11.00 → 10 of 20k dim rows; the byte heuristic
+      // still sees the full file size
+      val d = dim.read(s).filter(col("price") <= new java.math.BigDecimal("11.00"))
+      fact.read(s).join(d, col("fk") === col("id")).agg(sum("v").as("s"), count(lit(1)).as("n"))
+    }
+    def withThreshold[T](s: SparkSession)(body: => T): T = {
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      try body finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    val (cboHasBroadcast, cboRows) = withThreshold(cboSpark) {
+      val df = joined(cboSpark)
+      (collectPlan(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[BroadcastExchangeExec]), canon(df))
+    }
+    val (plainHasBroadcast, plainRows) = withThreshold(spark) {
+      val df = joined(spark)
+      (collectPlan(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[BroadcastExchangeExec]), canon(df))
+    }
+    withClue("decimal-range selectivity must drive the broadcast:") {
+      cboHasBroadcast shouldBe true
+    }
+    withClue("byte heuristic must refuse (file exceeds threshold):") {
+      plainHasBroadcast shouldBe false
+    }
+    cboRows shouldBe plainRows
+  } }
+
+  test("timestamp min/max round-trips through the catalog external form") { withCbo {
+    import cboSpark.implicits._
+    val t = Icebox(tmpDir("stats-ts"))
+    // TIMESTAMP_NTZ (the testdata/CDC shape): zone-free, exact round-trip
+    val rows = (1L to 400L).map { i =>
+      (i, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(i * 7))
+    }
+    t.append(rows.toDF("id", "ts"), collectStats = Seq("ts"))
+    val st = t.read(cboSpark).queryExecution.optimizedPlan.stats
+    val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+    // attributeStats values went through fromExternalString — a format
+    // mismatch would have thrown during stats conversion, and the values
+    // must be the true micros extrema
+    def micros(ldt: java.time.LocalDateTime): Long =
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    byName("ts").min shouldBe Some(micros(rows.head._2))
+    byName("ts").max shouldBe Some(micros(rows.last._2))
+
+    // ZONED timestamp: served only under a fixed-offset JVM zone (this
+    // container runs UTC); under a DST zone the rendering is ambiguous
+    // and the bridge must refuse
+    assume(java.time.ZoneId.systemDefault().getRules.isFixedOffset,
+      "container zone is not fixed-offset; zoned-timestamp case not testable")
+    val tz = Icebox(tmpDir("stats-tsz"))
+    val zrows = (1L to 100L).map(i => (i, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(i * 60))))
+    tz.append(zrows.toDF("id", "ts"), collectStats = Seq("ts"))
+    val zStats = tz.read(cboSpark).queryExecution.optimizedPlan.stats
+      .attributeStats.map { case (a, cs) => a.name -> cs }
+    def zmicros(ts: java.sql.Timestamp): Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+    zStats("ts").min shouldBe Some(zmicros(zrows.head._2))
+    zStats("ts").max shouldBe Some(zmicros(zrows.last._2))
   } }
 }

@@ -33,8 +33,9 @@ class MergeOnReadSpec extends SparkSpec {
     t.read(spark).filter($"id".isin(3L, 17L, 42L)).count() shouldBe 0L
     // indexed read path applies deletes too
     t.readIndexed(spark).count() shouldBe 77L
-    // manifest COUNT(*) falls back to a scan (counts are now upper bounds)
-    t.rowCount shouldBe None
+    // manifest COUNT(*) stays exact: per-file attached-position counts
+    // (DataFile.deleteRows) subtract from the manifest rows
+    t.rowCount shouldBe Some(77L)
   }
 
   test("repeated merge-on-read DELETEs stack delete files on one base file") {

@@ -25,6 +25,35 @@ object SparkEntry {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** A CBO-enabled session on the caller's SparkContext, with the graft
+    * extensions (pre-CBO stats rule) installed — the driver's plain
+    * session has neither. Cached per context; AQE off so plan-level
+    * `require`s are deterministic. Default/active session registrations
+    * are preserved: only queries that explicitly opt in run CBO.
+    */
+  @volatile private var cboCache: SparkSession = _
+  private def cboSession(s: SparkSession): SparkSession = synchronized {
+    if (cboCache == null || cboCache.sparkContext != s.sparkContext ||
+        cboCache.sparkContext.isStopped) {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      cboCache = SparkSession.builder()
+        .withExtensions(e => new GraftExtensions().apply(e))
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "false")
+        .getOrCreate()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+    cboCache
+  }
+
   /** All (idA < idB) pairs of `__id`s sharing a `__key` — one shuffle +
     * inline combination expansion (never a self-join, which would recompute
     * the upstream pipeline once per side).
@@ -1092,6 +1121,119 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("order_count"),
           round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // RUNTIME BLOOM-JOIN FILE PRUNING (DPP for non-partition keys): the
+    // fact (lineitem) is hash-scattered into 64 files so every file's
+    // [min,max] on l_orderkey spans nearly the whole domain — min/max
+    // pruning provably keeps everything (require #1) — and the dim side's
+    // join keys (customer 7's ~10 orders) exist only at runtime. The
+    // manifest per-file bloom index prunes the fact read to the files that
+    // might hold those keys (require #2: ≤80% of files scanned; expected
+    // ~55%). At 100 TB: the arrival-ordered fact reads O(files holding the
+    // probe keys), not O(table), with no clustering requirement.
+    "q_bloom_join" -> ((s, dir) => {
+      val fact = Icebox(tmp("qbfj"))
+      fact.setProperties(Map(
+        "manifest.bloom.columns" -> "l_orderkey", "manifest.bloom.fpp" -> "0.001"))
+      fact.append(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount").repartition(64))
+      val dim = t(s, dir, "orders").filter(col("o_custkey") === 7L)
+        .select("o_orderkey", "o_custkey")
+      val pruned = graft.operators.RuntimeFilterJoin.prunedFactRead(s, fact, dim,
+        Seq("l_orderkey" -> "o_orderkey"))
+      val files = fact.currentSnapshot.get.files
+      val bounds = dim.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      val (klo, khi) = (bounds.getLong(0), bounds.getLong(1))
+      val rangeDisjoint = files.count(_.stats.get("l_orderkey").exists {
+        case (mn, mx) => mx.toLong < klo || mn.toLong > khi })
+      require(files.size >= 32 && rangeDisjoint == 0,
+        s"setup must defeat min/max pruning: ${files.size} files, $rangeDisjoint range-disjoint")
+      val scanned = pruned.inputFiles.length
+      require(scanned < (files.size * 8) / 10,
+        s"bloom file pruning too weak: $scanned of ${files.size} files scanned")
+      pruned.join(dim, pruned("l_orderkey") === dim("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("line_count"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
+    // COST-BASED OPTIMIZER fed by the manifest stats bridge, proven inside
+    // the oracle gate: a 3-table TPC-H-shaped join where a range filter
+    // keeps ~0.2% of orders. With the stats rule on, CBO's min/max
+    // selectivity estimates the filtered side at a few hundred rows →
+    // BroadcastHashJoin; with the rule off, the byte heuristic sees the
+    // full column-pruned file size (over the threshold) → refuses the
+    // broadcast. Both plans are built in-query and the flip is require'd;
+    // the returned result runs the stats-driven plan and must exact-hash
+    // against DuckDB. At 100 TB this decision — broadcast the post-filter
+    // dim instead of shuffling the fact — is hours vs minutes.
+    "q_cbo_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val lt = Icebox(tmp("qcbo_l")); val ot = Icebox(tmp("qcbo_o"))
+      val ct = Icebox(tmp("qcbo_c"))
+      lt.append(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_quantity").repartition(4),
+        collectStats = Seq("l_orderkey"))
+      ot.append(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice").repartition(2),
+        collectStats = Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      ct.append(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment").repartition(2),
+        collectStats = Seq("c_custkey"))
+      val cbo = cboSession(s)
+      // NDV sketches: FilterEstimation wants distinctCount alongside
+      // min/max before it estimates range selectivity
+      lt.analyze(cbo, Seq("l_orderkey"))
+      ot.analyze(cbo, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      ct.analyze(cbo, Seq("c_custkey"))
+      def q(sess: SparkSession) =
+        lt.read(sess)
+          .join(ot.read(sess).filter(col("o_totalprice") <= 2000.0),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(ct.read(sess), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+      // does any BroadcastHashJoin BUILD the filtered orders side?
+      def ordersBroadcast(df: DataFrame): Boolean =
+        df.queryExecution.executedPlan.collect {
+          case b: BroadcastHashJoinExec =>
+            (b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }).collect {
+              case sc: FileSourceScanExec
+                  if sc.relation.location.isInstanceOf[graft.plans.IceboxFileIndex] &&
+                    sc.relation.location.asInstanceOf[graft.plans.IceboxFileIndex]
+                      .tableDirString == ot.tableDir => sc
+            }.nonEmpty
+        }.exists(identity)
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.setActiveSession(cbo) // stats visitors read the thread-local conf
+      try {
+        val oldT = cbo.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        cbo.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+        try {
+          graft.plans.IceboxStats.invalidate()
+          val statsOn = q(cbo)
+          require(ordersBroadcast(statsOn),
+            "CBO stats must broadcast the filtered orders side (estimate ~0.2% of rows)")
+          cbo.conf.set("spark.graft.stats.enabled", "false")
+          try require(!ordersBroadcast(q(cbo)),
+            "byte heuristic must refuse the orders broadcast (file exceeds threshold)")
+          finally cbo.conf.set("spark.graft.stats.enabled", "true")
+          statsOn
+        } finally cbo.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      } finally {
+        prevActive match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None => SparkSession.clearActiveSession()
+        }
+      }
     }),
 
     // DYNAMIC PARTITION PRUNING through the manifest index: the dim-side
@@ -2679,6 +2821,20 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS order_count,
         |       round(sum(o_totalprice), 2) AS revenue
         |  FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderkey, count(*) AS line_count,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_custkey = 7
+        | GROUP BY o_orderkey""".stripMargin,
+    "q_cbo_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | WHERE o_totalprice <= 2000.0
         | GROUP BY c_mktsegment""".stripMargin,
     "q_icebox_days_prune" ->
       "SELECT * FROM events WHERE ts < '2024-01-10'",

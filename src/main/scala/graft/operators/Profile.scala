@@ -71,8 +71,40 @@ object Profile {
         strMax.as(s"__smax_${f.name}"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    pivot(one, fields)
+  }
+
+  /** [[profile]] with the exact/approx distinct decision made from a FREE
+    * row count instead of a caller flag: exact `count_distinct` at or
+    * below `threshold` rows — the regime where the Expand-by-#columns
+    * blowup is trivial and a correctness oracle wants exact numbers — and
+    * `approx_count_distinct` (HLL, ~2% error, single pass) above it,
+    * where a profiler's job is triage, not query semantics. An UNKNOWN
+    * row count chooses HLL: the scale-safe default (never accidentally
+    * Expand a 100 TB table). `knownRows` supplies the count for free
+    * (e.g. a manifest); absent, one `df.count()` pre-pass decides — on
+    * file-backed frames that is a metadata-weight scan of no columns,
+    * orders cheaper than the exact-distinct pass it may avoid.
+    */
+  def profileAuto(df: DataFrame, cols: Seq[String] = Nil,
+      threshold: Long = 100000L, knownRows: Option[Long] = None): DataFrame = {
+    val rows = knownRows.orElse(scala.util.Try(df.count()).toOption)
+    profile(df, cols, exact = rows.exists(_ <= threshold))
+  }
+
+  /** [[profileAuto]] over an Icebox table: the manifest row count decides
+    * — zero I/O. Tables where the manifest refuses an exact count (e.g.
+    * pending equality deletes) profile with HLL, the conservative side.
+    */
+  def profileAuto(spark: org.apache.spark.sql.SparkSession,
+      table: graft.table.Icebox, cols: Seq[String],
+      threshold: Long): DataFrame =
+    profile(table.read(spark), cols,
+      exact = table.rowCount.exists(_ <= threshold))
+
+  private def pivot(one: DataFrame, fields: Seq[StructField]): DataFrame = {
     // pivot the single row to per-column rows INSIDE the plan
-    val entries = fields.map { f =>
+    val entries = fields.toSeq.map { f =>
       struct(
         lit(f.name).as("column"),
         col("__rows").as("row_count"),

@@ -31,6 +31,13 @@ import org.apache.spark.sql.SparkSession
   *    accordingly). `maintenance.analyze.histogram.buckets` (default 32).
   *    Together these keep the CBO stats bridge fed without a scheduler
   *    ever issuing ANALYZE by hand.
+  *  - auto-freshness (r13, on by default): a table that was EVER ANALYZEd
+  *    re-analyzes its sticky `sketch.ndv.columns` set on the tick, and
+  *    ever-built `hist.<col>` histograms rebuild at their previous bucket
+  *    resolution — no configuration needed. Gated by
+  *    `maintenance.analyze.lag-commits` (default 1 = re-analyze on any
+  *    lag) / `maintenance.analyze.lag-bytes-pct` (default 0 = ignore
+  *    growth); disable per table with `maintenance.analyze.auto=false`.
   *
   * 100 TB behavior: the partitioned path compacts ONLY partitions over the
   * file threshold (O(hot partitions), not a whole-table rewrite), expiry
@@ -100,8 +107,48 @@ object TableService {
     // the CBO bridge always plans from current numbers. ANALYZE here is
     // O(delta) — post-compaction files get sketched in this same tick,
     // steady-state appends were sketched inline at commit.
-    val analyzeCols = table.properties.get("maintenance.analyze.columns")
+    //
+    // FRESHNESS POLICY (r13): CBO stats are snapshot-keyed, so they stop
+    // serving the moment the head moves past them. A table that was EVER
+    // ANALYZEd (the sticky `sketch.ndv.columns` set) re-analyzes on the
+    // tick without `maintenance.analyze.columns` being configured, and
+    // ever-built histograms (`hist.<col>` properties) rebuild at their
+    // previous bucket resolution — both gated by how far the stats lag
+    // the head: `maintenance.analyze.lag-commits` (default 1 = any lag)
+    // or `maintenance.analyze.lag-bytes-pct` growth, whichever trips
+    // first. `maintenance.analyze.auto=false` opts a table out. Bounded:
+    // the NDV pass reads only files missing a sketch; the lag gate is
+    // manifest arithmetic (snapshot ids + recorded totalBytes, zero file
+    // resolution).
+    val explicitCols = table.properties.get("maintenance.analyze.columns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val autoOn = !table.properties.get("maintenance.analyze.auto")
+      .exists(_.trim.equalsIgnoreCase("false"))
+    val lagCommits = intProp(table, "maintenance.analyze.lag-commits", 1)
+    val lagPct = intProp(table, "maintenance.analyze.lag-bytes-pct", 0)
+    val headId = table.currentSnapshotId
+    lazy val snapBytes: Map[Long, Long] =
+      table.allSnapshots.map(s => s.id -> s.totalBytes).toMap
+    def lagged(sid: Long): Boolean = {
+      val behind = headId - sid
+      behind > 0 && (behind >= lagCommits ||
+        (lagPct > 0 && snapBytes.get(sid).exists { old =>
+          old > 0 && snapBytes.getOrElse(headId, old) - old >= old * lagPct.toLong / 100L
+        }))
+    }
+    val autoCols =
+      if (!autoOn || headId < 0) Nil
+      else table.properties.get("sketch.ndv.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .filterNot(explicitCols.contains)
+        .filter { c =>
+          table.properties.get(s"sketch.ndv.rollup.$c").map(_.split(':')) match {
+            case Some(Array(sid, _)) =>
+              scala.util.Try(sid.toLong).toOption.forall(lagged)
+            case _ => true // sticky column with no rollup yet: build it
+          }
+        }
+    val analyzeCols = explicitCols ++ autoCols
     // A stale `maintenance.analyze.columns` entry (column since dropped or
     // renamed) must not abort the tick: an unguarded throw here would
     // permanently block the expireSnapshots below and metadata would grow
@@ -112,18 +159,27 @@ object TableService {
         try { table.analyze(spark, analyzeCols); (analyzeCols, None) }
         catch { case scala.util.control.NonFatal(e) =>
           (Nil, Some(s"analyze(${analyzeCols.mkString(",")}): ${e.getMessage}")) }
-    val histCols =
-      if (analyzed.isEmpty ||
-        !table.properties.get("maintenance.analyze.histogram")
-          .exists(_.trim.equalsIgnoreCase("true"))) Nil
-      else {
-        val bins = intProp(table, "maintenance.analyze.histogram.buckets", 32)
-        analyzeCols.filter { c =>
-          table.histogramMeta(c).isEmpty && // fresh one already serves: skip
-            (try { table.analyzeHistogram(spark, c, bins); true }
-             catch { case scala.util.control.NonFatal(_) => false }) // no min/max anchor
-        }
-      }
+    val histFlag = table.properties.get("maintenance.analyze.histogram")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val flaggedBins = intProp(table, "maintenance.analyze.histogram.buckets", 32)
+    // (col, buckets): flagged columns at the configured resolution, plus —
+    // auto path — ever-built histograms at their OWN previous resolution
+    val histCandidates: Seq[(String, Int)] =
+      (if (histFlag && analyzed.nonEmpty) analyzed.map(_ -> flaggedBins) else Nil) ++
+        (if (!autoOn || headId < 0) Nil
+         else table.properties.toSeq.collect {
+           case (k, v) if k.startsWith("hist.") =>
+             (k.stripPrefix("hist."), v.split(':'))
+         }.collect {
+           case (c, parts) if parts.length == 4 &&
+               scala.util.Try(parts(0).toLong).toOption.forall(s => s != headId && lagged(s)) =>
+             c -> parts(3).split(',').length
+         })
+    val histCols = histCandidates.distinct.collect {
+      case (c, bins) if table.histogramMeta(c).isEmpty && // fresh one serves: skip
+          (try { table.analyzeHistogram(spark, c, bins); true }
+           catch { case scala.util.control.NonFatal(_) => false }) => c // no min/max anchor
+    }
 
     val expired = table.expireSnapshots(nowMs - maxAgeMs, retain)
     Report(whole, parts, expired, mvMode, analyzed, histCols, analyzeErr)

@@ -23,7 +23,11 @@ object VerifySf1 {
     // round-12: ExactSubstr span removal at 10x corpus bytes (the gram
     // shuffle is ~L x corpus — the one r11 operator with no 10x proof),
     // and the snowflake-chain MV through the DDL surface
-    "q_exact_substr", "q_mv_snowflake")
+    "q_exact_substr", "q_mv_snowflake",
+    // round-13: DSIR after the honest-cost rewrite (two gram-explode
+    // passes, zero retained state) — no 10x proof existed; expectation is
+    // linear in corpus bytes (three tokenize passes, ≤buckets-row collects)
+    "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

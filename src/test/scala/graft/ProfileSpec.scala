@@ -53,6 +53,28 @@ class ProfileSpec extends SparkSpec {
     p.count() shouldBe 3L
   }
 
+  test("profileAuto: exact at/below threshold, HLL above, manifest count is free") {
+    val big = (1 to 500).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    // below threshold: exact distincts — plan carries the Expand of the
+    // exact-distinct rewrite over >1 profiled column
+    val exactPlan = Profile.profileAuto(big, threshold = 1000)
+      .queryExecution.executedPlan.toString
+    exactPlan should include ("Expand")
+    // above threshold: HLL — no Expand, and distincts are approximate
+    val hll = Profile.profileAuto(big, threshold = 100)
+    hll.queryExecution.executedPlan.toString should not include "Expand"
+    // a supplied row count skips the df.count() pre-pass and decides alone
+    val known = Profile.profileAuto(big, threshold = 1000, knownRows = Some(10_000_000L))
+    known.queryExecution.executedPlan.toString should not include "Expand"
+    // Icebox overload: the manifest row count decides with zero I/O
+    val t = graft.table.Icebox(tmpDir("prof-auto"))
+    t.append(big)
+    Profile.profileAuto(spark, t, Seq("id"), threshold = 1000)
+      .head().getLong(3) shouldBe 500L // exact regime: precise distinct
+    Profile.profileAuto(spark, t, Seq("id"), threshold = 10)
+      .queryExecution.executedPlan.toString should not include "Expand"
+  }
+
   test("timestamp columns render min/max through str_min/str_max") {
     val t = Seq("2024-01-02 03:04:05", "2024-06-07 08:09:10")
       .toDF("ts_s").select(to_timestamp(col("ts_s")).as("ts"))

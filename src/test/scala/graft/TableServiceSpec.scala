@@ -109,4 +109,59 @@ class TableServiceSpec extends SparkSpec {
     r3.histogramColumns shouldBe Nil
     r3.analyzedColumns shouldBe Seq("v") // metadata-only re-fold, 0 files
   }
+
+  test("auto-freshness: stats serve again after commit -> tick, no manual config") {
+    val t = Icebox(tmpDir("svc-auto"))
+    t.append((1L to 3000L).map(i => (i, (i % 400).toDouble)).toDF("id", "v"),
+      collectStats = Seq("v"))
+    // one-time ANALYZE + histogram — and NO maintenance.analyze.* config
+    t.analyze(spark, Seq("v"))
+    t.analyzeHistogram(spark, "v", buckets = 16)
+    t.approxCountDistinctMeta("v").isDefined shouldBe true
+    t.histogramMeta("v").isDefined shouldBe true
+    // head moves: snapshot-keyed stats stop serving
+    t.append((3001L to 3600L).map(i => (i, (i % 400).toDouble)).toDF("id", "v"))
+    t.histogramMeta("v") shouldBe None
+    val snapsBefore = t.allSnapshots.size
+    val r = TableService.tick(spark, t)
+    // ...and one tick brings them back: the sticky sketch set re-analyzes,
+    // the ever-built histogram rebuilds at its own 16-bucket resolution
+    r.analyzedColumns shouldBe Seq("v")
+    r.histogramColumns shouldBe Seq("v")
+    t.approxCountDistinctMeta("v").isDefined shouldBe true
+    val (_, _, counts) = t.histogramMeta("v").get
+    counts.length shouldBe 16
+    counts.sum shouldBe 3600L
+    // bounded work: the NDV path was metadata-only (the append sketched
+    // its own files inline — no analyze commit beyond the tick's own work)
+    (t.allSnapshots.size - snapsBefore) should be <= 1
+    // fresh stats: the next tick re-analyzes nothing
+    val r2 = TableService.tick(spark, t)
+    r2.analyzedColumns shouldBe Nil
+    r2.histogramColumns shouldBe Nil
+    // opt-out honored
+    t.append((3601L to 3700L).map(i => (i, 1.0)).toDF("id", "v"))
+    t.setProperties(Map("maintenance.analyze.auto" -> "false"))
+    val r3 = TableService.tick(spark, t)
+    r3.analyzedColumns shouldBe Nil
+    r3.histogramColumns shouldBe Nil
+    t.histogramMeta("v") shouldBe None // stale and (by policy) left alone
+    t.removeProperties(Seq("maintenance.analyze.auto"))
+    TableService.tick(spark, t).histogramColumns shouldBe Seq("v")
+  }
+
+  test("auto-freshness lag gate: below lag-commits the tick leaves stats alone") {
+    val t = Icebox(tmpDir("svc-lag"))
+    t.append((1L to 1000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v"),
+      collectStats = Seq("v"))
+    t.analyze(spark, Seq("v"))
+    t.setProperties(Map("maintenance.analyze.lag-commits" -> "3"))
+    t.append((1001L to 1100L).map(i => (i, 1.0)).toDF("id", "v")) // 1 behind
+    TableService.tick(spark, t).analyzedColumns shouldBe Nil
+    t.append((1101L to 1200L).map(i => (i, 2.0)).toDF("id", "v")) // 2 behind
+    TableService.tick(spark, t).analyzedColumns shouldBe Nil
+    t.append((1201L to 1300L).map(i => (i, 3.0)).toDF("id", "v")) // 3 behind: trip
+    TableService.tick(spark, t).analyzedColumns shouldBe Seq("v")
+    t.approxCountDistinctMeta("v").isDefined shouldBe true
+  }
 }

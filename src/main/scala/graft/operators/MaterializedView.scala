@@ -593,7 +593,12 @@ object MaterializedView {
         val delta = diff.groupBy(keys.map(col): _*).agg(deltaAggs.head, deltaAggs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-        if (delta.isEmpty) {
+        // count(), not isEmpty(): isEmpty is take(1) and materializes only
+        // the persist's FIRST partitions — every downstream broadcast of
+        // delta/touched would then re-scan the whole change diff inside its
+        // own subquery job. One count pays one diff scan and the cache
+        // serves everything after it.
+        if (delta.count() == 0L) {
           // data-neutral source change (compaction, metadata): advance the
           // cursor so later diffs never re-read this range
           target.commitMarker(op, expectHeadId = tgtHead)

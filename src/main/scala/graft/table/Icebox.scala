@@ -824,20 +824,132 @@ final class Icebox(val tableDir: String) {
     val to = readSnapshot(toId)
     // ENTRY-identity diff, not path diff: a merge-on-read DELETE keeps the
     // data file path but attaches a delete file — the changed entry lands
-    // on BOTH sides, and reading each side with its own delete set makes
-    // the removed rows fall out of exceptAll. Path-identical unchanged
-    // entries still never read.
+    // on BOTH sides. Path-identical unchanged entries never read.
     val fromSet = from.files.toSet
     val toSet = to.files.toSet
-    val removedFiles = from.files.filterNot(toSet)
-    val addedFiles = to.files.filterNot(fromSet)
+    val removedEntries = from.files.filterNot(toSet)
+    val addedEntries = to.files.filterNot(fromSet)
+    // SAME-PATH PAIRING: two entry changes keep the data file itself
+    // intact — a merge-on-read delete ATTACH (delete sets grow) and a
+    // metadata-only manifest change (ANALYZE sketches, bloom attach, stat
+    // refresh: delete sets equal ⇒ content identical). Handling those
+    // pairs directly keeps their full file contents OUT of the multiset
+    // net-out below: a delete-growth pair contributes exactly its
+    // newly-deleted rows ([[growthDeleteRows]] — one read, no exceptAll),
+    // a metadata-only pair contributes nothing with ZERO I/O. Divergent
+    // same-path pairs (a delete set shrank — not produced by any current
+    // writer) conservatively fall through to the net-out.
+    val removedByPath = removedEntries.map(f => pathOnly(f.path) -> f).toMap
+    val addedByPath = addedEntries.map(f => pathOnly(f.path) -> f).toMap
+    val pairedPaths = removedByPath.keySet intersect addedByPath.keySet
+    def isGrowth(o: DataFile, n: DataFile): Boolean =
+      o.deletes.toSet.subsetOf(n.deletes.toSet) &&
+        o.eqDeletes.toSet.subsetOf(n.eqDeletes.toSet)
+    val growthPairs = pairedPaths.toSeq.sorted
+      .map(p => (removedByPath(p), addedByPath(p)))
+      .filter { case (o, n) => isGrowth(o, n) }
+    val growthPaths = growthPairs.map { case (o, _) => pathOnly(o.path) }.toSet
+    val strictGrowth = growthPairs.filter { case (o, n) =>
+      o.deletes.toSet != n.deletes.toSet || o.eqDeletes.toSet != n.eqDeletes.toSet }
+    val removedRest = removedEntries.filterNot(f => growthPaths(pathOnly(f.path)))
+    val addedRest = addedEntries.filterNot(f => growthPaths(pathOnly(f.path)))
     // read each side with ITS OWN schema (diff requires matching columns:
     // use the newer snapshot's column set; evolution-added columns read as
     // nulls from older files)
-    val oldRows = readFiles(spark, removedFiles, Some(to.schemaJson))
-    val newRows = readFiles(spark, addedFiles, Some(to.schemaJson))
-    newRows.exceptAll(oldRows).withColumn("_change_type", lit("insert"))
-      .unionByName(oldRows.exceptAll(newRows).withColumn("_change_type", lit("delete")))
+    val delFromRest =
+      if (removedRest.nonEmpty) Some(readFiles(spark, removedRest, Some(to.schemaJson)))
+      else None
+    val delFromGrowth = growthDeleteRows(spark, strictGrowth, to.schemaJson)
+    val delSide = (delFromRest, delFromGrowth) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b)             => a.orElse(b)
+    }
+    val insSide =
+      if (addedRest.nonEmpty) Some(readFiles(spark, addedRest, Some(to.schemaJson)))
+      else None
+    def tag(df: DataFrame, t: String) = df.withColumn("_change_type", lit(t))
+    (insSide, delSide) match {
+      case (None, None) => tag(readFiles(spark, Nil, Some(to.schemaJson)), "insert")
+      // one-sided ranges (the steady-state CDC shapes: pure append, pure
+      // delete) skip the net-out entirely — exceptAll(X, ∅) = X
+      case (Some(i), None) => tag(i, "insert")
+      case (None, Some(d)) => tag(d, "delete")
+      // both sides present (compaction rewrites, mixed commits): net the
+      // multisets so rewritten-but-unchanged rows cancel — inputs are now
+      // O(true delta + compacted bytes), never O(all changed entries × 2)
+      case (Some(i), Some(d)) =>
+        tag(i.exceptAll(d), "insert").unionByName(tag(d.exceptAll(i), "delete"))
+    }
+  }
+
+  /** Rows removed by a merge-on-read delete ATTACH between two snapshots:
+    * for each same-path entry pair whose delete sets strictly grew, the
+    * rows visible under the OLD delete sets that the NEWLY attached
+    * position/equality delete files match. One read of the paired files,
+    * flag-joined against only the new delete dirs — the exceptAll-free
+    * complement of [[changeDiff]]'s net-out, exact as a multiset because
+    * position deletes address physical rows and equality flags mirror
+    * [[Icebox.applyEqualityDeletes]]'s hit∧attached semantics.
+    */
+  private def growthDeleteRows(spark: SparkSession, pairs: Seq[(DataFile, DataFile)],
+      schemaJson: String): Option[DataFrame] = {
+    if (pairs.isEmpty) return None
+    val layouts = pairs.groupBy(_._1.partition.keys.toSet)
+    if (layouts.size > 1)
+      return Some(layouts.values.toSeq
+        .flatMap(g => growthDeleteRows(spark, g, schemaJson))
+        .reduce(_.unionByName(_)))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val olds = pairs.map(_._1)
+    val phys = Icebox.physicalSchema(schema)
+    val readSchema = StructType(phys.fields :+ StructField(CommitCol, StringType))
+    val fp = "__icx_gfp"; val pos = "__icx_gpos"
+    val raw = spark.read
+      .schema(readSchema)
+      .option("basePath", store.render(dataDir))
+      .parquet(olds.map(_.path): _*)
+      .select(col("*"), col("_metadata.file_path").as(fp),
+        col("_metadata.row_index").as(pos))
+    // content visible at the FROM snapshot: the old delete sets applied
+    val oldPosApplied =
+      Icebox.antiJoinDeletes(spark, raw, olds.flatMap(_.deletes).distinct, fp, pos)
+    val base = Icebox.applyEqualityDeletes(spark, oldPosApplied, olds, Some(fp))
+    var flagged = base
+    val flags = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val newPosDirs = pairs.flatMap { case (o, n) =>
+      n.deletes.filterNot(o.deletes.toSet) }.distinct
+    if (newPosDirs.nonEmpty) {
+      val dels = spark.read.parquet(newPosDirs: _*)
+        .select(Icebox.normPathColPub(col("file_path")).as("__gd_fp"),
+          col("pos").as("__gd_pos"))
+        .dropDuplicates() // a position listed twice must not duplicate its row
+      flagged = flagged.join(broadcast(dels),
+        Icebox.normPathColPub(flagged(fp)) === col("__gd_fp") &&
+          flagged(pos) === col("__gd_pos"), "left")
+      flags += col("__gd_fp").isNotNull
+    }
+    val newEqDirs = pairs.flatMap { case (o, n) =>
+      n.eqDeletes.filterNot(o.eqDeletes.toSet) }.distinct
+    newEqDirs.zipWithIndex.foreach { case (dir, i) =>
+      // attach semantics mirror applyEqualityDeletes: a row is removed by
+      // this dir iff its key tuple matches AND its file newly attaches it
+      val attached = pairs.collect { case (o, n)
+        if n.eqDeletes.contains(dir) && !o.eqDeletes.contains(dir) => o.path }.distinct
+      val attDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(attached.map(Row(_)), 1),
+        StructType(Seq(StructField(s"__g_att_fp$i", StringType))))
+      val keys = spark.read.parquet(dir).dropDuplicates()
+      val hit = s"__g_hit$i"; val att = s"__g_att$i"
+      flagged = flagged
+        .join(broadcast(keys.withColumn(hit, lit(true))), keys.columns.toSeq, "left")
+        .join(broadcast(attDf.withColumn(att, lit(true))),
+          Icebox.normPathColPub(col(fp)) ===
+            Icebox.normPathColPub(col(s"__g_att_fp$i")), "left")
+      flags += (coalesce(col(hit), lit(false)) && coalesce(col(att), lit(false)))
+    }
+    Some(flagged.filter(flags.reduce(_ || _))
+      .select(schema.fields.map(f =>
+        col(Icebox.physicalName(f)).as(f.name)).toIndexedSeq: _*))
   }
 
   /** Partition column names of the current snapshot, as LOGICAL names
@@ -3341,6 +3453,11 @@ object Icebox {
     */
   private def normPathCol(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][\\w+.-]*:(//[^/]*)?", "")
+
+  /** [[normPathCol]] for the companion class (Scala object-private members
+    * are visible to the companion, but keep the intent explicit).
+    */
+  private[table] def normPathColPub(c: Column): Column = normPathCol(c)
 
   /** Apply EQUALITY deletes to a file-relation DataFrame: a row is removed
     * iff its key tuple appears in an equality-delete file AND its data file

@@ -1640,6 +1640,46 @@ object SparkEntry {
     // (same content, new ids) — all must drop via the fingerprint
     // membership probe (bloom/stats-pruned corpus read, O(batch) not
     // O(corpus)); only genuinely new content appends (count asserted)
+    // Incremental NEAR-dup dedup vs a corpus through the persisted LSH
+    // band index (Dedup.nearDupInsert): batch bands probe the index's
+    // bloom-pruned files, candidates verify by exact shingle Jaccard
+    // against an id-pruned corpus fetch — O(batch) both sides. ORACLE
+    // EXACTNESS by construction: every text is salted with its own
+    // normalized-content fingerprint, so at threshold 1.0 a drop happens
+    // iff shingle SETS are equal iff the fingerprints are equal — the
+    // DuckDB oracle replays the same two-wave fingerprint arithmetic as
+    // q_dedup_insert. The in-query require cross-checks the second
+    // wave's admitted count against the fingerprint expectation, so a
+    // recall loss (a lost index entry, a pruned-away file) fails loudly.
+    "q_neardup_insert" -> ((s, dir) => {
+      val corpus = Icebox(tmp("qndi_c")); val index = Icebox(tmp("qndi_i"))
+      val fpc = graft.functions.TextFunctions.fingerprint(
+        coalesce(col("text"), lit("")))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          concat_ws(" ", fpc, coalesce(col("text"), lit(""))).as("text"))
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.nearDupInsert(corpus, index, batch1, "text", "doc_id",
+        threshold = 1.0, bands = 2)
+      // wave 2: the held-out third plus a RE-OFFERED sample of corpus
+      // content under fresh ids — the sample (not the full corpus) keeps
+      // the bench honest about batch-sized work while still proving
+      // corpus-dups drop through the index probe
+      val batch2 = docs.filter(col("doc_id") % 3 === 0).unionByName(
+        batch1.filter(col("doc_id") % 9 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      val n2 = Dedup.nearDupInsert(corpus, index, batch2, "text", "doc_id",
+        threshold = 1.0, bands = 2)
+      def fp(d: DataFrame) = d.select(fpc.as("fp")).distinct()
+      val base = t(s, dir, "documents")
+      val expected2 = fp(base.filter(col("doc_id") % 3 === 0))
+        .join(fp(base.filter(col("doc_id") % 3 =!= 0)), Seq("fp"), "left_anti")
+        .count()
+      require(n2 == expected2,
+        s"expected $expected2 fresh docs in wave 2, got $n2")
+      corpus.read(s).select("doc_id", "source", "n_chars")
+    }),
+
     "q_dedup_insert" -> ((s, dir) => {
       val corpus = Icebox(tmp("qdi"))
       corpus.setProperties(Map("manifest.bloom.columns" -> "fingerprint"))
@@ -2955,6 +2995,23 @@ object SparkEntry {
     // saw) the min doc_id among the %3==0 batch-2 carriers — duplicate
     // texts exist in the corpus by construction at larger SFs, and
     // re-id'd copies (+10000) can never win the min
+    // salted texts make drop ⟺ fingerprint-equality at threshold 1.0, so
+    // the near-dup insert replays q_dedup_insert's two-wave arithmetic:
+    // wave-1 keeps = min id per fp among %3<>0; wave-2 keeps = min id per
+    // fp whose every holder is %3==0 (re-id'd copies are corpus content)
+    "q_neardup_insert" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |         md5(lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |k1 AS (SELECT fp, min(doc_id) AS keep FROM f
+        |       WHERE doc_id % 3 <> 0 GROUP BY fp),
+        |k2 AS (SELECT fp, min(doc_id) AS keep FROM f
+        |       WHERE fp NOT IN (SELECT fp FROM k1) GROUP BY fp)
+        |SELECT f.doc_id, f.source, f.n_chars
+        |FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
+        |  ON f.doc_id = k.keep""".stripMargin,
+
     "q_dedup_insert" ->
       """WITH f AS (
         |  SELECT doc_id, source, n_chars,

@@ -67,6 +67,167 @@ object Dedup {
     } finally fresh.unpersist(blocking = false)
   }
 
+  /** Incremental NEAR-dup dedup of a batch against an accumulated corpus —
+    * the continuous-ingest complement of [[minHashDedup]]: append only the
+    * batch docs with NO verified near-duplicate (shingle Jaccard ≥
+    * `threshold`) already in the corpus, probing a persisted LSH BAND
+    * INDEX table at O(batch) instead of re-banding the corpus per cycle.
+    *
+    * The index is an auxiliary Icebox table of `(band int, key long,
+    * <idCol>)` rows — `key` = xxhash64 of the signature's band slice,
+    * band-seeded — maintained by this function (created on first insert
+    * with manifest blooms + stats on `key`). A probe reads only the index
+    * files whose blooms/stats admit the batch's band keys, then fetches
+    * ONLY the candidate corpus docs' texts ([[graft.table.Icebox
+    * .readForKeys]] on the id column) for the exact Jaccard verify — at
+    * 100 TB both sides track the BATCH, never the corpus.
+    *
+    * In-batch near-duplicates collapse to the min-id survivor first (one
+    * banding pass, shared with the probe). Batch docs too short to have a
+    * shingle never pair — consistent with every other fuzzy method here.
+    *
+    * Crash contract: the corpus commit lands BEFORE the index commit, so
+    * a crash between them only LOSES index entries (future near-dups of
+    * those docs may be re-admitted — recall loss, never corruption);
+    * [[rebuildNearDupIndex]] backfills the gap idempotently.
+    *
+    * Returns the number of docs appended.
+    */
+  def nearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
+      batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = -1,
+      shingleSize: Int = 5, maxBucketSize: Int = 1000): Long = {
+    val spark = batch.sparkSession
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % b == 0, "numHashes must be divisible by bands")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the batch lineage (often a projection over a scan, with per-row
+    // normalization) is referenced by the banding pass, both verify joins,
+    // the survivor anti-joins, and BOTH appends — materialize it exactly
+    // once (the batch is the small side of incremental ingest by
+    // definition; the corpus is never persisted)
+    val bp = batch.persist(lvl)
+    // one signature pass feeds BOTH the intra-batch collapse and the probe
+    val banded = bandedKeys(bp, textCol, idCol, numHashes, b, shingleSize)
+      .persist(lvl)
+    // verify on HASHED shingle sets — the same hash domain the LSH
+    // signature is built from, so at threshold 1.0 the verify agrees with
+    // band-key equality by construction (string shingles would re-shingle
+    // every text into heavyweight arrays a second time; Jaccard over
+    // 64-bit xxhash sets equals Jaccard over shingle sets w.h.p.)
+    val sh = bp.select(col(idCol).as("__bid"),
+      array_distinct(graft.functions.ShingleExpressions.shingleHashesFast(
+        spark, col(textCol), shingleSize)).as("__shB"))
+      .persist(lvl)
+    def jac(a: Column, bc: Column): Column =
+      when(size(array_union(a, bc)) === 0, lit(0.0))
+        .otherwise(size(array_intersect(a, bc)).cast("double") /
+          size(array_union(a, bc)))
+    try {
+      // 1. collapse the batch against itself: min-id survivor per verified pair
+      val intraPairs = bucketPairs(banded, maxBucketSize)
+      val intraDups = intraPairs
+        .join(sh.select(col("__bid").as("idA"), col("__shB").as("__shA")), "idA")
+        .join(sh.select(col("__bid").as("idB"), col("__shB")), "idB")
+        .filter(jac(col("__shA"), col("__shB")) >= threshold)
+        .select(col("idB").as("__dup")).distinct()
+      val survivors = bp.join(intraDups, col(idCol) === col("__dup"), "left_anti")
+      // 2. probe the index for corpus candidates, verify against ONLY the
+      //    candidate corpus docs (id-pruned fetch)
+      val corpusDups: DataFrame = corpus.currentSnapshot match {
+        case None => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
+        case Some(_) =>
+          val hits = index.readForKeys(spark, banded.select(col("__band").as("band"),
+              col("__key").as("key")))
+          val cands = banded
+            .join(hits, banded("__band") === hits("band") && banded("__key") === hits("key"))
+            .select(col("__id").as("__bid"), col(idCol).as("__cid"))
+            .distinct().persist(lvl)
+          try {
+            cands.count() // materialize: feeds the bounds probe AND the verify join
+            val slice = corpus.readForKeys(spark,
+              cands.select(col("__cid").as(idCol)).distinct())
+            val shC = slice.select(col(idCol).as("__cid2"),
+              array_distinct(graft.functions.ShingleExpressions.shingleHashesFast(
+                spark, col(textCol), shingleSize)).as("__shC"))
+            cands
+              .join(sh, "__bid")
+              .join(shC, cands("__cid") === shC("__cid2"))
+              .filter(jac(col("__shB"), col("__shC")) >= threshold)
+              .select(col("__bid").as("__dup")).distinct()
+          } finally cands.unpersist(blocking = false)
+      }
+      val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
+        .persist(lvl)
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          // corpus FIRST (see crash contract above)
+          corpus.append(fresh, collectStats = Seq(idCol))
+          if (!index.exists)
+            index.setProperties(Map("manifest.bloom.columns" -> "key"))
+          index.append(
+            banded.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+              .select(col("__band").as("band"), col("__key").as("key"),
+                col("__id").as(idCol)),
+            collectStats = Seq("key"))
+        }
+        n
+      } finally fresh.unpersist(blocking = false)
+    } finally {
+      banded.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+      bp.unpersist(blocking = false)
+    }
+  }
+
+  /** Backfill [[nearDupInsert]]'s band index for corpus docs missing from
+    * it (a crash window between the corpus and index commits, or an index
+    * bootstrapped over a pre-existing corpus). Idempotent; reads the
+    * index's id column once (O(index)) and bands only the MISSING docs.
+    * Returns the number of docs indexed. Parameters must match the ones
+    * `nearDupInsert` is called with.
+    */
+  def rebuildNearDupIndex(corpus: graft.table.Icebox, index: graft.table.Icebox,
+      textCol: String, idCol: String, numHashes: Int = 64, bands: Int = -1,
+      threshold: Double = 0.8, shingleSize: Int = 5): Long = {
+    val spark = corpus.currentSnapshot match {
+      case None => return 0L
+      case Some(_) => org.apache.spark.sql.SparkSession.active
+    }
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val missing =
+      if (!index.exists) corpus.read(spark)
+      else corpus.read(spark).join(index.read(spark).select(idCol), Seq(idCol), "left_anti")
+    val banded = bandedKeys(missing, textCol, idCol, numHashes, b, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = banded.select("__id").distinct().count()
+      if (rows > 0) {
+        if (!index.exists)
+          index.setProperties(Map("manifest.bloom.columns" -> "key"))
+        index.append(banded.select(col("__band").as("band"), col("__key").as("key"),
+          col("__id").as(idCol)), collectStats = Seq("key"))
+      }
+      rows
+    } finally banded.unpersist(blocking = false)
+  }
+
+  /** `(id, band, key)` LSH band keys of every doc with ≥ 1 shingle — the
+    * shared building block of [[minHashCandidates]] and [[nearDupInsert]].
+    */
+  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandKeys = array((0 until bands).map(i =>
+      xxhash64(slice(col("__sig"), i * r + 1, r), lit(i))): _*)
+    minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
+      .select(col("__id"), posexplode(bandKeys))
+      .toDF("__id", "__band", "__key")
+  }
+
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -140,14 +301,9 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     // (id, band_idx, band_key) — one row per band, then pairs within buckets
-    val bandKeys = array((0 until bands).map(b =>
-      xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*)
-    val banded = minhashSignatures(df, textCol, idCol, numHashes, shingleSize)
-      .select(col("__id"), posexplode(bandKeys))
-      .toDF("__id", "__band", "__key")
-    bucketPairs(banded, maxBucketSize)
+    bucketPairs(bandedKeys(df, textCol, idCol, numHashes, bands, shingleSize),
+      maxBucketSize)
   }
 
   private val observeSeq = new java.util.concurrent.atomic.AtomicLong()

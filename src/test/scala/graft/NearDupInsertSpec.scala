@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.table.Icebox
+
+/** [[Dedup.nearDupInsert]]: incremental MinHash-LSH dedup against an
+  * accumulated corpus through a persisted band-index table — near-dups of
+  * corpus content drop, novel content admits, in-batch near-dups collapse,
+  * the index probe is file-pruned, and the crash gap (corpus committed,
+  * index not) repairs idempotently.
+  */
+class NearDupInsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 seeded-random 8-letter words: distinct seeds give char-shingle-
+  // disjoint docs; `nearDocOf` flips 3 words so Jaccard vs the base stays
+  // high (≈0.9, a near-dup at threshold 0.8) but below 1.0
+  private def doc(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 60).map(_ =>
+      (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+  }
+  private def nearDocOf(seed: Int): String = {
+    val words = doc(seed).split(" ")
+    words.updated(3, "changedxx").updated(29, "alsochanged").updated(47, "thirdedit")
+      .mkString(" ")
+  }
+
+  private def fresh(prefix: String) =
+    (Icebox(tmpDir(s"$prefix-corpus")), Icebox(tmpDir(s"$prefix-index")))
+
+  test("near-dups of corpus content drop; novel content admits; exact recall on re-offers") {
+    val (corpus, index) = fresh("ndi-basic")
+    val w1 = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, w1, "text", "id", threshold = 0.8) shouldBe 20L
+    corpus.read(spark).count() shouldBe 20L
+    // wave 2: 5 verbatim re-offers (new ids), 5 near-dups, 5 novel
+    val w2 = ((101 to 105).map(i => (i.toLong, doc(i - 100))) ++
+      (111 to 115).map(i => (i.toLong, nearDocOf(i - 110))) ++
+      (121 to 125).map(i => (i.toLong, doc(i)))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, w2, "text", "id", threshold = 0.8) shouldBe 5L
+    val ids = corpus.read(spark).select("id").as[Long].collect().sorted
+    ids shouldBe ((1 to 20).map(_.toLong) ++ (121 to 125).map(_.toLong)).toArray
+    // the admitted docs' bands landed in the index
+    index.read(spark).select("id").distinct().count() shouldBe 25L
+  }
+
+  test("in-batch near-dups collapse to the min-id survivor before any probe") {
+    val (corpus, index) = fresh("ndi-intra")
+    val w = Seq((5L, doc(1)), (9L, nearDocOf(1)), (2L, doc(2))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, w, "text", "id", threshold = 0.8) shouldBe 2L
+    corpus.read(spark).select("id").as[Long].collect().sorted shouldBe Array(2L, 5L)
+  }
+
+  test("index probe is bloom/stats file-pruned: a batch touches a fraction of index files") {
+    val (corpus, index) = fresh("ndi-prune")
+    // 8 inserts -> 8 index files, each with blooms on `key`
+    (0 until 8).foreach { k =>
+      val w = (1 to 10).map(i => ((k * 100 + i).toLong, doc(k * 100 + i))).toDF("id", "text")
+      Dedup.nearDupInsert(corpus, index, w, "text", "id", threshold = 0.8) shouldBe 10L
+    }
+    val total = index.currentSnapshot.get.files.size
+    total should be >= 8
+    // probe with ONE doc's band keys: blooms must exclude most files
+    val oneDoc = Seq((301L, doc(301))).toDF("id", "text")
+    val keys = bandKeysOf(oneDoc, "text", "id")
+    val scanned = index.readForKeys(spark, keys).inputFiles.length
+    scanned should be < total
+  }
+
+  /** Recompute (band, key) probe frame exactly as nearDupInsert does
+    * (default numHashes=64, threshold 0.8 -> autoBands, shingle 5).
+    */
+  private def bandKeysOf(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String) = {
+    val numHashes = 64
+    val b = 16 // autoBands(64, 0.8) resolves to 16 (threshold (1/16)^(1/4) ≈ 0.5)
+    val r = numHashes / b
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(graft.functions.ShingleExpressions.shingleHashesFast(
+        df.sparkSession, col(textCol), 5)).as("__h"))
+    val sigs = exploded.groupBy("__id")
+      .agg(graft.functions.MinHashAgg.signature(df.sparkSession, col("__h"), numHashes).as("__sig"))
+    val bandKeys = array((0 until b).map(i =>
+      xxhash64(slice(col("__sig"), i * r + 1, r), lit(i))): _*)
+    sigs.select(posexplode(bandKeys)).toDF("band", "key")
+  }
+
+  test("crash gap repairs: corpus doc missing from index is backfilled, then blocks its dups") {
+    val (corpus, index) = fresh("ndi-repair")
+    val w1 = (1 to 5).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, w1, "text", "id", threshold = 0.8) shouldBe 5L
+    // simulate the crash window: a doc lands in the corpus with no index entry
+    corpus.append(Seq((99L, doc(99))).toDF("id", "text"), collectStats = Seq("id"))
+    // its near-dup is WRONGLY admitted (recall loss, the documented gap)...
+    val dup1 = Seq((201L, nearDocOf(99))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, dup1, "text", "id", threshold = 0.8) shouldBe 1L
+    // ...repair backfills exactly the missing docs (99 and 201's entries exist now)
+    Dedup.rebuildNearDupIndex(corpus, index, "text", "id") shouldBe 1L
+    Dedup.rebuildNearDupIndex(corpus, index, "text", "id") shouldBe 0L // idempotent
+    // and the next near-dup of 99 is blocked
+    val dup2 = Seq((301L, nearDocOf(99))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, dup2, "text", "id", threshold = 0.8) shouldBe 0L
+  }
+
+  test("docs shorter than one shingle never pair (admitted, consistent with minHashDedup)") {
+    val (corpus, index) = fresh("ndi-short")
+    val w1 = Seq((1L, "abc"), (2L, "abc")).toDF("id", "text") // < 5 chars: no shingles
+    Dedup.nearDupInsert(corpus, index, w1, "text", "id", threshold = 0.8) shouldBe 2L
+    val w2 = Seq((3L, "abc")).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, w2, "text", "id", threshold = 0.8) shouldBe 1L
+  }
+}

@@ -2328,6 +2328,34 @@ object SparkEntry {
         dim = 64, threshold = 0.99, planes = 6)
     }),
 
+    // LLM: incremental embedding near-dup vs an accumulated corpus through
+    // a persisted sign-key index (Dedup.embeddingNearDupInsert) — the
+    // vector-space sibling of q_neardup_insert. ORACLE EXACTNESS: testdata
+    // embeddings have no distinct-vector pair above cosine 0.60 (checked
+    // via DuckDB at sf0.01/sf0.1), so at threshold 0.99 a drop happens iff
+    // the vectors are bit-identical — the oracle replays the two-wave
+    // min-id arithmetic on exact vector equality. The in-query require
+    // cross-checks wave-2 recall the same way (distinct-vector anti-join),
+    // failing loudly on any lost index entry or over-pruned probe.
+    "q_embed_neardup_insert" -> ((s, dir) => {
+      val corpus = Icebox(tmp("qendi_c")); val index = Icebox(tmp("qendi_i"))
+      val e = t(s, dir, "embeddings")
+      val batch1 = e.filter(col("vec_id") % 3 =!= 0)
+      Dedup.embeddingNearDupInsert(corpus, index, batch1, "embedding", "vec_id",
+        dim = 64, threshold = 0.99, planes = 6)
+      val batch2 = e.filter(col("vec_id") % 3 === 0).unionByName(
+        batch1.filter(col("vec_id") % 9 === 1)
+          .withColumn("vec_id", col("vec_id") + 1000000))
+      val n2 = Dedup.embeddingNearDupInsert(corpus, index, batch2, "embedding", "vec_id",
+        dim = 64, threshold = 0.99, planes = 6)
+      val expected2 = e.filter(col("vec_id") % 3 === 0).select("embedding").distinct()
+        .join(e.filter(col("vec_id") % 3 =!= 0).select("embedding").distinct(),
+          Seq("embedding"), "left_anti").count()
+      require(n2 == expected2,
+        s"expected $expected2 fresh vectors in wave 2, got $n2")
+      corpus.read(s).select("vec_id", "label")
+    }),
+
     // LLM: multimodal blob stats (binary column plumbing, no decode)
     "q_multimodal_stats" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
@@ -3534,6 +3562,22 @@ object SparkEntry {
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
         | FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // same bit-identical-only property (max inter-vector cosine ~0.6 at
+    // sf0.1) makes the incremental insert replay q_neardup_insert's
+    // two-wave min-id arithmetic on exact vector equality: wave-1 keeps =
+    // min id per vector among %3<>0; wave-2 keeps = min id per vector whose
+    // every holder is %3==0 (re-id'd +1000000 copies are corpus content)
+    "q_embed_neardup_insert" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, CAST(embedding AS VARCHAR) AS fp FROM embeddings),
+        |k1 AS (SELECT fp, min(vec_id) AS keep FROM f
+        |       WHERE vec_id % 3 <> 0 GROUP BY fp),
+        |k2 AS (SELECT fp, min(vec_id) AS keep FROM f
+        |       WHERE fp NOT IN (SELECT fp FROM k1) GROUP BY fp)
+        |SELECT f.vec_id, f.label
+        |FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
+        |  ON f.vec_id = k.keep""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce

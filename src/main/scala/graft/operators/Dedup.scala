@@ -167,7 +167,11 @@ object Dedup {
           // corpus FIRST (see crash contract above)
           corpus.append(fresh, collectStats = Seq(idCol))
           if (!index.exists)
-            index.setProperties(Map("manifest.bloom.columns" -> "key"))
+            index.setProperties(Map("manifest.bloom.columns" -> "key",
+              // maintenance compaction range-clusters by key, so probe
+              // pruning survives file consolidation via min/max stats
+              // even past the bloom attach budget
+              "write.sort.columns" -> "key"))
           index.append(
             banded.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
               .select(col("__band").as("band"), col("__key").as("key"),
@@ -207,7 +211,11 @@ object Dedup {
       val rows = banded.select("__id").distinct().count()
       if (rows > 0) {
         if (!index.exists)
-          index.setProperties(Map("manifest.bloom.columns" -> "key"))
+          index.setProperties(Map("manifest.bloom.columns" -> "key",
+              // maintenance compaction range-clusters by key, so probe
+              // pruning survives file consolidation via min/max stats
+              // even past the bloom attach budget
+              "write.sort.columns" -> "key"))
         index.append(banded.select(col("__band").as("band"), col("__key").as("key"),
           col("__id").as(idCol)), collectStats = Seq("key"))
       }
@@ -653,5 +661,114 @@ object Dedup {
       .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
         round(graft.functions.VectorExpressions.cosine(df.sparkSession, col("a.__v"), col("b.__v")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Incremental embedding near-dup dedup of a batch against an
+    * accumulated corpus — [[nearDupInsert]]'s vector-space sibling: append
+    * only the batch rows with NO corpus vector at cosine ≥ `threshold` in
+    * the same hyperplane sign bucket, probing a persisted SIGN-KEY INDEX
+    * table `(key long, <idCol>)` (manifest blooms + stats on `key`).
+    * Candidacy is all-planes sign agreement, exactly [[embeddingNearDup]]'s
+    * contract; the verify computes cosine against ONLY the id-pruned
+    * candidate corpus vectors, so both probe and verify are O(batch) at
+    * any corpus size. In-batch near-dups collapse to the min-id survivor
+    * first. Same crash contract as [[nearDupInsert]] (corpus commit before
+    * index commit; [[rebuildEmbeddingNearDupIndex]] backfills). Returns
+    * the number of rows appended.
+    */
+  def embeddingNearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
+      batch: DataFrame, vecCol: String, idCol: String, dim: Int,
+      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L): Long = {
+    val spark = batch.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bp = batch.persist(lvl)
+    val sig = Similarity.hyperplaneSignatureFast(spark, col(vecCol), dim, planes, seed)
+    val keyed = bp.select(col(idCol).as("__id"), col(vecCol).as("__v"), sig.as("__key"))
+      .persist(lvl)
+    def cos(a: Column, b: Column): Column =
+      graft.functions.VectorExpressions.cosine(spark, a, b)
+    try {
+      val intraDups = keyed.as("a")
+        .join(keyed.as("b"), col("a.__key") === col("b.__key") && col("a.__id") < col("b.__id"))
+        .filter(cos(col("a.__v"), col("b.__v")) >= threshold)
+        .select(col("b.__id").as("__dup")).distinct()
+      val survivors = bp.join(intraDups, col(idCol) === col("__dup"), "left_anti")
+      val corpusDups: DataFrame = corpus.currentSnapshot match {
+        case None => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
+        case Some(_) =>
+          val hits = index.readForKeys(spark, keyed.select(col("__key").as("key")))
+          val cands = keyed.join(hits, keyed("__key") === hits("key"))
+            .select(col("__id").as("__bid"), col(idCol).as("__cid"))
+            .distinct().persist(lvl)
+          try {
+            cands.count() // materialize: feeds the bounds probe AND the verify join
+            val slice = corpus.readForKeys(spark,
+              cands.select(col("__cid").as(idCol)).distinct())
+            val cvec = slice.select(col(idCol).as("__cid2"), col(vecCol).as("__cv"))
+            cands
+              .join(keyed.select(col("__id").as("__bid"), col("__v")), "__bid")
+              .join(cvec, cands("__cid") === cvec("__cid2"))
+              .filter(cos(col("__v"), col("__cv")) >= threshold)
+              .select(col("__bid").as("__dup")).distinct()
+          } finally cands.unpersist(blocking = false)
+      }
+      val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
+        .persist(lvl)
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          corpus.append(fresh, collectStats = Seq(idCol)) // corpus FIRST (crash contract)
+          if (!index.exists)
+            index.setProperties(Map("manifest.bloom.columns" -> "key",
+              // maintenance compaction range-clusters by key, so probe
+              // pruning survives file consolidation via min/max stats
+              // even past the bloom attach budget
+              "write.sort.columns" -> "key"))
+          index.append(
+            keyed.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+              .select(col("__key").as("key"), col("__id").as(idCol)),
+            collectStats = Seq("key"))
+        }
+        n
+      } finally fresh.unpersist(blocking = false)
+    } finally {
+      keyed.unpersist(blocking = false)
+      bp.unpersist(blocking = false)
+    }
+  }
+
+  /** Backfill [[embeddingNearDupInsert]]'s sign-key index for corpus rows
+    * missing from it — same contract as [[rebuildNearDupIndex]].
+    * Idempotent; bands only the MISSING rows. Parameters must match the
+    * insert calls.
+    */
+  def rebuildEmbeddingNearDupIndex(corpus: graft.table.Icebox, index: graft.table.Icebox,
+      vecCol: String, idCol: String, dim: Int, planes: Int = 8,
+      seed: Long = 42L): Long = {
+    val spark = corpus.currentSnapshot match {
+      case None => return 0L
+      case Some(_) => org.apache.spark.sql.SparkSession.active
+    }
+    val missing =
+      if (!index.exists) corpus.read(spark)
+      else corpus.read(spark).join(index.read(spark).select(idCol), Seq(idCol), "left_anti")
+    val sig = Similarity.hyperplaneSignatureFast(spark, col(vecCol), dim, planes, seed)
+    val keyed = missing.select(sig.as("key"), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = keyed.count()
+      if (rows > 0) {
+        if (!index.exists)
+          index.setProperties(Map("manifest.bloom.columns" -> "key",
+              // maintenance compaction range-clusters by key, so probe
+              // pruning survives file consolidation via min/max stats
+              // even past the bloom attach budget
+              "write.sort.columns" -> "key"))
+        index.append(keyed, collectStats = Seq("key"))
+      }
+      rows
+    } finally keyed.unpersist(blocking = false)
   }
 }

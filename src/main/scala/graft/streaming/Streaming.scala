@@ -135,6 +135,53 @@ object Streaming {
       .start()
   }
 
+  /** NEAR-dup-on-arrival corpus ingest: [[dedupIngest]]'s fuzzy sibling —
+    * every micro-batch lands through [[graft.operators.Dedup
+    * .nearDupInsert]], so re-crawls with small edits (boilerplate drift,
+    * timestamps, ad rotation) drop at the door too, not just verbatim
+    * re-offers. The persisted LSH band index keeps the per-batch probe
+    * O(batch): band keys prune index FILES via manifest blooms/stats and
+    * the Jaccard verify touches only id-pruned candidate docs.
+    *
+    * Replay convergence is LSH-exact rather than content-exact: a batch
+    * replayed after a crash-before-checkpoint re-probes the corpus, and
+    * every doc it already appended is its own verbatim near-dup (every
+    * band collides, Jaccard = 1 ≥ any threshold), so replays drop their
+    * own first delivery — with the one documented gap that a crash
+    * BETWEEN the corpus and index commits loses index entries (recall,
+    * never duplication of the indexed doc itself; see
+    * [[graft.operators.Dedup.rebuildNearDupIndex]]).
+    */
+  def nearDupIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpus: Icebox,
+      index: Icebox,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      format: String = "parquet",
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None,
+      refreshViews: Seq[Icebox] = Nil): StreamingQuery = {
+    val reader = spark.readStream.format(format).schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(sourceDir).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.nearDupInsert(corpus, index, batch,
+            textCol, idCol, threshold)
+          refreshViews.foreach(
+            graft.operators.MaterializedView.refreshFromProperties(spark, _))
+        }
+      }
+      .start()
+  }
+
   /** Streaming read FROM an Icebox table (the Iceberg streaming-read
     * analog): every commit writes new files under `data/graft_commit=<id>/`,
     * so Spark's file stream over the data dir surfaces each commit's rows as

@@ -104,6 +104,69 @@ class NearDupInsertSpec extends SparkSpec {
     Dedup.nearDupInsert(corpus, index, dup2, "text", "id", threshold = 0.8) shouldBe 0L
   }
 
+  test("index compaction keeps blooms + stats: probes stay file-pruned and recall holds") {
+    val (corpus, index) = fresh("ndi-compact")
+    // 6 inserts -> 6 small index files, then maintenance compacts them
+    (0 until 6).foreach { k =>
+      val w = (1 to 10).map(i => ((k * 100 + i).toLong, doc(k * 100 + i))).toDF("id", "text")
+      Dedup.nearDupInsert(corpus, index, w, "text", "id", threshold = 0.8) shouldBe 10L
+    }
+    index.compact(spark, targetFileMb = 512)
+    val files = index.currentSnapshot.get.files
+    files.size should be < 6 // actually compacted
+    // the bloom column is sticky through the rewrite — losing it would
+    // silently turn every future probe into an O(corpus) index scan
+    all(files.map(_.blooms.keySet)) should contain("key")
+    // recall through the compacted index: a verbatim re-offer still drops
+    val reoffer = Seq((9001L, doc(101))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, reoffer, "text", "id", threshold = 0.8) shouldBe 0L
+    // and novel content still admits (no false drops from stale entries)
+    val novel = Seq((9002L, doc(9002))).toDF("id", "text")
+    Dedup.nearDupInsert(corpus, index, novel, "text", "id", threshold = 0.8) shouldBe 1L
+  }
+
+  // ---- embeddingNearDupInsert: the vector-space sibling ----
+
+  private def vec(seed: Int, dim: Int = 16): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(dim)(rnd.nextGaussian().toFloat)
+  }
+  // tiny perturbation: cosine vs the base stays > 0.99
+  private def nearVecOf(seed: Int, dim: Int = 16): Array[Float] =
+    vec(seed, dim).map(x => x + 0.001f)
+
+  test("embedding insert: corpus near-dups drop, novel vectors admit, in-batch collapses") {
+    val (corpus, index) = fresh("endi-basic")
+    val w1 = (1 to 10).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    Dedup.embeddingNearDupInsert(corpus, index, w1, "v", "id",
+      dim = 16, threshold = 0.95, planes = 4) shouldBe 10L
+    // wave 2: 3 verbatim re-offers, 2 perturbed near-dups, 2 novel, plus an
+    // in-batch near-dup pair (ids 121/122) that must collapse to 121
+    val w2 = ((101 to 103).map(i => (i.toLong, vec(i - 100))) ++
+      Seq((111L, nearVecOf(1)), (112L, nearVecOf(2)),
+        (121L, vec(121)), (122L, nearVecOf(121)), (123L, vec(123)))).toDF("id", "v")
+    Dedup.embeddingNearDupInsert(corpus, index, w2, "v", "id",
+      dim = 16, threshold = 0.95, planes = 4) shouldBe 2L
+    corpus.read(spark).select("id").as[Long].collect().sorted shouldBe
+      ((1 to 10).map(_.toLong) ++ Seq(121L, 123L)).toArray
+    index.read(spark).select("id").distinct().count() shouldBe 12L
+  }
+
+  test("embedding index crash gap repairs idempotently and restores recall") {
+    val (corpus, index) = fresh("endi-repair")
+    val w1 = (1 to 5).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    Dedup.embeddingNearDupInsert(corpus, index, w1, "v", "id",
+      dim = 16, threshold = 0.95, planes = 4) shouldBe 5L
+    corpus.append(Seq((99L, vec(99))).toDF("id", "v"), collectStats = Seq("id"))
+    Dedup.rebuildEmbeddingNearDupIndex(corpus, index, "v", "id",
+      dim = 16, planes = 4) shouldBe 1L
+    Dedup.rebuildEmbeddingNearDupIndex(corpus, index, "v", "id",
+      dim = 16, planes = 4) shouldBe 0L // idempotent
+    val dup = Seq((301L, nearVecOf(99))).toDF("id", "v")
+    Dedup.embeddingNearDupInsert(corpus, index, dup, "v", "id",
+      dim = 16, threshold = 0.95, planes = 4) shouldBe 0L
+  }
+
   test("docs shorter than one shingle never pair (admitted, consistent with minHashDedup)") {
     val (corpus, index) = fresh("ndi-short")
     val w1 = Seq((1L, "abc"), (2L, "abc")).toDF("id", "text") // < 5 chars: no shingles

@@ -108,6 +108,39 @@ class StreamingSpec extends SparkSpec {
     corpus.rowCount.get shouldBe before
   }
 
+  test("nearDupIngest drops small-edit re-crawls at the door; replay converges") {
+    val src = tmpDir("stream-ndi-src")
+    val ckpt = tmpDir("stream-ndi-ckpt")
+    val corpus = Icebox(tmpDir("stream-ndi-corpus"))
+    val index = Icebox(tmpDir("stream-ndi-index"))
+    def words(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 60).map(_ =>
+        (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    }
+    def nearOf(seed: Int): String = // 3 of 60 words edited: Jaccard ≈ 0.9
+      words(seed).split(" ").updated(3, "editedxx").updated(29, "alsoedit")
+        .updated(47, "thirdone").mkString(" ")
+    def doc(id: Long, text: String) = (id, text, 1L)
+    writeBatch(src, "w1.parquet", Seq(doc(1, words(1)), doc(2, words(2))))
+    // wave 2: a fresh doc + a small-edit RE-CRAWL of doc 1 (not verbatim —
+    // exact dedup would admit it) + a verbatim re-id of doc 2
+    writeBatch(src, "w2.parquet", Seq(
+      doc(10, words(10)), doc(11, nearOf(1)), doc(12, words(2))))
+    val schema = Seq(doc(0, "x")).toDF("id", "v", "ver").schema
+    val q = Streaming.nearDupIngest(spark, src, schema, corpus, index, ckpt,
+      textCol = "v", idCol = "id", threshold = 0.8, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(60000)
+    corpus.read(spark).select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 10L)
+    // replay convergence: a new wave of pure near-dups appends nothing
+    val before = corpus.rowCount.get
+    writeBatch(src, "w3.parquet", Seq(doc(200, nearOf(10)), doc(201, words(1))))
+    val q2 = Streaming.nearDupIngest(spark, src, schema, corpus, index, ckpt,
+      textCol = "v", idCol = "id", threshold = 0.8, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(60000)
+    corpus.rowCount.get shouldBe before
+  }
+
   test("windowedCounts declares watermark + tumbling window on a stream") {
     val src = tmpDir("stream-src2")
     val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema

@@ -146,7 +146,8 @@ object Dedup {
             .select(col("__id").as("__bid"), col(idCol).as("__cid"))
             .distinct().persist(lvl)
           try {
-            cands.count() // materialize: feeds the bounds probe AND the verify join
+            // no explicit materialize needed: readForKeys' bounds probe
+            // collects from `cands`' lineage, populating the persist
             val slice = corpus.readForKeys(spark,
               cands.select(col("__cid").as(idCol)).distinct())
             val shC = slice.select(col(idCol).as("__cid2"),
@@ -703,7 +704,8 @@ object Dedup {
             .select(col("__id").as("__bid"), col(idCol).as("__cid"))
             .distinct().persist(lvl)
           try {
-            cands.count() // materialize: feeds the bounds probe AND the verify join
+            // no explicit materialize needed: readForKeys' bounds probe
+            // collects from `cands`' lineage, populating the persist
             val slice = corpus.readForKeys(spark,
               cands.select(col("__cid").as(idCol)).distinct())
             val cvec = slice.select(col(idCol).as("__cid2"), col(vecCol).as("__cv"))

@@ -39,6 +39,8 @@ def main(sf_dir, out_dir):
         # DIRECTORIES of part files — glob them for DuckDB
         if _os.path.isdir(pat):
             pat = f"{pat}/*.parquet"
+        elif not _os.path.exists(pat):
+            continue  # partial sf dirs (e.g. the generated sf1 set) are fine
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os

@@ -173,10 +173,18 @@ object Dedup {
               // pruning survives file consolidation via min/max stats
               // even past the bloom attach budget
               "write.sort.columns" -> "key"))
+          // right-size the index commit from the KNOWN row count
+          // (n docs x b bands, ~30 B/row): an unpartitioned append would
+          // otherwise emit one sliver file per task — 32 files per wave,
+          // unbounded file-count growth under continuous ingest. Range-
+          // clustering on key makes every file cover a disjoint key range,
+          // so probes prune on min/max stats immediately (blooms on top).
+          val idxFiles = math.max(1, math.ceil(n * b / 4e6).toInt)
           index.append(
             banded.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
               .select(col("__band").as("band"), col("__key").as("key"),
-                col("__id").as(idCol)),
+                col("__id").as(idCol))
+              .repartitionByRange(idxFiles, col("key")),
             collectStats = Seq("key"))
         }
         n
@@ -218,7 +226,9 @@ object Dedup {
               // even past the bloom attach budget
               "write.sort.columns" -> "key"))
         index.append(banded.select(col("__band").as("band"), col("__key").as("key"),
-          col("__id").as(idCol)), collectStats = Seq("key"))
+          col("__id").as(idCol))
+          .repartitionByRange(math.max(1, math.ceil(rows * b / 4e6).toInt), col("key")),
+          collectStats = Seq("key"))
       }
       rows
     } finally banded.unpersist(blocking = false)
@@ -728,9 +738,11 @@ object Dedup {
               // pruning survives file consolidation via min/max stats
               // even past the bloom attach budget
               "write.sort.columns" -> "key"))
+          val idxFiles = math.max(1, math.ceil(n / 4e6).toInt) // see nearDupInsert
           index.append(
             keyed.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-              .select(col("__key").as("key"), col("__id").as(idCol)),
+              .select(col("__key").as("key"), col("__id").as(idCol))
+              .repartitionByRange(idxFiles, col("key")),
             collectStats = Seq("key"))
         }
         n
@@ -768,7 +780,9 @@ object Dedup {
               // pruning survives file consolidation via min/max stats
               // even past the bloom attach budget
               "write.sort.columns" -> "key"))
-        index.append(keyed, collectStats = Seq("key"))
+        index.append(keyed.repartitionByRange(
+          math.max(1, math.ceil(rows / 4e6).toInt), col("key")),
+          collectStats = Seq("key"))
       }
       rows
     } finally keyed.unpersist(blocking = false)

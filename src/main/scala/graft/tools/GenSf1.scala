@@ -63,6 +63,14 @@ object GenSf1 {
     if (!new java.io.File(natPath).exists())
       Testdata.table(spark, src, "nation").repartition(1)
         .write.mode("overwrite").parquet(natPath)
+    // embeddings: ids shift per copy, VECTORS stay identical — copies are
+    // exact re-offers, so the vector-equality oracle of
+    // q_embed_neardup_insert remains exact at 10x (a perturbed copy could
+    // land anywhere in (0.6, 1.0) cosine and break oracle expressibility)
+    val vecMax = Testdata.table(spark, src, "embeddings")
+      .agg(max("vec_id")).head().getLong(0) + 1
+    scaled("embeddings", df => i =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecMax)))
     spark.stop()
   }
 }

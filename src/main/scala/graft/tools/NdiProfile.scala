@@ -24,6 +24,28 @@ object NdiProfile {
       println(f"PHASE $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
+    // constant-batch wave loop: 10 equal batches inserted sequentially —
+    // the flat-wall proof that per-wave cost tracks the BATCH as the
+    // corpus grows 10 waves deep (args(1) = "waves" enables)
+    if (args.length > 1 && args(1) == "waves") {
+      val corpus = Icebox(tmp("ndi_wc")); val index = Icebox(tmp("ndi_wi"))
+      val fpc = graft.functions.TextFunctions.fingerprint(
+        coalesce(col("text"), lit("")))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          concat_ws(" ", fpc, coalesce(col("text"), lit(""))).as("text"))
+      (0 until 10).foreach { w =>
+        val batch = docs.filter(col("doc_id") % 10 === w)
+        val t0 = System.nanoTime()
+        val n = Dedup.nearDupInsert(corpus, index, batch, "text", "doc_id",
+          threshold = 1.0, bands = 2)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val idxFiles = index.currentSnapshot.map(_.files.size).getOrElse(0)
+        val corpusRows = corpus.rowCount.getOrElse(-1L)
+        println(f"WAVE $w%2d wall=$wall%6.2f s appended=$n%6d corpusRows=$corpusRows%7d indexFiles=$idxFiles%3d")
+      }
+      spark.stop(); return
+    }
     (1 to 2).foreach { it =>
       println(s"== iteration $it ==")
       val corpus = Icebox(tmp("ndi_c")); val index = Icebox(tmp("ndi_i"))

@@ -27,7 +27,10 @@ object VerifySf1 {
     // round-13: DSIR after the honest-cost rewrite (two gram-explode
     // passes, zero retained state) — no 10x proof existed; expectation is
     // linear in corpus bytes (three tokenize passes, ≤buckets-row collects)
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round-13: incremental near-dup inserts at 10x — waves are 10x docs,
+    // the index probe must track the batch; in-query requires guard recall
+    "q_neardup_insert", "q_embed_neardup_insert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

@@ -2282,6 +2282,36 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // LLM: PERSISTED IVF index — vectors land incrementally via ivfInsert
+    // (codegen'd centroid argmin, appended partitioned by assigned list),
+    // then ivfSearch reads ONLY the probed posting-list partitions
+    // (manifest-pruned; the in-query require proves no unprobed partition
+    // file is opened). Same centroids/assignment/tie-breaks as q_ann_ivf,
+    // so the oracle is the identical SQL — but paid once per vector at
+    // ingest instead of once per query batch.
+    "q_ann_ivf_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = Icebox(tmp("qivfi"))
+      val centroids = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      // two ingest waves — the index accretes across commits
+      Similarity.ivfInsert(index, centroids, e.filter(col("vec_id") % 2 === 0))
+      Similarity.ivfInsert(index, centroids, e.filter(col("vec_id") % 2 =!= 0))
+      val out = Similarity.ivfSearch(index, centroids, e.filter(col("vec_id") < 8),
+        k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+      out.count() // materialize before auditing the scan
+      val probed = Similarity.ivfSearch(index, centroids, e.filter(col("vec_id") < 8),
+        k = 5, nprobe = 4) // plan-only twin for the file audit
+      val idxDir = index.tableDir.toString
+      val prunedIdx = probed.inputFiles.count(_.contains(idxDir))
+      val fullIdx = index.read(s).inputFiles.length
+      require(prunedIdx > 0 && prunedIdx < fullIdx,
+        s"probe must open fewer index files than the full index ($prunedIdx vs $fullIdx)")
+      out
+    }),
+
     // LLM: KMeans-trained IVF at FULL probe (nprobe = nlist): probing every
     // list makes the candidate set the whole corpus, so the result must
     // equal brute-force top-k EXACTLY, whatever centroids training produced
@@ -3589,6 +3619,31 @@ object SparkEntry {
         |  ON f.vec_id = k.keep""".stripMargin,
 
     "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        | assigned AS (
+        |   SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid AS cluster
+        |   FROM embeddings e CROSS JOIN c
+        |   QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid) = 1),
+        | probes AS (
+        |   SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cid AS cluster
+        |   FROM embeddings q CROSS JOIN c
+        |   WHERE q.vec_id < 8
+        |   QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), c.ce), c.cid) <= 4)
+        | SELECT query_id, neighbor_id,
+        |   round(list_cosine_similarity(qv, cv), 4) AS cosine,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        | FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        | WHERE neighbor_id != query_id
+        | QUALIFY rank <= 5""".stripMargin,
+
+    // identical arithmetic to q_ann_ivf — the persisted index changes WHERE
+    // assignment happens (once at ingest, partition layout) but not WHAT is
+    // computed, so the oracle is the same SQL
+    "q_ann_ivf_insert" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
         | assigned AS (

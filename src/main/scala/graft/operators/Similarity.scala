@@ -196,18 +196,11 @@ object Similarity {
       centroids: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
       vecCol: String, idCol: String): DataFrame = {
     val spark = corpus.sparkSession
-
-    // array of struct(distance, cid) — struct ordering = (distance, cid),
-    // the same deterministic tie-break as the old window's orderBy
-    def distStructs(vec: Column): Column = array(centroids.map { case (cid, c) =>
-      struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"))
-    }: _*)
-
     def nearestCluster(vec: Column): Column =
-      array_min(distStructs(vec)).getField("cid")
-
+      array_min(distStructs(spark, centroids, vec)).getField("cid")
     def nearestClusters(vec: Column, n: Int): Column =
-      transform(slice(array_sort(distStructs(vec)), 1, n), s => s.getField("cid"))
+      transform(slice(array_sort(distStructs(spark, centroids, vec)), 1, n),
+        s => s.getField("cid"))
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       nearestCluster(col(vecCol)).as("__cluster"))
@@ -218,6 +211,87 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "__cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__cos", VectorExpressions.cosine(corpus.sparkSession, col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"),
+        col("__rk").as("rank"))
+  }
+
+  /** array of struct(distance, cid) over the centroid LITERALS — struct
+    * ordering = (distance, cid), a deterministic tie-break. Shared by the
+    * one-shot IVF ops and the persisted-index ops below.
+    */
+  private def distStructs(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Float])], vec: Column): Column =
+    array(centroids.map { case (cid, c) =>
+      struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"))
+    }: _*)
+
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
+    centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  // ------------------------------------------------- persisted IVF index
+
+  /** Incrementally add `batch` to a PERSISTED IVF index: each vector is
+    * assigned to its nearest centroid (codegen'd argmin over the centroid
+    * literals — no crossJoin, no shuffle) and appended to the index table
+    * PARTITIONED BY the assigned `list`, so the posting lists ARE the
+    * table's partition layout. One-shot `ivfTopK*` re-assigns the whole
+    * corpus per query batch; with the index, assignment is paid once per
+    * vector at ingest and [[ivfSearch]] reads only the probed partitions —
+    * the operating shape at 100 TB. `centroids` must be the SAME frame
+    * (e.g. the persisted output of [[ivfTrain]]) across every insert and
+    * search on one index. Returns the number of vectors appended
+    * (manifest-exact, no extra job).
+    */
+  def ivfInsert(index: graft.table.Icebox, centroids: DataFrame, batch: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Long = {
+    val spark = batch.sparkSession
+    val cs = collectCentroids(centroids)
+    val before = index.rowCount.getOrElse(0L)
+    if (!index.exists)
+      // hash distribution: each posting list is written by the tasks that
+      // own its rows, not a sliver from EVERY task (tasks x nlist files
+      // per commit otherwise — the classic partitioned-write explosion)
+      index.setProperties(Map("write.distribution-mode" -> "hash"))
+    val assigned = batch.withColumn("list",
+      array_min(distStructs(spark, cs, col(vecCol))).getField("cid"))
+    index.append(assigned, partitionBy = Seq("list"))
+    index.rowCount.getOrElse(0L) - before
+  }
+
+  /** Top-k search against a persisted IVF index built by [[ivfInsert]]:
+    * per query, the `nprobe` nearest centroid lists are probed; the UNION
+    * of probed lists becomes a PARTITION filter on the index table
+    * (manifest-pruned — unprobed posting lists are never opened), then the
+    * candidate equi-join + cosine ranking runs exactly like `ivfTopKWith`.
+    * Results are identical to `ivfTopKWith` over the same rows and
+    * centroids (same assignment arithmetic, same tie-breaks).
+    */
+  def ivfSearch(index: graft.table.Icebox, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val cs = collectCentroids(centroids)
+    def nearestClusters(vec: Column, n: Int): Column =
+      transform(slice(array_sort(distStructs(spark, cs, vec)), 1, n),
+        s => s.getField("cid"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(nearestClusters(col(vecCol), nprobe)).as("list")))
+    // the probed-list union is at most nlist values — plan constants, like
+    // the centroids themselves (queries are small by the same contract as
+    // bruteForceTopK's broadcast)
+    val lists = probes.select("list").distinct().collect().map(_.getLong(0).toString).toSet
+    val postings = index.readPartitions(spark, "list", lists)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("list"))
+    val joined = postings.join(probes, "list")
+    val scored = (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+                  else joined)
+      .withColumn("__cos", VectorExpressions.cosine(spark, col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)

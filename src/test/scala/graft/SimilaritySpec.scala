@@ -78,4 +78,36 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  test("persisted IVF index: incremental inserts + search == one-shot ivfTopKWith") {
+    val index = graft.table.Icebox(tmpDir("ivf-index"))
+    val centroids = Similarity.ivfTrain(vecs, nlist = 3)
+    // two ingest waves accrete the index
+    Similarity.ivfInsert(index, centroids, vecs.filter($"vec_id" % 2 === 0)) shouldBe 3L
+    Similarity.ivfInsert(index, centroids, vecs.filter($"vec_id" % 2 =!= 0)) shouldBe 3L
+    val queries = vecs.filter($"vec_id" < 2)
+    val viaIndex = Similarity.ivfSearch(index, centroids, queries, k = 2, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Similarity.ivfTopKWith(vecs, queries, centroids, k = 2, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    viaIndex shouldBe oneShot
+    // posting lists ARE partitions: every index file lives under a list= dir
+    all(index.currentSnapshot.get.files.map(_.path)) should include("list=")
+  }
+
+  test("ivfSearch opens only probed posting-list partitions") {
+    val index = graft.table.Icebox(tmpDir("ivf-prune"))
+    val centroids = Similarity.ivfTrain(vecs, nlist = 3)
+    Similarity.ivfInsert(index, centroids, vecs)
+    val queries = vecs.filter($"vec_id" === 0L)
+    val idxDir = index.tableDir.toString
+    val pruned = Similarity.ivfSearch(index, centroids, queries, k = 2, nprobe = 1)
+      .inputFiles.count(_.contains(idxDir))
+    val full = index.read(spark).inputFiles.length
+    pruned should be < full
+    pruned should be >= 1
+    // hash-distributed partitioned write: no per-task sliver explosion —
+    // at most one file per posting list per commit
+    index.currentSnapshot.get.files.size should be <= 3
+  }
 }

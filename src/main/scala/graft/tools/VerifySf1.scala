@@ -30,7 +30,10 @@ object VerifySf1 {
     "q_dsir_weights",
     // round-13: incremental near-dup inserts at 10x — waves are 10x docs,
     // the index probe must track the batch; in-query requires guard recall
-    "q_neardup_insert", "q_embed_neardup_insert")
+    "q_neardup_insert", "q_embed_neardup_insert",
+    // round-13: persisted IVF index at 10x vectors (in-query pruned-files
+    // require; oracle = the same assignment arithmetic at 20k vectors)
+    "q_ann_ivf_insert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

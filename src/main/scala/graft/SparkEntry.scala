@@ -1665,8 +1665,11 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val batch1 = docs.drop("__fp").filter(col("doc_id") % 3 =!= 0)
+        // serializable=true: the oracle also covers the head-CAS +
+        // covered-marker path (single-writer here, so results and cost
+        // are identical — the uncovered delta is zero files per wave)
         Dedup.nearDupInsert(corpus, index, batch1, "text", "doc_id",
-          threshold = 1.0, bands = 2)
+          threshold = 1.0, bands = 2, serializable = true)
         // wave 2: the held-out third plus a RE-OFFERED sample of corpus
         // content under fresh ids — the sample (not the full corpus) keeps
         // the bench honest about batch-sized work while still proving
@@ -1675,7 +1678,7 @@ object SparkEntry {
           batch1.filter(col("doc_id") % 9 === 1)
             .withColumn("doc_id", col("doc_id") + 10000))
         val n2 = Dedup.nearDupInsert(corpus, index, batch2, "text", "doc_id",
-          threshold = 1.0, bands = 2)
+          threshold = 1.0, bands = 2, serializable = true)
         // single-pass recall check: count fingerprints whose EVERY holder
         // is %3==0 (i.e. genuinely new to wave 2)
         val expected2 = docs
@@ -2380,12 +2383,12 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val batch1 = e.filter(col("vec_id") % 3 =!= 0)
       Dedup.embeddingNearDupInsert(corpus, index, batch1, "embedding", "vec_id",
-        dim = 64, threshold = 0.99, planes = 6)
+        dim = 64, threshold = 0.99, planes = 6, serializable = true)
       val batch2 = e.filter(col("vec_id") % 3 === 0).unionByName(
         batch1.filter(col("vec_id") % 9 === 1)
           .withColumn("vec_id", col("vec_id") + 1000000))
       val n2 = Dedup.embeddingNearDupInsert(corpus, index, batch2, "embedding", "vec_id",
-        dim = 64, threshold = 0.99, planes = 6)
+        dim = 64, threshold = 0.99, planes = 6, serializable = true)
       // single-pass recall check: vectors whose EVERY holder is %3==0
       val expected2 = e.groupBy("embedding")
         .agg(max(when(col("vec_id") % 3 =!= 0, 1).otherwise(0)).as("held_w1"))

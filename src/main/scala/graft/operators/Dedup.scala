@@ -18,6 +18,13 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Index table property naming the corpus snapshot id whose docs are all
+    * guaranteed to have index entries — the serializable-ingest coverage
+    * marker (see [[nearDupInsert]]). Advanced only by serializable-mode
+    * inserts, after the entries that justify it are committed.
+    */
+  val CoveredProp = "dedup.index.covered-corpus-snapshot"
+
   // ----------------------------------------------------------------- exact
 
   /** Exact dedup by content hash: keep the lowest-id row per sha256(text).
@@ -40,8 +47,19 @@ object Dedup {
     * ingest cycle and a point-membership probe: dedup cost tracks the
     * BATCH, and the corpus is touched only where blooms/stats admit.
     */
+  /** `serializable = true` closes the probe→append TOCTOU window under
+    * CONCURRENT ingest workers: the membership probe is pinned to the
+    * corpus snapshot it observed and the append expects that exact head
+    * ([[graft.table.Icebox.appendIfHead]]) — a concurrent commit in the
+    * window raises SupersededCommit and the cycle re-probes against the
+    * new state (bounded by `maxRetries`). Default (single-writer ingest,
+    * the reference's operating model) skips the CAS. `onBeforeCommit` is
+    * a test seam for deterministic interleaving.
+    */
   def dedupInsert(corpus: graft.table.Icebox, batch: DataFrame, textCol: String,
-      idCol: String, fpCol: String = "fingerprint"): Long = {
+      idCol: String, fpCol: String = "fingerprint",
+      serializable: Boolean = false, maxRetries: Int = 20,
+      onBeforeCommit: () => Unit = () => ()): Long = {
     val spark = batch.sparkSession
     // null text fingerprints as empty text (all null/empty docs are
     // duplicates of each other) — a raw null fingerprint would make the
@@ -52,19 +70,34 @@ object Dedup {
     val w = Window.partitionBy(col(fpCol)).orderBy(col(idCol))
     val firsts = withFp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val fresh = (corpus.currentSnapshot match {
-      case None => firsts
-      case Some(_) =>
-        val hits = corpus.readForKeys(spark, firsts.select(fpCol)).select(fpCol)
-        firsts.join(hits, Seq(fpCol), "left_anti")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: the count action and the append job share one evaluation
-    // of the window + membership probe instead of running them twice
-    try {
-      val n = fresh.count()
-      if (n > 0) corpus.append(fresh, collectStats = Seq(fpCol))
-      n
-    } finally fresh.unpersist(blocking = false)
+    var attempt = 0
+    while (true) {
+      val snap = corpus.currentSnapshot
+      val fresh = (snap match {
+        case None => firsts
+        case Some(_) =>
+          val hits = corpus.readForKeysAt(spark, firsts.select(fpCol), snap).select(fpCol)
+          firsts.join(hits, Seq(fpCol), "left_anti")
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted: the count action and the append job share one evaluation
+      // of the window + membership probe instead of running them twice
+      try {
+        val n = fresh.count()
+        onBeforeCommit()
+        if (n > 0) {
+          if (serializable)
+            corpus.appendIfHead(fresh, snap.map(_.id).getOrElse(-1L),
+              collectStats = Seq(fpCol))
+          else corpus.append(fresh, collectStats = Seq(fpCol))
+        }
+        return n
+      } catch {
+        case e if e eq graft.table.Icebox.SupersededCommit =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      } finally fresh.unpersist(blocking = false)
+    }
+    -1L // unreachable
   }
 
   /** Incremental NEAR-dup dedup of a batch against an accumulated corpus —
@@ -91,12 +124,28 @@ object Dedup {
     * those docs may be re-admitted — recall loss, never corruption);
     * [[rebuildNearDupIndex]] backfills the gap idempotently.
     *
+    * `serializable = true` upgrades both contracts for CONCURRENT ingest
+    * workers: the index records the corpus snapshot it covers
+    * (`dedup.index.covered-corpus-snapshot`), each insert bands the
+    * UNCOVERED corpus delta on the fly (pinned O(delta) read — covering
+    * concurrent writers' not-yet-indexed docs AND healing any crash gap,
+    * which also makes bootstrap over a pre-existing corpus automatic),
+    * appends those bands to the index alongside its own, and commits the
+    * corpus expecting the exact head it probed
+    * ([[graft.table.Icebox.appendIfHead]]) — a concurrent commit in the
+    * window raises SupersededCommit and the cycle re-probes (bounded by
+    * `maxRetries`). Use it consistently per table pair: default-mode
+    * inserts never advance the covered marker. `onBeforeCommit` is a test
+    * seam for deterministic interleaving.
+    *
     * Returns the number of docs appended.
     */
   def nearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
       batch: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = -1,
-      shingleSize: Int = 5, maxBucketSize: Int = 1000): Long = {
+      shingleSize: Int = 5, maxBucketSize: Int = 1000,
+      serializable: Boolean = false, maxRetries: Int = 20,
+      onBeforeCommit: () => Unit = () => ()): Long = {
     val spark = batch.sparkSession
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     require(numHashes % b == 0, "numHashes must be divisible by bands")
@@ -132,63 +181,112 @@ object Dedup {
         .filter(jac(col("__shA"), col("__shB")) >= threshold)
         .select(col("idB").as("__dup")).distinct()
       val survivors = bp.join(intraDups, col(idCol) === col("__dup"), "left_anti")
-      // 2. probe the index for corpus candidates, verify against ONLY the
-      //    candidate corpus docs (id-pruned fetch)
-      val corpusDups: DataFrame = corpus.currentSnapshot match {
-        case None => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
-        case Some(_) =>
-          val hits = index.readForKeys(spark, banded.select(col("__band").as("band"),
-              col("__key").as("key")))
-          val cands = banded
-            .join(hits, banded("__band") === hits("band") && banded("__key") === hits("key"))
-            .select(col("__id").as("__bid"), col(idCol).as("__cid"))
-            .distinct().persist(lvl)
-          try {
-            // no explicit materialize needed: readForKeys' bounds probe
-            // collects from `cands`' lineage, populating the persist
-            val slice = corpus.readForKeys(spark,
-              cands.select(col("__cid").as(idCol)).distinct())
-            val shC = slice.select(col(idCol).as("__cid2"),
-              array_distinct(graft.functions.ShingleExpressions.shingleHashesFast(
-                spark, col(textCol), shingleSize)).as("__shC"))
-            cands
-              .join(sh, "__bid")
-              .join(shC, cands("__cid") === shC("__cid2"))
-              .filter(jac(col("__shB"), col("__shC")) >= threshold)
-              .select(col("__bid").as("__dup")).distinct()
-          } finally cands.unpersist(blocking = false)
-      }
-      val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
-        .persist(lvl)
-      try {
-        val n = fresh.count()
-        if (n > 0) {
-          // corpus FIRST (see crash contract above)
-          corpus.append(fresh, collectStats = Seq(idCol))
-          if (!index.exists)
-            index.setProperties(Map("manifest.bloom.columns" -> "key",
-              // maintenance compaction range-clusters by key, so probe
-              // pruning survives file consolidation via min/max stats
-              // even past the bloom attach budget
-              "write.sort.columns" -> "key"))
-          // right-size the index commit from the KNOWN row count
-          // (n docs x b bands, ~30 B/row): an unpartitioned append would
-          // otherwise emit one sliver file per task — 32 files per wave,
-          // unbounded file-count growth under continuous ingest. Range-
-          // clustering on key makes every file cover a disjoint key range,
-          // so probes prune on min/max stats immediately (blooms on top).
-          val idxFiles = math.max(1, math.ceil(n * b / 4e6).toInt)
-          index.append(
-            banded.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-              .select(col("__band").as("band"), col("__key").as("key"),
-                col("__id").as(idCol))
-              .repartitionByRange(idxFiles, col("key")),
-            collectStats = Seq("key"))
+      def emptyDups = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
+      var attempt = 0
+      while (true) {
+        // 2. probe the index (plus, serializable: the uncovered corpus
+        //    delta banded on the fly) for candidates, verify against ONLY
+        //    the candidate corpus docs (id-pruned, snapshot-pinned fetch)
+        val snap = corpus.currentSnapshot
+        val coveredId =
+          if (serializable && index.exists)
+            index.properties.get(Dedup.CoveredProp).map(_.toLong).getOrElse(-1L)
+          else -1L
+        val uncoveredBands: Option[DataFrame] = snap match {
+          case Some(sn) if serializable =>
+            Some(bandedKeys(corpus.changesBetween(spark, coveredId, sn),
+              textCol, idCol, numHashes, b, shingleSize).persist(lvl))
+          case _ => None
         }
-        n
-      } finally fresh.unpersist(blocking = false)
+        try {
+          val indexHits: Option[DataFrame] =
+            if (snap.isDefined && index.exists)
+              Some(index.readForKeys(spark, banded.select(col("__band").as("band"),
+                col("__key").as("key"))).select(col("band"), col("key"), col(idCol)))
+            else None
+          val liveHits: Option[DataFrame] = uncoveredBands.map(_.select(
+            col("__band").as("band"), col("__key").as("key"), col("__id").as(idCol)))
+          val corpusDups: DataFrame = (indexHits ++ liveHits).reduceOption(_ unionByName _) match {
+            case None => emptyDups
+            case Some(hits) =>
+              val cands = banded
+                .join(hits, banded("__band") === hits("band") && banded("__key") === hits("key"))
+                .select(col("__id").as("__bid"), col(idCol).as("__cid"))
+                .distinct().persist(lvl)
+              try {
+                // no explicit materialize needed: readForKeys' bounds probe
+                // collects from `cands`' lineage, populating the persist
+                val slice = corpus.readForKeysAt(spark,
+                  cands.select(col("__cid").as(idCol)).distinct(), snap)
+                val shC = slice.select(col(idCol).as("__cid2"),
+                  array_distinct(graft.functions.ShingleExpressions.shingleHashesFast(
+                    spark, col(textCol), shingleSize)).as("__shC"))
+                cands
+                  .join(sh, "__bid")
+                  .join(shC, cands("__cid") === shC("__cid2"))
+                  .filter(jac(col("__shB"), col("__shC")) >= threshold)
+                  .select(col("__bid").as("__dup")).distinct()
+              } finally cands.unpersist(blocking = false)
+          }
+          val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
+            .persist(lvl)
+          try {
+            val n = fresh.count()
+            val healRows = uncoveredBands.map(_.count()).getOrElse(0L)
+            onBeforeCommit()
+            // corpus FIRST (see crash contract above)
+            val appended: Option[graft.table.Snapshot] =
+              if (n > 0) Some(
+                if (serializable)
+                  corpus.appendIfHead(fresh, snap.map(_.id).getOrElse(-1L),
+                    collectStats = Seq(idCol))
+                else corpus.append(fresh, collectStats = Seq(idCol)))
+              else None
+            if (n > 0 || healRows > 0) {
+              if (!index.exists)
+                index.setProperties(Map("manifest.bloom.columns" -> "key",
+                  // maintenance compaction range-clusters by key, so probe
+                  // pruning survives file consolidation via min/max stats
+                  // even past the bloom attach budget
+                  "write.sort.columns" -> "key"))
+              // right-size the index commit from the KNOWN row count
+              // (docs x b bands, ~30 B/row): an unpartitioned append would
+              // otherwise emit one sliver file per task — 32 files per
+              // wave, unbounded growth under continuous ingest. Range-
+              // clustering on key makes every file cover a disjoint key
+              // range, so probes prune on min/max stats immediately
+              // (blooms on top). Serializable mode ALSO appends the
+              // uncovered delta's bands — the self-heal that justifies
+              // advancing the covered marker past docs other writers
+              // banded but never indexed.
+              val freshBands = banded
+                .join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+                .select(col("__band").as("band"), col("__key").as("key"),
+                  col("__id").as(idCol))
+              val toIndex = liveHits match {
+                case Some(lh) if healRows > 0 => freshBands.unionByName(lh)
+                case _ => freshBands
+              }
+              val idxFiles = math.max(1, math.ceil((n + healRows) * b / 4e6).toInt)
+              index.append(toIndex.repartitionByRange(idxFiles, col("key")),
+                collectStats = Seq("key"))
+            }
+            if (serializable) {
+              val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
+              if (newCovered >= 0)
+                index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
+            }
+            return n
+          } catch {
+            case e if e eq graft.table.Icebox.SupersededCommit =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          } finally fresh.unpersist(blocking = false)
+        } finally uncoveredBands.foreach(_.unpersist(blocking = false))
+      }
+      -1L // unreachable
     } finally {
       banded.unpersist(blocking = false)
       sh.unpersist(blocking = false)
@@ -689,7 +787,9 @@ object Dedup {
     */
   def embeddingNearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
       batch: DataFrame, vecCol: String, idCol: String, dim: Int,
-      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L): Long = {
+      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42L,
+      serializable: Boolean = false, maxRetries: Int = 20,
+      onBeforeCommit: () => Unit = () => ()): Long = {
     val spark = batch.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bp = batch.persist(lvl)
@@ -704,49 +804,95 @@ object Dedup {
         .filter(cos(col("a.__v"), col("b.__v")) >= threshold)
         .select(col("b.__id").as("__dup")).distinct()
       val survivors = bp.join(intraDups, col(idCol) === col("__dup"), "left_anti")
-      val corpusDups: DataFrame = corpus.currentSnapshot match {
-        case None => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
-        case Some(_) =>
-          val hits = index.readForKeys(spark, keyed.select(col("__key").as("key")))
-          val cands = keyed.join(hits, keyed("__key") === hits("key"))
-            .select(col("__id").as("__bid"), col(idCol).as("__cid"))
-            .distinct().persist(lvl)
-          try {
-            // no explicit materialize needed: readForKeys' bounds probe
-            // collects from `cands`' lineage, populating the persist
-            val slice = corpus.readForKeys(spark,
-              cands.select(col("__cid").as(idCol)).distinct())
-            val cvec = slice.select(col(idCol).as("__cid2"), col(vecCol).as("__cv"))
-            cands
-              .join(keyed.select(col("__id").as("__bid"), col("__v")), "__bid")
-              .join(cvec, cands("__cid") === cvec("__cid2"))
-              .filter(cos(col("__v"), col("__cv")) >= threshold)
-              .select(col("__bid").as("__dup")).distinct()
-          } finally cands.unpersist(blocking = false)
-      }
-      val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
-        .persist(lvl)
-      try {
-        val n = fresh.count()
-        if (n > 0) {
-          corpus.append(fresh, collectStats = Seq(idCol)) // corpus FIRST (crash contract)
-          if (!index.exists)
-            index.setProperties(Map("manifest.bloom.columns" -> "key",
-              // maintenance compaction range-clusters by key, so probe
-              // pruning survives file consolidation via min/max stats
-              // even past the bloom attach budget
-              "write.sort.columns" -> "key"))
-          val idxFiles = math.max(1, math.ceil(n / 4e6).toInt) // see nearDupInsert
-          index.append(
-            keyed.join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-              .select(col("__key").as("key"), col("__id").as(idCol))
-              .repartitionByRange(idxFiles, col("key")),
-            collectStats = Seq("key"))
+      def emptyDups = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__dup", batch.schema(idCol).dataType))))
+      var attempt = 0
+      while (true) {
+        val snap = corpus.currentSnapshot
+        val coveredId =
+          if (serializable && index.exists)
+            index.properties.get(Dedup.CoveredProp).map(_.toLong).getOrElse(-1L)
+          else -1L
+        // serializable: sign-key the uncovered corpus delta on the fly
+        // (concurrent writers' unindexed rows + crash-gap heal + bootstrap)
+        val uncoveredKeys: Option[DataFrame] = snap match {
+          case Some(sn) if serializable =>
+            Some(corpus.changesBetween(spark, coveredId, sn)
+              .select(sig.as("key"), col(idCol))
+              .persist(lvl))
+          case _ => None
         }
-        n
-      } finally fresh.unpersist(blocking = false)
+        try {
+          val indexHits: Option[DataFrame] =
+            if (snap.isDefined && index.exists)
+              Some(index.readForKeys(spark, keyed.select(col("__key").as("key")))
+                .select(col("key"), col(idCol)))
+            else None
+          val corpusDups: DataFrame = (indexHits ++ uncoveredKeys).reduceOption(_ unionByName _) match {
+            case None => emptyDups
+            case Some(hits) =>
+              val cands = keyed.join(hits, keyed("__key") === hits("key"))
+                .select(col("__id").as("__bid"), col(idCol).as("__cid"))
+                .distinct().persist(lvl)
+              try {
+                // no explicit materialize needed: readForKeys' bounds probe
+                // collects from `cands`' lineage, populating the persist
+                val slice = corpus.readForKeysAt(spark,
+                  cands.select(col("__cid").as(idCol)).distinct(), snap)
+                val cvec = slice.select(col(idCol).as("__cid2"), col(vecCol).as("__cv"))
+                cands
+                  .join(keyed.select(col("__id").as("__bid"), col("__v")), "__bid")
+                  .join(cvec, cands("__cid") === cvec("__cid2"))
+                  .filter(cos(col("__v"), col("__cv")) >= threshold)
+                  .select(col("__bid").as("__dup")).distinct()
+              } finally cands.unpersist(blocking = false)
+          }
+          val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
+            .persist(lvl)
+          try {
+            val n = fresh.count()
+            val healRows = uncoveredKeys.map(_.count()).getOrElse(0L)
+            onBeforeCommit()
+            val appended: Option[graft.table.Snapshot] =
+              if (n > 0) Some(
+                if (serializable)
+                  corpus.appendIfHead(fresh, snap.map(_.id).getOrElse(-1L),
+                    collectStats = Seq(idCol))
+                else corpus.append(fresh, collectStats = Seq(idCol))) // corpus FIRST
+              else None
+            if (n > 0 || healRows > 0) {
+              if (!index.exists)
+                index.setProperties(Map("manifest.bloom.columns" -> "key",
+                  // maintenance compaction range-clusters by key, so probe
+                  // pruning survives file consolidation via min/max stats
+                  // even past the bloom attach budget
+                  "write.sort.columns" -> "key"))
+              val freshKeys = keyed
+                .join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+                .select(col("__key").as("key"), col("__id").as(idCol))
+              val toIndex = uncoveredKeys match {
+                case Some(uk) if healRows > 0 => freshKeys.unionByName(uk)
+                case _ => freshKeys
+              }
+              val idxFiles = math.max(1, math.ceil((n + healRows) / 4e6).toInt) // see nearDupInsert
+              index.append(toIndex.repartitionByRange(idxFiles, col("key")),
+                collectStats = Seq("key"))
+            }
+            if (serializable) {
+              val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
+              if (newCovered >= 0)
+                index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
+            }
+            return n
+          } catch {
+            case e if e eq graft.table.Icebox.SupersededCommit =>
+              attempt += 1
+              if (attempt > maxRetries) throw e
+          } finally fresh.unpersist(blocking = false)
+        } finally uncoveredKeys.foreach(_.unpersist(blocking = false))
+      }
+      -1L // unreachable
     } finally {
       keyed.unpersist(blocking = false)
       bp.unpersist(blocking = false)

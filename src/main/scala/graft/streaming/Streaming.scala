@@ -119,7 +119,8 @@ object Streaming {
       format: String = "parquet",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      refreshViews: Seq[Icebox] = Nil): StreamingQuery = {
+      refreshViews: Seq[Icebox] = Nil,
+      serializable: Boolean = false): StreamingQuery = {
     val reader = spark.readStream.format(format).schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.load(sourceDir).writeStream
@@ -127,7 +128,11 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Dedup.dedupInsert(corpus, batch, textCol, idCol)
+          // serializable: several INDEPENDENT streams feeding one corpus
+          // are concurrent writers — the head-CAS probe/append cycle
+          // keeps cross-stream duplicates out (see Dedup.dedupInsert)
+          graft.operators.Dedup.dedupInsert(corpus, batch, textCol, idCol,
+            serializable = serializable)
           refreshViews.foreach(
             graft.operators.MaterializedView.refreshFromProperties(spark, _))
         }
@@ -165,7 +170,8 @@ object Streaming {
       format: String = "parquet",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      refreshViews: Seq[Icebox] = Nil): StreamingQuery = {
+      refreshViews: Seq[Icebox] = Nil,
+      serializable: Boolean = false): StreamingQuery = {
     val reader = spark.readStream.format(format).schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.load(sourceDir).writeStream
@@ -174,7 +180,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.operators.Dedup.nearDupInsert(corpus, index, batch,
-            textCol, idCol, threshold)
+            textCol, idCol, threshold, serializable = serializable)
           refreshViews.foreach(
             graft.operators.MaterializedView.refreshFromProperties(spark, _))
         }

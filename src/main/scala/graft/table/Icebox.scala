@@ -984,6 +984,37 @@ final class Icebox(val tableDir: String) {
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
 
+  /** Append expecting the head the caller's read observed — the
+    * serializable-ingest commit: if ANY commit moved the head past
+    * `expectHeadId` (−1 = the caller saw no table), [[Icebox
+    * .SupersededCommit]] escapes so the caller re-runs its probe against
+    * the new state instead of publishing a decision computed from a stale
+    * one (the dedup-insert TOCTOU: two concurrent writers both probing,
+    * both missing each other's rows, both appending the same content).
+    */
+  private[graft] def appendIfHead(df: DataFrame, expectHeadId: Long,
+      collectStats: Seq[String] = Nil): Snapshot =
+    commit(df, effectiveParts(Nil), "append", collectStats) { (parent, newFiles) =>
+      if (parent.map(_.id).getOrElse(-1L) != expectHeadId) throw Icebox.SupersededCommit
+      parent.map(_.files).getOrElse(Nil) ++ newFiles
+    }
+
+  /** Rows of snapshot `to` whose files are absent from snapshot `fromId`
+    * (−1, an expired, or an unknown id = ALL rows of `to`): the pinned
+    * uncovered-delta read of the serializable dedup ingest. Compaction-
+    * rewritten files count as added — re-deriving index entries for rows
+    * already covered is harmless (the index is additive) and conservative
+    * beats silent under-coverage.
+    */
+  private[graft] def changesBetween(spark: SparkSession, fromId: Long,
+      to: Snapshot): DataFrame = {
+    val old: Set[String] =
+      if (fromId < 0) Set.empty
+      else scala.util.Try(readSnapshot(fromId).files.map(_.path).toSet)
+        .getOrElse(Set.empty)
+    readFiles(spark, to.files.filterNot(f => old(f.path)), Some(to.schemaJson))
+  }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec analog): change the
     * table's identity partitioning for FUTURE writes — existing files keep
     * their old directory layout and stay readable (reads union one

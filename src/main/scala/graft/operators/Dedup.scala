@@ -194,8 +194,11 @@ object Dedup {
           if (serializable && index.exists)
             index.properties.get(Dedup.CoveredProp).map(_.toLong).getOrElse(-1L)
           else -1L
+        // zero-delta fast path: when the marker already covers the head
+        // (single-writer steady state) the manifest-only probe skips the
+        // whole banding plan — no persist, no count job, no union branch
         val uncoveredBands: Option[DataFrame] = snap match {
-          case Some(sn) if serializable =>
+          case Some(sn) if serializable && corpus.hasChangesBetween(coveredId, sn) =>
             Some(bandedKeys(corpus.changesBetween(spark, coveredId, sn),
               textCol, idCol, numHashes, b, shingleSize).persist(lvl))
           case _ => None
@@ -275,7 +278,7 @@ object Dedup {
             }
             if (serializable) {
               val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
-              if (newCovered >= 0)
+              if (newCovered >= 0 && newCovered != coveredId)
                 index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
             }
             return n
@@ -817,7 +820,7 @@ object Dedup {
         // serializable: sign-key the uncovered corpus delta on the fly
         // (concurrent writers' unindexed rows + crash-gap heal + bootstrap)
         val uncoveredKeys: Option[DataFrame] = snap match {
-          case Some(sn) if serializable =>
+          case Some(sn) if serializable && corpus.hasChangesBetween(coveredId, sn) =>
             Some(corpus.changesBetween(spark, coveredId, sn)
               .select(sig.as("key"), col(idCol))
               .persist(lvl))
@@ -881,7 +884,7 @@ object Dedup {
             }
             if (serializable) {
               val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
-              if (newCovered >= 0)
+              if (newCovered >= 0 && newCovered != coveredId)
                 index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
             }
             return n

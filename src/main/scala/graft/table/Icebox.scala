@@ -1007,12 +1007,24 @@ final class Icebox(val tableDir: String) {
     * beats silent under-coverage.
     */
   private[graft] def changesBetween(spark: SparkSession, fromId: Long,
-      to: Snapshot): DataFrame = {
+      to: Snapshot): DataFrame =
+    readFiles(spark, addedFilesBetween(fromId, to), Some(to.schemaJson))
+
+  /** Manifest-only emptiness probe for [[changesBetween]]: lets the
+    * serializable dedup ingest skip building the uncovered-delta plan
+    * entirely (banding projection, persist, count job) in the steady
+    * state where the covered marker already spans the head — the
+    * single-writer common case, where the delta is zero files per wave.
+    */
+  private[graft] def hasChangesBetween(fromId: Long, to: Snapshot): Boolean =
+    addedFilesBetween(fromId, to).nonEmpty
+
+  private def addedFilesBetween(fromId: Long, to: Snapshot) = {
     val old: Set[String] =
       if (fromId < 0) Set.empty
       else scala.util.Try(readSnapshot(fromId).files.map(_.path).toSet)
         .getOrElse(Set.empty)
-    readFiles(spark, to.files.filterNot(f => old(f.path)), Some(to.schemaJson))
+    to.files.filterNot(f => old(f.path))
   }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec analog): change the

@@ -2369,6 +2369,27 @@ object SparkEntry {
         dim = 64, threshold = 0.99, planes = 6)
     }),
 
+    // LLM: SemDeDup (Abbas et al. 2023) — semantic dedup with k-means-
+    // cluster-bounded candidacy and the keep-the-outlier rule
+    // (Dedup.semDeDup). Seed centroids (lowest-16 vec_ids, q_ann_ivf's
+    // deterministic shape) so the ORACLE replays the full pipeline in SQL:
+    // argmin assignment over the same 16 centroids, survivors = the base
+    // rows (planted +1000000 copies co-cluster with their originals at
+    // cosine 1.0, csim ties break to min id; no distinct-vector pair in
+    // testdata reaches 0.99 — same exactness property as
+    // q_embed_neardup). Every surviving row's cluster_id and centroid_sim
+    // are value-checked, so a misassigned cluster or a lost/extra drop
+    // hash-mismatches.
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dups = e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000)
+      val seeds = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      Dedup.semDeDup(e.unionByName(dups), seeds, "embedding", "vec_id",
+        threshold = 0.99)
+    }),
+
     // LLM: incremental embedding near-dup vs an accumulated corpus through
     // a persisted sign-key index (Dedup.embeddingNearDupInsert) — the
     // vector-space sibling of q_neardup_insert. ORACLE EXACTNESS: testdata
@@ -3604,6 +3625,26 @@ object SparkEntry {
     "q_embed_neardup" ->
       """SELECT vec_id AS idA, vec_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS cosine
         | FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // full-pipeline replay: same 16 seed centroids, same argmin assignment
+    // (q_ann_ivf's arithmetic), survivors = base rows with their
+    // assignment evidence (see the queries-side comment for why drops are
+    // exactly the planted copies)
+    "q_semdedup" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings ORDER BY vec_id LIMIT 16),
+        |a AS (
+        |  SELECT u.vec_id, c.cid, list_cosine_similarity(u.v, c.ce) AS csim
+        |  FROM u CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY u.vec_id
+        |    ORDER BY list_distance(u.v, c.ce), c.cid) = 1)
+        |SELECT vec_id, cid AS cluster_id, round(csim, 4) AS centroid_sim
+        |FROM a WHERE vec_id < 1000000""".stripMargin,
 
     // same bit-identical-only property (max inter-vector cosine ~0.6 at
     // sf0.1) makes the incremental insert replay q_neardup_insert's

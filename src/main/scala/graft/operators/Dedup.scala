@@ -775,6 +775,76 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    * K-MEANS-CLUSTER-BOUNDED candidacy — the cluster-geometry sibling of
+    * [[embeddingNearDup]]'s hyperplane LSH. Three stages, all
+    * never-all-pairs:
+    *
+    *  1. '''Assign''' every vector to its nearest centroid via the
+    *     codegen'd argmin-over-centroid-literals projection shared with
+    *     the IVF family ([[Similarity.assignWithSim]]) — map-only, zero
+    *     shuffle, and the cosine to the winning centroid rides along for
+    *     the keep-rule.
+    *  2. '''Candidates''' are WITHIN-CLUSTER only: a self-equi-join on the
+    *     assigned cluster id, cosine ≥ `threshold`. At 100 TB the cluster
+    *     count grows with the corpus (the paper runs k=50 000 on LAION),
+    *     so per-cluster membership — and the join's per-key fan-out —
+    *     stays bounded at ~n/k regardless of total scale.
+    *  3. '''Keep-rule''': candidate pairs close transitively
+    *     ([[connectedComponents]] — contracted union-find, driver-finished
+    *     under the node threshold) and each duplicate group keeps exactly
+    *     one member: the one LEAST similar to its cluster centroid (the
+    *     paper's choice — keeps outliers, drops the redundant core; ties
+    *     broken by min id).
+    *
+    * `centroids` is a tiny `(cluster_id, centroid)` frame — seeded KMeans
+    * from [[Similarity.ivfTrain]] (sample-fit, the 100 TB shape) or any
+    * deterministic seed set; it is collected to the driver and fused into
+    * the plan as literals, exactly like the IVF reads. Returns the
+    * SURVIVORS with their assignment evidence:
+    * `(idCol, cluster_id, centroid_sim)` (cosine rounded to 4).
+    */
+  def semDeDup(df: DataFrame, centroids: DataFrame, vecCol: String,
+      idCol: String, threshold: Double = 0.95): DataFrame = {
+    val spark = df.sparkSession
+    val cs = Similarity.collectCentroids(centroids)
+    require(cs.nonEmpty, "semDeDup needs at least one centroid")
+    val asg = Similarity.assignWithSim(spark, cs, col(vecCol))
+    val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        asg.getField("cid").as("__cluster"), asg.getField("csim").as("__csim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the drop LIST is materialized eagerly (localCheckpoint — dup-graph
+    // sized, far smaller than the corpus), so the cached assignment scan
+    // backs the edge join + keep-rule and is then released; the RETURNED
+    // plan recomputes the map-only assignment exactly once (one corpus
+    // scan), referencing only the checkpointed drop ids.
+    val drops =
+      try {
+        val edges = keyed.as("a")
+          .join(keyed.as("b"),
+            col("a.__cluster") === col("b.__cluster") && col("a.__id") < col("b.__id"))
+          .filter(graft.functions.VectorExpressions.cosine(spark,
+            col("a.__v"), col("b.__v")) >= threshold)
+          .select(col("a.__id").as("idA"), col("b.__id").as("idB"))
+        // only docs in some candidate pair enter the component graph — the
+        // dup graph is far smaller than the corpus (connectedComponents doc)
+        val comps = connectedComponents(edges)
+        val members = keyed.join(comps, col("__id") === col("id"))
+        // least-centroid-similar member survives; (csim, id) struct min is
+        // the deterministic tie-break
+        val keeps = members.groupBy("rep")
+          .agg(min(struct(col("__csim"), col("__id"))).as("__k"))
+          .select(col("__k").getField("__id").as("__keep"))
+        members.join(keeps, members("__id") === keeps("__keep"), "left_anti")
+          .select(col("__id")).localCheckpoint(true)
+      } finally keyed.unpersist(blocking = false)
+    df.select(col(idCol).as("__id"),
+        asg.getField("cid").as("cluster_id"),
+        round(asg.getField("csim"), 4).as("centroid_sim"))
+      .join(drops, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cluster_id"), col("centroid_sim"))
+  }
+
   /** Incremental embedding near-dup dedup of a batch against an
     * accumulated corpus — [[nearDupInsert]]'s vector-space sibling: append
     * only the batch rows with NO corpus vector at cosine ≥ `threshold` in

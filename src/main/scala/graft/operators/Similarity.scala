@@ -228,9 +228,23 @@ object Similarity {
       struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"))
     }: _*)
 
-  private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
+  private[graft] def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
     centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** Nearest-centroid assignment WITH the cosine to the winning centroid:
+    * the same codegen'd argmin-over-centroid-literals projection as
+    * [[ivfWithCentroids]], extended to `struct(d, cid, csim)` — `csim`
+    * rides as a trailing non-ordering field (cid is unique, so (d, cid)
+    * already totally orders the structs). Map-only: no join, no shuffle.
+    * Used by [[Dedup.semDeDup]]'s cluster-bounded candidacy.
+    */
+  private[graft] def assignWithSim(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Float])], vec: Column): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"),
+        VectorExpressions.cosine(spark, vec, lit(c)).as("csim"))
+    }: _*))
 
   // ------------------------------------------------- persisted IVF index
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two far-apart unit centroids; assignment is unambiguous for all fixtures
+  private def centroids = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f))
+  ).toDF("cluster_id", "centroid")
+
+  test("keep-rule: the least-centroid-similar member of a duplicate group survives") {
+    // ids 0 and 1 are near-dups (cosine 0.976) in cluster 0; id 0 sits ON
+    // the centroid (csim 1.0), id 1 is the outlier — the paper's rule keeps
+    // the OUTLIER, so min-id must NOT win here
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.2f)),
+      (5L, Array(0.0f, 1.0f)) // unrelated, cluster 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(df, centroids, "embedding", "vec_id", threshold = 0.95)
+      .orderBy("vec_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L, 5L)
+    val survivor = out.head
+    survivor.getLong(1) shouldBe 0L // cluster_id
+    survivor.getDouble(2) should be < 1.0 // the outlier, not the centroid-sitter
+  }
+
+  test("duplicate groups close transitively within a cluster") {
+    // a~b (0.970) and b~c (0.966) but a~c only 0.88 — still ONE survivor,
+    // and it is c, the least centroid-similar of the component
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.97f, 0.24f)),
+      (2L, Array(0.88f, 0.47f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(df, centroids, "embedding", "vec_id", threshold = 0.95)
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
+  test("candidacy is cluster-bounded: similar vectors in different clusters both survive") {
+    // cosine((0.8,0.6),(0.6,0.8)) = 0.96 >= threshold, but they assign to
+    // different centroids — SemDeDup by design never compares across
+    // clusters, so both remain (the paper's documented recall bound)
+    val df = Seq(
+      (0L, Array(0.8f, 0.6f)),
+      (1L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(df, centroids, "embedding", "vec_id", threshold = 0.95)
+      .orderBy("vec_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((0L, 0L), (1L, 1L))
+  }
+
+  test("unique vectors pass through with assignment evidence") {
+    val df = Seq(
+      (7L, Array(1.0f, 0.0f)),
+      (8L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(df, centroids, "embedding", "vec_id", threshold = 0.99)
+      .orderBy("vec_id").collect()
+    out.length shouldBe 2
+    out(0).getLong(1) shouldBe 0L
+    out(0).getDouble(2) shouldBe 1.0 +- 1e-9
+    out(1).getLong(1) shouldBe 1L
+  }
+
+  test("KMeans-trained centroids dedup exact duplicates end to end") {
+    val base = (0 until 40).map { i =>
+      val a = (math.cos(i / 40.0 * math.Pi * 2)).toFloat
+      val b = (math.sin(i / 40.0 * math.Pi * 2)).toFloat
+      (i.toLong, Array(a, b))
+    }
+    val withDups = base ++ base.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val trained = Similarity.ivfTrain(df, nlist = 4, seed = 7L)
+    val out = Dedup.semDeDup(df, trained, "embedding", "vec_id", threshold = 0.999)
+    // every exact-duplicate pair co-clusters (identical vector, identical
+    // argmin), has cosine 1.0, equal csim -> min id survives
+    out.count() shouldBe 40L
+    out.filter(col("vec_id") >= 1000L).count() shouldBe 0L
+  }
+}

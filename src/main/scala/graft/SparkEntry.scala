@@ -984,6 +984,26 @@ object SparkEntry {
       cnts.zipWithIndex.map { case (c, b) => (b.toLong, c) }.toDF("bucket", "cnt")
     }),
 
+    // Metadata-only DISCRETE PERCENTILES: the equi-width histogram doubles
+    // as an exact FREQUENCY TABLE when the column is integral and the
+    // bucket width is <= 1 (l_linenumber: 1..7 over 32 buckets), so
+    // p-tiles are served EXACTLY from table properties — zero data I/O
+    // beyond the one ANALYZE scan (Icebox.percentileMeta; the refusal
+    // contract — non-integral type, width > 1, stale snapshot, count
+    // mismatch — is PercentileMetaSpec-covered). Oracle: DuckDB
+    // quantile_disc over the raw rows.
+    "q_percentile_meta" -> ((s, dir) => {
+      val table = Icebox(tmp("qpct"))
+      table.append(t(s, dir, "lineitem").select(col("l_linenumber")),
+        collectStats = Seq("l_linenumber"))
+      table.analyzeHistogram(s, "l_linenumber", buckets = 32)
+      val ps = Seq(0.25, 0.5, 0.9, 0.99)
+      val vals = table.percentileMeta("l_linenumber", ps)
+        .getOrElse(sys.error("exact-readable histogram must serve percentiles"))
+      import s.implicits._
+      ps.zip(vals).toDF("p", "value")
+    }),
+
     // Schema evolution: an append may ADD columns — files written before
     // the column existed read back as typed nulls (the manifest's schema is
     // per-snapshot; the reader nullable-normalizes, Iceberg's add-column)
@@ -2739,6 +2759,13 @@ object SparkEntry {
         |SELECT CAST(g.bucket AS BIGINT) AS bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
         |FROM g LEFT JOIN (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket) c
         |  USING (bucket)""".stripMargin,
+
+    "q_percentile_meta" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS p,
+        |       CAST(quantile_disc(l_linenumber, 0.25) AS BIGINT) AS value FROM lineitem
+        |UNION ALL SELECT 0.5, quantile_disc(l_linenumber, 0.5) FROM lineitem
+        |UNION ALL SELECT 0.9, quantile_disc(l_linenumber, 0.9) FROM lineitem
+        |UNION ALL SELECT 0.99, quantile_disc(l_linenumber, 0.99) FROM lineitem""".stripMargin,
 
     // the UPDATE's row-level effect, written longhand
     "q_change_diff" ->

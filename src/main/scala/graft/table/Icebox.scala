@@ -535,6 +535,61 @@ final class Icebox(val tableDir: String) {
       parts(3).split(',').map(_.toLong).toSeq)
   }
 
+  /** Discrete percentiles (percentile_disc: the smallest value whose
+    * cumulative count reaches ceil(p·n), exact decimal arithmetic; nulls
+    * excluded, as in the histogram) served ENTIRELY from the persisted
+    * histogram — zero data I/O, zero Spark jobs. EXACT or refused (None),
+    * per the metadata refusal contract: served only when the histogram is
+    * readable as an exact FREQUENCY TABLE — integral column type AND
+    * bucket width ≤ 1, so consecutive integers land ≥ 1 bucket apart and
+    * every bucket holds at most one distinct value (cross-checked: the
+    * reconstructed frequencies must re-sum to the histogram's total, so a
+    * histogram this reading cannot explain refuses instead of mis-serving).
+    * [[histogramMeta]]'s staleness gate applies — a histogram past its
+    * snapshot refuses rather than serves. At 100 TB: "what is the p99 of
+    * this column" costs one properties read; the scan was paid once at
+    * ANALYZE and stays valid until the table moves.
+    */
+  def percentileMeta(column: String, ps: Seq[Double]): Option[Seq[Long]] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1], got $ps")
+    val key = toPhysical(column)
+    for {
+      snap <- currentSnapshot
+      field <- DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        .fields.find(_.name.equalsIgnoreCase(key))
+      if Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType)
+      hist <- histogramMeta(column)
+      out <- {
+        val (lo, hi, counts) = hist
+        val n = counts.sum
+        val buckets = counts.size
+        if (n == 0L) None
+        else if (hi == lo) Some(ps.map(_ => lo.toLong))
+        else {
+          val w = (hi - lo) / buckets
+          if (w > 1.0) None
+          else {
+            val freq = (lo.toLong to hi.toLong).map { v =>
+              val b = math.min(buckets - 1L,
+                math.max(0L, math.floor((v - lo) / w).toLong)).toInt
+              v -> counts(b)
+            }
+            if (freq.map(_._2).sum != n) None // bucket not uniquely claimed
+            else {
+              val cum = freq.scanLeft(0L)(_ + _._2).tail
+              Some(ps.map { p =>
+                val r = math.max(1L, (BigDecimal(p.toString) * n)
+                  .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+                freq(cum.indexWhere(_ >= r))._1
+              })
+            }
+          }
+        }
+      }
+    } yield out
+  }
+
   /** `SHOW STATS FOR t`: one row per stats-covered column — everything
     * the CBO bridge serves, all metadata-only: approximate NDV (HLL
     * rollup), exact null count (commit-time footer pass, only when every

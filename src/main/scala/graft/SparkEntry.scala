@@ -3654,15 +3654,19 @@ object SparkEntry {
         | FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // full-pipeline replay: same 16 seed centroids, same argmin assignment
-    // (q_ann_ivf's arithmetic), survivors = base rows with their
-    // assignment evidence (see the queries-side comment for why drops are
-    // exactly the planted copies)
+    // (q_ann_ivf's arithmetic); survivors = min id per DISTINCT VECTOR
+    // (identical vectors co-cluster at cosine 1.0 with equal csim, so the
+    // tie-break keeps the min id; no distinct-vector pair reaches 0.99) —
+    // the fp-group form stays exact at sf1, where the 10x embeddings are
+    // re-id'd exact copies
     "q_semdedup" ->
       """WITH u AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 20),
+        |k AS (SELECT CAST(v AS VARCHAR) AS fp, min(vec_id) AS keep
+        |      FROM u GROUP BY fp),
         |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |      FROM embeddings ORDER BY vec_id LIMIT 16),
         |a AS (
@@ -3670,8 +3674,8 @@ object SparkEntry {
         |  FROM u CROSS JOIN c
         |  QUALIFY row_number() OVER (PARTITION BY u.vec_id
         |    ORDER BY list_distance(u.v, c.ce), c.cid) = 1)
-        |SELECT vec_id, cid AS cluster_id, round(csim, 4) AS centroid_sim
-        |FROM a WHERE vec_id < 1000000""".stripMargin,
+        |SELECT a.vec_id, a.cid AS cluster_id, round(a.csim, 4) AS centroid_sim
+        |FROM a JOIN k ON a.vec_id = k.keep""".stripMargin,
 
     // same bit-identical-only property (max inter-vector cosine ~0.6 at
     // sf0.1) makes the incremental insert replay q_neardup_insert's

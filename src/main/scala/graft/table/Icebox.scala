@@ -484,6 +484,277 @@ final class Icebox(val tableDir: String) {
     }
   }
 
+  // ------------------------------------------------ exact frequency index
+
+  private def freqKey(physCol: String) = s"freq:$physCol"
+  private def freqRollupProp(physCol: String) = s"freq.rollup.$physCol"
+  private def freqPath(sha: String): HPath = new HPath(sketchesDir, s"$sha.freq")
+  private def freqFileCap: Int =
+    properties.get("freq.max-values").map(_.toInt).getOrElse(256)
+  private def freqTableCap: Int =
+    properties.get("freq.table.max-values").map(_.toInt).getOrElse(4096)
+
+  /** Build the EXACT per-file FREQUENCY index for low-cardinality
+    * `columns` — the mergeable sibling of the NDV sketch index: each data
+    * file gets a side file holding its exact (value → count) table
+    * (content-addressed `.freq` files under `_snapshots/sketches/`,
+    * pointer in the manifest under a `freq:`-prefixed key), and a
+    * table-level rollup
+    * (exact map merge — unlike equi-width histograms, frequency tables
+    * merge EXACTLY, so the index survives appends and compaction with
+    * O(changed files) maintenance, never a full re-scan). A file whose
+    * distinct count exceeds `freq.max-values` (default 256) records an
+    * overflow marker instead — serving then refuses for the whole column,
+    * the usual metadata contract. Sticky: later commits index their own
+    * new files inline (same rule as NDV/bloom/stats), so one ANALYZE keeps
+    * the column servable table-wide. Supported types: integral, float,
+    * double, decimal, string; others are skipped.
+    */
+  def analyzeFreq(spark: SparkSession, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "analyzeFreq needs at least one column")
+    val existing = properties.get("freq.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val phys = columns.map(toPhysical)
+    setProperties(Map("freq.columns" -> (existing ++ phys).distinct.mkString(",")))
+    val snap = currentSnapshot.getOrElse(return) // empty table: sticky property only
+    val missing = snap.files.filter(f => phys.exists(c => !f.sketches.contains(freqKey(c))))
+    if (missing.nonEmpty) {
+      val shas = buildFileFreqs(spark, missing.map(_.path), phys, freqFileCap)
+      commitMetaResolvedFn("analyze",
+        parent => parent.map(_.files).getOrElse(Nil).map { f =>
+          shas.get(pathOnly(f.path)) match {
+            case Some(m) => f.copy(sketches = f.sketches ++ m)
+            case None => f
+          }
+        }, parent => parent.map(_.schemaJson).getOrElse(snap.schemaJson))
+    }
+    phys.foreach(refreshFreqRollup)
+  }
+
+  /** The exact merged (value, count) table for `column`, metadata-only —
+    * rendered values (see [[analyzeFreq]]), ascending by rendered string.
+    * None whenever the index can't answer EXACTLY: a file without an
+    * entry, an overflowed file, pending merge-on-read deletes (a deleted
+    * row would still be counted), or a merged table over
+    * `freq.table.max-values`. Cached rollup serves in one side-file read
+    * when current; otherwise a per-file fold (and [[analyzeFreq]]
+    * refreshes the rollup O(delta) under appends).
+    */
+  def frequencyMeta(column: String): Option[Seq[(String, Long)]] = {
+    val key = toPhysical(column)
+    currentSnapshot.flatMap { snap =>
+      val fs = snap.files
+      if (fs.exists(f => f.deletes.nonEmpty || f.eqDeletes.nonEmpty)) None
+      else if (fs.isEmpty) Some(Nil)
+      else properties.get(freqRollupProp(key)) match {
+        case Some(v) if v.split(':').headOption.flatMap(s =>
+            scala.util.Try(s.toLong).toOption).contains(snap.id) =>
+          loadFreq(v.split(':')(1))
+        case _ => foldFreqs(fs.map(_.sketches.get(freqKey(key))))
+      }
+    }
+  }
+
+  /** Discrete percentiles (same definition as [[percentileMeta]]) served
+    * EXACTLY from the frequency index for any NUMERIC low-cardinality
+    * column — no histogram-width restriction: where [[percentileMeta]]
+    * needs an integral column whose range fits the bucket count, this
+    * serves doubles, decimals, and wide integral domains as long as the
+    * frequency index covers the column. Refusals compose: everything
+    * [[frequencyMeta]] refuses, plus non-numeric columns and values that
+    * do not round-trip through Double (a > 2^53 long). Zero data I/O,
+    * zero Spark jobs.
+    */
+  def percentileFromFreq(column: String, ps: Seq[Double]): Option[Seq[Double]] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1], got $ps")
+    val key = toPhysical(column)
+    for {
+      snap <- currentSnapshot
+      field <- DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        .fields.find(_.name.equalsIgnoreCase(key))
+      if field.dataType.isInstanceOf[NumericType]
+      freq <- frequencyMeta(column)
+      parsed <- {
+        val vs = freq.map { case (s, c) => (scala.util.Try(s.toDouble).toOption, c) }
+        val exact = field.dataType match {
+          case LongType => freq.forall { case (s, _) =>
+            scala.util.Try(s.toLong).toOption.exists(l => l.toDouble.toLong == l) }
+          case _ => true
+        }
+        if (!exact || vs.exists(_._1.isEmpty)) None
+        else Some(vs.map { case (v, c) => (v.get, c) }.sortBy(_._1))
+      }
+      out <- {
+        val n = parsed.map(_._2).sum
+        if (n == 0L) None
+        else {
+          val cum = parsed.scanLeft(0L)(_ + _._2).tail
+          Some(ps.map { p =>
+            val r = math.max(1L, (BigDecimal(p.toString) * n)
+              .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+            parsed(cum.indexWhere(_ >= r))._1
+          })
+        }
+      }
+    } yield out
+  }
+
+  /** Fold per-file frequency pointers into one exact merged table; None on
+    * any missing pointer, overflow marker, unreadable side file, or a
+    * merge past the table cap.
+    */
+  private def foldFreqs(shas: Seq[Option[String]]): Option[Seq[(String, Long)]] = {
+    if (shas.exists(s => s.isEmpty || s.contains(Icebox.FreqOverflow))) return None
+    val loaded = shas.flatten.map(loadFreq)
+    if (loaded.exists(_.isEmpty)) return None
+    val merged = new scala.collection.mutable.HashMap[String, Long]
+    loaded.flatten.flatten.foreach { case (v, c) =>
+      merged.update(v, merged.getOrElse(v, 0L) + c)
+      if (merged.size > freqTableCap) return None
+    }
+    Some(merged.toSeq.sortBy(_._1))
+  }
+
+  /** Refresh the table-level frequency rollup side file +
+    * `freq.rollup.<col>` property (`<snapshotId>:<sha>`) — incremental
+    * when every file the previous rollup covered is still live (pure
+    * appends fold only the new files' tables), full re-fold otherwise.
+    * No rollup is written when the index can't serve (overflow, cap,
+    * missing files) — the property stays absent rather than wrong.
+    */
+  private def refreshFreqRollup(physCol: String): Unit = {
+    val snap = currentSnapshot.getOrElse(return)
+    val fs = snap.files
+    val prev = properties.get(freqRollupProp(physCol)).flatMap { v =>
+      v.split(':') match {
+        case Array(sid, sha) => scala.util.Try(sid.toLong).toOption.map(_ -> sha)
+        case _ => None
+      }
+    }
+    if (prev.exists(_._1 == snap.id)) return // already current
+    def merge(tables: Seq[Seq[(String, Long)]]): Option[Seq[(String, Long)]] = {
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      tables.flatten.foreach { case (v, c) =>
+        m.update(v, m.getOrElse(v, 0L) + c)
+        if (m.size > freqTableCap) return None
+      }
+      Some(m.toSeq.sortBy(_._1))
+    }
+    def tablesFor(files: Seq[DataFile]): Option[Seq[Seq[(String, Long)]]] = {
+      val shas = files.map(_.sketches.get(freqKey(physCol)))
+      if (shas.exists(s => s.isEmpty || s.contains(Icebox.FreqOverflow))) None
+      else {
+        val loaded = shas.flatten.map(loadFreq)
+        if (loaded.exists(_.isEmpty)) None else Some(loaded.flatten)
+      }
+    }
+    val mergedOpt = (prev match {
+      case Some((oldId, oldSha)) =>
+        val oldPaths = scala.util.Try(snapshot(oldId).files.map(_.path).toSet).toOption
+        oldPaths match {
+          case Some(op) if op.subsetOf(fs.map(_.path).toSet) =>
+            (for {
+              seed <- loadFreq(oldSha)
+              fresh <- tablesFor(fs.filterNot(f => op(f.path)))
+              m <- merge(seed +: fresh)
+            } yield m).orElse(tablesFor(fs).flatMap(merge))
+          case _ => tablesFor(fs).flatMap(merge)
+        }
+      case None => tablesFor(fs).flatMap(merge)
+    })
+    mergedOpt.foreach { table =>
+      val bytes = Icebox.freqSerialize(table)
+      store.mkdirs(sketchesDir)
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+      if (!store.exists(freqPath(sha))) store.atomicReplace(freqPath(sha), bytes)
+      setProperties(Map(freqRollupProp(physCol) -> s"${snap.id}:$sha"))
+    }
+  }
+
+  /** Load one frequency side file by content sha (process-wide cache). */
+  private[graft] def loadFreq(sha: String): Option[Seq[(String, Long)]] = {
+    val cached = Icebox.sketchCache.get(s"freq:$sha")
+    val bytes =
+      if (cached != null) cached
+      else {
+        val p = freqPath(sha)
+        if (!store.exists(p)) return None
+        val b = store.readBytes(p)
+        Icebox.sketchCache.put(s"freq:$sha", b)
+        b
+      }
+    Icebox.freqDeserialize(bytes)
+  }
+
+  /** Executor-fanned per-file frequency build: one (file, value) count
+    * shuffle per column, overflowing files detected from their distinct
+    * counts BEFORE any `collect_list` materializes (so a high-cardinality
+    * file costs its aggregation but never an unbounded driver row), side
+    * files written executor-side like the bloom/sketch builds. Returns
+    * path → (freq-key → sha | overflow marker).
+    */
+  private def buildFileFreqs(spark: SparkSession, paths: Seq[String],
+      cols: Seq[String], cap: Int): Map[String, Map[String, String]] = {
+    if (paths.isEmpty || cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name, count => fcount, collect_list, struct, lit}
+    val base = spark.read.parquet(paths: _*)
+    val out = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashMap[String, String]]
+    def put(path: String, c: String, v: String): Unit =
+      out.getOrElseUpdate(path, scala.collection.mutable.HashMap.empty)
+        .update(freqKey(c), v)
+    val confBc = spark.sparkContext.broadcast(
+      new Icebox.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    store.mkdirs(sketchesDir)
+    val dirStr = sketchesDir.toString
+    cols.filter(base.columns.contains).foreach { c =>
+      val dt = base.schema(base.schema.fieldIndex(c)).dataType
+      if (Icebox.freqRenderable(dt)) {
+        val counted = base.select(input_file_name().as("__file"), fcol(c).as("__v"))
+          .filter(fcol("__v").isNotNull)
+          .groupBy(fcol("__file"), fcol("__v")).agg(fcount(lit(1)).as("__c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val sizes = counted.groupBy("__file").agg(fcount(lit(1)).as("__n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          sizes.collect { case (f, n) if n > cap => f }
+            .foreach(f => put(pathOnly(f), c, Icebox.FreqOverflow))
+          val okFiles = sizes.collect { case (f, n) if n <= cap => f }.toSet
+          if (okFiles.nonEmpty) {
+            val okBc = spark.sparkContext.broadcast(okFiles)
+            val dtLocal = dt
+            import spark.implicits._
+            val pairs = counted
+              .filter(r => okBc.value.contains(r.getString(0)))
+              .groupBy("__file")
+              .agg(collect_list(struct(fcol("__v"), fcol("__c"))).as("__entries"))
+              .mapPartitions { it =>
+                it.map { r =>
+                  val table = r.getSeq[Row](1).map { e =>
+                    Icebox.freqRender(e.get(0), dtLocal) -> e.getLong(1)
+                  }.sortBy(_._1)
+                  (r.getString(0), Icebox.writeSideFile(confBc.value.value, dirStr,
+                    Icebox.freqSerialize(table), "freq"))
+                }
+              }.collect()
+            pairs.foreach { case (f, sha) => put(pathOnly(f), c, sha) }
+          }
+          // a file ALL of whose values are null never appears in `counted`
+          // — record an empty table for it so coverage checks pass
+          val seen = sizes.keySet.map(pathOnly)
+          paths.map(pathOnly).filterNot(seen.contains).foreach { p =>
+            val sha = Icebox.writeSideFile(confBc.value.value, dirStr,
+              Icebox.freqSerialize(Nil), "freq")
+            put(p, c, sha)
+          }
+        } finally counted.unpersist(blocking = false)
+      }
+    }
+    out.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
   /** Equi-width HISTOGRAM stats for a numeric column: bucket bounds are
     * FIXED from the manifest's min/max (so the arithmetic is exact and
     * data-independent — bucket counts are plain integers any engine can
@@ -1718,16 +1989,19 @@ final class Icebox(val tableDir: String) {
     // while any kept snapshot's file entry — or the table-level rollup
     // property — references it), same mtime grace.
     if (store.exists(sketchesDir)) {
+      // freq side files share the dir and liveness rule (their shas ride
+      // the same manifest map, their rollups the freq.rollup.* properties)
       val rollupShas = properties.collect {
-        case (k, v) if k.startsWith("sketch.ndv.rollup.") =>
+        case (k, v) if k.startsWith("sketch.ndv.rollup.") ||
+            k.startsWith("freq.rollup.") =>
           v.split(':').lift(1)
       }.flatten.toSet
       val liveSketchShas =
         (keep ++ refChains).flatMap(_.files.flatMap(_.sketches.values)).toSet ++ rollupShas
       store.list(sketchesDir).filter { st =>
         val name = st.getPath.getName
-        st.isFile && name.endsWith(".hll") &&
-          !liveSketchShas(name.stripSuffix(".hll")) &&
+        st.isFile && (name.endsWith(".hll") || name.endsWith(".freq")) &&
+          !liveSketchShas(name.stripSuffix(".hll").stripSuffix(".freq")) &&
           st.getModificationTime < cutoffMs
       }.foreach(st => store.deleteIfExists(st.getPath))
     }
@@ -2410,6 +2684,19 @@ final class Icebox(val tableDir: String) {
       else buildFileSketches(df.sparkSession, listedRaw.map(_.path), sketchCols,
         props.get("sketch.ndv.precision").map(_.toInt)
           .getOrElse(graft.functions.Hll.DefaultP))
+    // Exact frequency index (`freq.columns`, usually set via analyzeFreq):
+    // sticky exactly like the NDV sketches above, so one ANALYZE keeps the
+    // exact (value, count) table servable across appends at O(new files)
+    val freqSticky = base.map(_.files.flatMap(_.sketches.keys)
+      .filter(_.startsWith("freq:")).map(_.stripPrefix("freq:")).distinct
+      .filter(df.columns.contains)).getOrElse(Nil)
+    val freqCols = (props.get("freq.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(phys).filter(df.columns.contains) ++ freqSticky).distinct
+    val freqShas: Map[String, Map[String, String]] =
+      if (freqCols.isEmpty) Map.empty
+      else buildFileFreqs(df.sparkSession, listedRaw.map(_.path), freqCols,
+        props.get("freq.max-values").map(_.toInt).getOrElse(256))
     val (emptyFiles, keptRaw) = listedRaw.partition(f =>
       meta.get(f.path).exists(_._1 == 0L))
     // ZERO-ROW part files (an empty upstream partition can emit one):
@@ -2424,7 +2711,8 @@ final class Icebox(val tableDir: String) {
         f.path, (-1L, Map.empty[String, (String, String)], Map.empty[String, Long]))
       f.copy(rows = rows, stats = stats, nullCounts = nulls,
         blooms = bloomShas.getOrElse(pathOnly(f.path), Map.empty),
-        sketches = sketchShas.getOrElse(pathOnly(f.path), Map.empty))
+        sketches = sketchShas.getOrElse(pathOnly(f.path), Map.empty) ++
+          freqShas.getOrElse(pathOnly(f.path), Map.empty))
     }
     commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch)
   }
@@ -3413,6 +3701,44 @@ object Icebox {
     writeSideFile(conf, bloomsDir, bytes, "bloom")
 
   /** Shared content-addressed side-file write (blooms, NDV sketches). */
+  /** Pointer value marking a file whose distinct count exceeded the
+    * per-file frequency cap — serving refuses on sight of it.
+    */
+  private[table] val FreqOverflow = "!"
+
+  /** Frequency-index value types: ones whose rendered string round-trips
+    * exactly (integrals, float/double via their shortest-repr toString,
+    * decimals via plain string, raw strings).
+    */
+  private[table] def freqRenderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  private[table] def freqRender(v: Any, dt: DataType): String = (v, dt) match {
+    case (d: java.math.BigDecimal, _) => d.toPlainString
+    case (d: BigDecimal, _) => d.bigDecimal.toPlainString
+    case _ => v.toString
+  }
+
+  private[table] def freqSerialize(table: Seq[(String, Long)]): Array[Byte] = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val vs = root.putArray("v"); val cs = root.putArray("c")
+    table.foreach { case (v, c) => vs.add(v); cs.add(c) }
+    m.writeValueAsBytes(root)
+  }
+
+  private[table] def freqDeserialize(bytes: Array[Byte]): Option[Seq[(String, Long)]] =
+    scala.util.Try {
+      val root = new ObjectMapper().readTree(bytes)
+      val vs = root.get("v"); val cs = root.get("c")
+      require(vs != null && cs != null && vs.size == cs.size)
+      (0 until vs.size).map(i => vs.get(i).asText -> cs.get(i).asLong)
+    }.toOption
+
   private[table] def writeSideFile(conf: org.apache.hadoop.conf.Configuration,
       dirStr: String, bytes: Array[Byte], ext: String): String = {
     val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)

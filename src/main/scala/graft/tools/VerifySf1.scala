@@ -33,7 +33,12 @@ object VerifySf1 {
     "q_neardup_insert", "q_embed_neardup_insert",
     // round-13: persisted IVF index at 10x vectors (in-query pruned-files
     // require; oracle = the same assignment arithmetic at 20k vectors)
-    "q_ann_ivf_insert")
+    "q_ann_ivf_insert",
+    // round-13: SemDeDup at 10x vectors — the 10 re-id'd exact copies make
+    // every distinct vector an 11-member duplicate group (10 copies + the
+    // planted one for vec_id<20), so the min-id fp arithmetic stays exact
+    // while the component graph is 10x denser than at sf0.1
+    "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

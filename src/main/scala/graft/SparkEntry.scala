@@ -1256,6 +1256,83 @@ object SparkEntry {
       }
     }),
 
+    // COST-BASED JOIN ORDER on the TPC-H Q3/Q10 shape: written as
+    // (lineitem JOIN orders) JOIN filtered-customer — the expensive order,
+    // whose inner join is fact-sized. With manifest stats + NDV bridged
+    // into Catalyst, CostBasedJoinReorder flips to
+    // (orders JOIN filtered-customer) JOIN lineitem: the selective dim
+    // filter (~2% of customers) shrinks orders BEFORE the fact join, so
+    // the big join's probe side is 2% of orders instead of 100% of
+    // lineitem rows surviving to the second join. Both optimized plans
+    // are inspected in-query and the innermost-join pair is require'd;
+    // the returned result runs the reordered plan and must exact-hash
+    // against DuckDB. At 100 TB this decision is hours vs minutes —
+    // join order, not join strategy (q_cbo_join covers that flip).
+    "q_cbo_order" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val lt = Icebox(tmp("qcboo_l")); val ot = Icebox(tmp("qcboo_o"))
+      val ct = Icebox(tmp("qcboo_c"))
+      lt.append(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount").repartition(4),
+        collectStats = Seq("l_orderkey"))
+      ot.append(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority").repartition(2),
+        collectStats = Seq("o_orderkey", "o_custkey"))
+      ct.append(t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment").repartition(2),
+        collectStats = Seq("c_custkey"))
+      val cbo = cboSession(s)
+      // NDV on every join key: JoinEstimation sizes equi-joins from
+      // distinct counts, and CostBasedJoinReorder only moves items whose
+      // estimates it trusts; c_custkey min/max feeds the range filter
+      lt.analyze(cbo, Seq("l_orderkey"))
+      ot.analyze(cbo, Seq("o_orderkey", "o_custkey"))
+      ct.analyze(cbo, Seq("c_custkey"))
+      def q(sess: SparkSession) =
+        lt.read(sess)
+          .join(ot.read(sess), col("l_orderkey") === col("o_orderkey"))
+          .join(ct.read(sess).filter(col("c_custkey") <= 30L),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+      // table dirs under the INNERMOST join (both children join-free)
+      def firstJoinDirs(plan: LogicalPlan): Set[String] = {
+        def dirs(p: LogicalPlan): Set[String] = p.collect {
+          case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+              if r.location.isInstanceOf[graft.plans.IceboxFileIndex] =>
+            r.location.asInstanceOf[graft.plans.IceboxFileIndex].tableDirString
+        }.toSet
+        plan.collect {
+          case j: Join if !j.left.exists(_.isInstanceOf[Join]) &&
+            !j.right.exists(_.isInstanceOf[Join]) => dirs(j)
+        }.headOption.getOrElse(Set.empty)
+      }
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.setActiveSession(cbo)
+      try {
+        graft.plans.IceboxStats.invalidate()
+        val reordered = q(cbo)
+        require(firstJoinDirs(reordered.queryExecution.optimizedPlan) ==
+          Set(ot.tableDir, ct.tableDir),
+          "CBO must pair orders with the filtered customer dim first")
+        // the control session (no CBO) keeps the written expensive order
+        SparkSession.setActiveSession(s)
+        val plainFirst = try firstJoinDirs(q(s).queryExecution.optimizedPlan)
+        finally SparkSession.setActiveSession(cbo)
+        require(plainFirst == Set(lt.tableDir, ot.tableDir),
+          "without CBO the written (lineitem x orders)-first order must hold")
+        reordered
+      } finally {
+        prevActive match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None => SparkSession.clearActiveSession()
+        }
+      }
+    }),
+
     // DYNAMIC PARTITION PRUNING through the manifest index: the dim-side
     // filter's surviving keys prune the fact scan's partitions AT RUNTIME
     // (Spark plants a DynamicPruningExpression on the scan — the require
@@ -2999,6 +3076,14 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         | WHERE o_totalprice <= 2000.0
         | GROUP BY c_mktsegment""".stripMargin,
+    "q_cbo_order" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | WHERE c_custkey <= 30
+        | GROUP BY o_orderpriority""".stripMargin,
     "q_icebox_days_prune" ->
       "SELECT * FROM events WHERE ts < '2024-01-10'",
 

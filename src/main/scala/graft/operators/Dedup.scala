@@ -803,9 +803,21 @@ object Dedup {
     * the plan as literals, exactly like the IVF reads. Returns the
     * SURVIVORS with their assignment evidence:
     * `(idCol, cluster_id, centroid_sim)` (cosine rounded to 4).
+    *
+    * `maxClusterSize` bounds the within-cluster pair fan-out — the
+    * codebase rule ("never all-pairs", `bucketPairs`' `maxBucketSize`)
+    * applied to the one stage that would otherwise inherit the paper's
+    * O((N/k)²) blowup when k lags corpus growth: any cluster larger than
+    * the bound is SUB-BUCKETED by secondary hyperplane LSH signs
+    * ([[clusterPairs]]) before pairing. Identical vectors always share
+    * every sign, so exact duplicates are never split; near-dups straddling
+    * a hyperplane inside an oversized cluster are the (documented) recall
+    * cost of bounding — the same trade [[embeddingNearDup]] makes
+    * globally.
     */
   def semDeDup(df: DataFrame, centroids: DataFrame, vecCol: String,
-      idCol: String, threshold: Double = 0.95): DataFrame = {
+      idCol: String, threshold: Double = 0.95,
+      maxClusterSize: Int = 1 << 16, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val cs = Similarity.collectCentroids(centroids)
     require(cs.nonEmpty, "semDeDup needs at least one centroid")
@@ -820,12 +832,10 @@ object Dedup {
     // scan), referencing only the checkpointed drop ids.
     val drops =
       try {
-        val edges = keyed.as("a")
-          .join(keyed.as("b"),
-            col("a.__cluster") === col("b.__cluster") && col("a.__id") < col("b.__id"))
+        val edges = clusterPairs(keyed, maxClusterSize, seed)
           .filter(graft.functions.VectorExpressions.cosine(spark,
-            col("a.__v"), col("b.__v")) >= threshold)
-          .select(col("a.__id").as("idA"), col("b.__id").as("idB"))
+            col("__va"), col("__vb")) >= threshold)
+          .select(col("idA"), col("idB"))
         // only docs in some candidate pair enter the component graph — the
         // dup graph is far smaller than the corpus (connectedComponents doc)
         val comps = connectedComponents(edges)
@@ -843,6 +853,51 @@ object Dedup {
         round(asg.getField("csim"), 4).as("centroid_sim"))
       .join(drops, Seq("__id"), "left_anti")
       .select(col("__id").as(idCol), col("cluster_id"), col("centroid_sim"))
+  }
+
+  /** Candidate pairs for [[semDeDup]]: the within-cluster self-equi-join,
+    * with oversized clusters sub-bucketed first. Cluster sizes are a
+    * groupBy-count collected to the driver — bounded by the CENTROID count
+    * (plan literals already), never the corpus. When some cluster exceeds
+    * `maxClusterSize`, a secondary random-hyperplane signature with
+    * `ceil(log2(maxSize / maxClusterSize))` planes (≤ 16) becomes part of
+    * the join key FOR OVERSIZED CLUSTERS ONLY — splitting each into
+    * ~2^planes sign buckets of expected size ≤ `maxClusterSize` — while
+    * right-sized clusters keep sub-key 0 and pair exactly as before. The
+    * expected per-key fan-out is thus bounded at maxClusterSize² pairs
+    * regardless of how far k lags corpus growth.
+    *
+    * `keyed` must carry `(__id, __v, __cluster)`. Returns
+    * `(idA, idB, __va, __vb)` with `idA < idB` — cosine filtering is the
+    * caller's.
+    */
+  private[graft] def clusterPairs(keyed: DataFrame, maxClusterSize: Int,
+      seed: Long): DataFrame = {
+    require(maxClusterSize > 1, s"maxClusterSize must exceed 1, got $maxClusterSize")
+    val spark = keyed.sparkSession
+    // one row per cluster — at most |centroids| rows by construction
+    val sizes = keyed.groupBy("__cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oversized = sizes.filter(_._2 > maxClusterSize)
+    val sub: Column =
+      if (oversized.isEmpty) lit(0L)
+      else {
+        val maxSize = oversized.values.max
+        val planes = math.min(16,
+          math.max(1, math.ceil(math.log(maxSize.toDouble / maxClusterSize) /
+            math.log(2.0)).toInt))
+        val dim = keyed.select(size(col("__v"))).head().getInt(0)
+        when(col("__cluster").isInCollection(oversized.keys.toSeq),
+          Similarity.hyperplaneSignatureFast(spark, col("__v"), dim, planes, seed))
+          .otherwise(lit(0L))
+      }
+    val bucketed = keyed.withColumn("__sub", sub)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.__cluster") === col("b.__cluster") &&
+          col("a.__sub") === col("b.__sub") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
   }
 
   /** Incremental embedding near-dup dedup of a batch against an

@@ -68,6 +68,46 @@ class SemDeDupSpec extends SparkSpec {
     out(1).getLong(1) shouldBe 1L
   }
 
+  test("maxClusterSize bounds the candidate fan-out of a pathological one-cluster corpus") {
+    // every vector lands in cluster 0 (single centroid): unguarded
+    // candidacy is the full n(n-1)/2 cartesian — the r13 scale hazard
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val base = (0 until n).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val keyed = base.toDF("__id", "__v")
+      .withColumn("__cluster", lit(0L))
+    val unguarded = Dedup.clusterPairs(keyed, maxClusterSize = 1 << 16, seed = 42L)
+    unguarded.count() shouldBe n.toLong * (n - 1) / 2
+    val guarded = Dedup.clusterPairs(keyed, maxClusterSize = 16, seed = 42L)
+    // ceil(log2(200/16)) = 4 planes -> 16 sign buckets; the pair count
+    // collapses from 19900 to the within-bucket sum (expected ~n²/2·2⁻ᵖ)
+    val bounded = guarded.count()
+    bounded should be < (n.toLong * (n - 1) / 2 / 4)
+    // and identical vectors can NEVER be split by sign sub-bucketing
+    val withDups = (base ++ base.take(5).map { case (id, v) => (id + 1000L, v) })
+      .toDF("__id", "__v").withColumn("__cluster", lit(0L))
+    val pairs = Dedup.clusterPairs(withDups, maxClusterSize = 16, seed = 42L)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i => pairs should contain((i.toLong, i + 1000L)) }
+  }
+
+  test("semDeDup under an engaged guard still drops every exact duplicate") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ base.take(10).map { case (id, v) => (id + 5000L, v) })
+      .toDF("vec_id", "embedding")
+    val oneCentroid = Seq((0L, Array.fill(8)(0.1f))).toDF("cluster_id", "centroid")
+    val out = Dedup.semDeDup(df, oneCentroid, "embedding", "vec_id",
+      threshold = 0.9999, maxClusterSize = 8)
+    out.count() shouldBe 120L
+    out.filter(col("vec_id") >= 5000L).count() shouldBe 0L
+  }
+
   test("KMeans-trained centroids dedup exact duplicates end to end") {
     val base = (0 until 40).map { i =>
       val a = (math.cos(i / 40.0 * math.Pi * 2)).toFloat

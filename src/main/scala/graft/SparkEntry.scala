@@ -2412,6 +2412,50 @@ object SparkEntry {
       out
     }),
 
+    // LLM: IVF index MAINTENANCE under distribution drift — the index is
+    // built against a stale 8-centroid set (even vectors only), then
+    // ivfReassign migrates every posting list to the canonical 16-centroid
+    // set in one partitioned-overwrite commit (the compaction-style
+    // rewrite; Similarity.ivfRetrain is the KMeans-refit flavor, proven by
+    // SimilaritySpec's drift-recall case — here the new centroids are the
+    // deterministic lowest-16 so the ORACLE replays the post-migration
+    // assignment arithmetic: identical SQL to q_ann_ivf_insert). In-query
+    // requires prove the migration actually moved the layout (8 -> 16
+    // occupied lists, nothing lost) and that the migrated table still
+    // partition-prunes probes.
+    "q_ann_ivf_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = Icebox(tmp("qivfr"))
+      val stale = e.filter(col("vec_id") % 2 === 0).orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      Similarity.ivfInsert(index, stale, e.filter(col("vec_id") % 2 === 0))
+      Similarity.ivfInsert(index, stale, e.filter(col("vec_id") % 2 =!= 0))
+      val listsBefore = index.read(s).select("list").distinct().count()
+      require(listsBefore <= 8L, s"stale layout can occupy at most 8 lists, saw $listsBefore")
+      val fresh = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      val migrated = Similarity.ivfReassign(s, index, fresh)
+      require(migrated == e.count(),
+        s"migration must carry every vector ($migrated vs ${e.count()})")
+      val listsAfter = index.read(s).select("list").distinct().count()
+      require(listsAfter == 16L,
+        s"each of the 16 new centroids owns its own vector, saw $listsAfter lists")
+      val out = Similarity.ivfSearch(index, fresh, e.filter(col("vec_id") < 8),
+        k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+      out.count() // materialize before auditing the scan
+      val probed = Similarity.ivfSearch(index, fresh, e.filter(col("vec_id") < 8),
+        k = 5, nprobe = 4) // plan-only twin for the file audit
+      val idxDir = index.tableDir.toString
+      val prunedIdx = probed.inputFiles.count(_.contains(idxDir))
+      val fullIdx = index.read(s).inputFiles.length
+      require(prunedIdx > 0 && prunedIdx < fullIdx,
+        s"post-migration probe must stay pruned ($prunedIdx vs $fullIdx)")
+      out
+    }),
+
     // LLM: KMeans-trained IVF at FULL probe (nprobe = nlist): probing every
     // list makes the candidate set the whole corpus, so the result must
     // equal brute-force top-k EXACTLY, whatever centroids training produced
@@ -3804,6 +3848,31 @@ object SparkEntry {
     // assignment happens (once at ingest, partition layout) but not WHAT is
     // computed, so the oracle is the same SQL
     "q_ann_ivf_insert" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        | assigned AS (
+        |   SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid AS cluster
+        |   FROM embeddings e CROSS JOIN c
+        |   QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid) = 1),
+        | probes AS (
+        |   SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cid AS cluster
+        |   FROM embeddings q CROSS JOIN c
+        |   WHERE q.vec_id < 8
+        |   QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), c.ce), c.cid) <= 4)
+        | SELECT query_id, neighbor_id,
+        |   round(list_cosine_similarity(qv, cv), 4) AS cosine,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        | FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        | WHERE neighbor_id != query_id
+        | QUALIFY rank <= 5""".stripMargin,
+
+    // post-migration state is vectors assigned to the SAME lowest-16
+    // centroid set q_ann_ivf_insert uses — the stale 8-list era is
+    // invisible after ivfReassign, so the oracle is that identical SQL
+    "q_ann_ivf_retrain" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
         | assigned AS (

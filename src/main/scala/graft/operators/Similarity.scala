@@ -276,6 +276,46 @@ object Similarity {
     index.rowCount.getOrElse(0L) - before
   }
 
+  /** Re-point a persisted IVF index at NEW centroids: every stored vector
+    * is re-assigned (the same codegen'd argmin-over-literals projection as
+    * ingest) and the posting lists are rewritten in ONE partitioned
+    * overwrite commit. This is the maintenance path for the known failure
+    * mode of a frozen-centroid IVF under distribution drift: later
+    * batches pile into few lists, probe cost grows toward a corpus scan
+    * and boundary-straddling neighbors split across lists (recall at
+    * fixed nprobe decays). Readers pinned to earlier snapshots keep the
+    * old layout — the swap is atomic at the table head, exactly like a
+    * compaction. At 100 TB the rewrite is one pass over the index (the
+    * same cost class as a full compaction; schedule it like one — drift
+    * is gradual, retrains are rare). Returns the number of vectors
+    * migrated.
+    */
+  def ivfReassign(spark: org.apache.spark.sql.SparkSession, index: graft.table.Icebox,
+      centroids: DataFrame, vecCol: String = "embedding"): Long = {
+    val cs = collectCentroids(centroids)
+    require(cs.nonEmpty, "ivfReassign needs at least one centroid")
+    val assigned = index.read(spark).drop("list").withColumn("list",
+      array_min(distStructs(spark, cs, col(vecCol))).getField("cid"))
+    index.overwrite(assigned, partitionBy = Seq("list"))
+    index.rowCount.getOrElse(0L)
+  }
+
+  /** Refit centroids on the CURRENT index contents (seeded KMeans on a
+    * sample — [[ivfTrain]]) and migrate the posting lists to them
+    * ([[ivfReassign]]). Returns the new `(cluster_id, centroid)` frame —
+    * persist it: every subsequent [[ivfInsert]]/[[ivfSearch]] on this
+    * index must use these centroids, and the old frame is invalid the
+    * moment this returns.
+    */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, index: graft.table.Icebox,
+      nlist: Int = 16, seed: Long = 42L, trainFraction: Double = 1.0,
+      maxIter: Int = 20, vecCol: String = "embedding"): DataFrame = {
+    val newCentroids = ivfTrain(index.read(spark).drop("list"),
+      nlist, seed, trainFraction, maxIter, vecCol)
+    ivfReassign(spark, index, newCentroids, vecCol)
+    newCentroids
+  }
+
   /** Top-k search against a persisted IVF index built by [[ivfInsert]]:
     * per query, the `nprobe` nearest centroid lists are probed; the UNION
     * of probed lists becomes a PARTITION filter on the index table

@@ -95,6 +95,56 @@ class SimilaritySpec extends SparkSpec {
     all(index.currentSnapshot.get.files.map(_.path)) should include("list=")
   }
 
+  test("ivfRetrain recovers balance and nprobe-1 recall after distribution drift") {
+    val rnd = new scala.util.Random(3)
+    def around(cx: Float, cy: Float, cz: Float, sd: Float, n: Int, base: Long) =
+      (0 until n).map { i =>
+        (base + i, Array(cx + rnd.nextGaussian().toFloat * sd,
+          cy + rnd.nextGaussian().toFloat * sd,
+          cz + rnd.nextGaussian().toFloat * sd))
+      }
+    // wave 1: two tight clusters; trained centroids land on them
+    val wave1 = (around(10f, 0f, 0f, 0.3f, 100, 0L) ++
+      around(0f, 10f, 0f, 0.3f, 100, 100L)).toDF("vec_id", "embedding")
+    val index = graft.table.Icebox(tmpDir("ivf-drift"))
+    val frozen = Similarity.ivfTrain(wave1, nlist = 2, seed = 5L)
+    Similarity.ivfInsert(index, frozen, wave1)
+    // wave 2 DRIFTS into a z-dominant cluster equidistant from the frozen
+    // x/y centroids: each vector's list is decided by its x-vs-y noise,
+    // but its cosine NEIGHBORS are decided by the (x, y) offsets around
+    // the drift center — the neighborhood straddles the frozen x=y
+    // boundary, so nprobe-1 probes see only one side of it
+    val wave2 = around(3f, 3f, 10f, 0.5f, 200, 1000L).toDF("vec_id", "embedding")
+    Similarity.ivfInsert(index, frozen, wave2)
+    val queries = wave2.filter($"vec_id" < 1010L)
+    val corpus = index.read(spark).drop("list")
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfSearch(index, centroids, queries, k = 5, nprobe = 1)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(corpus, queries, k = 5,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    def driftListCount(): Long = index.read(spark)
+      .filter($"vec_id" >= 1000L).select("list").distinct().count()
+    val recallBefore = recall(frozen)
+    driftListCount() shouldBe 2L // the drift cluster is torn across frozen lists
+    // refit on the index contents and migrate the posting lists
+    val retrained = Similarity.ivfRetrain(spark, index, nlist = 3, seed = 5L)
+    index.rowCount shouldBe Some(400L) // migration loses nothing
+    val recallAfter = recall(retrained)
+    recallBefore should be < 0.85 // boundary split: neighbors straddle lists
+    recallAfter should be > 0.95 // a retrained centroid owns the new cluster
+    driftListCount() shouldBe 1L // one retrained list owns the whole cluster
+    // migrated layout still partition-prunes
+    val pruned = Similarity.ivfSearch(index, retrained, queries, k = 5, nprobe = 1)
+      .inputFiles.count(_.contains(index.tableDir.toString))
+    pruned should be < index.read(spark).inputFiles.length
+  }
+
   test("ivfSearch opens only probed posting-list partitions") {
     val index = graft.table.Icebox(tmpDir("ivf-prune"))
     val centroids = Similarity.ivfTrain(vecs, nlist = 3)

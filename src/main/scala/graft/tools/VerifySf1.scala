@@ -38,7 +38,14 @@ object VerifySf1 {
     // every distinct vector an 11-member duplicate group (10 copies + the
     // planted one for vec_id<20), so the min-id fp arithmetic stays exact
     // while the component graph is 10x denser than at sf0.1
-    "q_semdedup")
+    "q_semdedup",
+    // round-14 brief item 6: the r13 newcomers without sf1 rows — both CBO
+    // proofs (the plan-flip requires must hold on 10x stats too), the
+    // runtime bloom-join prune, metadata percentiles over a 600k-row
+    // histogram, and the IVF migration (its pruned-read require runs
+    // in-query at any SF)
+    "q_cbo_join", "q_cbo_order", "q_bloom_join", "q_percentile_meta",
+    "q_ann_ivf_retrain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

@@ -77,15 +77,44 @@ object Multimodal {
     */
   final case class ImageMeta(width: Int, height: Int, channels: Int, meanIntensity: Double)
 
+  /** Container-magic sniffs gating the codec calls below. The failed-probe
+    * path is the HOT path for mixed blob tables (most bytes are not this
+    * modality), and `ImageIO.read`/`AudioSystem.getAudioInputStream` pay a
+    * synchronized provider-registry walk + exception per refusal — measured
+    * 15x super-linear on a 50k-doc text-blob scan under 32 threads before
+    * sniffing (PLANS.md r14). A 4-byte header check rejects without
+    * touching any registry; magic-less exotica (e.g. WBMP) fall to the
+    * stub, the documented dispatch contract.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 0x89.toByte && b(1) == 'P'.toByte) || // PNG
+    (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
+    (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
+    (b(0) == 'B'.toByte && b(1) == 'M'.toByte) || // BMP
+    (b(0) == 'I'.toByte && b(1) == 'I'.toByte && b(2) == 42.toByte) || // TIFF LE
+    (b(0) == 'M'.toByte && b(1) == 'M'.toByte && b(2) == 0.toByte && b(3) == 42.toByte)) // TIFF BE
+
+  private def isRiff(b: Array[Byte]): Boolean = b.length >= 12 &&
+    b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte
+
+  private def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 12 && (
+    (isRiff(b) && b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte) || // WAVE
+    (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) || // AIFF
+    (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte)) // AU
+
+  private def looksLikeVideo(b: Array[Byte]): Boolean =
+    isRiff(b) && b(8) == 'A'.toByte && b(9) == 'V'.toByte && b(10) == 'I'.toByte
+
   /** REAL image decode (`javax.imageio`): parse `bytes` as PNG/JPEG/GIF/BMP
     * and compute dimensions, raster channel count, and the mean sample
     * value over every pixel of every band. None when the bytes are not a
-    * decodable image (callers fall back or null out). Thread-safe;
-    * `ImageIO.setUseCache(false)` keeps decode in-memory (no temp files on
-    * executors).
+    * decodable image (callers fall back or null out) — refusal is a
+    * 4-byte magic sniff, so non-image blobs never touch the ImageIO
+    * registry. Thread-safe; `ImageIO.setUseCache(false)` keeps decode
+    * in-memory (no temp files on executors).
     */
   def decodeImage(bytes: Array[Byte]): Option[ImageMeta] = {
-    if (bytes == null || bytes.length == 0) return None
+    if (bytes == null || bytes.length == 0 || !looksLikeImage(bytes)) return None
     try {
       javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -117,11 +146,13 @@ object Multimodal {
     * as WAV/AIFF/AU, decode to signed 16-bit PCM, and compute sample rate,
     * channel count, frame count, duration, and the RMS amplitude over every
     * sample of every channel normalized to [-1, 1). None when the bytes are
-    * not decodable audio (callers fall back or null out). Streams fully
-    * in-memory — no temp files on executors.
+    * not decodable audio (callers fall back or null out) — refusal is a
+    * container-magic sniff (WAVE/AIFF/AU), so non-audio blobs never touch
+    * the provider registry. Streams fully in-memory — no temp files on
+    * executors.
     */
   def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] = {
-    if (bytes == null || bytes.length == 0) return None
+    if (bytes == null || bytes.length == 0 || !looksLikeAudio(bytes)) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, FileCdc, FileCheckpointStore, Watermark, WatermarkStore}
 import graft.functions.TextFunctions
 import graft.normalize.Normalize
-import graft.operators.{AsofJoin, Decontaminate, Dedup, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, Skew, Upsert}
+import graft.operators.{AsofJoin, Decontaminate, Dedup, LmScore, Multimodal, Packing, RangeJoin, Sampling, Sessionize, Similarity, Skew, Upsert}
 import graft.pipeline.{Config, Pipeline, Task}
 import graft.sources.{FileSource, Testdata}
 import graft.table.Icebox
@@ -1888,6 +1888,19 @@ object SparkEntry {
           col("g.g_stop").as("g_stop"),
           col("g.keep").as("keep"))),
 
+    // LLM: CCNet-style LM quality filter (LmScore) — a stupid-backoff
+    // bigram LM is TRAINED on the doc_id%5==0 reference slice (two
+    // groupBy-count aggregations, LM stays distributed), then every
+    // document is scored by mean log10 bigram probability: three
+    // gram-keyed equi-joins, no UDFs, no collect beyond two O(1) scalars.
+    // The oracle replays training + backoff arithmetic in SQL over the
+    // identical lowercase-whitespace tokenization (the BM25 contract).
+    "q_lm_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = LmScore.trainBigramLm(d.filter(col("doc_id") % 5 === 0), "text")
+      LmScore.perplexityScore(d, "text", "doc_id", lm)
+    }),
+
     // Okapi BM25 relevance of every doc against a 3-term query — one
     // query-term-filtered explode, broadcast df/N/avgdl constants
     "q_bm25" -> ((s, dir) =>
@@ -3345,6 +3358,42 @@ object SparkEntry {
         |  (g_word_count AND g_mean_word_len AND g_symbol AND g_bullet
         |   AND g_ellipsis AND g_alpha AND g_stop) AS keep
         |FROM w""".stripMargin,
+
+    // training + stupid-backoff scoring replayed end to end; slice
+    // notation: t[:-2] is all-but-last (inclusive bounds), zipped against
+    // t[2:] for the bigram pairs
+    "q_lm_perplexity" ->
+      """WITH reft AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS v),
+        |refg AS (
+        |  SELECT g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS g FROM reft WHERE len(t) >= 2)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM refg GROUP BY 1, 2),
+        |doc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(t[:-2], t[2:])) AS g FROM doc WHERE len(t) >= 2)),
+        |scored AS (
+        |  SELECT dg.doc_id,
+        |    log10(CASE WHEN bi.c IS NOT NULL THEN bi.c / u1.c
+        |               ELSE 0.4 * (coalesce(u2.c, 0) + 1) / (tot.n + tot.v) END) AS lp
+        |  FROM dg LEFT JOIN bi ON dg.w1 = bi.w1 AND dg.w2 = bi.w2
+        |          LEFT JOIN uni u1 ON dg.w1 = u1.w
+        |          LEFT JOIN uni u2 ON dg.w2 = u2.w
+        |          CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               round(avg(lp), 4) AS avg_logp
+        |        FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id,

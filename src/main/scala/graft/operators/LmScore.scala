@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style language-model quality filtering: train an n-gram LM on a
+  * REFERENCE corpus (the "clean" distribution — Wikipedia in CCNet,
+  * reference: the pipeline pattern of Wenzek et al. 2020, arXiv:1911.00359),
+  * score every candidate document by its per-token log-probability under
+  * that LM, and let the pipeline keep/bucket documents by score. The
+  * production systems use KenLM 5-grams; this is the same statistic over a
+  * bigram LM with STUPID BACKOFF (Brants et al. 2007, "Large Language
+  * Models in Machine Translation" — the web-scale smoothing: no
+  * discounting, one backoff multiplier), which keeps every stage a pure
+  * Spark aggregation/join and the score deterministic enough for an exact
+  * SQL oracle.
+  *
+  * 100 TB design:
+  *  - Training is two groupBy-count aggregations over exploded grams —
+  *    map-side partial aggregation does the heavy lifting; the LM lives as
+  *    DataFrames (persist to any table for reuse), NEVER collected to the
+  *    driver. Only two O(1) scalars (total tokens, vocabulary size) are
+  *    collected.
+  *  - Scoring is three equi-joins keyed on gram columns — Catalyst
+  *    hash-partitions both sides on the gram key, so work is
+  *    ∝ corpus grams + LM size; a small LM auto-broadcasts. No UDFs: the
+  *    probability arithmetic is codegen'd column expressions.
+  *
+  * Tokenization is the engine's standard lowercase-whitespace split (the
+  * same contract as BM25 / the text stats), mirrored exactly by
+  * `regexp_split_to_array(lower(trim(text)), '\s+')` on the oracle side.
+  */
+object LmScore {
+
+  /** A trained bigram LM: unigram counts `(w, cnt)`, bigram counts
+    * `(w1, w2, cnt)`, total reference token count and vocabulary size.
+    * The count frames are lazy plans over the reference — `persist()` or
+    * write them to tables when scoring more than one batch.
+    */
+  final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
+      totalTokens: Long, vocabSize: Long)
+
+  private def toks(text: Column): Column =
+    graft.functions.TextFunctions.tokens(lower(text))
+
+  /** Bigram structs of a token array (empty when fewer than 2 tokens). */
+  private def bigramsOf(t: Column): Column =
+    when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+
+  /** Train the stupid-backoff bigram LM on `ref` (the clean reference
+    * corpus). Two shuffles, both on gram keys with map-side combine.
+    */
+  def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
+    val t = ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
+    val uni = t.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val bi = t.select(explode(bigramsOf(col("__t"))).as("__g"))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum("cnt"), count(lit(1))).collect()(0)
+    BigramLm(uni, bi, totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Score every document in `docs` under `lm`:
+    *
+    *  - seen bigram:    P(w2|w1) = c(w1,w2) / c(w1)
+    *  - unseen bigram:  P(w2|w1) = alpha * (c(w2) + 1) / (N + V)
+    *    (stupid backoff to an add-one unigram, so out-of-vocabulary words
+    *    carry a deterministic nonzero floor)
+    *
+    * Returns one row per input document:
+    * `(idCol, n_bigrams, avg_logp)` where `avg_logp` is the mean log10
+    * bigram probability rounded to 4 (null when the doc has fewer than 2
+    * tokens — emit-and-let-the-caller-filter, like the other quality
+    * scores). Lower (more negative) = less like the reference corpus;
+    * CCNet keeps the best-scoring fraction per language bucket.
+    */
+  def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
+      lm: BigramLm, alpha: Double = 0.4): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"), explode(bigramsOf(toks(col(textCol)))).as("__g"))
+      .select(col("__id"), col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+    val bi = lm.bigrams.select(col("w1"), col("w2"), col("cnt").as("__cbi"))
+    val u1 = lm.unigrams.select(col("w").as("w1"), col("cnt").as("__cu1"))
+    val u2 = lm.unigrams.select(col("w").as("w2"), col("cnt").as("__cu2"))
+    val floorDen = lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble)
+    val p = when(col("__cbi").isNotNull,
+        col("__cbi").cast("double") / col("__cu1").cast("double"))
+      .otherwise(lit(alpha) * (coalesce(col("__cu2"), lit(0L)).cast("double") + 1.0) / floorDen)
+    val scored = grams
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .select(col("__id"), log10(p).as("__logp"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__logp")), 4).as("avg_logp"))
+    docs.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logp"))
+  }
+}

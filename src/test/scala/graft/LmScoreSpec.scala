@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LmScore
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // uni: the=2 cat=2 sat=1 ran=1  (N=6, V=4)
+  // bi:  (the,cat)=2 (cat,sat)=1 (cat,ran)=1
+  private def ref = Seq((1L, "the cat sat"), (2L, "the cat ran"))
+    .toDF("doc_id", "text")
+
+  test("trainBigramLm counts grams and totals exactly") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    lm.totalTokens shouldBe 6L
+    lm.vocabSize shouldBe 4L
+    lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("the" -> 2L, "cat" -> 2L, "sat" -> 1L, "ran" -> 1L)
+    lm.bigrams.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap shouldBe
+      Map(("the", "cat") -> 2L, ("cat", "sat") -> 1L, ("cat", "ran") -> 1L)
+  }
+
+  test("perplexityScore: seen bigrams use c(w1,w2)/c(w1), unseen back off to add-one unigrams") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    val docs = Seq(
+      (10L, "the cat sat"), // (the,cat): 2/2=1 -> 0; (cat,sat): 1/2 -> log10(0.5)
+      (11L, "dog the"), // unseen: 0.4*(c(the)+1)/(6+4) = 0.12
+      (12L, "dog zebra"), // unseen, OOV w2: 0.4*(0+1)/10 = 0.04
+      (13L, "single"), // 1 token -> no bigrams, null score
+      (14L, "") // empty -> no bigrams
+    ).toDF("doc_id", "text")
+    val out = LmScore.perplexityScore(docs, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(10L, 11L, 12L, 13L, 14L)
+    out.map(_.getLong(1)).toSeq shouldBe Seq(2L, 1L, 1L, 0L, 0L)
+    out(0).getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5 // (0 + log10(.5))/2 = -0.1505
+    out(1).getDouble(2) shouldBe math.log10(0.12) +- 5e-5
+    out(2).getDouble(2) shouldBe math.log10(0.04) +- 5e-5
+    out(3).isNullAt(2) shouldBe true
+    out(4).isNullAt(2) shouldBe true
+  }
+
+  test("tokenization is lowercase-whitespace: case folds into the same gram") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    val out = LmScore.perplexityScore(
+      Seq((1L, "The CAT sat")).toDF("doc_id", "text"), "text", "doc_id", lm)
+      .collect()(0)
+    out.getLong(1) shouldBe 2L
+    out.getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5
+  }
+
+  test("reference-like docs outscore random-word docs (the filter's discriminating power)") {
+    val rnd = new scala.util.Random(5)
+    val cleanRef = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(30)(Seq("data", "spark", "table", "scan", "join",
+        "query", "plan", "read")(rnd.nextInt(8))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val lm = LmScore.trainBigramLm(cleanRef, "text")
+    val probe = Seq(
+      (1000L, "data spark table scan join query plan read data spark"),
+      (1001L, (0 until 10).map(_ => (0 until 6).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val s = LmScore.perplexityScore(probe, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+    s(0).getDouble(2) should be > (s(1).getDouble(2) + 1.0) // >=1 order of magnitude apart
+  }
+}

@@ -33,32 +33,51 @@ import org.apache.spark.sql.functions._
 object LmScore {
 
   /** A trained bigram LM: unigram counts `(w, cnt)`, bigram counts
-    * `(w1, w2, cnt)`, total reference token count and vocabulary size.
-    * The count frames are lazy plans over the reference — `persist()` or
-    * write them to tables when scoring more than one batch.
+    * (w1, w2, cnt)`, total reference token count and vocabulary size.
+    * The count frames come back PERSISTED (memory-and-disk — an LM is
+    * vocabulary-sized, far smaller than the corpus it summarizes, and
+    * spills rather than OOMs): the scoring joins reference the unigram
+    * table twice (history side, backoff side) and must not re-tokenize
+    * the reference per use. Call [[BigramLm.unpersist]] when done, or
+    * write the frames to tables for cross-job reuse.
     */
   final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
-      totalTokens: Long, vocabSize: Long)
+      totalTokens: Long, vocabSize: Long) {
+    def unpersist(): Unit = {
+      unigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+      ()
+    }
+  }
 
   private def toks(text: Column): Column =
     graft.functions.TextFunctions.tokens(lower(text))
 
-  /** Bigram structs of a token array (empty when fewer than 2 tokens). */
+  /** Bigram structs of a token array (empty when fewer than 2 tokens).
+    * `zip_with(slice, slice)`, not `transform(sequence, element_at)`: the
+    * element_at form duplicates the token expression into every index
+    * access, and when the caller inlines the tokenizer that re-runs the
+    * regex split PER TOKEN — O(len²) (measured 11.1 s vs 0.7 s on the
+    * sf0.1 documents, PLANS.md r14; same trap `bindOnce` documents for
+    * shingles). Callers must still bind the tokenizer to a column first.
+    */
   private def bigramsOf(t: Column): Column =
     when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
 
   /** Train the stupid-backoff bigram LM on `ref` (the clean reference
     * corpus). Two shuffles, both on gram keys with map-side combine.
     */
   def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val t = ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
     val uni = t.select(explode(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .groupBy("w").agg(count(lit(1)).as("cnt")).persist(lvl)
     val bi = t.select(explode(bigramsOf(col("__t"))).as("__g"))
       .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist(lvl)
+    // the totals pass doubles as the cache materialization for `uni`
     val totals = uni.agg(sum("cnt"), count(lit(1))).collect()(0)
     BigramLm(uni, bi, totals.getLong(0), totals.getLong(1))
   }
@@ -80,7 +99,8 @@ object LmScore {
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       lm: BigramLm, alpha: Double = 0.4): DataFrame = {
     val grams = docs
-      .select(col(idCol).as("__id"), explode(bigramsOf(toks(col(textCol)))).as("__g"))
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t")) // bind ONCE
+      .select(col("__id"), explode(bigramsOf(col("__t"))).as("__g"))
       .select(col("__id"), col("__g.w1").as("w1"), col("__g.w2").as("w2"))
     val bi = lm.bigrams.select(col("w1"), col("w2"), col("cnt").as("__cbi"))
     val u1 = lm.unigrams.select(col("w").as("w1"), col("cnt").as("__cu1"))

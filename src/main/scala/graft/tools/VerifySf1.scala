@@ -45,7 +45,10 @@ object VerifySf1 {
     // histogram, and the IVF migration (its pruned-read require runs
     // in-query at any SF)
     "q_cbo_join", "q_cbo_order", "q_bloom_join", "q_percentile_meta",
-    "q_ann_ivf_retrain")
+    "q_ann_ivf_retrain",
+    // round-14 new operator: LM perplexity filter at 10x docs (the copy
+    // suffixes widen the vocabulary; training + scoring replay in SQL)
+    "q_lm_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

@@ -1901,6 +1901,15 @@ object SparkEntry {
       LmScore.perplexityScore(d, "text", "doc_id", lm)
     }),
 
+    // LLM: the order-3 LM (recursive stupid backoff tri -> bi -> add-one
+    // uni) — the step toward the production 5-gram KenLMs; five gram-keyed
+    // left joins, arithmetic fully replayed by the oracle
+    "q_lm_trigram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = LmScore.trainTrigramLm(d.filter(col("doc_id") % 5 === 0), "text")
+      LmScore.perplexityScoreTrigram(d, "text", "doc_id", lm)
+    }),
+
     // Okapi BM25 relevance of every doc against a 3-term query — one
     // query-term-filtered explode, broadcast df/N/avgdl constants
     "q_bm25" -> ((s, dir) =>
@@ -3393,6 +3402,47 @@ object SparkEntry {
         |               round(avg(lp), 4) AS avg_logp
         |        FROM scored GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    "q_lm_trigram" ->
+      """WITH reft AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS v),
+        |bi AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS g FROM reft WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-3], t[2:-2], t[3:])) AS g FROM reft WHERE len(t) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |doc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3
+        |  FROM (SELECT doc_id, unnest(list_zip(t[:-3], t[2:-2], t[3:])) AS g
+        |        FROM doc WHERE len(t) >= 3)),
+        |scored AS (
+        |  SELECT dg.doc_id,
+        |    log10(CASE WHEN tri.c IS NOT NULL THEN tri.c / b12.c
+        |               WHEN b23.c IS NOT NULL THEN 0.4 * b23.c / u2.c
+        |               ELSE 0.16 * (coalesce(u3.c, 0) + 1) / (tot.n + tot.v) END) AS lp
+        |  FROM dg LEFT JOIN tri ON dg.w1 = tri.w1 AND dg.w2 = tri.w2 AND dg.w3 = tri.w3
+        |          LEFT JOIN bi b12 ON dg.w1 = b12.w1 AND dg.w2 = b12.w2
+        |          LEFT JOIN bi b23 ON dg.w2 = b23.w1 AND dg.w3 = b23.w2
+        |          LEFT JOIN uni u2 ON dg.w2 = u2.w
+        |          LEFT JOIN uni u3 ON dg.w3 = u3.w
+        |          CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |               round(avg(lp), 4) AS avg_logp
+        |        FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.avg_logp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "q_bm25" ->

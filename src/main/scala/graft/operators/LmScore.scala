@@ -82,6 +82,91 @@ object LmScore {
     BigramLm(uni, bi, totals.getLong(0), totals.getLong(1))
   }
 
+  /** A trained trigram LM: the bigram LM plus trigram counts
+    * `(w1, w2, w3, cnt)` — one more aggregation order, the step toward
+    * the 5-gram KenLMs the production pipelines run. Same persistence
+    * contract as [[BigramLm]].
+    */
+  final case class TrigramLm(bigramLm: BigramLm, trigrams: DataFrame) {
+    def unpersist(): Unit = {
+      bigramLm.unpersist()
+      trigrams.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Trigram structs of a token array (empty when fewer than 3 tokens);
+    * nested zip_with for the same no-expression-duplication reason as
+    * [[bigramsOf]].
+    */
+  private def trigramsOf(t: Column): Column =
+    when(size(t) < 3, array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(zip_with(
+        zip_with(slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), size(t) - 2),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+          c.as("w3"))))
+
+  /** Train the order-3 stupid-backoff LM: [[trainBigramLm]]'s counts plus
+    * a trigram aggregation over the same tokenization.
+    */
+  def trainTrigramLm(ref: DataFrame, textCol: String): TrigramLm = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = trainBigramLm(ref, textCol)
+    val t = ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
+    val tri = t.select(explode(trigramsOf(col("__t"))).as("__g"))
+      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt")).persist(lvl)
+    TrigramLm(base, tri)
+  }
+
+  /** Trigram scoring with RECURSIVE stupid backoff (Brants et al. 2007):
+    *
+    *  - seen trigram:  P = c(w1,w2,w3) / c(w1,w2)
+    *  - else, seen bigram (w2,w3):  P = alpha * c(w2,w3) / c(w2)
+    *  - else:  P = alpha^2 * (c(w3) + 1) / (N + V)
+    *
+    * One row per document: `(idCol, n_trigrams, avg_logp)` — mean log10
+    * trigram probability rounded to 4, null under 3 tokens. Five
+    * gram-keyed left joins, all column arithmetic.
+    */
+  def perplexityScoreTrigram(docs: DataFrame, textCol: String, idCol: String,
+      lm: TrigramLm, alpha: Double = 0.4): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t")) // bind ONCE
+      .select(col("__id"), explode(trigramsOf(col("__t"))).as("__g"))
+      .select(col("__id"), col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+    val tri = lm.trigrams.select(col("w1"), col("w2"), col("w3"), col("cnt").as("__ct"))
+    val b = lm.bigramLm
+    val bi12 = b.bigrams.select(col("w1"), col("w2"), col("cnt").as("__c12"))
+    val bi23 = b.bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cnt").as("__c23"))
+    val u2 = b.unigrams.select(col("w").as("w2"), col("cnt").as("__cu2"))
+    val u3 = b.unigrams.select(col("w").as("w3"), col("cnt").as("__cu3"))
+    val floorDen = lit(b.totalTokens.toDouble + b.vocabSize.toDouble)
+    val p = when(col("__ct").isNotNull,
+        col("__ct").cast("double") / col("__c12").cast("double"))
+      .when(col("__c23").isNotNull,
+        lit(alpha) * col("__c23").cast("double") / col("__cu2").cast("double"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("__cu3"), lit(0L)).cast("double") + 1.0) / floorDen)
+    val scored = grams
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi12, Seq("w1", "w2"), "left")
+      .join(bi23, Seq("w2", "w3"), "left")
+      .join(u2, Seq("w2"), "left")
+      .join(u3, Seq("w3"), "left")
+      .select(col("__id"), log10(p).as("__logp"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("__logp")), 4).as("avg_logp"))
+    docs.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("avg_logp"))
+  }
+
   /** Score every document in `docs` under `lm`:
     *
     *  - seen bigram:    P(w2|w1) = c(w1,w2) / c(w1)

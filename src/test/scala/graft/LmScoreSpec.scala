@@ -50,6 +50,29 @@ class LmScoreSpec extends SparkSpec {
     out.getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5
   }
 
+  test("trigram scoring: recursive stupid backoff through tri -> bi -> add-one uni") {
+    // uni: a2 b2 c2 d1 e1 (N=8 V=5); bi: (a,b)2 (b,c)2 (c,d)1 (c,e)1
+    // tri: (a,b,c)2 (b,c,d)1 (b,c,e)1
+    val lm = LmScore.trainTrigramLm(
+      Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"), "text")
+    lm.bigramLm.totalTokens shouldBe 8L
+    lm.bigramLm.vocabSize shouldBe 5L
+    lm.trigrams.count() shouldBe 3L
+    val docs = Seq(
+      (10L, "a b c d"), // (a,b,c): 2/2=1; (b,c,d): 1/2 -> avg log10 = -0.1505
+      (11L, "x b c z"), // (x,b,c): backoff bi (b,c): 0.4*2/2=0.4
+                        // (b,c,z): backoff uni z: 0.16*(0+1)/13
+      (12L, "a b") // < 3 tokens -> null
+    ).toDF("doc_id", "text")
+    val out = LmScore.perplexityScoreTrigram(docs, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L, 0L)
+    out(0).getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5
+    out(1).getDouble(2) shouldBe
+      (math.log10(0.4) + math.log10(0.16 / 13.0)) / 2 +- 5e-5
+    out(2).isNullAt(2) shouldBe true
+  }
+
   test("reference-like docs outscore random-word docs (the filter's discriminating power)") {
     val rnd = new scala.util.Random(5)
     val cleanRef = (0 until 200).map { i =>

@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     corpus.rowCount.get shouldBe before
   }
 
+  test("LM perplexity scoring composes with exactly-once streaming ingest") {
+    import graft.operators.LmScore
+    val src = tmpDir("stream-lm-src")
+    val ckpt = tmpDir("stream-lm-ckpt")
+    val out = Icebox(tmpDir("stream-lm-out"))
+    // the LM is a STATIC side input (trained offline, stream-static joins)
+    val lm = LmScore.trainBigramLm(
+      Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "v"), "v")
+    writeBatch(src, "w1.parquet", Seq((10L, "the cat sat", 1L), (11L, "dog the", 1L)))
+    val schema = Seq((0L, "x", 1L)).toDF("id", "v", "ver").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          out.appendStreamBatch("lmscore", bid,
+            LmScore.perplexityScore(batch, "v", "id", lm))
+          ()
+        }.start()
+      q.awaitTermination(60000)
+    }
+    run()
+    val r1 = out.read(spark).orderBy("id").collect()
+    r1.map(_.getLong(0)).toSeq shouldBe Seq(10L, 11L)
+    r1(0).getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5
+    r1(1).getDouble(2) shouldBe math.log10(0.12) +- 5e-5
+    // restart: the processed file is not re-scored (checkpoint), and a new
+    // wave lands exactly once
+    writeBatch(src, "w2.parquet", Seq((20L, "the cat ran", 1L)))
+    run()
+    out.read(spark).count() shouldBe 3L
+    out.read(spark).filter(col("id") === 20L).count() shouldBe 1L
+  }
+
   test("windowedCounts declares watermark + tumbling window on a stream") {
     val src = tmpDir("stream-src2")
     val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema

@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked `run` process's output through UNPREFIXED: sbt's default
+// logger wraps every stdout line in "[info] " (and stderr in "[error] "),
+// which makes Bench's one-line JSON headline unparsable to the capture
+// harness — every BENCH_r*.json through r14 records `parsed: null` for
+// exactly this reason. StdoutOutput routes the child's stdout/stderr
+// straight to sbt's own streams, so the headline line survives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." summary, so the
+// headline JSON is the literal last stdout line of `sbt runMain graft.Bench`
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,20 +66,41 @@ object LmScore {
       .otherwise(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
 
-  /** Train the stupid-backoff bigram LM on `ref` (the clean reference
-    * corpus). Two shuffles, both on gram keys with map-side combine.
+  private val cacheLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def tokenized(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
+
+  /** Uni/bigram counts over an (ideally cached) token-array frame. Lazy:
+    * `uni` materializes through the totals collect; callers must force
+    * `bigrams` before dropping `t`'s cache or the bigram aggregation
+    * re-tokenizes the corpus.
     */
-  def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val t = ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
+  private def countsFrom(t: DataFrame): BigramLm = {
     val uni = t.select(explode(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt")).persist(lvl)
+      .groupBy("w").agg(count(lit(1)).as("cnt")).persist(cacheLvl)
     val bi = t.select(explode(bigramsOf(col("__t"))).as("__g"))
       .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist(lvl)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist(cacheLvl)
     // the totals pass doubles as the cache materialization for `uni`
     val totals = uni.agg(sum("cnt"), count(lit(1))).collect()(0)
     BigramLm(uni, bi, totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Train the stupid-backoff bigram LM on `ref` (the clean reference
+    * corpus). The corpus is TOKENIZED ONCE — the token-array frame is
+    * cached for the duration of training (memory-and-disk: tokens spill
+    * rather than OOM) and both gram aggregations read it, so the corpus
+    * text is scanned and regex-split exactly one time. Both count
+    * shuffles are gram-keyed with map-side combine.
+    */
+  def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
+    val t = tokenized(ref, textCol).persist(cacheLvl)
+    try {
+      val lm = countsFrom(t)
+      lm.bigrams.count() // materialize off the token cache before it drops
+      lm
+    } finally { t.unpersist(blocking = false); () }
   }
 
   /** A trained trigram LM: the bigram LM plus trigram counts
@@ -108,17 +129,23 @@ object LmScore {
         (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
           c.as("w3"))))
 
-  /** Train the order-3 stupid-backoff LM: [[trainBigramLm]]'s counts plus
-    * a trigram aggregation over the same tokenization.
+  /** Train the order-3 stupid-backoff LM. The corpus is TOKENIZED ONCE
+    * (r14 advice: the previous layering re-ran the tokenizer for each
+    * gram order — at the 100 TB design point each re-run is a full extra
+    * corpus pass): the token-array frame is cached once and all three
+    * count aggregations (uni, bi, tri) are materialized off it before it
+    * is dropped.
     */
   def trainTrigramLm(ref: DataFrame, textCol: String): TrigramLm = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = trainBigramLm(ref, textCol)
-    val t = ref.select(toks(col(textCol)).as("__t")).filter(size(col("__t")) > 0)
-    val tri = t.select(explode(trigramsOf(col("__t"))).as("__g"))
-      .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"), col("__g.w3").as("w3"))
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt")).persist(lvl)
-    TrigramLm(base, tri)
+    val t = tokenized(ref, textCol).persist(cacheLvl)
+    try {
+      val base = countsFrom(t)
+      val tri = t.select(explode(trigramsOf(col("__t"))).as("__g"))
+        .select(col("__g.w1").as("w1"), col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt")).persist(cacheLvl)
+      base.bigrams.count(); tri.count() // force both off the token cache
+      TrigramLm(base, tri)
+    } finally { t.unpersist(blocking = false); () }
   }
 
   /** Trigram scoring with RECURSIVE stupid backoff (Brants et al. 2007):

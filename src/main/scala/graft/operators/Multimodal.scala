@@ -86,7 +86,7 @@ object Multimodal {
     * touching any registry; magic-less exotica (e.g. WBMP) fall to the
     * stub, the documented dispatch contract.
     */
-  private def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
     (b(0) == 0x89.toByte && b(1) == 'P'.toByte) || // PNG
     (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
     (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
@@ -97,12 +97,18 @@ object Multimodal {
   private def isRiff(b: Array[Byte]): Boolean = b.length >= 12 &&
     b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte
 
-  private def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 12 && (
+  private[graft] def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 12 && (
     (isRiff(b) && b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte) || // WAVE
-    (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) || // AIFF
+    // IFF 'FORM' alone is not audio (ILBM images, 8SVX, ...): require the
+    // form type at bytes 8-11 to be AIFF/AIFC, mirroring the WAVE check —
+    // otherwise every IFF container pays the provider-registry walk the
+    // sniff exists to avoid
+    (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte &&
+      b(8) == 'A'.toByte && b(9) == 'I'.toByte && b(10) == 'F'.toByte &&
+      (b(11) == 'F'.toByte || b(11) == 'C'.toByte)) || // AIFF/AIFC
     (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte)) // AU
 
-  private def looksLikeVideo(b: Array[Byte]): Boolean =
+  private[graft] def looksLikeVideo(b: Array[Byte]): Boolean =
     isRiff(b) && b(8) == 'A'.toByte && b(9) == 'V'.toByte && b(10) == 'I'.toByte
 
   /** REAL image decode (`javax.imageio`): parse `bytes` as PNG/JPEG/GIF/BMP
@@ -429,8 +435,8 @@ object Multimodal {
         ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
     def fourcc(o: Int): String =
       new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (bytes == null || bytes.length < 24) return None
-    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    if (bytes == null || bytes.length < 24 || !looksLikeVideo(bytes)) return None
+    if (fourcc(8) != "AVI ") return None // sniff checks 3 bytes; require the full fourcc
     try {
       var scale = 0L
       var rate = 0L

@@ -1910,6 +1910,20 @@ object SparkEntry {
       LmScore.perplexityScoreTrigram(d, "text", "doc_id", lm)
     }),
 
+    // LLM: CCNet's SELECTION step as one operator — langId buckets every
+    // document by language, the LM scores it, and a per-language
+    // percent_rank window labels head/middle/tail by score quantile
+    // (Wenzek et al. §4.3: train on the head fraction per language). No
+    // collect: selection is one hash-partitioned window; the oracle
+    // replays langId + LM training + backoff + percent_rank in SQL.
+    "q_ccnet_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = LmScore.trainBigramLm(d.filter(col("doc_id") % 5 === 0), "text")
+      val withLang = d.join(
+        TextFunctions.langIdByDoc(d, "text", "doc_id"), Seq("doc_id"))
+      LmScore.ccnetSelect(withLang, "text", "doc_id", "lang_pred", lm)
+    }),
+
     // Okapi BM25 relevance of every doc against a 3-term query — one
     // query-term-filtered explode, broadcast df/N/avgdl constants
     "q_bm25" -> ((s, dir) =>
@@ -3444,6 +3458,75 @@ object SparkEntry {
         |        FROM scored GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.avg_logp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // the full CCNet selection replay: LM training + backoff scoring (the
+    // q_lm_perplexity CTEs), stopword langId (the q_lang_id CTEs), then
+    // percent_rank per language over (avg_logp DESC NULLS LAST, doc_id) —
+    // rank arithmetic is (rank-1)/(n-1) in both engines, so pr and the
+    // head/middle/tail boundaries are bit-identical
+    "q_ccnet_select" ->
+      """WITH reft AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS v),
+        |refg AS (
+        |  SELECT g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS g FROM reft WHERE len(t) >= 2)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM refg GROUP BY 1, 2),
+        |doc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(t[:-2], t[2:])) AS g FROM doc WHERE len(t) >= 2)),
+        |scored AS (
+        |  SELECT dg.doc_id,
+        |    log10(CASE WHEN bi.c IS NOT NULL THEN bi.c / u1.c
+        |               ELSE 0.4 * (coalesce(u2.c, 0) + 1) / (tot.n + tot.v) END) AS lp
+        |  FROM dg LEFT JOIN bi ON dg.w1 = bi.w1 AND dg.w2 = bi.w2
+        |          LEFT JOIN uni u1 ON dg.w1 = u1.w
+        |          LEFT JOIN uni u2 ON dg.w2 = u2.w
+        |          CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               round(avg(lp), 4) AS avg_logp
+        |        FROM scored GROUP BY doc_id),
+        |lm AS (SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |ltoks AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |   len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) AS en,
+        |   len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS de,
+        |   len(list_filter(w, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS es,
+        |   len(list_filter(w, t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t))) AS fr,
+        |   len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','他'], t))) AS zh
+        |  FROM ltoks),
+        |lang AS (
+        | SELECT doc_id,
+        |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN NULL
+        |       WHEN zh = greatest(en, de, es, fr, zh) THEN 'zh'
+        |       WHEN fr = greatest(en, de, es, fr, zh) THEN 'fr'
+        |       WHEN es = greatest(en, de, es, fr, zh) THEN 'es'
+        |       WHEN en = greatest(en, de, es, fr, zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        | FROM hits),
+        |ranked AS (
+        |  SELECT l.doc_id, g.lang_pred, l.n_bigrams, l.avg_logp,
+        |    percent_rank() OVER (PARTITION BY g.lang_pred
+        |      ORDER BY l.avg_logp DESC NULLS LAST, l.doc_id) AS pr
+        |  FROM lm l JOIN lang g ON l.doc_id = g.doc_id)
+        |SELECT doc_id, lang_pred, n_bigrams, avg_logp, pr,
+        |  CASE WHEN avg_logp IS NULL THEN 'tail'
+        |       WHEN pr <= 1.0/3 THEN 'head'
+        |       WHEN pr <= 1 - 1.0/3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id,

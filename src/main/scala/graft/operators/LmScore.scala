@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CCNet-style language-model quality filtering: train an n-gram LM on a
@@ -208,6 +209,56 @@ object LmScore {
     * scores). Lower (more negative) = less like the reference corpus;
     * CCNet keeps the best-scoring fraction per language bucket.
     */
+  /** CCNet's SELECTION step (Wenzek et al. 2020 §4.3), first-class: bucket
+    * documents by language, rank each language's documents by their LM
+    * score under `lm`, and label each document `head` / `middle` / `tail`
+    * by score quantile — CCNet trains on the head (and sometimes middle)
+    * fraction per language, so the keep-decision is `bucket != 'tail'` or
+    * `bucket == 'head'` at the caller's choice.
+    *
+    * Returns one row per document:
+    * `(idCol, langCol, n_bigrams, avg_logp, pr, bucket)` where `pr` is
+    * `percent_rank()` within the language partition ordered by
+    * `(avg_logp DESC NULLS LAST, idCol)` — best-scoring first, ties and
+    * ranks fully deterministic — and `bucket` is `head` when
+    * `pr <= headFrac`, `tail` when `pr > 1 - tailFrac` or the document is
+    * unscorable (`avg_logp` null: fewer than 2 tokens), `middle`
+    * otherwise. Both boundaries are INCLUSIVE on the better side, pinned
+    * by LmScoreSpec and replayed exactly by the SQL oracle (percent_rank
+    * is pure rank arithmetic — `(rank-1)/(n-1)` — so the doubles are
+    * bit-identical across engines).
+    *
+    * 100 TB: scoring is [[perplexityScore]] (gram-keyed joins); the
+    * selection itself is ONE hash-partitioned window — no collect, no
+    * driver-side quantiles. Parallelism is bounded by the number of
+    * languages (each language is one sort partition; Spark's window sort
+    * spills rather than OOMs). If one language dominates at extreme
+    * scale, the drop-in alternative is a two-pass cutoff — per-language
+    * `approx_percentile` on `avg_logp`, broadcast the per-language
+    * thresholds, filter — which trades the exact per-document rank this
+    * operator emits for full within-language parallelism.
+    */
+  def ccnetSelect(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, lm: BigramLm, headFrac: Double = 1.0 / 3,
+      tailFrac: Double = 1.0 / 3, alpha: Double = 0.4): DataFrame = {
+    require(headFrac >= 0 && tailFrac >= 0 && headFrac + tailFrac <= 1,
+      s"head/tail fractions must be non-negative and sum to <= 1 " +
+        s"(got head=$headFrac tail=$tailFrac)")
+    val scored = perplexityScore(docs, textCol, idCol, lm, alpha)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_logp").desc_nulls_last, col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("avg_logp").isNull, lit("tail"))
+          .when(col("pr") <= headFrac, lit("head"))
+          .when(col("pr") <= 1.0 - tailFrac, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("avg_logp"),
+        col("pr"), col("bucket"))
+  }
+
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       lm: BigramLm, alpha: Double = 0.4): DataFrame = {
     val grams = docs

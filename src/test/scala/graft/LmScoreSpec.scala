@@ -50,6 +50,40 @@ class LmScoreSpec extends SparkSpec {
     out.getDouble(2) shouldBe math.log10(0.5) / 2 +- 5e-5
   }
 
+  test("ccnetSelect: percent_rank boundaries are inclusive on the better side") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    val docs = Seq(
+      (1L, "the cat sat", "en"), // -0.1505, best
+      (2L, "cat sat", "en"), // -0.3010
+      (3L, "dog the", "en"), // -0.9208
+      (4L, "dog zebra", "en"), // -1.3979, worst
+      (5L, "the cat ran", "de"), // scorable -> pr 0 in its language
+      (6L, "single", "de") // unscorable (1 token) -> forced tail
+    ).toDF("doc_id", "text", "lang")
+    val out = LmScore.ccnetSelect(docs, "text", "doc_id", "lang", lm)
+      .orderBy("doc_id").collect()
+    // en has 4 scorable docs: pr = 0, 1/3, 2/3, 1 — the head boundary
+    // (pr == headFrac) and the middle boundary (pr == 1 - tailFrac) land
+    // EXACTLY on documents, pinning the inclusive-on-the-better-side rule
+    out(0).getDouble(4) shouldBe 0.0
+    out(1).getDouble(4) shouldBe (1.0 / 3) +- 1e-15
+    out(2).getDouble(4) shouldBe (2.0 / 3) +- 1e-15
+    out(3).getDouble(4) shouldBe 1.0
+    out.take(4).map(_.getString(5)).toSeq shouldBe Seq("head", "head", "middle", "tail")
+    // de: the scorable doc ranks first; the unscorable one is tail by rule
+    out(4).getString(5) shouldBe "head"
+    out(5).isNullAt(3) shouldBe true
+    out(5).getString(5) shouldBe "tail"
+  }
+
+  test("ccnetSelect rejects impossible fractions") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    val docs = Seq((1L, "the cat", "en")).toDF("doc_id", "text", "lang")
+    an[IllegalArgumentException] should be thrownBy
+      LmScore.ccnetSelect(docs, "text", "doc_id", "lang", lm,
+        headFrac = 0.7, tailFrac = 0.7)
+  }
+
   test("trigram scoring: recursive stupid backoff through tri -> bi -> add-one uni") {
     // uni: a2 b2 c2 d1 e1 (N=8 V=5); bi: (a,b)2 (b,c)2 (c,d)1 (c,e)1
     // tri: (a,b,c)2 (b,c,d)1 (b,c,e)1

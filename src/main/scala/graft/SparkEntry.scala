@@ -1910,6 +1910,19 @@ object SparkEntry {
       LmScore.perplexityScoreTrigram(d, "text", "doc_id", lm)
     }),
 
+    // LLM: the order-5 LM (KenLM order parity) with HASHED gram keys —
+    // every train shuffle and scoring join keyed by xxhash64 of the gram
+    // array (8 bytes at any order, vs a 5-string struct); recursive
+    // stupid backoff through 5 -> 4 -> 3 -> 2 -> add-one unigram floor.
+    // The oracle replays the arithmetic with TEXT keys — hash-keyed and
+    // text-keyed scores agreeing IS the no-collision/no-mis-keying proof
+    // (LmScoreSpec pins the same equivalence in-engine at orders 2/3).
+    "q_lm_5gram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = LmScore.trainNgramLm(d.filter(col("doc_id") % 5 === 0), "text", 5)
+      LmScore.perplexityScoreNgram(d, "text", "doc_id", lm)
+    }),
+
     // LLM: CCNet's SELECTION step as one operator — langId buckets every
     // document by language, the LM scores it, and a per-language
     // percent_rank window labels head/middle/tail by score quantile
@@ -3457,6 +3470,74 @@ object SparkEntry {
         |               round(avg(lp), 4) AS avg_logp
         |        FROM scored GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.avg_logp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // order-5 recursive stupid backoff replayed with TEXT gram keys: the
+    // engine joins on xxhash64 of the gram arrays, so value agreement
+    // here is the collision-free/mis-keying-free proof
+    "q_lm_5gram" ->
+      """WITH reft AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS v),
+        |c2 AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS g FROM reft WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-3], t[2:-2], t[3:])) AS g FROM reft WHERE len(t) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |c4 AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, g[4] AS w4,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-4], t[2:-3], t[3:-2], t[4:])) AS g
+        |        FROM reft WHERE len(t) >= 4)
+        |  GROUP BY 1, 2, 3, 4),
+        |c5 AS (
+        |  SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, g[4] AS w4, g[5] AS w5,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(list_zip(t[:-5], t[2:-4], t[3:-3], t[4:-2], t[5:])) AS g
+        |        FROM reft WHERE len(t) >= 5)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |doc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3, g[4] AS w4, g[5] AS w5
+        |  FROM (SELECT doc_id, unnest(list_zip(t[:-5], t[2:-4], t[3:-3], t[4:-2], t[5:])) AS g
+        |        FROM doc WHERE len(t) >= 5)),
+        |scored AS (
+        |  SELECT dg.doc_id,
+        |    log10(CASE
+        |      WHEN n5.c IS NOT NULL THEN n5.c / d4.c
+        |      WHEN n4.c IS NOT NULL THEN 0.4 * n4.c / d3.c
+        |      WHEN n3.c IS NOT NULL THEN 0.16000000000000003 * n3.c / d2.c
+        |      WHEN n2.c IS NOT NULL THEN 0.06400000000000002 * n2.c / d1.c
+        |      ELSE 0.025600000000000008 * (coalesce(u5.c, 0) + 1) / (tot.n + tot.v)
+        |    END) AS lp
+        |  FROM dg
+        |    LEFT JOIN c5 n5 ON dg.w1 = n5.w1 AND dg.w2 = n5.w2 AND dg.w3 = n5.w3
+        |                   AND dg.w4 = n5.w4 AND dg.w5 = n5.w5
+        |    LEFT JOIN c4 d4 ON dg.w1 = d4.w1 AND dg.w2 = d4.w2 AND dg.w3 = d4.w3
+        |                   AND dg.w4 = d4.w4
+        |    LEFT JOIN c4 n4 ON dg.w2 = n4.w1 AND dg.w3 = n4.w2 AND dg.w4 = n4.w3
+        |                   AND dg.w5 = n4.w4
+        |    LEFT JOIN c3 d3 ON dg.w2 = d3.w1 AND dg.w3 = d3.w2 AND dg.w4 = d3.w3
+        |    LEFT JOIN c3 n3 ON dg.w3 = n3.w1 AND dg.w4 = n3.w2 AND dg.w5 = n3.w3
+        |    LEFT JOIN c2 d2 ON dg.w3 = d2.w1 AND dg.w4 = d2.w2
+        |    LEFT JOIN c2 n2 ON dg.w4 = n2.w1 AND dg.w5 = n2.w2
+        |    LEFT JOIN uni d1 ON dg.w4 = d1.w
+        |    LEFT JOIN uni u5 ON dg.w5 = u5.w
+        |    CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |               round(avg(lp), 4) AS avg_logp
+        |        FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_ngrams, 0) AS n_ngrams, a.avg_logp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     // the full CCNet selection replay: LM training + backoff scoring (the

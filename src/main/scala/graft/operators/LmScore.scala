@@ -209,6 +209,119 @@ object LmScore {
     * scores). Lower (more negative) = less like the reference corpus;
     * CCNet keeps the best-scoring fraction per language bucket.
     */
+  // ---------------------------------------------- order-n LM, hashed keys
+
+  /** A trained order-n stupid-backoff LM with HASHED gram keys: for each
+    * order k in 1..n, a count frame `(h long, cnt long)` where `h` is
+    * `xxhash64` of the k-token gram array. Text keys don't ride along:
+    * at order 5 a string-struct key is 5 strings wide through every
+    * train shuffle and scoring join, while the hash is 8 bytes — at the
+    * 100 TB design point the key bytes ARE the shuffle. Collisions merge
+    * gram counts at 2^-64 per pair — vanishing against the corpus sizes
+    * involved, and LmScoreSpec proves hash-keyed scores match the
+    * text-keyed scorer exactly on real data. Same persistence contract
+    * as [[BigramLm]].
+    */
+  final case class NgramLm(order: Int, counts: Map[Int, DataFrame],
+      totalTokens: Long, vocabSize: Long) {
+    def unpersist(): Unit = {
+      counts.values.foreach(_.unpersist(blocking = false))
+      ()
+    }
+  }
+
+  /** k-gram ARRAYS of a bound token-array column (empty when fewer than k
+    * tokens): one slice per position. `t` must be a bound attribute (the
+    * [[bigramsOf]] contract) so the lambda doesn't re-evaluate the
+    * tokenizer per element.
+    */
+  private def gramArraysOf(t: Column, k: Int): Column =
+    when(size(t) < k, array().cast("array<array<string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - k + 1),
+        i => slice(t, i, lit(k))))
+
+  /** Train the order-n stupid-backoff LM: the corpus is tokenized ONCE
+    * (cached token frame), then one gram-keyed count aggregation per
+    * order 1..n, each keyed by `xxhash64(gram array)` — map-side combine
+    * does the heavy lifting and the shuffled key is 8 bytes regardless
+    * of order.
+    */
+  def trainNgramLm(ref: DataFrame, textCol: String, order: Int): NgramLm = {
+    require(order >= 2, s"order must be >= 2 (got $order)")
+    val t = tokenized(ref, textCol).persist(cacheLvl)
+    try {
+      val counts = (1 to order).map { k =>
+        k -> t.select(explode(gramArraysOf(col("__t"), k)).as("__g"))
+          .groupBy(xxhash64(col("__g")).as("h"))
+          .agg(count(lit(1)).as("cnt")).persist(cacheLvl)
+      }.toMap
+      // totals from the unigram counts (materializes order 1)
+      val totals = counts(1).agg(sum("cnt"), count(lit(1))).collect()(0)
+      // materialize the rest off the token cache before it drops
+      counts.foreach { case (k, c) => if (k > 1) { c.count(); () } }
+      NgramLm(order, counts, totals.getLong(0), totals.getLong(1))
+    } finally { t.unpersist(blocking = false); () }
+  }
+
+  /** Score every document under an order-n LM with RECURSIVE stupid
+    * backoff (Brants et al. 2007), generalized from
+    * [[perplexityScoreTrigram]]:
+    *
+    *  - seen n-gram: P = c(w1..wn) / c(w1..w(n-1))
+    *  - else, level k = n-1..2: P = alpha^(n-k) * c(w(n-k+1)..wn) /
+    *    c(w(n-k+1)..w(n-1))
+    *  - floor: P = alpha^(n-1) * (c(wn) + 1) / (N + V)
+    *
+    * One row per document: `(idCol, n_ngrams, avg_logp)` — mean log10
+    * n-gram probability rounded to 4, null under n tokens. 2n-1
+    * gram-keyed left joins, every key an 8-byte `xxhash64` of the
+    * relevant sub-gram slice; probability arithmetic is codegen'd
+    * column expressions, no UDFs.
+    */
+  def perplexityScoreNgram(docs: DataFrame, textCol: String, idCol: String,
+      lm: NgramLm, alpha: Double = 0.4): DataFrame = {
+    val n = lm.order
+    var cur = docs
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t")) // bind ONCE
+      .select(col("__id"), explode(gramArraysOf(col("__t"), n)).as("__g"))
+      .withColumn("__hfloor", xxhash64(slice(col("__g"), n, 1)))
+    for (k <- n to 2 by -1) {
+      // level k numerator: the k-gram ending at wn; denominator: its
+      // (k-1)-token prefix
+      cur = cur
+        .withColumn(s"__hn$k", xxhash64(slice(col("__g"), n - k + 1, k)))
+        .withColumn(s"__hd$k", xxhash64(slice(col("__g"), n - k + 1, k - 1)))
+    }
+    var j = cur.drop("__g")
+    for (k <- n to 2 by -1) {
+      j = j.join(lm.counts(k).select(col("h").as(s"__hn$k"), col("cnt").as(s"__cn$k")),
+          Seq(s"__hn$k"), "left")
+        .join(lm.counts(k - 1).select(col("h").as(s"__hd$k"), col("cnt").as(s"__cd$k")),
+          Seq(s"__hd$k"), "left")
+    }
+    j = j.join(lm.counts(1).select(col("h").as("__hfloor"), col("cnt").as("__cu")),
+      Seq("__hfloor"), "left")
+    val floorDen = lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble)
+    // build the backoff chain floor-first, wrapping upward so the highest
+    // order is the outermost when (a seen k-gram implies its (k-1)-prefix
+    // was seen, so __cdk is never null where __cnk isn't)
+    var p: Column = lit(math.pow(alpha, n - 1)) *
+      (coalesce(col("__cu"), lit(0L)).cast("double") + 1.0) / floorDen
+    for (k <- 2 to n) {
+      p = when(col(s"__cn$k").isNotNull,
+        lit(math.pow(alpha, n - k)) *
+          col(s"__cn$k").cast("double") / col(s"__cd$k").cast("double"))
+        .otherwise(p)
+    }
+    val scored = j.select(col("__id"), log10(p).as("__logp"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_ngrams"), round(avg(col("__logp")), 4).as("avg_logp"))
+    docs.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"), col("avg_logp"))
+  }
+
   /** CCNet's SELECTION step (Wenzek et al. 2020 §4.3), first-class: bucket
     * documents by language, rank each language's documents by their LM
     * score under `lm`, and label each document `head` / `middle` / `tail`

@@ -84,6 +84,53 @@ class LmScoreSpec extends SparkSpec {
         headFrac = 0.7, tailFrac = 0.7)
   }
 
+  test("order-5 scoring: recursive stupid backoff through every level, hand-checked") {
+    // ref: "a b c d e" x2 -> every k-gram along the sentence has count 2;
+    // N=10 tokens, V=5 vocab
+    val lm = LmScore.trainNgramLm(
+      Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text"), "text", 5)
+    lm.order shouldBe 5
+    lm.totalTokens shouldBe 10L
+    lm.vocabSize shouldBe 5L
+    lm.counts(5).count() shouldBe 1L // only (a,b,c,d,e)
+    lm.counts(4).count() shouldBe 2L // (a,b,c,d), (b,c,d,e)
+    val docs = Seq(
+      (10L, "a b c d e"), // seen 5-gram: 2/2 = 1 -> logp 0
+      (11L, "x b c d e"), // level 4: 0.4 * c(b,c,d,e)/c(b,c,d) = 0.4
+      (12L, "x y z w e"), // floor: 0.4^4 * (c(e)+1)/(N+V) = 0.0256*3/15
+      (13L, "a b c d") // 4 tokens -> no 5-grams, null
+    ).toDF("doc_id", "text")
+    val out = LmScore.perplexityScoreNgram(docs, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 1L, 1L, 0L)
+    out(0).getDouble(2) shouldBe 0.0 +- 5e-5
+    out(1).getDouble(2) shouldBe math.log10(0.4) +- 5e-5
+    out(2).getDouble(2) shouldBe math.log10(0.0256 * 3 / 15) +- 5e-5
+    out(3).isNullAt(2) shouldBe true
+  }
+
+  test("hash-keyed scorer matches the text-keyed scorers on the test corpus") {
+    // the hashed-gram-key path (8-byte join keys) must be a pure
+    // representation change: orders 2 and 3 have text-keyed counterparts,
+    // and every document's (count, rounded score) must agree exactly
+    val d = graft.sources.Testdata.table(spark, "/root/testdata/sf0.001", "documents")
+    val ref = d.filter(col("doc_id") % 5 === 0)
+    val byText2 = LmScore.perplexityScore(d, "text", "doc_id",
+      LmScore.trainBigramLm(ref, "text"))
+      .withColumnRenamed("n_bigrams", "n_ngrams")
+    val byHash2 = LmScore.perplexityScoreNgram(d, "text", "doc_id",
+      LmScore.trainNgramLm(ref, "text", 2))
+    byText2.exceptAll(byHash2).count() shouldBe 0L
+    byHash2.exceptAll(byText2).count() shouldBe 0L
+    val byText3 = LmScore.perplexityScoreTrigram(d, "text", "doc_id",
+      LmScore.trainTrigramLm(ref, "text"))
+      .withColumnRenamed("n_trigrams", "n_ngrams")
+    val byHash3 = LmScore.perplexityScoreNgram(d, "text", "doc_id",
+      LmScore.trainNgramLm(ref, "text", 3))
+    byText3.exceptAll(byHash3).count() shouldBe 0L
+    byHash3.exceptAll(byText3).count() shouldBe 0L
+  }
+
   test("trigram scoring: recursive stupid backoff through tri -> bi -> add-one uni") {
     // uni: a2 b2 c2 d1 e1 (N=8 V=5); bi: (a,b)2 (b,c)2 (c,d)1 (c,e)1
     // tri: (a,b,c)2 (b,c,d)1 (b,c,e)1

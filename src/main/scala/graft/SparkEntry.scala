@@ -2476,6 +2476,65 @@ object SparkEntry {
       out
     }),
 
+    // LLM: IVF-PQ — the persisted index stores ONE BIGINT of packed
+    // product-quantization codes per vector instead of the 256-byte float
+    // array (posting-list bytes ARE the probe cost at 100 TB). Search =
+    // pruned partition read -> codegen'd ADC (per-query lookup table over
+    // the codebook literals) -> exact cosine re-rank of the survivors
+    // from the corpus table. At refineK >= every probed list the ADC cut
+    // passes everything through, so the output must EQUAL the float-index
+    // search — the same SQL oracle as q_ann_ivf_insert. In-query requires
+    // prove the parts the oracle can't see: (a) ADC quality — recall at
+    // refineK=64 (~13x k, the standard refine budget) vs the exact
+    // result; (b) the byte win — the codes
+    // payload at least 8x smaller than the float payload, single-file
+    // parquet both sides; (c) probes stay partition-pruned.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = Icebox(tmp("qivfpq"))
+      val centroids = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      val cb = Similarity.pqTrain(e, m = 8, codes = 64, seed = 42L)
+      // two ingest waves — the codes-only index accretes across commits
+      Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 === 0))
+      Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 =!= 0))
+      val queries = e.filter(col("vec_id") < 8)
+      val out = Similarity.ivfPqSearch(index, centroids, cb, e, queries,
+        k = 5, nprobe = 4, refineK = 1000000)
+        .withColumn("rank", col("rank").cast("long"))
+      val exactPairs = out.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (a) ADC recall at a realistic refine budget
+      val adcPairs = Similarity.ivfPqSearch(index, centroids, cb, e, queries,
+        k = 5, nprobe = 4, refineK = 64)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = adcPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+      require(recall >= 0.8, f"ADC refine recall $recall%.3f below 0.8")
+      // (b) the byte win, footer-overhead-controlled: one parquet file per
+      // payload shape at the same row count
+      val pqDir = tmp("qivfpq_bytes_pq")
+      val fDir = tmp("qivfpq_bytes_float")
+      index.read(s).coalesce(1).write.mode("overwrite").parquet(pqDir)
+      e.select(col("vec_id"), col("embedding"), (col("vec_id") % 16).as("list"))
+        .coalesce(1).write.mode("overwrite").parquet(fDir)
+      def dataBytes(d: String): Long = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val (pqB, fB) = (dataBytes(pqDir), dataBytes(fDir))
+      require(pqB > 0 && fB >= 8L * pqB,
+        s"PQ payload must be >=8x smaller than the float payload ($fB vs $pqB)")
+      // (c) probes open fewer index files than the full index
+      val probed = Similarity.ivfPqSearch(index, centroids, cb, e, queries,
+        k = 5, nprobe = 4, refineK = 16) // plan-only twin for the file audit
+      val idxDir = index.tableDir.toString
+      val prunedIdx = probed.inputFiles.count(_.contains(idxDir))
+      val fullIdx = index.read(s).inputFiles.length
+      require(prunedIdx > 0 && prunedIdx < fullIdx,
+        s"probe must open fewer index files than the full index ($prunedIdx vs $fullIdx)")
+      out
+    }),
+
     // LLM: IVF index MAINTENANCE under distribution drift — the index is
     // built against a stale 8-centroid set (even vectors only), then
     // ivfReassign migrates every posting list to the canonical 16-centroid
@@ -4127,6 +4186,32 @@ object SparkEntry {
     // assignment happens (once at ingest, partition layout) but not WHAT is
     // computed, so the oracle is the same SQL
     "q_ann_ivf_insert" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings ORDER BY vec_id LIMIT 16),
+        | assigned AS (
+        |   SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, c.cid AS cluster
+        |   FROM embeddings e CROSS JOIN c
+        |   QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid) = 1),
+        | probes AS (
+        |   SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cid AS cluster
+        |   FROM embeddings q CROSS JOIN c
+        |   WHERE q.vec_id < 8
+        |   QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), c.ce), c.cid) <= 4)
+        | SELECT query_id, neighbor_id,
+        |   round(list_cosine_similarity(qv, cv), 4) AS cosine,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        | FROM assigned a JOIN probes p ON a.cluster = p.cluster
+        | WHERE neighbor_id != query_id
+        | QUALIFY rank <= 5""".stripMargin,
+
+    // at refineK >= every probed list the ADC stage passes everything to
+    // the exact re-rank, so IVF-PQ output == float-index output — the
+    // q_ann_ivf_insert SQL verbatim (PQ internals are proven by the
+    // in-query requires, not the oracle)
+    "q_ann_ivfpq" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |           FROM embeddings ORDER BY vec_id LIMIT 16),
         | assigned AS (

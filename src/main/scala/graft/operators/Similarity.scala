@@ -316,6 +316,235 @@ object Similarity {
     newCentroids
   }
 
+  // ----------------------------------------------- IVF-PQ (product quant.)
+
+  /** Train product-quantization codebooks: the (L2-normalized) vector is
+    * split into `m` contiguous subspaces and each subspace gets its own
+    * `codes`-entry codebook from a seeded KMeans fit. Returns a tiny frame
+    * `(subspace int, code int, centroid array<float>)` — persist it like
+    * [[ivfTrain]]'s output; every encode/search on one index must use the
+    * same frame.
+    *
+    * Normalizing before quantization makes ADC's L2 ordering monotone with
+    * cosine (for unit vectors `|u-v|² = 2 - 2·cos`), so the PQ stage ranks
+    * by the same geometry the exact re-rank scores.
+    *
+    * 100 TB: the fit touches a sample (`trainFraction`), the codebooks are
+    * `m × codes × (dim/m)` floats of METADATA, and the index stores `m`
+    * bytes per vector instead of `4·dim` — at dim 64 / m 8 that is 32× less
+    * posting-list I/O per probe, which is the scan cost that dominates IVF
+    * search once lists no longer fit in page cache.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, codes: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxIter: Int = 20,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && m <= 8, s"m must be in 1..8 (one byte per subspace code, got $m)")
+    require(codes >= 2 && codes <= 256, s"codes must be in 2..256 (got $codes)")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val base = withUnit(spark,
+      (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
+        .select(col(vecCol).as("__v")), "__v", "__u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = (0 until m).flatMap { s =>
+        val train = base.select(array_to_vector(
+          slice(col("__u"), s * sub + 1, sub).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(codes).setSeed(seed + s).setMaxIter(maxIter)
+          .fit(train)
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (s, i, c.toArray.map(_.toFloat))
+        }
+      }
+      cb.toDF("subspace", "code", "centroid")
+    } finally { base.unpersist(blocking = false); () }
+  }
+
+  /** Add a unit-normalized copy of `vecCol` as `outCol` (zero vectors pass
+    * through unscaled). The norm is bound to its own column FIRST so the
+    * per-element division references an attribute — inlining the dot
+    * product into the transform lambda would re-evaluate it per element
+    * (the O(d²) trap bindOnce documents for shingles).
+    */
+  private def withUnit(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__pq_nrm",
+        sqrt(VectorExpressions.dot(spark, col(vecCol), col(vecCol))))
+      .withColumn(outCol, when(col("__pq_nrm") === 0.0, col(vecCol))
+        .otherwise(transform(col(vecCol),
+          x => (x.cast("double") / col("__pq_nrm")).cast("float"))))
+      .drop("__pq_nrm")
+
+  private[graft] def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Float]]] = {
+    val rows = codebooks.select(col("subspace").cast("int"), col("code").cast("int"),
+      col("centroid")).collect()
+    require(rows.nonEmpty, "empty codebook frame")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    require(out.forall(_.forall(_ != null)), "codebook frame has holes")
+    out
+  }
+
+  /** PQ codes of a unit-normalized bound vector column, PACKED into one
+    * bigint (code of subspace s in byte s — m <= 8, codes <= 256 make the
+    * pack exact): per subspace, a codegen'd argmin over the code-centroid
+    * literals, exactly the [[ivfWithCentroids]] assignment shape one level
+    * down. One long per vector is what the index table stores.
+    */
+  private def pqCodeCol(spark: org.apache.spark.sql.SparkSession,
+      cbs: Array[Array[Array[Float]]], unitVec: Column): Column = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    (0 until m).map { s =>
+      val subv = slice(unitVec, s * sub + 1, sub)
+      val code = array_min(array(cbs(s).zipWithIndex.map { case (c, i) =>
+        struct(VectorExpressions.l2sq(spark, subv, lit(c)).as("d"),
+          lit(i.toLong).as("code"))
+      }: _*)).getField("code")
+      shiftleft(code, 8 * s)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The per-query ADC lookup table over the codebook literals: entry
+    * `s*codes + c` holds the squared L2 distance between the query's s-th
+    * (normalized) subvector and code c's centroid. Computed on the (small,
+    * broadcast) query side only.
+    */
+  private def pqLutCol(spark: org.apache.spark.sql.SparkSession,
+      cbs: Array[Array[Array[Float]]], unitVec: Column): Column = {
+    val sub = cbs(0)(0).length
+    array((for {
+      s <- cbs.indices
+      c <- cbs(s).indices
+    } yield VectorExpressions.l2sq(spark,
+      slice(unitVec, s * sub + 1, sub), lit(cbs(s)(c)))): _*)
+  }
+
+  /** Incrementally add `batch` to a persisted IVF-PQ index: the posting
+    * list is the full-vector nearest-centroid argmin (identical to
+    * [[ivfInsert]]), but the stored payload is the PACKED PQ CODE — one
+    * bigint — not the float vector. `(idCol, codes, list)` partitioned by
+    * `list`: probes stay manifest-pruned partition reads, and each read
+    * moves `m` bytes per candidate instead of `4·dim`. The full vectors
+    * stay only in the corpus table, which [[ivfPqSearch]] joins for the
+    * exact re-rank of the few surviving candidates.
+    */
+  def ivfPqInsert(index: graft.table.Icebox, centroids: DataFrame,
+      codebooks: DataFrame, batch: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Long = {
+    val spark = batch.sparkSession
+    val cs = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    val before = index.rowCount.getOrElse(0L)
+    if (!index.exists)
+      index.setProperties(Map("write.distribution-mode" -> "hash"))
+    val assigned = withUnit(spark,
+      batch.select(col(idCol), col(vecCol).as("__v")), "__v", "__u")
+      .withColumn("list", array_min(distStructs(spark, cs, col("__v"))).getField("cid"))
+      .withColumn("codes", pqCodeCol(spark, cbs, col("__u")))
+      .select(col(idCol), col("codes"), col("list"))
+    index.append(assigned, partitionBy = Seq("list"))
+    index.rowCount.getOrElse(0L) - before
+  }
+
+  /** Re-point a persisted IVF-PQ index at NEW IVF centroids — the
+    * [[ivfReassign]] maintenance path for the codes-only layout. The index
+    * stores no vectors, so the stored ids join back to `corpus` (the
+    * vector source of truth) for the re-assignment argmin; the PQ codes
+    * are centroid-independent (they encode the vector itself) and migrate
+    * unchanged. One partitioned-overwrite commit, atomic at the table
+    * head. Returns the number of vectors migrated.
+    */
+  def ivfPqReassign(spark: org.apache.spark.sql.SparkSession,
+      index: graft.table.Icebox, corpus: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Long = {
+    val cs = collectCentroids(centroids)
+    require(cs.nonEmpty, "ivfPqReassign needs at least one centroid")
+    val assigned = index.read(spark).select(col(idCol), col("codes"))
+      .join(corpus.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .withColumn("list", array_min(distStructs(spark, cs, col("__v"))).getField("cid"))
+      .select(col(idCol), col("codes"), col("list"))
+    index.overwrite(assigned, partitionBy = Seq("list"))
+    index.rowCount.getOrElse(0L)
+  }
+
+  /** Top-k search against a persisted IVF-PQ index built by
+    * [[ivfPqInsert]], in three bounded stages:
+    *
+    *  1. PROBE — per query, the `nprobe` nearest centroid lists; their
+    *     union partition-prunes the index read (only probed posting lists
+    *     are opened, and each candidate is one bigint of codes).
+    *  2. ADC — asymmetric distance: each query carries an
+    *     `m × codes` lookup table of subspace distances (computed once per
+    *     query against the codebook literals); a candidate's approximate
+    *     distance is m array lookups + adds, fully codegen'd. The
+    *     ADC-top-`refineK` per query survive.
+    *  3. RE-RANK — the few survivors join the CORPUS table by id for
+    *     their full vectors and exact cosine; output is the exact-cosine
+    *     top-k in [[ivfSearch]]'s schema.
+    *
+    * Work per query: `nprobe` list reads of m-byte codes + `refineK` full
+    * vectors — the 100 TB shape where posting-list bytes dominate. With
+    * `refineK` >= the probed candidate count the ADC cut passes everything
+    * through and the result is EXACTLY the float-index [[ivfSearch]]
+    * result (the oracle anchor); at realistic `refineK` the miss rate is
+    * the PQ recall cost, which SimilaritySpec measures.
+    */
+  def ivfPqSearch(index: graft.table.Icebox, centroids: DataFrame,
+      codebooks: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, refineK: Int = 32,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val cs = collectCentroids(centroids)
+    val cbs = collectCodebooks(codebooks)
+    val m = cbs.length
+    val nCodes = cbs(0).length
+    def nearestClusters(vec: Column, n: Int): Column =
+      transform(slice(array_sort(distStructs(spark, cs, vec)), 1, n),
+        s => s.getField("cid"))
+    val probes = broadcast(withUnit(spark,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "__qv", "__qu")
+      .withColumn("__lut", pqLutCol(spark, cbs, col("__qu")))
+      .withColumn("list", explode(nearestClusters(col("__qv"), nprobe)))
+      .drop("__qu"))
+    val lists = probes.select("list").distinct().collect().map(_.getLong(0).toString).toSet
+    val postings = index.readPartitions(spark, "list", lists)
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("list"))
+    val joined = postings.join(probes, "list")
+    val filtered =
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined
+    // ADC: sum over subspaces of lut[s*codes + code_s] (get() is 0-based)
+    val adc = (0 until m).map { s =>
+      get(col("__lut"),
+        shiftrightunsigned(col("codes"), 8 * s).bitwiseAND(lit(255L)).cast("int")
+          + lit(s * nCodes))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").asc, col("neighbor_id"))
+    val cands = filtered.withColumn("__adc", adc)
+      .withColumn("__ark", row_number().over(wAdc))
+      .filter(col("__ark") <= refineK)
+      .select("query_id", "neighbor_id", "__qv")
+    val exact = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .withColumn("__cos", VectorExpressions.cosine(spark, col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    exact.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"),
+        col("__rk").as("rank"))
+  }
+
   /** Top-k search against a persisted IVF index built by [[ivfInsert]]:
     * per query, the `nprobe` nearest centroid lists are probed; the UNION
     * of probed lists becomes a PARTITION filter on the index table

@@ -145,6 +145,90 @@ class SimilaritySpec extends SparkSpec {
     pruned should be < index.read(spark).inputFiles.length
   }
 
+  private def around4(rnd: scala.util.Random, cx: Float, cy: Float, cz: Float,
+      cw: Float, sd: Float, n: Int, base: Long): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      (base + i, Array(cx + rnd.nextGaussian().toFloat * sd,
+        cy + rnd.nextGaussian().toFloat * sd,
+        cz + rnd.nextGaussian().toFloat * sd,
+        cw + rnd.nextGaussian().toFloat * sd))
+    }
+
+  test("ivfPqSearch: full refine == float ivfSearch exactly; partial refine keeps recall") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (around4(rnd, 10f, 0f, 0f, 1f, 0.5f, 100, 0L) ++
+      around4(rnd, 0f, 10f, 0f, 1f, 0.5f, 100, 100L) ++
+      around4(rnd, 0f, 0f, 10f, 1f, 0.5f, 100, 200L)).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(corpus, nlist = 3, seed = 7L)
+    val cb = Similarity.pqTrain(corpus, m = 4, codes = 32, seed = 7L)
+    cb.count() shouldBe 128L // 4 subspaces x 32 codes
+    val floatIdx = graft.table.Icebox(tmpDir("pq-float"))
+    Similarity.ivfInsert(floatIdx, centroids, corpus)
+    val pqIdx = graft.table.Icebox(tmpDir("pq-codes"))
+    Similarity.ivfPqInsert(pqIdx, centroids, cb, corpus, "embedding", "vec_id") shouldBe 300L
+    pqIdx.read(spark).columns.toSet shouldBe Set("vec_id", "codes", "list") // no vectors stored
+    val queries = corpus.filter($"vec_id" < 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = rows(Similarity.ivfSearch(floatIdx, centroids, queries, k = 5, nprobe = 2))
+    // refineK >= every probed list: the ADC cut passes everything through,
+    // so the codes-only index must reproduce the float index EXACTLY
+    val full = rows(Similarity.ivfPqSearch(pqIdx, centroids, cb, corpus, queries,
+      k = 5, nprobe = 2, refineK = 1000000))
+    full shouldBe exact
+    // realistic refineK: ADC ordering (stale nothing here — codebooks fit
+    // this corpus) must keep most of the true neighbors
+    val got = rows(Similarity.ivfPqSearch(pqIdx, centroids, cb, corpus, queries,
+      k = 5, nprobe = 2, refineK = 10)).map(t => (t._1, t._2))
+    val truth = exact.map(t => (t._1, t._2))
+    got.intersect(truth).size.toDouble / truth.size should be > 0.8
+  }
+
+  test("IVF-PQ drift + retrain composition: reassign joins the corpus, codes migrate unchanged") {
+    val rnd = new scala.util.Random(3)
+    val wave1 = (around4(rnd, 10f, 0f, 0f, 1f, 0.3f, 100, 0L) ++
+      around4(rnd, 0f, 10f, 0f, 1f, 0.3f, 100, 100L)).toDF("vec_id", "embedding")
+    val index = graft.table.Icebox(tmpDir("pq-drift"))
+    val frozen = Similarity.ivfTrain(wave1, nlist = 2, seed = 5L)
+    val cb = Similarity.pqTrain(wave1, m = 2, codes = 8, seed = 5L)
+    Similarity.ivfPqInsert(index, frozen, cb, wave1)
+    // drift into a z-dominant cluster straddling the frozen x/y boundary
+    val wave2 = around4(rnd, 3f, 3f, 10f, 1f, 0.5f, 200, 1000L).toDF("vec_id", "embedding")
+    Similarity.ivfPqInsert(index, frozen, cb, wave2)
+    val corpus = wave1.unionByName(wave2)
+    val queries = wave2.filter($"vec_id" < 1010L)
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      // generous refineK isolates the IVF-list effect from PQ precision
+      val got = Similarity.ivfPqSearch(index, centroids, cb, corpus, queries,
+        k = 5, nprobe = 1, refineK = 1000000)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(corpus, queries, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val recallBefore = recall(frozen)
+    val codesBefore = index.read(spark).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refit on the corpus and migrate: the index has no vectors, so the
+    // reassign argmin reads them from the corpus table by id
+    val retrained = Similarity.ivfTrain(corpus, nlist = 3, seed = 5L)
+    Similarity.ivfPqReassign(spark, index, corpus, retrained) shouldBe 400L
+    val recallAfter = recall(retrained)
+    recallBefore should be < 0.85
+    recallAfter should be > 0.95
+    // PQ codes encode the vector, not the list: migration must not touch them
+    val codesAfter = index.read(spark).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    codesAfter shouldBe codesBefore
+    // migrated layout still partition-prunes
+    val pruned = Similarity.ivfPqSearch(index, retrained, cb, corpus, queries,
+      k = 5, nprobe = 1, refineK = 100)
+      .inputFiles.count(_.contains(index.tableDir.toString))
+    pruned should be < index.read(spark).inputFiles.length
+  }
+
   test("ivfSearch opens only probed posting-list partitions") {
     val index = graft.table.Icebox(tmpDir("ivf-prune"))
     val centroids = Similarity.ivfTrain(vecs, nlist = 3)

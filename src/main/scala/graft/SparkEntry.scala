@@ -887,6 +887,58 @@ object SparkEntry {
       } finally graft.sql.MvRewrite.uninstall(s)
     }),
 
+    // Catalyst rewrite over a SNOWFLAKE materialized view: the TPC-H
+    // lineitem -> orders -> customer -> nation chain in plain spark.sql
+    // text is served from a dim-of-dim view — the rule orients every join
+    // conjunct along the view's recorded parent graph (mv.star.parents:
+    // each dim hangs off the fact OR an earlier dim), certifies all four
+    // scans as pinned-snapshot Icebox reads, rolls the key-subset
+    // grouping up, and gates on the 4-part cursor at every source's
+    // head. Proven the same way as the join/star flavors: every scanned
+    // file under _mv.
+    "q_mv_snowflake_catalyst" -> ((s, dir) => {
+      val wh = tmp("qmvsc_wh")
+      graft.sql.DmlSql.setWarehouse(wh)
+      val fact = Icebox(tmp("qmvsc_li"))
+      fact.append(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+      val dOrd = Icebox(tmp("qmvsc_ord"))
+      dOrd.append(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+      val dCust = Icebox(tmp("qmvsc_cust"))
+      dCust.append(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")))
+      val dNat = Icebox(tmp("qmvsc_nat"))
+      dNat.append(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      fact.registerView(s, "qmvsc_li")
+      dOrd.registerView(s, "qmvsc_ord")
+      dCust.registerView(s, "qmvsc_cust")
+      dNat.registerView(s, "qmvsc_nat")
+      graft.sql.DmlSql.run(s,
+        """CREATE MATERIALIZED VIEW qmvsc AS
+          |SELECT n_name, c_nationkey, count(*), sum(l_quantity) FROM qmvsc_li
+          |JOIN qmvsc_ord ON qmvsc_li.l_orderkey = qmvsc_ord.o_orderkey
+          |JOIN qmvsc_cust ON qmvsc_ord.o_custkey = qmvsc_cust.c_custkey
+          |JOIN qmvsc_nat ON qmvsc_cust.c_nationkey = qmvsc_nat.n_nationkey
+          |GROUP BY n_name, c_nationkey""".stripMargin)
+      graft.sql.MvRewrite.install(s)
+      try {
+        // key-subset query: the rule must ROLL UP the chain view's rows
+        val served = s.sql(
+          """SELECT n_name, count(*) AS row_count, sum(l_quantity) AS sum_qty
+            |FROM qmvsc_li
+            |JOIN qmvsc_ord ON l_orderkey = o_orderkey
+            |JOIN qmvsc_cust ON o_custkey = c_custkey
+            |JOIN qmvsc_nat ON c_nationkey = n_nationkey
+            |GROUP BY n_name""".stripMargin)
+        require(served.inputFiles.nonEmpty && served.inputFiles.forall(_.contains("/_mv/")),
+          s"snowflake rewrite must serve from the view, scanned: " +
+            served.inputFiles.take(3).mkString(","))
+        val out = served.select(col("n_name"), col("row_count"),
+          round(col("sum_qty").cast("double"), 2).as("sum_qty"))
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+      } finally graft.sql.MvRewrite.uninstall(s)
+    }),
+
     // Time-series RESAMPLE + GAP FILL: irregular per-user events densify
     // to a fixed daily grid — per-(user,day) aggregates, missing days
     // materialized with row_count=0, and a forward-filled value carrying
@@ -3147,6 +3199,18 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS order_count
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_mktsegment""".stripMargin,
+
+    // the snowflake rewrite changes which files are SCANNED (all under
+    // _mv, proved by the query's require), never the answer: the direct
+    // 4-table chain aggregate (integer-valued quantities: float-exact)
+    "q_mv_snowflake_catalyst" ->
+      """SELECT n_name, count(*) AS row_count,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     // min/max over the final state — the full recompute the incremental
     // touched-group path must land on exactly

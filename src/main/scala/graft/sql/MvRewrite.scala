@@ -409,10 +409,6 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val dimDirs = props.get("mv.star.dims")
       .map(_.split(';').filter(_.nonEmpty).toSeq).getOrElse(return None)
     if (props.get("mv.where").exists(_.nonEmpty)) return None
-    // snowflake views (dim-of-dim parents): the certification below
-    // orients every join conjunct fact→dim, which a chain view doesn't
-    // satisfy — refuse conservatively (the SELECT-name path serves them)
-    if (props.get("mv.star.parents").exists(_.split(';').exists(_ != "-1"))) return None
     // leaves ↔ (fact, dims) by table dir, each exactly once
     val byDir = leaves.zipWithIndex.map { case (lf, i) => lf.index.tableDirString -> i }
     if (byDir.map(_._1).distinct.size != leaves.size) return None // self-join: refuse
@@ -420,15 +416,30 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val factLeaf = dirToLeaf.getOrElse(factDir, return None)
     val dimLeaves = dimDirs.map(d => dirToLeaf.getOrElse(d, return None))
     if ((factLeaf +: dimLeaves).toSet.size != leaves.size) return None
-    // pairs: each must relate the fact leaf to one dim leaf; collect per dim
+    // each dim's PARENT leaf: the fact for plain stars, an earlier dim for
+    // snowflake chains (`mv.star.parents`: ';'-joined indexes, -1 = fact,
+    // absent = all fact — the same convention refreshStar maintains by)
+    val parents: Seq[Int] = props.get("mv.star.parents")
+      .map(_.split(';').filter(_.nonEmpty).toSeq.map(_.toInt))
+      .getOrElse(dimDirs.map(_ => -1))
+    if (parents.length != dimDirs.length) return None // corrupt properties
+    if (parents.exists(p => p < -1 || p >= dimDirs.length)) return None
+    val parentLeafOf: Seq[Int] =
+      parents.map(p => if (p == -1) factLeaf else dimLeaves(p))
+    // pairs: each conjunct must relate some dim's PARENT leaf to that dim's
+    // leaf (the dim leaf identifies the dim uniquely — leaves are distinct)
     val perDim = scala.collection.mutable.Map.empty[Int, Set[(String, String)]]
       .withDefaultValue(Set.empty)
-    pairs.foreach {
-      case ((la, ca), (lb, cb)) if la == factLeaf && dimLeaves.contains(lb) =>
-        perDim(lb) = perDim(lb) + ((ca, cb))
-      case ((la, ca), (lb, cb)) if lb == factLeaf && dimLeaves.contains(la) =>
-        perDim(la) = perDim(la) + ((cb, ca))
-      case _ => return None // a dim-dim conjunct: not this view's star
+    pairs.foreach { case ((la, ca), (lb, cb)) =>
+      dimLeaves.indexOf(lb) match {
+        case d if d >= 0 && parentLeafOf(d) == la =>
+          perDim(lb) = perDim(lb) + ((ca, cb))
+        case _ => dimLeaves.indexOf(la) match {
+          case d if d >= 0 && parentLeafOf(d) == lb =>
+            perDim(la) = perDim(la) + ((cb, ca))
+          case _ => return None // doesn't follow this view's join graph
+        }
+      }
     }
     val vOn = props.get("mv.star.on").map(_.split(';').filter(_.nonEmpty).toSeq)
       .getOrElse(return None)

@@ -257,6 +257,56 @@ class MvRewriteSpec extends SparkSpec {
     assert(!servedFromView(snow))
   }
 
+  test("snowflake chain is served through the optimizer rule; wrong chains refuse") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("mvrw11_wh")
+    DmlSql.setWarehouse(wh)
+    val fact = Icebox(tmpDir("mvrw11_f"))
+    fact.append((1 to 60).map(i => (i.toLong, (i % 10).toLong, i * 2L))
+      .toDF("id", "ck", "v"))
+    val dCust = Icebox(tmpDir("mvrw11_c"))
+    dCust.append((0 until 10).map(i => (i.toLong, (i % 3).toLong)).toDF("c_id", "nk"))
+    val dNat = Icebox(tmpDir("mvrw11_n"))
+    dNat.append((0 until 3).map(i => (i.toLong, s"nation$i")).toDF("n_id", "n_name"))
+    fact.registerView(spark, "mvrw11f")
+    dCust.registerView(spark, "mvrw11c")
+    dNat.registerView(spark, "mvrw11n")
+    // dim-of-dim chain: nation hangs off customer, not off the fact
+    DmlSql.run(spark,
+      """CREATE MATERIALIZED VIEW mvrw11_view AS
+        |SELECT n_name, nk, count(*), sum(v) FROM mvrw11f
+        |JOIN mvrw11c ON mvrw11f.ck = mvrw11c.c_id
+        |JOIN mvrw11n ON mvrw11c.nk = mvrw11n.n_id
+        |GROUP BY n_name, nk""".stripMargin)
+    val q =
+      """SELECT n_name, count(*) AS cnt, sum(v) AS sv FROM mvrw11f
+        |JOIN mvrw11c ON mvrw11f.ck = mvrw11c.c_id
+        |JOIN mvrw11n ON mvrw11c.nk = mvrw11n.n_id
+        |GROUP BY n_name""".stripMargin // key subset: rollup over the view
+    val served = spark.sql(q)
+    assert(servedFromView(served), s"expected view scan, got ${served.inputFiles.toSeq}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    val direct = spark.sql(q)
+    assert(!servedFromView(direct))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    served.schema shouldBe direct.schema
+    assertSameRows(served, direct)
+    // a query joining the leaf dim to the FACT does not follow the chain
+    val wrong = spark.sql(
+      """SELECT n_name, count(*) FROM mvrw11f
+        |JOIN mvrw11n ON mvrw11f.ck = mvrw11n.n_id
+        |JOIN mvrw11c ON mvrw11f.ck = mvrw11c.c_id
+        |GROUP BY n_name""".stripMargin)
+    assert(!servedFromView(wrong))
+    // staleness gates the chain at EVERY level: a mid-chain append refuses
+    // the rewrite until REFRESH moves the N-part cursor
+    dCust.append(Seq((10L, 0L)).toDF("c_id", "nk"))
+    dCust.registerView(spark, "mvrw11c") // re-pin the temp view at the new head
+    assert(!servedFromView(spark.sql(q)))
+    DmlSql.run(spark, "REFRESH MATERIALIZED VIEW mvrw11_view")
+    assert(servedFromView(spark.sql(q)))
+  }
+
   test("kill switch and missing warehouse are honored") {
     MvRewrite.install(spark)
     val wh = tmpDir("mvrw5_wh")

@@ -204,4 +204,26 @@ class DedupSpec extends SparkSpec {
     Dedup.dedupInsert(corpus,
       Seq((9L, null: String)).toDF("id", "text"), "text", "id") shouldBe 0L
   }
+
+  test("candidate-pair growth tracks the duplication rate, not corpus size") {
+    import graft.tools.MinhashScale
+    def pairs(df: org.apache.spark.sql.DataFrame): Long =
+      Dedup.minHashCandidates(df, "text", "doc_id").count()
+    // CONSTANT duplication rate (the realistic regime): 10% of docs carry
+    // one near-dup partner — tripling the corpus triples the pairs
+    val p1 = pairs(MinhashScale.constantRate(spark, 1000))
+    val p3 = pairs(MinhashScale.constantRate(spark, 3000))
+    p1 should (be >= 95L and be <= 110L) // ~the 100 planted partners
+    p3 should (be >= 285L and be <= 330L)
+    p3.toDouble / p1 shouldBe 3.0 +- 0.5 // linear in corpus size
+    // the GenSf1 shape: family SIZE grows with scale, so pairs grow
+    // quadratically per family — C(2,2)=1 vs C(6,2)=15 per base doc. This
+    // is the corpus property behind q_minhash_dedup's 9.95x sf1 wall
+    // (PLANS.md r15), not a plan regression.
+    val f1 = pairs(MinhashScale.growingFamilies(spark, 400, 2)) // 800 docs
+    val f3 = pairs(MinhashScale.growingFamilies(spark, 400, 6)) // 2400 docs
+    f1 should (be >= 380L and be <= 420L)
+    f3 should (be >= 5700L and be <= 6300L)
+    f3.toDouble / f1 should be > 10.0 // 3x the docs, ~15x the pairs
+  }
 }

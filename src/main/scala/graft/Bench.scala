@@ -50,7 +50,8 @@ object Bench {
     "q_paragraph_dedup", "q_profile", "q_heavy_hitters", "q_mv_refresh",
     "q_mv_sql", "q_sessionize", "q_asof_join", "q_range_join", "q_salted_join",
     "q_pipeline", "q_llm_pipeline", "q_image_decode", "q_multimodal_decode",
-    "q_mv_join", "q_mv_catalyst", "q_resample")
+    "q_mv_join", "q_mv_catalyst", "q_resample",
+    "q_ccnet_select", "q_lm_5gram", "q_ann_ivfpq", "q_mv_snowflake_catalyst")
 
   private def fmt(v: Double): String = f"$v%.3f".replace(",", ".")
 

@@ -2547,7 +2547,10 @@ object SparkEntry {
       val centroids = e.orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").cast("long").as("cluster_id"),
           col("embedding").as("centroid"))
-      val cb = Similarity.pqTrain(e, m = 8, codes = 64, seed = 42L)
+      // maxIter 8: codebooks converge on this corpus in a few sweeps and
+      // each MLlib iteration is driver-roundtrip jobs - the dominant cost of
+      // this query's one-time training step at bench scale
+      val cb = Similarity.pqTrain(e, m = 8, codes = 64, seed = 42L, maxIter = 8)
       // two ingest waves — the codes-only index accretes across commits
       Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 === 0))
       Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 =!= 0))
@@ -2555,8 +2558,10 @@ object SparkEntry {
       val out = Similarity.ivfPqSearch(index, centroids, cb, e, queries,
         k = 5, nprobe = 4, refineK = 1000000)
         .withColumn("rank", col("rank").cast("long"))
-      val exactPairs = out.select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // materialize ONCE: the rows serve the recall baseline AND the
+      // returned frame (returning the live plan would re-run the search)
+      val outRows = out.collect().toSeq
+      val exactPairs = outRows.map(r => (r.getLong(0), r.getLong(1))).toSet
       // (a) ADC recall at a realistic refine budget
       val adcPairs = Similarity.ivfPqSearch(index, centroids, cb, e, queries,
         k = 5, nprobe = 4, refineK = 64)
@@ -2584,7 +2589,7 @@ object SparkEntry {
       val fullIdx = index.read(s).inputFiles.length
       require(prunedIdx > 0 && prunedIdx < fullIdx,
         s"probe must open fewer index files than the full index ($prunedIdx vs $fullIdx)")
-      out
+      s.createDataFrame(s.sparkContext.parallelize(outRows), out.schema)
     }),
 
     // LLM: IVF index MAINTENANCE under distribution drift — the index is

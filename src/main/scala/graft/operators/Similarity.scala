@@ -463,40 +463,36 @@ object Similarity {
     out
   }
 
+  /** The codebooks as one flattened float-array literal (layout
+    * `[(s*codes + c) * sub + j]`) — the constant the native PQ kernels
+    * loop over. One plan literal regardless of m and codes.
+    */
+  private def cbFlatLit(cbs: Array[Array[Array[Float]]]): Column =
+    lit(cbs.flatten.flatten)
+
   /** PQ codes of a unit-normalized bound vector column, PACKED into one
     * bigint (code of subspace s in byte s — m <= 8, codes <= 256 make the
-    * pack exact): per subspace, a codegen'd argmin over the code-centroid
-    * literals, exactly the [[ivfWithCentroids]] assignment shape one level
-    * down. One long per vector is what the index table stores.
+    * pack exact). ONE native codegen'd expression (graft_pq_encode) looping
+    * over the flattened codebook literal: the previous composed-builtin
+    * form (m×codes fused l2sq calls inside array_min) generated past
+    * janino's 64 KB method limit at the defaults and silently fell back to
+    * interpreted execution. Arithmetic unchanged: per-subspace argmin of
+    * left-to-right double L2, ties to the lowest code.
     */
   private def pqCodeCol(spark: org.apache.spark.sql.SparkSession,
-      cbs: Array[Array[Array[Float]]], unitVec: Column): Column = {
-    val m = cbs.length
-    val sub = cbs(0)(0).length
-    (0 until m).map { s =>
-      val subv = slice(unitVec, s * sub + 1, sub)
-      val code = array_min(array(cbs(s).zipWithIndex.map { case (c, i) =>
-        struct(VectorExpressions.l2sq(spark, subv, lit(c)).as("d"),
-          lit(i.toLong).as("code"))
-      }: _*)).getField("code")
-      shiftleft(code, 8 * s)
-    }.reduce(_ bitwiseOR _)
-  }
+      cbs: Array[Array[Array[Float]]], unitVec: Column): Column =
+    graft.functions.PqExpressions.encode(spark, unitVec, cbFlatLit(cbs),
+      lit(cbs.length), lit(cbs(0).length))
 
-  /** The per-query ADC lookup table over the codebook literals: entry
+  /** The per-query ADC lookup table over the codebook literal: entry
     * `s*codes + c` holds the squared L2 distance between the query's s-th
     * (normalized) subvector and code c's centroid. Computed on the (small,
-    * broadcast) query side only.
+    * broadcast) query side only — same single-kernel form as the encode.
     */
   private def pqLutCol(spark: org.apache.spark.sql.SparkSession,
-      cbs: Array[Array[Array[Float]]], unitVec: Column): Column = {
-    val sub = cbs(0)(0).length
-    array((for {
-      s <- cbs.indices
-      c <- cbs(s).indices
-    } yield VectorExpressions.l2sq(spark,
-      slice(unitVec, s * sub + 1, sub), lit(cbs(s)(c)))): _*)
-  }
+      cbs: Array[Array[Array[Float]]], unitVec: Column): Column =
+    graft.functions.PqExpressions.lut(spark, unitVec, cbFlatLit(cbs),
+      lit(cbs.length), lit(cbs(0).length))
 
   /** Incrementally add `batch` to a persisted IVF-PQ index: the posting
     * list is the full-vector nearest-centroid argmin (identical to

@@ -48,7 +48,13 @@ object VerifySf1 {
     "q_ann_ivf_retrain",
     // round-14 new operator: LM perplexity filter at 10x docs (the copy
     // suffixes widen the vocabulary; training + scoring replay in SQL)
-    "q_lm_perplexity")
+    "q_lm_perplexity",
+    // round-15 additions: CCNet selection (per-language percent_rank over
+    // 50k docs), order-5 hashed-key LM (the widest join chain at 10x gram
+    // volume), IVF-PQ (codes-only index at 20k vectors — the recall/bytes/
+    // pruning requires run in-query at any SF), and the snowflake-chain
+    // Catalyst rewrite over the 6M-row fact
+    "q_ccnet_select", "q_lm_5gram", "q_ann_ivfpq", "q_mv_snowflake_catalyst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

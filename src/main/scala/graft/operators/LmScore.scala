@@ -372,6 +372,55 @@ object LmScore {
         col("pr"), col("bucket"))
   }
 
+  /** The CUTOFF flavor of [[ccnetSelect]] — the scale path its scaladoc
+    * promises for the dominant-language regime: instead of a total
+    * per-language sort (window percent_rank), compute each language's
+    * keep-score THRESHOLD with one percentile aggregation, broadcast the
+    * per-language cutoffs (one row per language), and filter. Work is two
+    * map-side-combined aggregations + a broadcast join — within-language
+    * parallelism is unlimited, no partition ever holds a whole language.
+    *
+    * Returns one row per document:
+    * `(idCol, langCol, n_bigrams, avg_logp, kept)` where `kept` is
+    * `avg_logp >= cutoff` against the language's `(1 - keepFrac)` score
+    * quantile over scorable docs (unscorable docs and null-language docs
+    * are never kept). The raw cutoff stays internal: it is an
+    * INTERPOLATED float whose last ulp is formula-dependent, while the
+    * kept decision is robust — scores live on a 4-decimal grid and an
+    * interpolated cutoff lies strictly between grid neighbors (or exactly
+    * on one), so an ulp of cutoff wobble can never flip a comparison.
+    * Unlike [[ccnetSelect]] this emits no per-document ranks; ties AT the
+    * cutoff are all kept, so the kept fraction can exceed `keepFrac` by
+    * the tie mass.
+    *
+    * `exact = false` (default) uses `approx_percentile` — the t-digest
+    * sketch is mergeable with bounded memory, the correct choice at
+    * 100 TB where a language's score list does not fit one aggregation
+    * buffer. `exact = true` uses the exact interpolating `percentile`
+    * (buffers each language's values: test/oracle scale only).
+    */
+  def ccnetSelectByCutoff(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, lm: BigramLm, keepFrac: Double = 1.0 / 3,
+      alpha: Double = 0.4, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0, 1] (got $keepFrac)")
+    val scored = perplexityScore(docs, textCol, idCol, lm, alpha)
+    val withLang = docs.select(col(idCol), col(langCol)).join(scored, Seq(idCol))
+    val q = lit(1.0 - keepFrac)
+    val cutoffAgg =
+      if (exact) percentile(col("avg_logp"), q)
+      else percentile_approx(col("avg_logp"), q, lit(accuracy))
+    val cutoffs = withLang
+      .filter(col("avg_logp").isNotNull && col(langCol).isNotNull)
+      .groupBy(langCol).agg(cutoffAgg.as("cutoff"))
+    withLang.join(broadcast(cutoffs), Seq(langCol), "left")
+      .withColumn("kept",
+        when(col("avg_logp").isNotNull && col("cutoff").isNotNull &&
+          col("avg_logp") >= col("cutoff"), lit(true)).otherwise(lit(false)))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("avg_logp"),
+        col("kept"))
+  }
+
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       lm: BigramLm, alpha: Double = 0.4): DataFrame = {
     val grams = docs

@@ -54,7 +54,10 @@ object VerifySf1 {
     // volume), IVF-PQ (codes-only index at 20k vectors — the recall/bytes/
     // pruning requires run in-query at any SF), and the snowflake-chain
     // Catalyst rewrite over the 6M-row fact
-    "q_ccnet_select", "q_lm_5gram", "q_ann_ivfpq", "q_mv_snowflake_catalyst")
+    "q_ccnet_select", "q_lm_5gram", "q_ann_ivfpq", "q_mv_snowflake_catalyst",
+    // round-15 cutoff flavor of CCNet selection (exact-percentile path;
+    // the approx default is spec-covered)
+    "q_ccnet_cutoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/graft_sf1_full"

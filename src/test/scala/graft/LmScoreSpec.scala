@@ -76,6 +76,50 @@ class LmScoreSpec extends SparkSpec {
     out(5).getString(5) shouldBe "tail"
   }
 
+  test("ccnetSelectByCutoff: kept set is score-downward-closed; ties at the cutoff all keep") {
+    val lm = LmScore.trainBigramLm(ref, "text")
+    val docs = Seq(
+      (1L, "the cat sat", "en"), // -0.1505, best
+      (2L, "cat sat", "en"), // -0.3010
+      (3L, "dog the", "en"), // -0.9208
+      (4L, "dog zebra", "en"), // -1.3979, worst
+      (5L, "single", "en"), // unscorable -> never kept
+      (6L, "the cat sat", null) // null language -> never kept
+    ).toDF("doc_id", "text", "lang")
+    // keepFrac 0.25 over 4 scorable docs: cutoff = p75, interpolated
+    // strictly above the #2 score -> exactly the top doc survives
+    val out = LmScore.ccnetSelectByCutoff(docs, "text", "doc_id", "lang", lm,
+      keepFrac = 0.25, exact = true).orderBy("doc_id").collect()
+    out.map(_.getBoolean(4)).toSeq shouldBe Seq(true, false, false, false, false, false)
+    // the defining property: every kept doc outscores every dropped scorable doc
+    // the defining property: within the language, every kept doc scores at
+    // least every dropped scorable doc (null-language docs are dropped by
+    // language, not score — excluded from the comparison)
+    val kept = out.filter(_.getBoolean(4)).map(_.getDouble(3))
+    val dropped = out.filter(r =>
+      !r.getBoolean(4) && !r.isNullAt(3) && !r.isNullAt(1)).map(_.getDouble(3))
+    kept.min should be >= dropped.max
+    // ties AT the cutoff: identical scores all keep (fraction overshoots)
+    val tied = Seq((1L, "the cat sat", "en"), (2L, "the cat sat", "en"),
+      (3L, "the cat sat", "en")).toDF("doc_id", "text", "lang")
+    LmScore.ccnetSelectByCutoff(tied, "text", "doc_id", "lang", lm,
+      keepFrac = 1.0 / 3, exact = true)
+      .filter(col("kept")).count() shouldBe 3L
+    // the approx path (the 100 TB default): approx_percentile returns a
+    // MEMBER value rather than interpolating, so the >= cutoff comparison
+    // includes that member — the kept set can only grow vs exact, stays
+    // downward-closed on scores, and still contains the top doc
+    val approx = LmScore.ccnetSelectByCutoff(docs, "text", "doc_id", "lang", lm,
+      keepFrac = 0.25).orderBy("doc_id").collect()
+    val aKeptIds = approx.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    aKeptIds should contain(1L)
+    out.filter(_.getBoolean(4)).map(_.getLong(0)).toSet.subsetOf(aKeptIds) shouldBe true
+    val aKept = approx.filter(_.getBoolean(4)).map(_.getDouble(3))
+    val aDropped = approx.filter(r =>
+      !r.getBoolean(4) && !r.isNullAt(3) && !r.isNullAt(1)).map(_.getDouble(3))
+    aKept.min should be >= aDropped.max
+  }
+
   test("ccnetSelect rejects impossible fractions") {
     val lm = LmScore.trainBigramLm(ref, "text")
     val docs = Seq((1L, "the cat", "en")).toDF("doc_id", "text", "lang")

@@ -2403,6 +2403,26 @@ object SparkEntry {
         .select(col("doc_id"), col("contaminated"))
     }),
 
+    // LLM: SEMANTIC decontamination — corpus vectors near-duplicate
+    // (cosine >= 0.99) of any eval embedding are flagged; eval vectors
+    // broadcast, candidacy by hyperplane-signature collision, the corpus
+    // never shuffles (in-query plan require). The eval set here is a
+    // re-id'd copy of vec_id < 20, and the testdata's max DISTINCT-vector
+    // cosine is far below 0.99 (the q_embed_neardup property) — so the
+    // exact flagged set is SQL-expressible even though the bucketing
+    // isn't: exactly the copied ids (identical vectors always share every
+    // plane sign).
+    "q_decon_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val eval = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val flagged = graft.operators.Decontaminate.semanticFlag(
+        e, "embedding", "vec_id", eval, "embedding", dim = 64)
+      require(flagged.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the eval side must broadcast — the corpus never shuffles")
+      flagged.select(col("vec_id"), col("label"), col("contaminated"))
+    }),
+
     // LLM: MinHash-LSH near-dup candidates, RECALL-EXACT oracle: the raw
     // banded bucketing isn't ANSI-expressible (xxhash64 signatures), but
     // its recall guarantee is — identical NORMALIZED text ⇒ identical
@@ -4158,6 +4178,13 @@ object SparkEntry {
 
     // contamination = sharing any 8-token shingle with the doc_id%19=0
     // "benchmark" subset; docs under 8 tokens have no shingles
+    // the injected eval copies are bit-identical vectors: the only pairs
+    // clearing cosine 0.99 on this corpus, and identical vectors always
+    // share every hyperplane bucket — so the flag set is exact
+    "q_decon_semantic" ->
+      """SELECT vec_id, label, (vec_id < 20) AS contaminated
+        |FROM embeddings""".stripMargin,
+
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts

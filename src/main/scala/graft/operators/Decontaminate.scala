@@ -73,4 +73,56 @@ object Decontaminate {
       .withColumnRenamed(idCol, "__cid")
     docs.join(bad, docs(idCol) === col("__cid"), "left_anti")
   }
+
+  // ------------------------------------------- semantic (embedding-level)
+
+  /** SEMANTIC decontamination: corpus documents whose EMBEDDING is a
+    * near-duplicate (cosine >= `threshold`) of any eval-set embedding —
+    * the guard n-gram overlap cannot give against paraphrased or
+    * re-formatted test-set leakage (the reason recent data cards report
+    * embedding-level decontamination alongside n-gram overlap).
+    *
+    * Same 100 TB shape as the n-gram flavor: the EVAL side is small by
+    * nature, so its vectors are '''broadcast'''; candidacy is hyperplane
+    * signature-bucket collision (identical vectors always collide — the
+    * [[Dedup.embeddingNearDup]] contract; near-but-not-identical pairs
+    * collide with the usual LSH probability, tunable via `planes`), the
+    * cosine verify touches candidates only, and the corpus NEVER
+    * shuffles: one broadcast-hash join + an anti-join on the (tiny)
+    * flagged-id set.
+    */
+  def semanticContaminatedIds(corpus: DataFrame, vecCol: String, idCol: String,
+      eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val sigC = Similarity.hyperplaneSignatureFast(spark, col(vecCol), dim, planes, seed)
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"), sigC.as("__sig"))
+    val e = broadcast(eval.select(col(evalVecCol).as("__ev"),
+      Similarity.hyperplaneSignatureFast(spark, col(evalVecCol), dim, planes, seed)
+        .as("__sig")))
+    c.join(e, "__sig")
+      .filter(graft.functions.VectorExpressions.cosine(spark,
+        col("__v"), col("__ev")) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+  }
+
+  /** `corpus` plus a `contaminated` boolean column (embedding flavor). */
+  def semanticFlag(corpus: DataFrame, vecCol: String, idCol: String,
+      eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val bad = semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
+      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid")
+    corpus.join(bad, corpus(idCol) === col("__cid"), "left")
+      .withColumn("contaminated", col("__cid").isNotNull)
+      .drop("__cid")
+  }
+
+  /** `corpus` with semantically contaminated documents removed. */
+  def semanticClean(corpus: DataFrame, vecCol: String, idCol: String,
+      eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val bad = semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
+      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid")
+    corpus.join(bad, corpus(idCol) === col("__cid"), "left_anti")
+  }
 }

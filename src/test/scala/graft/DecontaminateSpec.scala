@@ -41,4 +41,36 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("semantic flavor: identical eval vectors always flag; orthogonal never do") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.98f, 0.01f, 0.0f, 0.0f)) // cosine ~0.9999 to vec 1
+    ).toDF("vec_id", "embedding")
+    // eval holds an exact copy of vec 1 and an unrelated direction
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticFlag(vecs, "embedding", "vec_id",
+      eval, "embedding", dim = 4, threshold = 0.99)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    out(1L) shouldBe true // bit-identical: always shares every plane bucket
+    out(2L) shouldBe false
+    out(3L) shouldBe false
+    // vec 4 is a true near-dup of eval vector 100 at this threshold; with
+    // 4 planes in 4-dim its bucket almost surely matches — assert only the
+    // LSH guarantee (if it IS a candidate, the verify keeps it)
+    val clean = Decontaminate.semanticClean(vecs, "embedding", "vec_id",
+      eval, "embedding", dim = 4, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    clean should contain allOf (2L, 3L)
+    clean should not contain 1L
+    // the eval side broadcasts: the corpus never shuffles
+    val plan = Decontaminate.semanticContaminatedIds(vecs, "embedding", "vec_id",
+      eval, "embedding", dim = 4).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
 }

@@ -2328,6 +2328,20 @@ object SparkEntry {
         Map("src0" -> 0.1, "src1" -> 0.5, "src2" -> 0.9),
         col("doc_id"), defaultRate = 0.25, seed = "mix")),
 
+    // LLM: TEMPERATURE-tempered source mixing — per-source keep rates
+    // computed FROM the observed source sizes (p_s ∝ n_s^(1/T); T=2 here,
+    // so the tempering is sqrt — IEEE-exact in both engines and the
+    // 6-decimal rate arithmetic replays verbatim). A synthetic skewed
+    // source split (three 10% slices + one 70% bulk) makes the flattening
+    // observable: the bulk source's rate lands well below the slices'.
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("src", least(pmod(col("doc_id"), lit(10)), lit(3)))
+      Sampling.temperatureMix(d, "src", col("doc_id"),
+          temperature = 2.0, totalFrac = 0.5, seed = "t")
+        .select(col("doc_id"), col("src"), col("source"), col("lang"))
+    }),
+
     // LLM: WEIGHTED sampling — every row carries its OWN keep probability
     // (here a length-derived quality proxy); acceptance is the
     // content-keyed uniform vs that probability, so the kept set is
@@ -4084,6 +4098,22 @@ object SparkEntry {
         |              WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN 'e6666666'
         |              ELSE '40000000' END""".stripMargin,
+
+    // tempered rates replayed from the source counts: q_s = sqrt(n_s)/Z,
+    // rate_s = round(least(1, 0.5 * N * q_s / n_s), 6); acceptance is the
+    // same content-keyed uniform as every sampling oracle
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(doc_id % 10, 3) AS src, source, lang
+        |  FROM documents),
+        |c AS (SELECT src, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY src),
+        |t AS (SELECT sum(sqrt(n)) AS z, sum(n) AS total FROM c),
+        |r AS (SELECT src, round(least(1.0, 0.5 * total * (sqrt(n) / z) / n), 6) AS rate
+        |      FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.src, d.source, d.lang
+        |FROM d JOIN r USING (src)
+        |WHERE CAST(('0x' || substr(md5('t' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 < r.rate""".stripMargin,
 
     // per-row probability: the content-keyed uniform (8-hex md5 prefix /
     // 2^32) compared against the same length-derived probability — pure

@@ -123,4 +123,40 @@ object Sampling {
     }
     df.filter(prefix(keyCol, seed) < threshold)
   }
+
+  /** TEMPERATURE-tempered source mixing (the multilingual/multi-domain LM
+    * recipe — e.g. mBERT/XLM-R's exponent-smoothed sampling): source s is
+    * sampled with probability ∝ n_s^(1/T), so T = 1 keeps natural
+    * proportions and larger T flattens toward uniform over sources,
+    * up-weighting small sources without hand-tuned per-source rates.
+    * Targets realize a total budget of `totalFrac · N` rows in
+    * expectation: `target_s = totalFrac · N · q_s` with
+    * `q_s = n_s^(1/T) / Σ n_t^(1/T)`, per-source keep rate
+    * `min(1, target_s / n_s)` rounded to 6 decimals (replayable
+    * arithmetic — with T = 2 the tempering is `sqrt`, IEEE-exact on every
+    * engine). Rows keep/drop by the same content-keyed uniform as
+    * [[hashSample]]: deterministic, partitioning-independent, nesting.
+    *
+    * 100 TB: one count aggregation (sources are FEW — the counts are plan
+    * constants, like IVF centroids), then one narrow filtered scan with a
+    * per-source CASE threshold. No shuffle of the corpus, no RNG state.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: Column,
+      temperature: Double, totalFrac: Double, seed: String = ""): DataFrame = {
+    require(temperature > 0, s"temperature must be positive (got $temperature)")
+    require(totalFrac > 0 && totalFrac <= 1, s"totalFrac must be in (0, 1] (got $totalFrac)")
+    val counts: Seq[(String, Long)] = df.groupBy(col(sourceCol).cast("string"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum.toDouble
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, 1.0 / temperature) }.sum
+    val rates: Seq[(String, Double)] = counts.map { case (s, n) =>
+      val q = math.pow(n.toDouble, 1.0 / temperature) / z
+      s -> math.round(math.min(1.0, totalFrac * total * q / n) * 1e6) / 1e6
+    }
+    val rate = rates.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol).cast("string") === src, lit(r)).otherwise(acc)
+    }
+    df.filter(uniform01(keyCol, seed) < rate)
+  }
 }

@@ -118,4 +118,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(const, $"id", $"p", seed = "s"),
       Sampling.hashSample(const, $"id", 0.35, seed = "s"))
   }
+
+  test("temperatureMix flattens skewed sources toward uniform; T=1 keeps proportions") {
+    // 4 sources: 300/300/300/2100 rows — an 70% bulk source
+    val rows = (0L until 3000L).map(i => (i, (i % 10).min(3).toString))
+      .toDF("id", "src")
+    val mixed = Sampling.temperatureMix(rows, "src", $"id",
+      temperature = 2.0, totalFrac = 0.5, seed = "t")
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected shares q_s = sqrt(n_s)/Z: small sources ~0.207 each, bulk
+    // ~0.379 — the bulk's kept count flattens toward the small sources'
+    // (natural proportions would keep 7x more bulk than each slice)
+    val bulk = bySrc("3").toDouble
+    val slice = bySrc("0").toDouble
+    bulk / slice should be < 3.0 // vs 7.0 at natural proportions
+    bulk / slice should be > 1.2 // but not fully uniform at T=2
+    // total budget honored in expectation (±15%)
+    mixed.count().toDouble / 3000.0 shouldBe 0.5 +- 0.075
+    // T=1 is natural proportions: every source keeps ~totalFrac of itself
+    val t1 = Sampling.temperatureMix(rows, "src", $"id",
+      temperature = 1.0, totalFrac = 0.5, seed = "t")
+    val t1BySrc = t1.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (t1BySrc("3").toDouble / 2100.0) shouldBe 0.5 +- 0.08
+    (t1BySrc("0").toDouble / 300.0) shouldBe 0.5 +- 0.12
+    // deterministic: the same call keeps exactly the same rows
+    assertSameRows(mixed, Sampling.temperatureMix(rows, "src", $"id",
+      temperature = 2.0, totalFrac = 0.5, seed = "t"))
+  }
 }

@@ -106,23 +106,30 @@ object Decontaminate {
       .select(col("__id").as(idCol)).distinct()
   }
 
-  /** `corpus` plus a `contaminated` boolean column (embedding flavor). */
+  /** `corpus` plus a `contaminated` boolean column (embedding flavor).
+    * The flagged-id set is bounded by the eval-match volume (tiny next to
+    * the corpus), so it joins back BROADCAST — without the hint Catalyst
+    * cannot size the post-distinct set and falls back to a full
+    * sort-merge join of the corpus (audited in PLANS.md r15).
+    */
   def semanticFlag(corpus: DataFrame, vecCol: String, idCol: String,
       eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val bad = semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
-      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid")
+    val bad = broadcast(semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
+      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid"))
     corpus.join(bad, corpus(idCol) === col("__cid"), "left")
       .withColumn("contaminated", col("__cid").isNotNull)
       .drop("__cid")
   }
 
-  /** `corpus` with semantically contaminated documents removed. */
+  /** `corpus` with semantically contaminated documents removed (the
+    * flagged-id set broadcast, as in [[semanticFlag]]).
+    */
   def semanticClean(corpus: DataFrame, vecCol: String, idCol: String,
       eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
       planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val bad = semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
-      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid")
+    val bad = broadcast(semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
+      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid"))
     corpus.join(bad, corpus(idCol) === col("__cid"), "left_anti")
   }
 }

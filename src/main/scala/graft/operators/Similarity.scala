@@ -196,8 +196,7 @@ object Similarity {
       centroids: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
       vecCol: String, idCol: String): DataFrame = {
     val spark = corpus.sparkSession
-    def nearestCluster(vec: Column): Column =
-      array_min(distStructs(spark, centroids, vec)).getField("cid")
+    def nearestCluster(vec: Column): Column = nearestCidCol(spark, centroids, vec)
     def nearestClusters(vec: Column, n: Int): Column =
       transform(slice(array_sort(distStructs(spark, centroids, vec)), 1, n),
         s => s.getField("cid"))
@@ -218,9 +217,29 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** Nearest-centroid CID via the native argmin kernel
+    * (`graft_argmin_l2`: one tight generated loop over the flattened
+    * centroid literal) — the CORPUS-side assignment used by every ingest/
+    * migration path. The composed struct-array form below builds k struct
+    * objects per row and re-evaluates wherever the optimizer inlines the
+    * alias — measured 44 s for a 200k x 64-dim x k=64 ingest vs ~2 s
+    * through the kernel (PLANS.md r15). Arithmetic and tie-breaks are
+    * bit-identical: same left-to-right double L2, and sorting centroids
+    * by cid makes the kernel's lowest-index tie equal the struct
+    * ordering's lowest-cid tie.
+    */
+  private def nearestCidCol(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Float])], vec: Column): Column = {
+    val sorted = centroids.sortBy(_._1)
+    element_at(lit(sorted.map(_._1).toArray),
+      VectorExpressions.argminL2(spark, vec,
+        lit(sorted.flatMap(_._2).toArray), lit(sorted.size)) + 1)
+  }
+
   /** array of struct(distance, cid) over the centroid LITERALS — struct
     * ordering = (distance, cid), a deterministic tie-break. Shared by the
-    * one-shot IVF ops and the persisted-index ops below.
+    * one-shot IVF ops' QUERY side (top-n probes need the full ranking;
+    * the corpus-side single-argmin goes through [[nearestCidCol]]).
     */
   private def distStructs(spark: org.apache.spark.sql.SparkSession,
       centroids: Seq[(Long, Array[Float])], vec: Column): Column =
@@ -270,8 +289,7 @@ object Similarity {
       // own its rows, not a sliver from EVERY task (tasks x nlist files
       // per commit otherwise — the classic partitioned-write explosion)
       index.setProperties(Map("write.distribution-mode" -> "hash"))
-    val assigned = batch.withColumn("list",
-      array_min(distStructs(spark, cs, col(vecCol))).getField("cid"))
+    val assigned = batch.withColumn("list", nearestCidCol(spark, cs, col(vecCol)))
     index.append(assigned, partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L) - before
   }
@@ -294,8 +312,8 @@ object Similarity {
       centroids: DataFrame, vecCol: String = "embedding"): Long = {
     val cs = collectCentroids(centroids)
     require(cs.nonEmpty, "ivfReassign needs at least one centroid")
-    val assigned = index.read(spark).drop("list").withColumn("list",
-      array_min(distStructs(spark, cs, col(vecCol))).getField("cid"))
+    val assigned = index.read(spark).drop("list")
+      .withColumn("list", nearestCidCol(spark, cs, col(vecCol)))
     index.overwrite(assigned, partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L)
   }
@@ -514,7 +532,7 @@ object Similarity {
       index.setProperties(Map("write.distribution-mode" -> "hash"))
     val assigned = withUnit(spark,
       batch.select(col(idCol), col(vecCol).as("__v")), "__v", "__u")
-      .withColumn("list", array_min(distStructs(spark, cs, col("__v"))).getField("cid"))
+      .withColumn("list", nearestCidCol(spark, cs, col("__v")))
       .withColumn("codes", pqCodeCol(spark, cbs, col("__u")))
       .select(col(idCol), col("codes"), col("list"))
     index.append(assigned, partitionBy = Seq("list"))
@@ -536,7 +554,7 @@ object Similarity {
     require(cs.nonEmpty, "ivfPqReassign needs at least one centroid")
     val assigned = index.read(spark).select(col(idCol), col("codes"))
       .join(corpus.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
-      .withColumn("list", array_min(distStructs(spark, cs, col("__v"))).getField("cid"))
+      .withColumn("list", nearestCidCol(spark, cs, col("__v")))
       .select(col(idCol), col("codes"), col("list"))
     index.overwrite(assigned, partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L)

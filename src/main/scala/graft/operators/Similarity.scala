@@ -251,19 +251,26 @@ object Similarity {
     centroids.select(col("cluster_id").cast("long"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
-  /** Nearest-centroid assignment WITH the cosine to the winning centroid:
-    * the same codegen'd argmin-over-centroid-literals projection as
-    * [[ivfWithCentroids]], extended to `struct(d, cid, csim)` — `csim`
-    * rides as a trailing non-ordering field (cid is unique, so (d, cid)
-    * already totally orders the structs). Map-only: no join, no shuffle.
-    * Used by [[Dedup.semDeDup]]'s cluster-bounded candidacy.
+  /** Nearest-centroid assignment WITH the cosine to the winning centroid,
+    * as `struct(cid, csim)` — the [[nearestCidCol]] kernel plus ONE cosine
+    * against the winning centroid looked up from an `array<array<float>>`
+    * literal (the previous k-struct array_min built k (d, cid, csim)
+    * structs per row — 2k fused vector calls — and the caller's two
+    * getFields each re-inlined the whole tree). Same values and
+    * tie-breaks: argmin ties to the lowest index == lowest cid under the
+    * cid-sorted flattening. Map-only: no join, no shuffle. Used by
+    * [[Dedup.semDeDup]]'s cluster-bounded candidacy.
     */
   private[graft] def assignWithSim(spark: org.apache.spark.sql.SparkSession,
-      centroids: Seq[(Long, Array[Float])], vec: Column): Column =
-    array_min(array(centroids.map { case (cid, c) =>
-      struct(VectorExpressions.l2sq(spark, vec, lit(c)).as("d"), lit(cid).as("cid"),
-        VectorExpressions.cosine(spark, vec, lit(c)).as("csim"))
-    }: _*))
+      centroids: Seq[(Long, Array[Float])], vec: Column): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val idx = VectorExpressions.argminL2(spark, vec,
+      lit(sorted.flatMap(_._2).toArray), lit(sorted.size))
+    val cvec = element_at(typedLit(sorted.map(_._2.toSeq)), idx + 1)
+    struct(
+      element_at(lit(sorted.map(_._1).toArray), idx + 1).as("cid"),
+      VectorExpressions.cosine(spark, vec, cvec).as("csim"))
+  }
 
   // ------------------------------------------------- persisted IVF index
 

@@ -175,6 +175,45 @@ class StreamingSpec extends SparkSpec {
     out.read(spark).filter(col("id") === 20L).count() shouldBe 1L
   }
 
+  test("CCNet cutoff selection composes with exactly-once streaming ingest") {
+    import graft.operators.LmScore
+    val src = tmpDir("stream-ccnet-src")
+    val ckpt = tmpDir("stream-ccnet-ckpt")
+    val out = Icebox(tmpDir("stream-ccnet-out"))
+    // LM is a static side input; each micro-batch is selected against its
+    // OWN per-language score distribution — the per-shard CCNet pattern
+    val lm = LmScore.trainBigramLm(
+      Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "v"), "v")
+    // scores (known from LmScoreSpec): sat=-0.1505, cat sat=-0.3010,
+    // dog the=-0.9208, dog zebra=-1.3979 — keepFrac 0.5 keeps the top two
+    writeBatch(src, "w1.parquet", Seq(
+      (10L, "the cat sat", 1L), (11L, "cat sat", 1L),
+      (12L, "dog the", 1L), (13L, "dog zebra", 1L)))
+    val schema = Seq((0L, "x", 1L)).toDF("id", "v", "ver").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val withLang = batch.withColumn("lang", lit("en"))
+          out.appendStreamBatch("ccnet", bid,
+            LmScore.ccnetSelectByCutoff(withLang, "v", "id", "lang", lm,
+              keepFrac = 0.5, exact = true).filter(col("kept")).drop("kept"))
+          ()
+        }.start()
+      q.awaitTermination(60000)
+    }
+    run()
+    out.read(spark).select("id").as[Long].collect().sorted shouldBe Array(10L, 11L)
+    // restart: the processed wave is not re-selected (checkpoint); a new
+    // wave selects within itself and lands exactly once
+    writeBatch(src, "w2.parquet", Seq(
+      (20L, "the cat ran", 1L), (21L, "zebra dog", 1L)))
+    run()
+    out.read(spark).select("id").as[Long].collect().sorted shouldBe
+      Array(10L, 11L, 20L)
+  }
+
   test("windowedCounts declares watermark + tumbling window on a stream") {
     val src = tmpDir("stream-src2")
     val schema = Seq((1L, "a", 1L)).toDF("id", "v", "ver").schema

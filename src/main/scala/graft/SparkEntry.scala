@@ -2599,7 +2599,8 @@ object SparkEntry {
       // maxIter 8: codebooks converge on this corpus in a few sweeps and
       // each MLlib iteration is driver-roundtrip jobs - the dominant cost of
       // this query's one-time training step at bench scale
-      val cb = Similarity.pqTrain(e, m = 8, codes = 64, seed = 42L, maxIter = 8)
+      val cb = Similarity.pqTrainResidual(e, centroids, m = 8, codes = 64,
+        seed = 42L, maxIter = 8)
       // two ingest waves — the codes-only index accretes across commits
       Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 === 0))
       Similarity.ivfPqInsert(index, centroids, cb, e.filter(col("vec_id") % 2 =!= 0))

@@ -29,6 +29,7 @@ object VectorExpressions {
   val DotName = "graft_dot"
   val L2Name = "graft_l2sq"
   val ArgminName = "graft_argmin_l2"
+  val SubName = "graft_vec_sub"
 
   /** Idempotently register the functions in this session's registry. */
   def register(spark: SparkSession): Unit = {
@@ -50,7 +51,20 @@ object VectorExpressions {
         FunctionIdentifier(ArgminName),
         new ExpressionInfo(classOf[ArgminL2Expr].getName, ArgminName),
         (children: Seq[Expression]) => ArgminL2Expr(children(0), children(1), children(2)))
+      reg.registerFunction(
+        FunctionIdentifier(SubName),
+        new ExpressionInfo(classOf[VecSubExpr].getName, SubName),
+        (children: Seq[Expression]) => VecSubExpr(children(0), children(1)))
     }
+  }
+
+  /** Element-wise float difference `a - b` (length = min) — the residual
+    * kernel for IVF-PQ; the builtin `zip_with` route is CodegenFallback
+    * (interpreted per-element lambda dispatch) on the ingest hot path.
+    */
+  def vecSub(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(SubName, a, b)
   }
 
   /** Index (0-based) of the nearest of `k` centroids to `vec` by squared
@@ -253,6 +267,47 @@ case class ArgminL2Expr(vec: Expression, cFlat: Expression, k: Expression)
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): Expression = copy(vec = a, cFlat = b, k = c)
+}
+
+/** Element-wise float difference (length = min of the operands). */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = VectorExpressions.SubName
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = x.getFloat(i) - y.getFloat(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |float[] $out = new float[$n];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $out[$i] = $a.getFloat($i) - $b.getFloat($i);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Squared L2 distance in double precision. */

@@ -386,6 +386,45 @@ object Similarity {
     require(sample.length <= (1 << 20),
       s"PQ training sample ${sample.length} exceeds 2^20 — lower trainFraction " +
         "(codebooks converge on a bounded sample; collecting more is waste)")
+    fitCodebooks(spark, sample, m, codes, seed, maxIter)
+  }
+
+  /** Train the codebooks on RESIDUALS `u - m_list` (unit vector minus the
+    * unit-normalized assigned IVF centroid) — the FAISS IVF-PQ shape and
+    * what [[ivfPqInsert]]/[[ivfPqSearch]] encode. Residuals matter exactly
+    * where plain PQ is weakest: within a tight cluster every vector is
+    * near the centroid, so the RAW subvectors all quantize to the same few
+    * codes and neighbor order drowns below quantization error, while the
+    * residuals ARE the within-cluster geometry (measured: recall@refine
+    * 0.23 -> far higher on an engineered tight-cluster corpus, PLANS.md
+    * r15). Must be trained and searched with the same `centroids` frame.
+    */
+  def pqTrainResidual(corpus: DataFrame, centroids: DataFrame, m: Int = 8,
+      codes: Int = 16, seed: Long = 42L, trainFraction: Double = 1.0,
+      maxIter: Int = 20, vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    require(m >= 1 && m <= 8, s"m must be in 1..8 (one byte per subspace code, got $m)")
+    require(codes >= 2 && codes <= 256, s"codes must be in 2..256 (got $codes)")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val cs = collectCentroids(centroids)
+    require(cs.nonEmpty, "pqTrainResidual needs at least one centroid")
+    val sample = withResidual(spark, cs,
+      (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
+        .select(col(vecCol).as("__v")), "__v", "__r")
+      .select("__r").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= codes,
+      s"need at least $codes sample vectors to fit $codes codes (got ${sample.length})")
+    require(sample.length <= (1 << 20),
+      s"PQ training sample ${sample.length} exceeds 2^20 — lower trainFraction")
+    fitCodebooks(spark, sample, m, codes, seed, maxIter)
+  }
+
+  private def fitCodebooks(spark: org.apache.spark.sql.SparkSession,
+      sample: Array[Array[Float]], m: Int, codes: Int, seed: Long,
+      maxIter: Int): DataFrame = {
+    import spark.implicits._
+    val sub = sample.head.length / m
     val cb = (0 until m).flatMap { s =>
       val pts = sample.map { v =>
         val p = new Array[Double](sub)
@@ -398,6 +437,40 @@ object Similarity {
       }
     }
     cb.toDF("subspace", "code", "centroid")
+  }
+
+  /** Unit-normalize driver-side (same arithmetic as [[withUnit]]'s column
+    * path: double accumulate, divide, cast back).
+    */
+  private def unitF(v: Array[Float]): Array[Float] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (n2 == 0.0) v.clone()
+    else {
+      val n = math.sqrt(n2)
+      v.map(x => (x.toDouble / n).toFloat)
+    }
+  }
+
+  /** Adds `outCol` = the RESIDUAL of `vecCol`: unit(vec) minus the
+    * unit-normalized nearest IVF centroid (assignment argmin on the RAW
+    * vector — identical to the posting-list assignment, so residual and
+    * list always agree). The argmin index is bound to its own column
+    * first; the reference-vector lookup is one `element_at` over an
+    * array-of-arrays literal, the subtraction a native kernel.
+    */
+  private def withResidual(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Array[Float])], df: DataFrame,
+      vecCol: String, outCol: String): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val refs = typedLit(sorted.map(c => unitF(c._2).toSeq))
+    withUnit(spark, df, vecCol, "__pq_u")
+      .withColumn("__pq_ci", VectorExpressions.argminL2(spark, col(vecCol),
+        lit(sorted.flatMap(_._2).toArray), lit(sorted.size)))
+      .withColumn(outCol, VectorExpressions.vecSub(spark, col("__pq_u"),
+        element_at(refs, col("__pq_ci") + 1)))
+      .drop("__pq_u", "__pq_ci")
   }
 
   /** Deterministic seeded Lloyd's k-means on driver-side points: seeded
@@ -519,14 +592,36 @@ object Similarity {
     graft.functions.PqExpressions.lut(spark, unitVec, cbFlatLit(cbs),
       lit(cbs.length), lit(cbs(0).length))
 
+  /** `(idCol, codes, list)` for a batch: one argmin kernel pass bound to
+    * its own column serves BOTH the posting-list cid and the residual
+    * reference lookup; codes encode the RESIDUAL `unit(vec) - m_list`
+    * (the FAISS IVF-PQ shape — see [[pqTrainResidual]] for why).
+    */
+  private def pqAssignEncode(spark: org.apache.spark.sql.SparkSession,
+      cs: Seq[(Long, Array[Float])], cbs: Array[Array[Array[Float]]],
+      batch: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val sorted = cs.sortBy(_._1)
+    val refs = typedLit(sorted.map(c => unitF(c._2).toSeq))
+    val cids = lit(sorted.map(_._1).toArray)
+    withUnit(spark, batch.select(col(idCol), col(vecCol).as("__v")), "__v", "__u")
+      .withColumn("__ci", VectorExpressions.argminL2(spark, col("__v"),
+        lit(sorted.flatMap(_._2).toArray), lit(sorted.size)))
+      .withColumn("list", element_at(cids, col("__ci") + 1))
+      .withColumn("codes", pqCodeCol(spark, cbs,
+        VectorExpressions.vecSub(spark, col("__u"), element_at(refs, col("__ci") + 1))))
+      .select(col(idCol), col("codes"), col("list"))
+  }
+
   /** Incrementally add `batch` to a persisted IVF-PQ index: the posting
     * list is the full-vector nearest-centroid argmin (identical to
     * [[ivfInsert]]), but the stored payload is the PACKED PQ CODE — one
-    * bigint — not the float vector. `(idCol, codes, list)` partitioned by
+    * bigint of RESIDUAL codes (`unit(vec) - m_list`, the FAISS IVF-PQ
+    * shape) — not the float vector. `(idCol, codes, list)` partitioned by
     * `list`: probes stay manifest-pruned partition reads, and each read
     * moves `m` bytes per candidate instead of `4·dim`. The full vectors
     * stay only in the corpus table, which [[ivfPqSearch]] joins for the
-    * exact re-rank of the few surviving candidates.
+    * exact re-rank of the few surviving candidates. `codebooks` must be
+    * [[pqTrainResidual]]'s output for the same `centroids`.
     */
   def ivfPqInsert(index: graft.table.Icebox, centroids: DataFrame,
       codebooks: DataFrame, batch: DataFrame,
@@ -537,33 +632,33 @@ object Similarity {
     val before = index.rowCount.getOrElse(0L)
     if (!index.exists)
       index.setProperties(Map("write.distribution-mode" -> "hash"))
-    val assigned = withUnit(spark,
-      batch.select(col(idCol), col(vecCol).as("__v")), "__v", "__u")
-      .withColumn("list", nearestCidCol(spark, cs, col("__v")))
-      .withColumn("codes", pqCodeCol(spark, cbs, col("__u")))
-      .select(col(idCol), col("codes"), col("list"))
-    index.append(assigned, partitionBy = Seq("list"))
+    index.append(pqAssignEncode(spark, cs, cbs, batch, vecCol, idCol),
+      partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L) - before
   }
 
   /** Re-point a persisted IVF-PQ index at NEW IVF centroids — the
     * [[ivfReassign]] maintenance path for the codes-only layout. The index
     * stores no vectors, so the stored ids join back to `corpus` (the
-    * vector source of truth) for the re-assignment argmin; the PQ codes
-    * are centroid-independent (they encode the vector itself) and migrate
-    * unchanged. One partitioned-overwrite commit, atomic at the table
-    * head. Returns the number of vectors migrated.
+    * vector source of truth); because codes encode RESIDUALS against the
+    * assigned centroid, a vector whose list moves is RE-ENCODED under the
+    * new reference (same codebooks — slightly stale for the new geometry
+    * until a [[pqTrainResidual]] refit, the usual FAISS retrain cadence),
+    * while vectors whose assignment is unchanged produce identical codes.
+    * One partitioned-overwrite commit, atomic at the table head. Returns
+    * the number of vectors migrated.
     */
   def ivfPqReassign(spark: org.apache.spark.sql.SparkSession,
       index: graft.table.Icebox, corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): Long = {
     val cs = collectCentroids(centroids)
     require(cs.nonEmpty, "ivfPqReassign needs at least one centroid")
-    val assigned = index.read(spark).select(col(idCol), col("codes"))
-      .join(corpus.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
-      .withColumn("list", nearestCidCol(spark, cs, col("__v")))
-      .select(col(idCol), col("codes"), col("list"))
-    index.overwrite(assigned, partitionBy = Seq("list"))
+    val cbs = collectCodebooks(codebooks)
+    val batch = index.read(spark).select(col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    index.overwrite(pqAssignEncode(spark, cs, cbs, batch, vecCol, idCol),
+      partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L)
   }
 
@@ -573,11 +668,13 @@ object Similarity {
     *  1. PROBE — per query, the `nprobe` nearest centroid lists; their
     *     union partition-prunes the index read (only probed posting lists
     *     are opened, and each candidate is one bigint of codes).
-    *  2. ADC — asymmetric distance: each query carries an
-    *     `m × codes` lookup table of subspace distances (computed once per
-    *     query against the codebook literals); a candidate's approximate
-    *     distance is m array lookups + adds, fully codegen'd. The
-    *     ADC-top-`refineK` per query survive.
+    *  2. ADC — asymmetric distance on RESIDUALS: each (query, probed
+    *     list) pair carries an `m × codes` lookup table computed from the
+    *     query's residual against THAT list's reference vector (codes
+    *     encode `unit(x) - m_list`, so `|u_q - u_x|² = |(u_q - m_l) -
+    *     r_x|²` decomposes exactly — the FAISS IVF-PQ identity); a
+    *     candidate's approximate distance is m array lookups + adds,
+    *     fully codegen'd. The ADC-top-`refineK` per query survive.
     *  3. RE-RANK — the few survivors join the CORPUS table by id for
     *     their full vectors and exact cosine; output is the exact-cosine
     *     top-k in [[ivfSearch]]'s schema.
@@ -602,11 +699,15 @@ object Similarity {
     def nearestClusters(vec: Column, n: Int): Column =
       transform(slice(array_sort(distStructs(spark, cs, vec)), 1, n),
         s => s.getField("cid"))
+    val refsByCid = typedLit(cs.map(c => c._1 -> unitF(c._2).toSeq).toMap)
     val probes = broadcast(withUnit(spark,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
       "__qv", "__qu")
-      .withColumn("__lut", pqLutCol(spark, cbs, col("__qu")))
       .withColumn("list", explode(nearestClusters(col("__qv"), nprobe)))
+      // per (query, list): LUT over the query's residual against THAT
+      // list's reference — query batches are broadcast-small by contract
+      .withColumn("__lut", pqLutCol(spark, cbs,
+        VectorExpressions.vecSub(spark, col("__qu"), element_at(refsByCid, col("list")))))
       .drop("__qu"))
     val lists = probes.select("list").distinct().collect().map(_.getLong(0).toString).toSet
     val postings = index.readPartitions(spark, "list", lists)

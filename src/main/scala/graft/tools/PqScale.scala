@@ -49,8 +49,9 @@ object PqScale {
     val centroids = t("ivfTrain (nlist=64)")(
       Similarity.ivfTrain(corpus, nlist = 64, seed = 9L, trainFraction = 0.1))
     centroids.persist().count()
-    val cb = t("pqTrain (m=8,codes=64)")(
-      Similarity.pqTrain(corpus, m = 8, codes = 64, seed = 9L, trainFraction = 0.05))
+    val cb = t("pqTrainResidual (m=8,codes=64)")(
+      Similarity.pqTrainResidual(corpus, centroids, m = 8, codes = 64, seed = 9L,
+        trainFraction = 0.05))
     cb.persist().count()
 
     val floatIdx = graft.table.Icebox(

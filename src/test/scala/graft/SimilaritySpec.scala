@@ -160,7 +160,7 @@ class SimilaritySpec extends SparkSpec {
       around4(rnd, 0f, 10f, 0f, 1f, 0.5f, 100, 100L) ++
       around4(rnd, 0f, 0f, 10f, 1f, 0.5f, 100, 200L)).toDF("vec_id", "embedding")
     val centroids = Similarity.ivfTrain(corpus, nlist = 3, seed = 7L)
-    val cb = Similarity.pqTrain(corpus, m = 4, codes = 32, seed = 7L)
+    val cb = Similarity.pqTrainResidual(corpus, centroids, m = 4, codes = 32, seed = 7L)
     cb.count() shouldBe 128L // 4 subspaces x 32 codes
     val floatIdx = graft.table.Icebox(tmpDir("pq-float"))
     Similarity.ivfInsert(floatIdx, centroids, corpus)
@@ -190,7 +190,7 @@ class SimilaritySpec extends SparkSpec {
       around4(rnd, 0f, 10f, 0f, 1f, 0.3f, 100, 100L)).toDF("vec_id", "embedding")
     val index = graft.table.Icebox(tmpDir("pq-drift"))
     val frozen = Similarity.ivfTrain(wave1, nlist = 2, seed = 5L)
-    val cb = Similarity.pqTrain(wave1, m = 2, codes = 8, seed = 5L)
+    val cb = Similarity.pqTrainResidual(wave1, frozen, m = 2, codes = 8, seed = 5L)
     Similarity.ivfPqInsert(index, frozen, cb, wave1)
     // drift into a z-dominant cluster straddling the frozen x/y boundary
     val wave2 = around4(rnd, 3f, 3f, 10f, 1f, 0.5f, 200, 1000L).toDF("vec_id", "embedding")
@@ -209,19 +209,29 @@ class SimilaritySpec extends SparkSpec {
       got.intersect(truth).size.toDouble / truth.size
     }
     val recallBefore = recall(frozen)
-    val codesBefore = index.read(spark).select("vec_id", "codes").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = index.read(spark).select("vec_id", "codes", "list").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // refit on the corpus and migrate: the index has no vectors, so the
-    // reassign argmin reads them from the corpus table by id
+    // reassign reads them from the corpus table by id; residual codes
+    // re-encode where the assignment moved
     val retrained = Similarity.ivfTrain(corpus, nlist = 3, seed = 5L)
-    Similarity.ivfPqReassign(spark, index, corpus, retrained) shouldBe 400L
+    Similarity.ivfPqReassign(spark, index, corpus, retrained, cb) shouldBe 400L
     val recallAfter = recall(retrained)
     recallBefore should be < 0.85
     recallAfter should be > 0.95
-    // PQ codes encode the vector, not the list: migration must not touch them
-    val codesAfter = index.read(spark).select("vec_id", "codes").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    codesAfter shouldBe codesBefore
+    // residual codes are (vector, reference)-relative, so the migration
+    // contract is REBUILD EQUIVALENCE: the reassigned index must be
+    // byte-identical to an index built from scratch under the retrained
+    // centroids with the same codebooks
+    val after = index.read(spark).select("vec_id", "codes", "list").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rebuilt = graft.table.Icebox(tmpDir("pq-drift-rebuild"))
+    Similarity.ivfPqInsert(rebuilt, retrained, cb, corpus)
+    val fresh = rebuilt.read(spark).select("vec_id", "codes", "list").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    after shouldBe fresh
+    // and the retrain genuinely moved assignments (the drift cluster)
+    before.keySet.exists(id => before(id) != after(id)) shouldBe true
     // migrated layout still partition-prunes
     val pruned = Similarity.ivfPqSearch(index, retrained, cb, corpus, queries,
       k = 5, nprobe = 1, refineK = 100)

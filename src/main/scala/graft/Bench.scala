@@ -80,6 +80,17 @@ object Bench {
       qs = qs.dropRight(1)
       out = render(qs)
     }
+    // the <= maxChars property must hold UNCONDITIONALLY: with every query
+    // dropped, a pathological sfDir/cpus string can still overflow the
+    // fixed envelope — shorten sf to its basename, then fall back to a
+    // minimal valid-JSON envelope (still machine-parsable: metric, value,
+    // unit, pointer to the full artifact)
+    if (out.length > maxChars) {
+      val base = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir).take(64)
+      out = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$base","basis":"best-of-2-min","cpus":$cpus,"n_queries":$nQueries,"degraded":$degraded,"suspects":$nSuspect,"full":"BENCH_FULL.json","headline_dropped":${queries.size}}"""
+      if (out.length > maxChars)
+        out = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","full":"BENCH_FULL.json"}"""
+    }
     out
   }
 

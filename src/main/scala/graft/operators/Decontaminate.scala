@@ -84,23 +84,33 @@ object Decontaminate {
     *
     * Same 100 TB shape as the n-gram flavor: the EVAL side is small by
     * nature, so its vectors are '''broadcast'''; candidacy is hyperplane
-    * signature-bucket collision (identical vectors always collide — the
-    * [[Dedup.embeddingNearDup]] contract; near-but-not-identical pairs
-    * collide with the usual LSH probability, tunable via `planes`), the
-    * cosine verify touches candidates only, and the corpus NEVER
-    * shuffles: one broadcast-hash join + an anti-join on the (tiny)
-    * flagged-id set.
+    * signature-bucket collision across `bands` INDEPENDENT signatures
+    * (identical vectors always collide in every band — the
+    * [[Dedup.embeddingNearDup]] contract). A single `planes`-bit
+    * signature misses borderline pairs badly for a leakage guard: at
+    * cosine 0.99 one 8-plane band collides with probability
+    * `(1 − acos(0.99)/π)^8 ≈ 0.69` — ~30% of paraphrase-level leaks
+    * silently pass. OR-ing `bands` independent bands (the
+    * [[Dedup.minHashCandidates]] recipe) lifts recall to
+    * `1 − (1 − 0.69)^bands ≈ 0.99` at the default 4, still zero corpus
+    * shuffle: the per-band signatures `posexplode` into `(band, sig)`
+    * rows (a narrow Generate — no exchange) on both sides of the same
+    * broadcast-hash join, the cosine verify touches candidates only, and
+    * the flagged-id set anti-joins back broadcast.
     */
   def semanticContaminatedIds(corpus: DataFrame, vecCol: String, idCol: String,
       eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, bands: Int = 4): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1 (got $bands)")
     val spark = corpus.sparkSession
-    val sigC = Similarity.hyperplaneSignatureFast(spark, col(vecCol), dim, planes, seed)
-    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"), sigC.as("__sig"))
+    def bandSigs(vec: Column): Column = array((0 until bands).map { b =>
+      Similarity.hyperplaneSignatureFast(spark, vec, dim, planes, seed + 7919L * b)
+    }: _*)
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(bandSigs(col(vecCol))).as(Seq("__band", "__sig")))
     val e = broadcast(eval.select(col(evalVecCol).as("__ev"),
-      Similarity.hyperplaneSignatureFast(spark, col(evalVecCol), dim, planes, seed)
-        .as("__sig")))
-    c.join(e, "__sig")
+        posexplode(bandSigs(col(evalVecCol))).as(Seq("__band", "__sig"))))
+    c.join(e, Seq("__band", "__sig"))
       .filter(graft.functions.VectorExpressions.cosine(spark,
         col("__v"), col("__ev")) >= threshold)
       .select(col("__id").as(idCol)).distinct()
@@ -114,9 +124,9 @@ object Decontaminate {
     */
   def semanticFlag(corpus: DataFrame, vecCol: String, idCol: String,
       eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, bands: Int = 4): DataFrame = {
     val bad = broadcast(semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
-      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid"))
+      dim, threshold, planes, seed, bands).withColumnRenamed(idCol, "__cid"))
     corpus.join(bad, corpus(idCol) === col("__cid"), "left")
       .withColumn("contaminated", col("__cid").isNotNull)
       .drop("__cid")
@@ -127,9 +137,9 @@ object Decontaminate {
     */
   def semanticClean(corpus: DataFrame, vecCol: String, idCol: String,
       eval: DataFrame, evalVecCol: String, dim: Int, threshold: Double = 0.99,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, bands: Int = 4): DataFrame = {
     val bad = broadcast(semanticContaminatedIds(corpus, vecCol, idCol, eval, evalVecCol,
-      dim, threshold, planes, seed).withColumnRenamed(idCol, "__cid"))
+      dim, threshold, planes, seed, bands).withColumnRenamed(idCol, "__cid"))
     corpus.join(bad, corpus(idCol) === col("__cid"), "left_anti")
   }
 }

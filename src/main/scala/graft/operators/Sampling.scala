@@ -145,7 +145,12 @@ object Sampling {
       temperature: Double, totalFrac: Double, seed: String = ""): DataFrame = {
     require(temperature > 0, s"temperature must be positive (got $temperature)")
     require(totalFrac > 0 && totalFrac <= 1, s"totalFrac must be in (0, 1] (got $totalFrac)")
-    val counts: Seq[(String, Long)] = df.groupBy(col(sourceCol).cast("string"))
+    // null sources get their own explicit bucket: without it the null
+    // group's key NPEs the driver-side sort, and even sorted, null-source
+    // rows would never match any CASE arm (silently dropped) while their
+    // count still inflated z/total, skewing every other source's rate
+    val bucket = coalesce(col(sourceCol).cast("string"), lit("__null__"))
+    val counts: Seq[(String, Long)] = df.groupBy(bucket.as("__src"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val total = counts.map(_._2).sum.toDouble
@@ -155,7 +160,7 @@ object Sampling {
       s -> math.round(math.min(1.0, totalFrac * total * q / n) * 1e6) / 1e6
     }
     val rate = rates.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (src, r)) =>
-      when(col(sourceCol).cast("string") === src, lit(r)).otherwise(acc)
+      when(bucket === src, lit(r)).otherwise(acc)
     }
     df.filter(uniform01(keyCol, seed) < rate)
   }

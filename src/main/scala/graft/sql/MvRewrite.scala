@@ -423,7 +423,11 @@ final class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(_.split(';').filter(_.nonEmpty).toSeq.map(_.toInt))
       .getOrElse(dimDirs.map(_ => -1))
     if (parents.length != dimDirs.length) return None // corrupt properties
-    if (parents.exists(p => p < -1 || p >= dimDirs.length)) return None
+    // a parent is the fact (-1) or a STRICTLY EARLIER dim — the convention
+    // refreshStar writes. p >= d admits self-reference (p == d) and cycles
+    // (A->B->A): a corrupt/hand-edited non-tree join graph must be refused
+    // up front, not depended on to fail closed downstream
+    if (parents.zipWithIndex.exists { case (p, d) => p < -1 || p >= d }) return None
     val parentLeafOf: Seq[Int] =
       parents.map(p => if (p == -1) factLeaf else dimLeaves(p))
     // pairs: each conjunct must relate some dim's PARENT leaf to that dim's

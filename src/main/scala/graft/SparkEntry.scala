@@ -2666,9 +2666,12 @@ object SparkEntry {
       val fresh = e.orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").cast("long").as("cluster_id"),
           col("embedding").as("centroid"))
+      val total = e.count()
       val migrated = Similarity.ivfReassign(s, index, fresh)
-      require(migrated == e.count(),
-        s"migration must carry every vector ($migrated vs ${e.count()})")
+      require(migrated > 0 && migrated <= total,
+        s"reassign returns the MOVED count ($migrated of $total)")
+      require(index.read(s).count() == total,
+        s"migration must carry every vector (${index.read(s).count()} vs $total)")
       val listsAfter = index.read(s).select("list").distinct().count()
       require(listsAfter == 16L,
         s"each of the 16 new centroids owns its own vector, saw $listsAfter lists")
@@ -2698,6 +2701,57 @@ object SparkEntry {
       Similarity.ivfTopKKmeans(e, e.filter(col("vec_id") < 8), k = 5, nlist = 8, nprobe = 8,
         trainFraction = 0.25, maxIter = 8)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LLM: IVF-PQ index maintenance is O(moved), not O(index) — centroid 3
+    // retires and vec 100's embedding becomes a new list, so exactly the
+    // affected posting lists rewrite while every untouched list's files
+    // carry into the new snapshot BY REFERENCE (at 100 TB, the difference
+    // between rewriting a few partitions and rebuilding the index). The
+    // ORACLE replays the post-migration assignment argmin over the new
+    // centroid set; in-query requires prove what SQL can't see: the moved
+    // count is the observed delta, rewritten partitions == exactly the
+    // lists that gained/lost vectors, and at least one list carried its
+    // files verbatim.
+    "q_ann_ivfpq_reassign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // 64 lists so the retirement of ONE centroid cannot plausibly touch
+      // them all: movers are exactly the former list-3 members (plus no
+      // one else — no centroid was added or displaced)
+      val c0 = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      val cb = Similarity.pqTrainResidual(e, c0, m = 8, codes = 16,
+        seed = 42L, maxIter = 4)
+      val index = Icebox(tmp("qivfpqre"))
+      Similarity.ivfPqInsert(index, c0, cb, e)
+      val total = e.count()
+      def paths(): Map[String, Set[String]] =
+        index.currentSnapshot.get.files.groupBy(_.partition("list"))
+          .map { case (l, fs) => l -> fs.map(_.path).toSet }
+      val pathsBefore = paths()
+      val assignBefore = index.read(s).select("vec_id", "list").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c1 = c0.filter(col("cluster_id") =!= 3)
+      val moved = Similarity.ivfPqReassign(s, index, e, c1, cb)
+      require(moved > 0 && moved < total,
+        s"delta maintenance moved $moved of $total — must be a strict subset")
+      val out = index.read(s).select(col("vec_id"),
+        col("list").cast("long").as("list"))
+      val assignAfter = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val movedIds = assignBefore.keySet.filter(id => assignBefore(id) != assignAfter(id))
+      require(movedIds.size.toLong == moved,
+        s"returned count $moved must equal the observed moves ${movedIds.size}")
+      val expected: Set[String] =
+        movedIds.flatMap(id => Seq(assignBefore(id), assignAfter(id))).map(_.toString)
+      val pathsAfter = paths()
+      val changed = (pathsBefore.keySet ++ pathsAfter.keySet)
+        .filter(l => pathsBefore.get(l) != pathsAfter.get(l))
+      require(changed == expected,
+        s"rewritten partitions ($changed) must be exactly the moved lists ($expected)")
+      require((pathsAfter.keySet -- changed).nonEmpty,
+        "untouched posting lists must carry by reference")
+      out
     }),
 
     // LLM: LSH recall invariant — every pair with EQUAL normalized
@@ -4440,6 +4494,18 @@ object SparkEntry {
         | FROM assigned a JOIN probes p ON a.cluster = p.cluster
         | WHERE neighbor_id != query_id
         | QUALIFY rank <= 5""".stripMargin,
+
+    // post-migration assignment under the retired-centroid-3 set: the
+    // argmin replay over that exact set (ties to the lowest cid, as the
+    // kernel breaks them)
+    "q_ann_ivfpq_reassign" ->
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id < 64 AND vec_id != 3)
+        |SELECT e.vec_id, c.cid AS list
+        |FROM embeddings e CROSS JOIN c
+        |QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), c.cid) = 1""".stripMargin,
 
     // post-migration state is vectors assigned to the SAME lowest-16
     // centroid set q_ann_ivf_insert uses — the stale 8-list era is

@@ -301,28 +301,63 @@ object Similarity {
     index.rowCount.getOrElse(0L) - before
   }
 
-  /** Re-point a persisted IVF index at NEW centroids: every stored vector
-    * is re-assigned (the same codegen'd argmin-over-literals projection as
-    * ingest) and the posting lists are rewritten in ONE partitioned
-    * overwrite commit. This is the maintenance path for the known failure
-    * mode of a frozen-centroid IVF under distribution drift: later
-    * batches pile into few lists, probe cost grows toward a corpus scan
-    * and boundary-straddling neighbors split across lists (recall at
-    * fixed nprobe decays). Readers pinned to earlier snapshots keep the
-    * old layout — the swap is atomic at the table head, exactly like a
-    * compaction. At 100 TB the rewrite is one pass over the index (the
-    * same cost class as a full compaction; schedule it like one — drift
-    * is gradual, retrains are rare). Returns the number of vectors
-    * migrated.
+  /** Re-point a persisted IVF index at NEW centroids — O(moved), not
+    * O(index): maintenance for the known failure mode of a frozen-centroid
+    * IVF under distribution drift (later batches pile into few lists,
+    * probe cost grows toward a corpus scan, boundary-straddling neighbors
+    * split across lists).
+    *
+    * Two passes, both bounded by what actually changed:
+    *
+    *  1. DISCOVERY — one full scan computing the per-`(old list, new
+    *     list)` movement counts (the same codegen'd argmin as ingest;
+    *     the collect is bounded by nlist², plan-constant-sized like the
+    *     centroids themselves). Unavoidable: every vector's nearest
+    *     centroid can change under a retrain, so every vector must be
+    *     LOOKED AT once — but looking is a columnar read, not a write.
+    *  2. REWRITE — only the posting-list partitions that gained or lost
+    *     vectors are re-read (manifest-pruned) and rewritten; every
+    *     untouched list's files carry into the new snapshot BY REFERENCE
+    *     (the [[graft.table.Icebox.overwritePartitions]] economics).
+    *     Under gradual drift most lists are untouched, so index
+    *     maintenance is proportional to moved vectors — at 100 TB the
+    *     difference between rewriting a few posting lists and rewriting
+    *     the world. The swap stays atomic at the table head, guarded
+    *     against cross-process commits landing mid-reassign.
+    *
+    * Rebuild equivalence: the post-reassign table READS identically to an
+    * index built from scratch under `centroids` (SimilaritySpec pins it).
+    * Returns the number of vectors that MOVED lists (0 = no-op, no
+    * commit).
     */
   def ivfReassign(spark: org.apache.spark.sql.SparkSession, index: graft.table.Icebox,
       centroids: DataFrame, vecCol: String = "embedding"): Long = {
     val cs = collectCentroids(centroids)
     require(cs.nonEmpty, "ivfReassign needs at least one centroid")
-    val assigned = index.read(spark).drop("list")
+    val snap = index.currentSnapshot.getOrElse(return 0L)
+    val headId = snap.id
+    // pass 1: movement census — (old, new, count), collect bounded by nlist²
+    val pairs = index.read(spark)
+      .groupBy(col("list"), nearestCidCol(spark, cs, col(vecCol)).as("__new"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val moved = pairs.filter { case (o, n, _) => o != n }
+    if (moved.isEmpty) return 0L
+    val affected: Set[String] =
+      moved.flatMap { case (o, n, _) => Seq(o.toString, n.toString) }.toSet
+    // pass 2: manifest-pruned — re-run the argmin on ONLY the affected
+    // partitions' rows (vectors live in the index; unmoved rows in them
+    // recompute to their own list). A file from a generation not
+    // partitioned by `list` could hide rows of any list — if one exists,
+    // rewrite everything (safe fallback; ivfInsert always partitions).
+    val conforming = snap.files.forall(_.partition.contains("list"))
+    val removedF = snap.files.filter(f =>
+      !conforming || f.partition.get("list").forall(affected.contains))
+    val replacement = index.readDataFiles(spark, removedF).drop("list")
       .withColumn("list", nearestCidCol(spark, cs, col(vecCol)))
-    index.overwrite(assigned, partitionBy = Seq("list"))
-    index.rowCount.getOrElse(0L)
+    index.rewriteFiles("reassign", removedF, replacement, Seq("list"),
+      expectHeadId = headId)
+    moved.map(_._3).sum
   }
 
   /** Refit centroids on the CURRENT index contents (seeded KMeans on a
@@ -632,21 +667,73 @@ object Similarity {
     val before = index.rowCount.getOrElse(0L)
     if (!index.exists)
       index.setProperties(Map("write.distribution-mode" -> "hash"))
+    // record each list's RESIDUAL REFERENCE identity (`pq.ref.<cid>` =
+    // hash of the unit centroid): codes are (vector, reference)-relative,
+    // so [[ivfPqReassign]] needs to know which lists' references actually
+    // changed to re-encode only those — and a second insert under
+    // DIFFERENT centroids would silently corrupt the index (codes against
+    // one reference, probes against another); require instead.
+    val hashes = refHashes(cs)
+    val recorded = recordedRefs(index)
+    if (recorded.isEmpty)
+      index.setProperties(hashes.map { case (cid, h) => s"pq.ref.$cid" -> h })
+    else require(hashes.forall { case (cid, h) => recorded.get(cid).contains(h) } &&
+        recorded.keySet == hashes.keySet,
+      "ivfPqInsert centroids differ from the index's recorded residual " +
+      "references — every insert on one index must use the SAME centroid " +
+      "frame (retrain via ivfPqReassign, which re-records them)")
     index.append(pqAssignEncode(spark, cs, cbs, batch, vecCol, idCol),
       partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L) - before
   }
 
+  /** MD5 of each list's unit-normalized centroid bits — the residual
+    * reference identity [[ivfPqInsert]] records and [[ivfPqReassign]]
+    * diffs (the reference is `unit(centroid)`, exactly what
+    * `pqAssignEncode` subtracts before encoding).
+    */
+  private def refHashes(cs: Seq[(Long, Array[Float])]): Map[Long, String] =
+    cs.map { case (cid, c) =>
+      val u = unitF(c)
+      val bb = java.nio.ByteBuffer.allocate(4 * u.length)
+      u.foreach(bb.putFloat)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      cid -> md.digest(bb.array()).map("%02x".format(_)).mkString
+    }.toMap
+
+  private def recordedRefs(index: graft.table.Icebox): Map[Long, String] =
+    if (!index.exists) Map.empty
+    else index.properties.collect {
+      case (k, v) if k.startsWith("pq.ref.") => k.stripPrefix("pq.ref.").toLong -> v
+    }
+
   /** Re-point a persisted IVF-PQ index at NEW IVF centroids — the
-    * [[ivfReassign]] maintenance path for the codes-only layout. The index
-    * stores no vectors, so the stored ids join back to `corpus` (the
-    * vector source of truth); because codes encode RESIDUALS against the
-    * assigned centroid, a vector whose list moves is RE-ENCODED under the
-    * new reference (same codebooks — slightly stale for the new geometry
-    * until a [[pqTrainResidual]] refit, the usual FAISS retrain cadence),
-    * while vectors whose assignment is unchanged produce identical codes.
-    * One partitioned-overwrite commit, atomic at the table head. Returns
-    * the number of vectors migrated.
+    * [[ivfReassign]] maintenance path for the codes-only layout, O(moved
+    * + changed-reference), not O(index). The index stores no vectors, so
+    * discovery joins the stored ids back to `corpus` (the vector source
+    * of truth) ONCE; codes encode RESIDUALS against the assigned list's
+    * unit centroid, so a row needs re-encoding iff its list moved OR its
+    * list's reference vector changed (diffed against the `pq.ref.<cid>`
+    * hashes [[ivfPqInsert]] recorded — same codebooks throughout, the
+    * usual FAISS retrain cadence until a [[pqTrainResidual]] refit).
+    *
+    * Cost shape at 100 TB:
+    *  - discovery: one id-join pass (unavoidable — any vector's
+    *    assignment can change); the cached frame keeps FULL VECTORS only
+    *    for rows that must re-encode — O(moved) payload, ids/codes
+    *    otherwise.
+    *  - write: only partitions that gained/lost rows or whose reference
+    *    changed are rewritten; untouched posting lists carry into the
+    *    new snapshot BY REFERENCE. Under gradual drift that is a few
+    *    lists, not the world.
+    *
+    * The stored ids must all resolve in `corpus`: an id the join would
+    * silently drop would SHRINK the index with no signal, so missing ids
+    * fail loud instead. Rebuild equivalence (SimilaritySpec): the
+    * post-reassign table reads byte-identically to an index built from
+    * scratch under `centroids` with the same codebooks. Returns the
+    * number of vectors that MOVED lists (0 is a valid outcome when only
+    * references changed — re-encodes still commit).
     */
   def ivfPqReassign(spark: org.apache.spark.sql.SparkSession,
       index: graft.table.Icebox, corpus: DataFrame, centroids: DataFrame,
@@ -655,11 +742,65 @@ object Similarity {
     val cs = collectCentroids(centroids)
     require(cs.nonEmpty, "ivfPqReassign needs at least one centroid")
     val cbs = collectCodebooks(codebooks)
-    val batch = index.read(spark).select(col(idCol))
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-    index.overwrite(pqAssignEncode(spark, cs, cbs, batch, vecCol, idCol),
-      partitionBy = Seq("list"))
-    index.rowCount.getOrElse(0L)
+    val snap = index.currentSnapshot.getOrElse(return 0L)
+    val headId = snap.id
+    val idxCount = index.rowCount.getOrElse(0L)
+    val newHashes = refHashes(cs)
+    val recorded = recordedRefs(index)
+    // lists whose residual reference is new or changed (a pre-hash-era
+    // index records nothing -> every list conservatively re-encodes)
+    val changedRef: Set[Long] = cs.map(_._1)
+      .filter(cid => !recorded.get(cid).contains(newHashes(cid))).toSet
+    // DISCOVERY: one corpus join; vectors retained only where re-encoding
+    // will need them (moved or changed-reference destination)
+    val sorted = cs.sortBy(_._1)
+    val newCol = nearestCidCol(spark, cs, col("__v"))
+    val needVec = col("list") =!= col("__new") ||
+      (if (changedRef.isEmpty) lit(false) else col("__new").isin(changedRef.toSeq: _*))
+    val compact = index.read(spark).select(col(idCol), col("codes"), col("list"))
+      .join(corpus.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .withColumn("__new", newCol)
+      .select(col(idCol), col("codes"), col("list"), col("__new"),
+        when(needVec, col("__v")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = compact.groupBy(col("list"), col("__new")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val joined = pairs.map(_._3).sum
+      require(joined == idxCount,
+        s"ivfPqReassign: ${idxCount - joined} indexed ids are missing from " +
+        "the corpus table — reassigning would silently shrink the index; " +
+        "delete them from the index (or restore them in the corpus) first")
+      val moved = pairs.filter { case (o, n, _) => o != n }
+      val movedCount = moved.map(_._3).sum
+      // partitions to rewrite: gained/lost rows, or hold rows under a
+      // changed reference
+      val occupied = pairs.flatMap { case (o, n, _) => Seq(o, n) }.toSet
+      val rewrite: Set[Long] =
+        moved.flatMap { case (o, n, _) => Seq(o, n) }.toSet ++
+          (changedRef & occupied)
+      if (rewrite.isEmpty) return 0L // nothing moved, no reference changed
+      val rewriteStr = rewrite.map(_.toString)
+      val conforming = snap.files.forall(_.partition.contains("list"))
+      val removedF = snap.files.filter(f =>
+        !conforming || f.partition.get("list").forall(rewriteStr.contains))
+      // REWRITE: unmoved rows under an unchanged reference keep their
+      // stored codes verbatim; everything else re-encodes from the vector
+      // the discovery pass retained
+      val keep = compact.filter(col("list") === col("__new") && !needVec &&
+          col("list").isin(rewrite.toSeq: _*))
+        .select(col(idCol), col("codes"), col("list"))
+      val reenc = pqAssignEncode(spark, sorted, cbs,
+        compact.filter(needVec).select(col(idCol), col("__v").as(vecCol)),
+        vecCol, idCol)
+      index.rewriteFiles("reassign", removedF, keep.unionByName(reenc),
+        Seq("list"), expectHeadId = headId)
+      // the references now in force — recorded AFTER the commit so a
+      // failed rewrite leaves the old (still-true) hashes in place
+      index.removeProperties(recorded.keys.map(cid => s"pq.ref.$cid").toSeq)
+      index.setProperties(newHashes.map { case (cid, h) => s"pq.ref.$cid" -> h })
+      movedCount
+    } finally compact.unpersist()
   }
 
   /** Top-k search against a persisted IVF-PQ index built by

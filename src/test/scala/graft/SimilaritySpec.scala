@@ -145,6 +145,99 @@ class SimilaritySpec extends SparkSpec {
     pruned should be < index.read(spark).inputFiles.length
   }
 
+  // shared fixture for the O(moved) reassign contracts: clusters A/B/C far
+  // apart plus a bimodal D (D1 at w=10, D2 at w=10/z=2) initially covered
+  // by ONE centroid; the retrain splits D in two while A/B/C's centroids
+  // are bit-identical — so exactly D2's rows move and A/B/C must carry
+  private def movedFixture(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val corpus = (around4(rnd, 10f, 0f, 0f, 0f, 0.2f, 50, 0L) ++
+      around4(rnd, 0f, 10f, 0f, 0f, 0.2f, 50, 100L) ++
+      around4(rnd, 0f, 0f, 10f, 0f, 0.2f, 50, 200L) ++
+      around4(rnd, 0f, 0f, 0f, 10f, 0.2f, 50, 300L) ++
+      around4(rnd, 0f, 0f, 2f, 10f, 0.2f, 50, 400L)).toDF("vec_id", "embedding")
+    val oldC = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(0f, 0f, 10f, 0f)), (3L, Array(0f, 0f, 1f, 10f))
+    ).toDF("cluster_id", "centroid")
+    val newC = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(0f, 0f, 10f, 0f)), (3L, Array(0f, 0f, 0f, 10f)),
+      (4L, Array(0f, 0f, 2f, 10f))
+    ).toDF("cluster_id", "centroid")
+    (corpus, oldC, newC)
+  }
+
+  private def listPaths(index: graft.table.Icebox): Map[String, Set[String]] =
+    index.currentSnapshot.get.files.groupBy(_.partition("list"))
+      .map { case (l, fs) => l -> fs.map(_.path).toSet }
+
+  test("ivfReassign is O(moved): untouched posting lists carry by reference") {
+    val (corpus, oldC, newC) = movedFixture(21)
+    val index = graft.table.Icebox(tmpDir("ivf-moved"))
+    Similarity.ivfInsert(index, oldC, corpus)
+    val before = listPaths(index)
+    before.keySet shouldBe Set("0", "1", "2", "3")
+    val moved = Similarity.ivfReassign(spark, index, newC)
+    moved shouldBe 50L // exactly D2
+    val after = listPaths(index)
+    after.keySet shouldBe Set("0", "1", "2", "3", "4")
+    // A/B/C: neither gained nor lost a vector -> files carried BY REFERENCE
+    for (l <- Seq("0", "1", "2")) after(l) shouldBe before(l)
+    // the split pair was rewritten
+    after("3") should not be before("3")
+    // rebuild equivalence: contents equal an index built fresh under newC
+    val rebuilt = graft.table.Icebox(tmpDir("ivf-moved-rebuild"))
+    Similarity.ivfInsert(rebuilt, newC, corpus)
+    assertSameRows(index.read(spark), rebuilt.read(spark))
+    // idempotence: a second reassign moves nothing and COMMITS nothing
+    val head = index.currentSnapshotId
+    Similarity.ivfReassign(spark, index, newC) shouldBe 0L
+    index.currentSnapshotId shouldBe head
+  }
+
+  test("ivfPqReassign is O(moved + changed-ref): carry, re-encode, byte-identity, loud drops") {
+    val (corpus, oldC, newC) = movedFixture(22)
+    val cb = Similarity.pqTrainResidual(corpus, oldC, m = 2, codes = 8, seed = 9L)
+    val index = graft.table.Icebox(tmpDir("pq-moved"))
+    Similarity.ivfPqInsert(index, oldC, cb, corpus)
+    // the residual references are recorded per list
+    index.properties.keySet.count(_.startsWith("pq.ref.")) shouldBe 4
+    val refs3Before = index.properties("pq.ref.3")
+    // a second insert under DIFFERENT centroids would corrupt the codes
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqInsert(index, newC, cb, corpus.limit(1))
+    }
+    val before = listPaths(index)
+    val moved = Similarity.ivfPqReassign(spark, index, corpus, newC, cb)
+    moved shouldBe 50L // exactly D2 changed lists
+    val after = listPaths(index)
+    // A/B/C: no movement AND bit-identical references -> carried
+    for (l <- Seq("0", "1", "2")) after(l) shouldBe before(l)
+    // list 3 kept its rows (D1) but its REFERENCE moved: residual codes
+    // are reference-relative, so it must have been re-encoded (rewritten)
+    after("3") should not be before("3")
+    // byte-identity against a from-scratch build under newC + same cb —
+    // including D1's re-encoded residuals
+    val rebuilt = graft.table.Icebox(tmpDir("pq-moved-rebuild"))
+    Similarity.ivfPqInsert(rebuilt, newC, cb, corpus)
+    val a = index.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = rebuilt.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a shouldBe b
+    // the recorded references now describe newC
+    index.properties.keySet.count(_.startsWith("pq.ref.")) shouldBe 5
+    index.properties("pq.ref.3") should not be refs3Before
+    // idempotence: nothing moved, nothing re-referenced -> no commit
+    val head = index.currentSnapshotId
+    Similarity.ivfPqReassign(spark, index, corpus, newC, cb) shouldBe 0L
+    index.currentSnapshotId shouldBe head
+    // indexed ids missing from the corpus fail LOUD, not silently shrink
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqReassign(spark, index,
+        corpus.filter($"vec_id" =!= 0L), oldC, cb)
+    }
+  }
+
   private def around4(rnd: scala.util.Random, cx: Float, cy: Float, cz: Float,
       cw: Float, sd: Float, n: Int, base: Long): Seq[(Long, Array[Float])] =
     (0 until n).map { i =>
@@ -215,7 +308,7 @@ class SimilaritySpec extends SparkSpec {
     // reassign reads them from the corpus table by id; residual codes
     // re-encode where the assignment moved
     val retrained = Similarity.ivfTrain(corpus, nlist = 3, seed = 5L)
-    Similarity.ivfPqReassign(spark, index, corpus, retrained, cb) shouldBe 400L
+    val movedN = Similarity.ivfPqReassign(spark, index, corpus, retrained, cb)
     val recallAfter = recall(retrained)
     recallBefore should be < 0.85
     recallAfter should be > 0.95
@@ -230,8 +323,11 @@ class SimilaritySpec extends SparkSpec {
     val fresh = rebuilt.read(spark).select("vec_id", "codes", "list").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     after shouldBe fresh
-    // and the retrain genuinely moved assignments (the drift cluster)
-    before.keySet.exists(id => before(id) != after(id)) shouldBe true
+    // and the retrain genuinely moved assignments (the drift cluster);
+    // the return value is the MOVED count, not the table size
+    val expectMoved = before.keys.count(id => before(id)._2 != after(id)._2).toLong
+    movedN shouldBe expectMoved
+    movedN should be > 0L
     // migrated layout still partition-prunes
     val pruned = Similarity.ivfPqSearch(index, retrained, cb, corpus, queries,
       k = 5, nprobe = 1, refineK = 100)

@@ -2923,6 +2923,38 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(avis)
     }),
 
+    // LLM: PERCEPTUAL image near-dup (dHash) — byte-identical dedup misses
+    // re-encoded/resized duplicate images, so dedup runs on the decoded
+    // raster's difference hash, banded + Hamming-verified + connected
+    // components. The corpus is constructed so every decision is
+    // arithmetic: doc_id % 16 picks a base bit pattern (each 16-bit band =
+    // 4 repetitions of the group nibble -> distinct groups differ in >= 16
+    // bits), and each member flips one CONSECUTIVE bit pair (corrupting at
+    // most one band, within-group Hamming <= 4). Planted PNGs realize the
+    // pattern exactly (syntheticDHashPng), the pipeline must therefore
+    // recover components == doc_id % 16 through real decode -> hash ->
+    // band -> verify -> components; any hash/banding/verify bug merges or
+    // splits groups and hash-mismatches the oracle.
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val g = id % 16
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (((g >> (i % 4)) & 1L) == 1L) bits |= 1L << i
+              i += 1
+            }
+            val m = ((id / 16) % 32).toInt
+            if (m > 0) bits ^= 3L << (2 * m) // flip a consecutive pair
+            (id, Multimodal.syntheticDHashPng(bits))
+          }
+        }.toDF("doc_id", "media_bytes")
+      Dedup.imageNearDup(imgs, "media_bytes", "doc_id", maxHamming = 8, bands = 8)
+    }),
+
     // LLM: CCNet-style paragraph dedup — boilerplate headers/footers repeat
     // across documents (constructed deterministically so the oracle can
     // replicate them); each normalized paragraph survives only at its first
@@ -4531,6 +4563,14 @@ object SparkEntry {
         | FROM assigned a JOIN probes p ON a.cluster = p.cluster
         | WHERE neighbor_id != query_id
         | QUALIFY rank <= 5""".stripMargin,
+
+    // the planted perceptual groups: component = doc_id % 16 (ids are
+    // dense from 0, so the min-id representative of group g is g itself)
+    "q_image_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id % 16 AS BIGINT) AS dup_group,
+        |  (doc_id >= 16) AS is_dup
+        |FROM documents""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash,

@@ -758,6 +758,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- perceptual image near-dup
+
+  /** Perceptual-hash near-dup candidate pairs over an image binary column:
+    * 64-bit [[Multimodal.dHash]]/[[Multimodal.pHash]] per blob (ONE decode
+    * pass — downstream never re-touches the bytes), banded into `bands`
+    * equal bit-slices, join within bands, verify exact Hamming ≤
+    * `maxHamming`. By pigeonhole, any pair within Hamming ≤ `bands − 1` is
+    * GUARANTEED to collide in at least one band — size `bands` to the
+    * Hamming radius you must not miss. Byte-identical dedup cannot catch
+    * re-encoded/resized duplicate images (the dominant multimodal-corpus
+    * failure mode); hash-banding catches them at the same
+    * never-all-pairs cost shape as [[simHashCandidates]]. Undecodable
+    * blobs have no hash and never pair.
+    */
+  def imageNearDupCandidates(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 8, bands: Int = 8, method: String = "dhash",
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = Multimodal.imageHashMeta(df, idCol, binCol, method)
+      .filter(col("phash").isNotNull)
+      .select(struct(col(idCol).as("__id"), col("phash").as("__ph")).as("__id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("phash"), b * width).bitwiseAND(mask)): _*)))
+      .toDF("__id", "__band", "__key")
+    bucketPairs(banded, maxBucketSize)
+      .select(col("idA.__id").as("idA"), col("idB.__id").as("idB"),
+        bit_count(col("idA.__ph").bitwiseXOR(col("idB.__ph"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Full perceptual image dedup: every document labeled with its
+    * near-dup component (`dup_group` = min id over transitively-connected
+    * near-dups, itself when unique) and `is_dup` = not the component
+    * representative — the keep-first rule every other dedup flavor here
+    * uses. Connected components run on the (tiny) verified pair set, never
+    * the corpus.
+    */
+  def imageNearDup(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 8, bands: Int = 8, method: String = "dhash",
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = imageNearDupCandidates(df, binCol, idCol, maxHamming, bands,
+      method, maxBucketSize)
+    val comp = connectedComponents(pairs.select(col("idA"), col("idB")))
+      .withColumnRenamed("id", "__cid")
+    // no broadcast hint: the labeled set is corpus-sized when duplication
+    // is heavy (image corpora routinely are) — let AQE pick the join
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("rep"), col(idCol).cast("long")).as("dup_group"),
+        coalesce(col("rep") =!= col(idCol), lit(false)).as("is_dup"))
+  }
+
   // ------------------------------------------------- embedding-cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by

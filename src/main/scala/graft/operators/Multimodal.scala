@@ -239,6 +239,170 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------- perceptual image hashes
+
+  /** Decode + box-average downsample to a `tw × th` grayscale grid (gray =
+    * mean over raster bands). The downsample is EXPLICIT floor-boundary
+    * box averaging — not `Graphics2D` interpolation — so the arithmetic is
+    * deterministic and an external oracle can predict it: cell (cx, cy)
+    * averages source pixels `x ∈ [⌊cx·w/tw⌋, max(⌊(cx+1)·w/tw⌋, ⌊cx·w/tw⌋+1))`
+    * (and likewise y), which also handles images SMALLER than the grid.
+    */
+  private[graft] def decodeGray(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Array[Double]]] = {
+    if (bytes == null || bytes.length == 0 || !looksLikeImage(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val out = Array.ofDim[Double](th, tw)
+      var cy = 0
+      while (cy < th) {
+        val y0 = cy * h / th
+        val y1 = math.max(y0 + 1, (cy + 1) * h / th)
+        var cx = 0
+        while (cx < tw) {
+          val x0 = cx * w / tw
+          val x1 = math.max(x0 + 1, (cx + 1) * w / tw)
+          var sum = 0.0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0) * bands
+          out(cy)(cx) = if (n > 0) sum / n else 0.0
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash): 9×8 grayscale box-downsample, bit
+    * `y·8 + x` = [gray(x+1, y) > gray(x, y)]. The standard cheap
+    * perceptual hash — byte-identical dedup misses re-encoded / resized
+    * duplicate images (the dominant multimodal-corpus failure mode);
+    * gradient-sign structure survives both. None for undecodable bytes.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = decodeGray(bytes, 9, 8).map { g =>
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit PERCEPTUAL HASH (pHash): 32×32 grayscale box-downsample →
+    * separable 2-D DCT-II → the 8×8 low-frequency block; bit i (block
+    * row-major, DC excluded — 63 bits, bit 63 always 0) =
+    * [coefficient > lower-median of the 63 AC coefficients]. Median-
+    * relative signs make the hash invariant to global brightness/contrast
+    * scaling, and low-frequency-only makes it robust to resizing and
+    * re-encoding — the DCT flavor of the classic pHash recipe.
+    */
+  def pHash(bytes: Array[Byte]): Option[Long] = decodeGray(bytes, 32, 32).map { g =>
+    val n = 32
+    // separable DCT-II: rows first (8 output freqs), then columns
+    val cosTab = Array.tabulate(8, n)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, 8) // rows(y)(u)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y)(x) * cosTab(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = Array.ofDim[Double](8, 8) // coef(v)(u), v = vertical freq
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rows(yy)(u) * cosTab(v)(yy); yy += 1 }
+        coef(v)(u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = (for (i <- 1 until 64) yield coef(i / 8)(i % 8)).toArray
+    val median = ac.sorted.apply(31)
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i / 8)(i % 8) > median) hash |= 1L << (i - 1)
+      i += 1
+    }
+    hash
+  }
+
+  /** Deterministic 9×8 grayscale PNG whose [[dHash]] is EXACTLY `bits`:
+    * each row walks gray = 128 ± 8 per step, up where the bit is set.
+    * The ENCODE side of the perceptual-dedup oracle — an external oracle
+    * can predict the hash (hence every banding/Hamming decision
+    * downstream) arithmetically from the planted bit pattern.
+    */
+  def syntheticDHashPng(bits: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var g = 128
+      raster.setSample(0, y, 0, g)
+      var x = 0
+      while (x < 8) {
+        g += (if (((bits >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+        raster.setSample(x + 1, y, 0, g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Batched perceptual hashing over partitions: `(id, binary)` in →
+    * `(id, phash)` out (`method` = "dhash" | "phash"; null hash marks
+    * undecodable bytes). Narrow op — no shuffle; the 100 TB shape is one
+    * decode pass producing an 8-byte column that all downstream dedup
+    * operates on, never re-touching the blobs.
+    */
+  def imageHashMeta(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media_bytes", method: String = "dhash"): DataFrame = {
+    require(method == "dhash" || method == "phash", s"unknown hash method $method")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+        (id, if (method == "dhash") dHash(bytes) else pHash(bytes))
+      }
+    }.toDF(idCol, "phash")
+  }
+
   /** Batched REAL image decode over partitions: (id, binary) in →
     * `(id, width, height, channels, mean_intensity)` out, every output
     * column computed from the decoded raster. Rows whose bytes don't parse

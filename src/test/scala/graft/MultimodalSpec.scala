@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -191,5 +191,86 @@ class MultimodalSpec extends SparkSpec {
     f(3) shouldBe 0.25f               // 30 fps / 120
     f(4) shouldBe 0.8f                // 204 / 255
     (f(6), f(7)) shouldBe ((1f, 1f))  // video flags
+  }
+
+  // ------------------------------------------------- perceptual hashes
+
+  /** Smooth grayscale test image: pixel = f(x/(w-1), y/(h-1)) — the SAME
+    * continuous content at any raster size, so downsample-based hashes of
+    * different renditions must agree.
+    */
+  private def smoothPng(w: Int, h: Int, f: (Double, Double) => Double): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x.toDouble / (w - 1), y.toDouble / (h - 1))
+      img.getRaster.setSample(x, y, 0, math.max(0, math.min(255, v.round.toInt)))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: planted bit patterns round-trip exactly; perturbations move exactly those bits") {
+    val bits = 0xDEADBEEFCAFEF00DL
+    Multimodal.dHash(Multimodal.syntheticDHashPng(bits)) shouldBe Some(bits)
+    // flipping one planted comparison flips exactly that hash bit
+    val perturbed = bits ^ (1L << 17)
+    hamming(bits, Multimodal.dHash(Multimodal.syntheticDHashPng(perturbed)).get) shouldBe 1
+    // a consecutive-pair flip (the q_image_neardup construction) is Hamming 2
+    hamming(bits, Multimodal.dHash(Multimodal.syntheticDHashPng(bits ^ (3L << 40))).get) shouldBe 2
+    // undecodable bytes refuse, not crash
+    Multimodal.dHash("not an image".getBytes) shouldBe None
+    Multimodal.dHash(Array.emptyByteArray) shouldBe None
+  }
+
+  test("pHash survives resize and re-encode; distinct content stays far") {
+    // photo-like content (smooth blobs + gradient): a broad decaying
+    // spectrum, the regime perceptual hashing is built for — sparse-
+    // spectrum synthetics leave most AC coefficients at ~0 where median-
+    // relative signs are pure noise
+    val photo = (u: Double, v: Double) =>
+      128 + 90 * math.exp(-8 * ((u - 0.3) * (u - 0.3) + (v - 0.4) * (v - 0.4))) -
+        70 * math.exp(-12 * ((u - 0.7) * (u - 0.7) + (v - 0.6) * (v - 0.6))) +
+        30 * u - 20 * v
+    val small = Multimodal.pHash(smoothPng(64, 64, photo)).get
+    val big = Multimodal.pHash(smoothPng(160, 160, photo)).get // resized duplicate
+    hamming(small, big) should be <= 8 // measured 4
+    val wide = Multimodal.pHash(smoothPng(96, 48, photo)).get // aspect change
+    hamming(small, wide) should be <= 8 // measured 2
+    // lossless re-encode of identical pixels: identical hash
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(smoothPng(64, 64, photo)))
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    Multimodal.pHash(bmp.toByteArray) shouldBe Some(small)
+    // structurally different content is far in both hashes
+    val other = (u: Double, v: Double) =>
+      128 - 80 * math.exp(-10 * ((u - 0.8) * (u - 0.8) + (v - 0.2) * (v - 0.2))) +
+        85 * math.exp(-6 * ((u - 0.2) * (u - 0.2) + (v - 0.8) * (v - 0.8))) -
+        25 * u + 35 * v
+    hamming(small, Multimodal.pHash(smoothPng(64, 64, other)).get) should be > 16 // 30
+    val d1 = Multimodal.dHash(smoothPng(64, 64, photo)).get
+    val d2 = Multimodal.dHash(smoothPng(160, 160, photo)).get // dHash resize-stable too
+    hamming(d1, d2) should be <= 6 // measured 1
+    hamming(d1, Multimodal.dHash(smoothPng(64, 64, other)).get) should be > 12 // 20
+  }
+
+  test("imageNearDup labels planted groups through decode->hash->band->verify->components") {
+    // 3 groups x 4 members: consecutive-pair perturbations per member
+    val docs = (0L until 12L).map { id =>
+      val g = id % 3
+      var bits = 0L
+      for (i <- 0 until 64) if (((g >> (i % 2)) & 1L) == 1L) bits |= 1L << i
+      val m = (id / 3).toInt
+      if (m > 0) bits ^= 3L << (2 * m)
+      (id, Multimodal.syntheticDHashPng(bits))
+    }.toDF("doc_id", "media_bytes")
+    val out = Dedup.imageNearDup(docs, "media_bytes", "doc_id",
+      maxHamming = 8, bands = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    for (id <- 0L until 12L) out(id) shouldBe ((id % 3, id >= 3))
   }
 }

@@ -2923,6 +2923,38 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(avis)
     }),
 
+    // LLM: TRAINED quality classifier (the fastText-analog third leg next
+    // to Gopher rules and LM perplexity): logistic weights over hashed
+    // unigram+bigram buckets, fit DRIVER-SIDE on a bounded labeled sample
+    // (docs with id % 5 == 0: their real text labeled 1, a junk twin from
+    // a fixed 50-token md5 pool labeled 0), then applied to the whole
+    // corpus as ONE map-only projection (the model rides the plan as an
+    // array literal — in-query require proves no exchange and no join).
+    // The scored corpus plants the decision: even ids carry real text
+    // (reference-like vocabulary), odd ids the junk construction, so the
+    // DECISION the oracle replays is arithmetic while the separation
+    // itself must be LEARNED end to end — a broken hash, gradient, or
+    // gather mislabels some side. n_feats (integer) rides along as the
+    // tokenization cross-check.
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val junkText = concat_ws(" ", transform(sequence(lit(1), lit(30)),
+        i => md5(pmod(col("doc_id") + i, lit(50)).cast("string").cast("binary"))))
+      val sample = d.filter(col("doc_id") % 5 === 0)
+      val labeled = sample.select(col("doc_id"), col("text"), lit(1).as("label"))
+        .unionByName(sample.select((col("doc_id") + 10000000L).as("doc_id"),
+          junkText.as("text"), lit(0).as("label")))
+      val model = graft.operators.QualityClassifier.train(
+        labeled, "text", "label", "doc_id")
+      val corpus = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text")).otherwise(junkText).as("text"))
+      val out = graft.operators.QualityClassifier.score(corpus, "text", "doc_id", model)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange") && !plan.contains("Join"),
+        "classifier scoring must be one narrow projection — no shuffle, no join")
+      out
+    }),
+
     // LLM: PERCEPTUAL image near-dup (dHash) — byte-identical dedup misses
     // re-encoded/resized duplicate images, so dedup runs on the decoded
     // raster's difference hash, banded + Hamming-verified + connected
@@ -4563,6 +4595,17 @@ object SparkEntry {
         | FROM assigned a JOIN probes p ON a.cluster = p.cluster
         | WHERE neighbor_id != query_id
         | QUALIFY rank <= 5""".stripMargin,
+
+    // the planted separation: even ids carry reference-like text (keep),
+    // odd ids the junk construction (drop); n_feats = unigrams + bigrams
+    // of whichever text the row scored (every real doc has >= 10 words)
+    "q_quality_classifier" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 2 * len(regexp_split_to_array(trim(text), '\s+')) - 1
+        |    ELSE 59 END AS BIGINT) AS n_feats,
+        |  (doc_id % 2 = 0) AS keep
+        |FROM documents""".stripMargin,
 
     // the planted perceptual groups: component = doc_id % 16 (ids are
     // dense from 0, so the min-id representative of group g is g itself)

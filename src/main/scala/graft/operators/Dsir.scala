@@ -37,7 +37,7 @@ object Dsir {
   /** md5-based feature bucket — deterministic, partitioning-independent,
     * and replicable in SQL oracles (`('0x' || substring(md5(g),1,15))`).
     */
-  private def bucketOf(g: Column, buckets: Int): Column =
+  private[operators] def bucketOf(g: Column, buckets: Int): Column =
     pmod(conv(substring(md5(g.cast("binary")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 

@@ -2923,6 +2923,30 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(avis)
     }),
 
+    // LLM: TOKENIZER-accurate token counts — greedy BPE merges from a
+    // bounded vocabulary as ONE native expression (graft_bpe_count), the
+    // counter token budgets and packing should run on instead of
+    // whitespace words (the divergence is corpus-dependent: code and CJK
+    // tokenize at multiples of their word count). The merge list rides
+    // the plan as one array literal (no join/broadcast/shuffle — require-
+    // proven); the ORACLE replays the merges in SQL on the double-space
+    // token encoding, where sequential chained replace() equals the
+    // rank-greedy loop because the list is topologically ordered (each
+    // side is a raw char or an earlier merge's output). ws_tokens rides
+    // along to pin the whitespace/BPE divergence.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = typedLit(Seq("t h", "th e", "e r", "a b", "ab l", "abl e",
+        "q u", "er y", "s c", "sc a", "sca n", "o r"))
+      val out = d.select(col("doc_id"),
+        graft.functions.BpeExpressions.tokenCount(s, col("text"), merges)
+          .as("bpe_tokens"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"))
+      require(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+        "BPE counting must stay a narrow projection")
+      out
+    }),
+
     // LLM: TRAINED quality classifier (the fastText-analog third leg next
     // to Gopher rules and LM perplexity): logistic weights over hashed
     // unigram+bigram buckets, fit DRIVER-SIDE on a bounded labeled sample
@@ -4595,6 +4619,29 @@ object SparkEntry {
         | FROM assigned a JOIN probes p ON a.cluster = p.cluster
         | WHERE neighbor_id != query_id
         | QUALIFY rank <= 5""".stripMargin,
+
+    // replay the merges: per word, encode chars with double-space joints,
+    // apply the 12 merges in rank order as boundary-anchored replaces
+    // (equal to the greedy loop for a topologically-ordered list), count
+    // surviving tokens
+    "q_bpe_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |enc AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(
+        |      ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ',
+        |      ' t  h ', ' th '), ' th  e ', ' the '), ' e  r ', ' er '),
+        |      ' a  b ', ' ab '), ' ab  l ', ' abl '), ' abl  e ', ' able '),
+        |      ' q  u ', ' qu '), ' er  y ', ' ery '), ' s  c ', ' sc '),
+        |      ' sc  a ', ' sca '), ' sca  n ', ' scan '), ' o  r ', ' or ') AS e
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(sum(len(regexp_split_to_array(trim(e), ' +'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(count(*) AS BIGINT) AS ws_tokens
+        |FROM enc GROUP BY doc_id""".stripMargin,
 
     // the planted separation: even ids carry reference-like text (keep),
     // odd ids the junk construction (drop); n_feats = unigrams + bigrams

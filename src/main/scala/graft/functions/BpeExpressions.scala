@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenizer-accurate token counting: greedy byte-pair-encoding merges
+  * from a bounded vocabulary, as ONE native expression.
+  *
+  * Whitespace counts misprice token budgets corpus-dependently (code
+  * tokenizes ~2-4× its word count, CJK far more), so budget/packing
+  * operators accept a tokens column — this expression makes that column
+  * TOKENIZER-accurate. The algorithm is the standard BPE encode loop
+  * (GPT-2 `encoder.py` shape): per whitespace word, start from
+  * characters, repeatedly merge the LOWEST-RANK adjacent pair present
+  * (left-to-right within a rank), stop when no listed pair remains; the
+  * document count is the sum over words.
+  *
+  * The merge list rides the plan as ONE array<string> literal of
+  * "left right" pairs in rank order — bounded vocabulary, no join, no
+  * broadcast exchange, no shuffle; the kernel memoizes per-word results
+  * (Zipf makes the hit rate extreme) and parses the merge literal once
+  * per task, not per row. Generated code is a single static call — the
+  * janino 64 KB lesson (PqExpressions) applied from the start.
+  */
+object BpeExpressions {
+
+  val CountName = "graft_bpe_count"
+
+  /** Idempotently register in this session's registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(CountName))) {
+      reg.registerFunction(
+        FunctionIdentifier(CountName),
+        new ExpressionInfo(classOf[BpeCountExpr].getName, CountName),
+        (children: Seq[Expression]) => BpeCountExpr(children(0), children(1)))
+    }
+  }
+
+  /** BPE token count of `text` under `merges` (array<string> of
+    * "left right" pairs, rank order — pass a `typedLit`).
+    */
+  def tokenCount(spark: SparkSession, text: Column, merges: Column): Column = {
+    register(spark)
+    call_function(CountName, text, merges)
+  }
+
+  // ------------------------------------------------------------- kernel
+
+  /** Rank map parsed from the merge literal, cached per thread by object
+    * identity — a literal evaluates to the SAME ArrayData instance every
+    * row, so one parse serves the whole task.
+    */
+  private val parsedCache =
+    new ThreadLocal[(AnyRef, java.util.HashMap[String, Integer])]()
+
+  private def ranksOf(merges: ArrayData): java.util.HashMap[String, Integer] = {
+    val cached = parsedCache.get()
+    if (cached != null && (cached._1 eq merges)) return cached._2
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    val n = merges.numElements()
+    while (i < n) {
+      val pair = merges.getUTF8String(i).toString
+      if (!m.containsKey(pair)) m.put(pair, i)
+      i += 1
+    }
+    parsedCache.set((merges, m))
+    m
+  }
+
+  /** Per-word result memo (word → token count), thread-local and bounded:
+    * cleared when full rather than evicted — the working set is the
+    * vocabulary, which is tiny next to the bound.
+    */
+  private val wordCache =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]]() {
+      override def initialValue() = new java.util.HashMap[String, java.lang.Long]()
+    }
+  private val MaxWordCache = 1 << 16
+
+  private def bpeWordCount(word: String, ranks: java.util.HashMap[String, Integer]): Long = {
+    var tokens = word.toCharArray.map(_.toString)
+    var done = false
+    while (!done && tokens.length > 1) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      var i = 0
+      while (i < tokens.length - 1) {
+        val r = ranks.get(tokens(i) + " " + tokens(i + 1))
+        if (r != null && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge that rank's occurrences left-to-right (adjacent runs
+        // re-pair with the NEXT token after the merge, the encoder.py walk)
+        val out = new scala.collection.mutable.ArrayBuffer[String](tokens.length)
+        var j = 0
+        while (j < tokens.length) {
+          if (j < tokens.length - 1 && {
+            val r = ranks.get(tokens(j) + " " + tokens(j + 1)); r != null && r == best
+          }) {
+            out += tokens(j) + tokens(j + 1)
+            j += 2
+          } else {
+            out += tokens(j)
+            j += 1
+          }
+        }
+        tokens = out.toArray
+      }
+    }
+    tokens.length.toLong
+  }
+
+  /** Static entry the generated code calls. */
+  def countTokens(text: UTF8String, merges: ArrayData): Long = {
+    if (text == null) return 0L
+    val ranks = ranksOf(merges)
+    val cache = wordCache.get()
+    var total = 0L
+    val words = text.toString.trim.split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var c = cache.get(w)
+        if (c == null) {
+          if (cache.size() >= MaxWordCache) cache.clear()
+          c = bpeWordCount(w, ranks)
+          cache.put(w, c)
+        }
+        total += c
+      }
+      i += 1
+    }
+    total
+  }
+}
+
+/** Greedy-BPE token count — see [[BpeExpressions]]. */
+case class BpeCountExpr(text: Expression, merges: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = merges
+  override def dataType: DataType = LongType
+  override def prettyName: String = BpeExpressions.CountName
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, merges.dataType) match {
+      case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got " +
+          s"(${text.dataType.simpleString}, ${merges.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    BpeExpressions.countTokens(t.asInstanceOf[UTF8String], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) =>
+      s"${ev.value} = graft.functions.BpeExpressions.countTokens($t, $m);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, merges = r)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BpeExpressions
+import graft.operators.Sampling
+
+/** Greedy-BPE token counting: reference merges applied rank-greedy,
+  * left-to-right within a rank, run under codegen.fallback=false so a
+  * codegen regression fails loud (the PqExpressionsSpec contract).
+  */
+class BpeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = Seq("t h", "th e", "e r", "a b", "ab l", "abl e",
+    "q u", "er y", "s c", "sc a", "sca n", "o r")
+
+  private def count(texts: String*): Seq[Long] = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"),
+        BpeExpressions.tokenCount(spark, col("text"), typedLit(merges)).as("n"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("rank-greedy merges: chains, cross-rank ordering, unmergeable chars") {
+    // the = t,h,e -> th(r1) -> the(r2): 1 token
+    // table = t,a,b,l,e -> ab(r4) -> abl(r5) -> able(r6) -> [t, able]: 2
+    // query = q,u,e,r,y: LOWEST rank first (e,r r3 before q,u r7), then
+    //   qu(r7), then ery(r8) -> [qu, ery]: 2 — rank order, not left-to-right
+    // scan -> sc, sca, scan: 1;  sort -> [s, or, t]: 3;  order -> [or, d, er]: 3
+    // xyz: no merges apply: 3
+    count("the", "table", "query", "scan", "sort", "order", "xyz") shouldBe
+      Seq(1L, 2L, 2L, 1L, 3L, 3L, 3L)
+    // documents sum over words; repeated words hit the memo
+    count("the table the table scan") shouldBe Seq(1L + 2 + 1 + 2 + 1)
+    count("", "   ") shouldBe Seq(0L, 0L)
+  }
+
+  test("adjacent occurrences of one rank merge left-to-right, then re-scan") {
+    val m = Seq("a a", "aa aa")
+    val got = Seq((0, "aaaa"), (1, "aaa"), (2, "aaaaa")).toDF("id", "text")
+      .select(col("id"), BpeExpressions.tokenCount(spark, col("text"), typedLit(m)).as("n"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    // aaaa: [aa, aa] -> rank2 -> [aaaa]: 1.  aaa: [aa, a]: 2.
+    // aaaaa: [aa, aa, a] -> [aaaa, a]: 2.
+    got shouldBe Seq(1L, 2L, 2L)
+  }
+
+  test("takeTokenBudget with the BPE counter admits by tokenizer tokens, not words") {
+    // "the table scan": 3 words but 4 BPE tokens (the=1, table=2, scan=1);
+    // the budget arithmetic must follow the BPE column
+    val docs = (0L until 10L).map(i => (i, "src", "the table scan")).toDF("id", "src", "text")
+    val bpe = BpeExpressions.tokenCount(spark, col("text"), typedLit(merges)) // 4 per doc
+    val admitted = Sampling.takeTokenBudget(docs, "src", col("id"), bpe,
+      Map("src" -> 17L))
+    // greedy prefix under the content-keyed order: budget 17 admits 5 docs
+    // at 4 BPE tokens each (cum 0,4,8,12,16 < 17; the 6th would start at 20)
+    admitted.count() shouldBe 5L
+    // whitespace counting would have admitted 6 (3 words: 0,3,..,15 < 17)
+    Sampling.takeTokenBudget(docs, "src", col("id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+      Map("src" -> 17L)).count() shouldBe 6L
+  }
+}

@@ -1977,6 +1977,29 @@ object SparkEntry {
         keepFrac = 1.0 / 3, exact = true)
     }),
 
+    // LLM: the PRODUCTION CCNet pipeline COMPOSED — langId buckets ->
+    // bigram-LM training on the reference slice -> per-language cutoff
+    // selection (the dominant-language-regime flavor) -> MinHash dedup of
+    // the kept head. Every stage is individually oracle-green
+    // (q_lang_id, q_lm_perplexity, q_ccnet_cutoff, q_minhash_dedup); this
+    // row proves they compose: the survivors' ids, languages, gram counts
+    // and 4-decimal scores must all match the oracle's full replay. No
+    // collects beyond the documented plan constants (LM count frames are
+    // DataFrames; cutoffs broadcast as a tiny per-language table).
+    "q_ccnet_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = LmScore.trainBigramLm(d.filter(col("doc_id") % 5 === 0), "text")
+      val withLang = d.join(
+        TextFunctions.langIdByDoc(d, "text", "doc_id"), Seq("doc_id"))
+      val sel = LmScore.ccnetSelectByCutoff(withLang, "text", "doc_id",
+        "lang_pred", lm, keepFrac = 1.0 / 3, exact = true)
+      val kept = d.join(sel.filter(col("kept"))
+        .select(col("doc_id"), col("lang_pred"), col("n_bigrams"),
+          col("avg_logp")), Seq("doc_id"))
+      Dedup.minHashDedup(kept, "text", "doc_id", threshold = 1.0)
+        .select(col("doc_id"), col("lang_pred"), col("n_bigrams"), col("avg_logp"))
+    }),
+
     // LLM: the order-5 LM (KenLM order parity) with HASHED gram keys —
     // every train shuffle and scoring join keyed by xxhash64 of the gram
     // array (8 bytes at any order, vs a 5-string struct); recursive
@@ -3925,6 +3948,80 @@ object SparkEntry {
         |        AND l.avg_logp >= c.cutoff THEN true ELSE false END) AS kept
         |FROM lm l JOIN lang g ON l.doc_id = g.doc_id
         |LEFT JOIN cut c ON g.lang_pred = c.lang_pred""".stripMargin,
+
+    // the composed replay: the q_ccnet_cutoff CTE chain end to end, then
+    // the q_minhash_dedup shingle-set survivor rule over the kept docs
+    "q_ccnet_pipeline" ->
+      """WITH reft AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS c
+        |  FROM (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS v),
+        |refg AS (
+        |  SELECT g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT unnest(list_zip(t[:-2], t[2:])) AS g FROM reft WHERE len(t) >= 2)),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM refg GROUP BY 1, 2),
+        |doc AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(t[:-2], t[2:])) AS g FROM doc WHERE len(t) >= 2)),
+        |scored AS (
+        |  SELECT dg.doc_id,
+        |    log10(CASE WHEN bi.c IS NOT NULL THEN bi.c / u1.c
+        |               ELSE 0.4 * (coalesce(u2.c, 0) + 1) / (tot.n + tot.v) END) AS lp
+        |  FROM dg LEFT JOIN bi ON dg.w1 = bi.w1 AND dg.w2 = bi.w2
+        |          LEFT JOIN uni u1 ON dg.w1 = u1.w
+        |          LEFT JOIN uni u2 ON dg.w2 = u2.w
+        |          CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               round(avg(lp), 4) AS avg_logp
+        |        FROM scored GROUP BY doc_id),
+        |lmv AS (SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |ltoks AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |   len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) AS en,
+        |   len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS de,
+        |   len(list_filter(w, t -> list_contains(['el','la','de','que','y','en','un','es','por','con'], t))) AS es,
+        |   len(list_filter(w, t -> list_contains(['le','la','de','et','un','est','que','pour','dans','sur'], t))) AS fr,
+        |   len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','他'], t))) AS zh
+        |  FROM ltoks),
+        |lang AS (
+        | SELECT doc_id,
+        |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN NULL
+        |       WHEN zh = greatest(en, de, es, fr, zh) THEN 'zh'
+        |       WHEN fr = greatest(en, de, es, fr, zh) THEN 'fr'
+        |       WHEN es = greatest(en, de, es, fr, zh) THEN 'es'
+        |       WHEN en = greatest(en, de, es, fr, zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        | FROM hits),
+        |cut AS (
+        |  SELECT g.lang_pred, quantile_cont(l.avg_logp, 1 - 1.0/3) AS cutoff
+        |  FROM lmv l JOIN lang g ON l.doc_id = g.doc_id
+        |  WHERE l.avg_logp IS NOT NULL AND g.lang_pred IS NOT NULL
+        |  GROUP BY g.lang_pred),
+        |kept AS (
+        |  SELECT l.doc_id, g.lang_pred, l.n_bigrams, l.avg_logp
+        |  FROM lmv l JOIN lang g ON l.doc_id = g.doc_id
+        |  LEFT JOIN cut c ON g.lang_pred = c.lang_pred
+        |  WHERE l.avg_logp IS NOT NULL AND c.cutoff IS NOT NULL
+        |    AND l.avg_logp >= c.cutoff),
+        |norm AS (
+        |  SELECT k.*, lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS __n
+        |  FROM kept k JOIN documents d ON k.doc_id = d.doc_id)
+        |SELECT doc_id, lang_pred, n_bigrams, avg_logp FROM norm
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY list_sort(list_distinct(
+        |    list_transform(range(1, greatest(len(__n) - 3, 1)), i -> substr(__n, i, 5))))
+        |  ORDER BY doc_id) = 1""".stripMargin,
 
     // the full CCNet selection replay: LM training + backoff scoring (the
     // q_lm_perplexity CTEs), stopword langId (the q_lang_id CTEs), then

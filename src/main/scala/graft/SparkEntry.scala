@@ -2791,7 +2791,11 @@ object SparkEntry {
       val exactPairs = groupPairs(
         doubled.select(col("doc_id").as("__id"),
           TextFunctions.fingerprint(col("text")).as("__key")))
-      exactPairs.join(Dedup.minHashCandidates(doubled, "text", "doc_id"),
+      // the candidate-pair side grows with corpus duplication (quadratic
+      // in family size on planted-dup corpora — sf1 broadcast-OOMed it);
+      // a pair set is corpus-scale data, never a broadcast relation
+      exactPairs.join(
+        Dedup.minHashCandidates(doubled, "text", "doc_id").hint("shuffle_hash"),
         Seq("idA", "idB"), "left_anti")
     }),
 
@@ -2805,7 +2809,7 @@ object SparkEntry {
           array_sort(TextFunctions.tokens(col("text"))).as("__key")))
       exactPairs.join(
         Dedup.simHashCandidates(doubled, "text", "doc_id", maxHamming = 3)
-          .select(col("idA"), col("idB")),
+          .select(col("idA"), col("idB")).hint("shuffle_hash"), // pair sets never broadcast
         Seq("idA", "idB"), "left_anti")
     }),
 
@@ -2987,7 +2991,11 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val junkText = concat_ws(" ", transform(sequence(lit(1), lit(30)),
         i => md5(pmod(col("doc_id") + i, lit(50)).cast("string").cast("binary"))))
-      val sample = d.filter(col("doc_id") % 5 === 0)
+      // labeled quality sets are FIXED-SIZE in production — cap the
+      // sample so the driver-side fit cost is constant as the corpus
+      // grows (at every bench SF <= 10000 ids this is the id%5 slice
+      // unchanged; only beyond does the cap bind)
+      val sample = d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 10000)
       val labeled = sample.select(col("doc_id"), col("text"), lit(1).as("label"))
         .unionByName(sample.select((col("doc_id") + 10000000L).as("doc_id"),
           junkText.as("text"), lit(0).as("label")))

@@ -159,6 +159,15 @@ object Multimodal {
     */
   def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] = {
     if (bytes == null || bytes.length == 0 || !looksLikeAudio(bytes)) return None
+    // FAST PATH: direct RIFF/WAVE PCM16 parse. AudioSystem's provider
+    // registry serializes under concurrency — a 32-thread microbench ran
+    // SLOWER than 1 thread for the same decode count (tools/AudioProbe,
+    // PLANS.md r16), which at sf1 made q_audio_decode scale 18x at 10x
+    // rows. The dominant container+codec is parsed lock-free with
+    // bit-identical arithmetic; AIFF/AU/compressed fall through to the
+    // provider path unchanged.
+    val fast = decodeWavPcm16(bytes)
+    if (fast.isDefined) return fast
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -186,6 +195,59 @@ object Multimodal {
           if (n == 0) 0.0 else math.sqrt(sumSq / n)))
       } finally in.close()
     } catch { case _: Exception => None }
+  }
+
+  /** Lock-free RIFF/WAVE parser for the uncompressed 16-bit PCM case:
+    * walks the chunk list for `fmt ` (audio format 1, 16 bits/sample) and
+    * `data`, then computes the same fields [[decodeAudio]]'s provider path
+    * would — the PCM16→PCM16 conversion there is the identity, so the
+    * little-endian sample loop (and its double RMS arithmetic) is
+    * bit-identical. None on anything unexpected → caller falls through to
+    * the provider path; never throws.
+    */
+  private def decodeWavPcm16(b: Array[Byte]): Option[AudioMeta] = {
+    if (!isRiff(b) || b.length < 12 ||
+        b(8) != 'W'.toByte || b(9) != 'A'.toByte || b(10) != 'V'.toByte ||
+        b(11) != 'E'.toByte) return None
+    def u16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (u16(o).toLong | (u16(o + 2).toLong << 16)) & 0xFFFFFFFFL
+    var off = 12
+    var fmtOk = false
+    var ch = 0
+    var rate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = u16(off + 8)
+        ch = u16(off + 10)
+        rate = u32(off + 12).toInt
+        val bits = u16(off + 22)
+        if (audioFormat != 1 || bits != 16 || ch < 1 || rate < 1) return None
+        fmtOk = true
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = size.toInt
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val n = dataLen / 2
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = (((b(dataOff + 2 * i + 1) & 0xFF) << 8) | (b(dataOff + 2 * i) & 0xFF)).toShort
+      val v = s / 32768.0
+      sumSq += v * v
+      i += 1
+    }
+    val frames = n.toLong / ch
+    Some(AudioMeta(rate, ch, frames, frames * 1000L / math.max(1, rate),
+      if (n == 0) 0.0 else math.sqrt(sumSq / n)))
   }
 
   /** Deterministic synthetic WAV: `frames` frames at `sampleRateHz`, every

@@ -1993,11 +1993,20 @@ object SparkEntry {
         TextFunctions.langIdByDoc(d, "text", "doc_id"), Seq("doc_id"))
       val sel = LmScore.ccnetSelectByCutoff(withLang, "text", "doc_id",
         "lang_pred", lm, keepFrac = 1.0 / 3, exact = true)
+      // the dedup stage references the kept set several times (candidate
+      // banding, jaccard verify joins, the final anti-join) — without a
+      // stage boundary, every reference would re-run the whole selection
+      // chain
+      // (langId + LM scoring joins) from the scan; persisting the kept
+      // THIRD between pipeline stages is the production shape
       val kept = d.join(sel.filter(col("kept"))
         .select(col("doc_id"), col("lang_pred"), col("n_bigrams"),
           col("avg_logp")), Seq("doc_id"))
-      Dedup.minHashDedup(kept, "text", "doc_id", threshold = 1.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try Dedup.minHashDedup(kept, "text", "doc_id", threshold = 1.0)
         .select(col("doc_id"), col("lang_pred"), col("n_bigrams"), col("avg_logp"))
+        .localCheckpoint(true)
+      finally kept.unpersist(blocking = false)
     }),
 
     // LLM: the order-5 LM (KenLM order parity) with HASHED gram keys —

@@ -3051,6 +3051,45 @@ object SparkEntry {
       Dedup.imageNearDup(imgs, "media_bytes", "doc_id", maxHamming = 8, bands = 8)
     }),
 
+    // LLM: INCREMENTAL perceptual image dedup against a persisted hash
+    // index — wave 1 inserts ids%3!=0 (each planted group collapses to its
+    // min member), wave 2 offers the held-out third plus re-offered
+    // content under fresh ids; every wave-2 doc matches an INDEXED group
+    // hash, so the probe (stats/bloom-pruned readForKeys, no corpus
+    // fetch — the 8-byte hash rides in the index) must drop them ALL.
+    // Final corpus is pure arithmetic: group g's first %3!=0 member, i.e.
+    // g itself or g+16 when 3 | g. The in-query require proves wave 2
+    // appended nothing; the oracle pins the 16 survivors exactly.
+    "q_image_neardup_insert" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Icebox(tmp("qini_c")); val index = Icebox(tmp("qini_i"))
+      def imgs(ids: org.apache.spark.sql.Dataset[Long]) =
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val g = id % 16
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (((g >> (i % 4)) & 1L) == 1L) bits |= 1L << i
+              i += 1
+            }
+            val m = ((id / 16) % 32).toInt
+            if (m > 0) bits ^= 3L << (2 * m)
+            (id, Multimodal.syntheticDHashPng(bits))
+          }
+        }.toDF("doc_id", "media_bytes")
+      val all = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      Dedup.imageNearDupInsert(corpus, index,
+        imgs(all.filter(_ % 3 != 0)), "media_bytes", "doc_id")
+      val n2 = Dedup.imageNearDupInsert(corpus, index,
+        imgs(all.filter(_ % 3 == 0))
+          .unionByName(imgs(all.filter(id => id % 3 != 0 && id % 9 == 1))
+            .withColumn("doc_id", col("doc_id") + 100000)), // same pixels, fresh ids
+        "media_bytes", "doc_id")
+      require(n2 == 0, s"every wave-2 doc duplicates an indexed group, got $n2 fresh")
+      corpus.read(s).select(col("doc_id"))
+    }),
+
     // LLM: CCNet-style paragraph dedup — boilerplate headers/footers repeat
     // across documents (constructed deterministically so the oracle can
     // replicate them); each normalized paragraph survives only at its first
@@ -4767,6 +4806,12 @@ object SparkEntry {
         |    ELSE 59 END AS BIGINT) AS n_feats,
         |  (doc_id % 2 = 0) AS keep
         |FROM documents""".stripMargin,
+
+    // the 16 survivors: group g's first member with id % 3 != 0 (ids are
+    // dense from 0; 3 | g pushes the representative to g + 16)
+    "q_image_neardup_insert" ->
+      """SELECT CAST(CASE WHEN g % 3 <> 0 THEN g ELSE g + 16 END AS BIGINT) AS doc_id
+        |FROM (SELECT unnest(range(0, 16)) AS g)""".stripMargin,
 
     // the planted perceptual groups: component = doc_id % 16 (ids are
     // dense from 0, so the min-id representative of group g is g itself)

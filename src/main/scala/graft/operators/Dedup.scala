@@ -813,6 +813,82 @@ object Dedup {
         coalesce(col("rep") =!= col(idCol), lit(false)).as("is_dup"))
   }
 
+  /** INCREMENTAL perceptual image dedup against a persisted hash index —
+    * the [[nearDupInsert]] maintenance shape for image corpora: collapse
+    * the batch against itself (banded candidacy + Hamming verify, min-id
+    * survivor), probe the index for batch band keys (stats/bloom-pruned
+    * `readForKeys` — O(batch) reads, never an index scan), drop batch
+    * docs within `maxHamming` of an INDEXED hash, append the fresh docs
+    * to `corpus` and their `(band, key, id, phash)` rows to `index`.
+    *
+    * Simpler than the text flavor by construction: the 8-byte hash IS
+    * the verify payload and rides in the index, so the probe needs no
+    * corpus fetch at all — one pruned index read per wave. Blobs that
+    * don't decode have no hash, can't dedup, and pass through as fresh
+    * (the caller's decode-quality gate runs before dedup). Returns the
+    * number of docs appended.
+    */
+  def imageNearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
+      batch: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 8, bands: Int = 8, method: String = "dhash",
+      maxBucketSize: Int = 1000): Long = {
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    require(!batch.columns.contains("phash"),
+      "batch must not already carry a 'phash' column")
+    val spark = batch.sparkSession
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ONE decode pass serves banding, both verifies, and the index append
+    val hp = batch.join(
+      Multimodal.imageHashMeta(batch, idCol, binCol, method), Seq(idCol))
+      .persist(lvl)
+    try {
+      val banded = hp.filter(col("phash").isNotNull)
+        .select(struct(col(idCol).as("__id"), col("phash").as("__ph")).as("__id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("phash"), b * width).bitwiseAND(mask)): _*)))
+        .toDF("__id", "__band", "__key")
+        .persist(lvl)
+      try {
+        // 1. collapse the batch against itself (clique-free corpora keep
+        //    the min id per verified pair chain, as every dedup here does)
+        val intraDups = bucketPairs(banded, maxBucketSize)
+          .filter(bit_count(col("idA.__ph").bitwiseXOR(col("idB.__ph"))) <= maxHamming)
+          .select(col("idB.__id").as("__dup")).distinct()
+        val survivors = hp.join(intraDups, col(idCol) === col("__dup"), "left_anti")
+        // 2. probe the index: pruned read of files that might hold the
+        //    batch's band keys, verify Hamming against the STORED hash
+        val corpusDups =
+          if (!index.exists) banded.limit(0).select(col("__id.__id").as("__dup"))
+          else index.readForKeys(spark,
+              banded.select(col("__band").as("band"), col("__key").as("key")))
+            .join(banded, col("band") === col("__band") && col("key") === col("__key"))
+            .filter(bit_count(col("phash").bitwiseXOR(col("__id.__ph"))) <= maxHamming)
+            .select(col("__id.__id").as("__dup")).distinct()
+        val fresh = survivors.join(corpusDups, col(idCol) === col("__dup"), "left_anti")
+          .persist(lvl)
+        try {
+          val n = fresh.count()
+          if (n > 0) {
+            corpus.append(fresh.drop("phash"), collectStats = Seq(idCol))
+            if (!index.exists)
+              index.setProperties(Map("manifest.bloom.columns" -> "key",
+                "write.sort.columns" -> "key"))
+            val freshBands = banded
+              .join(fresh.select(col(idCol)), col("__id.__id") === col(idCol), "left_semi")
+              .select(col("__band").as("band"), col("__key").as("key"),
+                col("__id.__id").as(idCol), col("__id.__ph").as("phash"))
+            val idxFiles = math.max(1, math.ceil(n * bands / 4e6).toInt)
+            index.append(freshBands.repartitionByRange(idxFiles, col("key")),
+              collectStats = Seq("key"))
+          }
+          n
+        } finally fresh.unpersist(blocking = false)
+      } finally banded.unpersist(blocking = false)
+    } finally hp.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------- embedding-cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by

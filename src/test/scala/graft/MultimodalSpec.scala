@@ -258,6 +258,32 @@ class MultimodalSpec extends SparkSpec {
     hamming(d1, Multimodal.dHash(smoothPng(64, 64, other)).get) should be > 12 // 20
   }
 
+  test("imageNearDupInsert: batch collapses, index probe drops re-offers, fresh groups append") {
+    def png(g: Long, m: Int): Array[Byte] = {
+      var bits = 0L
+      for (i <- 0 until 64) if (((g >> (i % 2)) & 1L) == 1L) bits |= 1L << i
+      if (m > 0) bits ^= 3L << (2 * m)
+      Multimodal.syntheticDHashPng(bits)
+    }
+    val corpus = graft.table.Icebox(tmpDir("img-ins-c"))
+    val index = graft.table.Icebox(tmpDir("img-ins-i"))
+    // wave 1: groups 0,1,2 with two members each -> 3 survivors
+    val w1 = (0L until 6L).map(id => (id, png(id % 3, (id / 3).toInt)))
+      .toDF("doc_id", "media_bytes")
+    Dedup.imageNearDupInsert(corpus, index, w1, "media_bytes", "doc_id") shouldBe 3L
+    // wave 2: four MORE members of the indexed groups (dropped via the
+    // pruned index probe — the hash rides in the index, no corpus fetch)
+    // plus two docs of a brand-new group that collapse to one fresh doc
+    val w2 = ((6L until 10L).map(id => (id, png(id % 3, (id / 3).toInt))) ++
+      Seq((200L, png(3L, 9)), (201L, png(3L, 10))))
+      .toDF("doc_id", "media_bytes")
+    Dedup.imageNearDupInsert(corpus, index, w2, "media_bytes", "doc_id") shouldBe 1L
+    corpus.read(spark).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(0L, 1L, 2L, 200L)
+    // the index holds bands for exactly the surviving docs
+    index.read(spark).select("doc_id").distinct().count() shouldBe 4L
+  }
+
   test("imageNearDup labels planted groups through decode->hash->band->verify->components") {
     // 3 groups x 4 members: consecutive-pair perturbations per member
     val docs = (0L until 12L).map { id =>

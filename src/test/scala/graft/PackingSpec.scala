@@ -40,4 +40,28 @@ class PackingSpec extends SparkSpec {
       stream += n
     }
   }
+
+  test("packSequences with the BPE counter: layout follows tokenizer tokens, not words") {
+    // "the table scan" = 3 words but 4 BPE tokens under the reference
+    // merges — a packer budgeting by words would place doc starts at
+    // multiples of 3 and OVERFLOW real sequence buffers by a third
+    val merges = typedLit(Seq("t h", "th e", "e r", "a b", "ab l", "abl e",
+      "q u", "er y", "s c", "sc a", "sca n", "o r"))
+    val docs = (0L until 6L).map(i => (i, "one", "the table scan")).toDF("id", "shard", "text")
+    val bpe = graft.functions.BpeExpressions.tokenCount(spark, $"text", merges)
+    val out = Packing.packSequences(docs, $"id", bpe, budget = 10, "shard")
+      .select("id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // stream offsets advance by 4 per doc: 0,4,8,12,16,20 -> seq floor(x/10)
+    for (i <- 0L until 6L) out(i) shouldBe ((i * 4 / 10, i * 4 % 10))
+    // whitespace counting would have started doc 3 at offset 9 of seq 0 —
+    // provably a different layout
+    val ws = Packing.packSequences(docs, $"id",
+      graft.functions.TextFunctions.tokenCount($"text").cast("long"),
+      budget = 10, "shard")
+      .select("id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    ws(3L) shouldBe ((0L, 9L))
+    out(3L) shouldBe ((1L, 2L))
+  }
 }

@@ -676,12 +676,15 @@ object Similarity {
     val hashes = refHashes(cs)
     val recorded = recordedRefs(index)
     if (recorded.isEmpty)
-      index.setProperties(hashes.map { case (cid, h) => s"pq.ref.$cid" -> h })
+      index.setProperties(hashes.map { case (cid, h) => s"pq.ref.$cid" -> h } +
+        ("pq.cb" -> cbHash(cbs)))
     else require(hashes.forall { case (cid, h) => recorded.get(cid).contains(h) } &&
-        recorded.keySet == hashes.keySet,
-      "ivfPqInsert centroids differ from the index's recorded residual " +
-      "references — every insert on one index must use the SAME centroid " +
-      "frame (retrain via ivfPqReassign, which re-records them)")
+        recorded.keySet == hashes.keySet &&
+        index.properties.get("pq.cb").forall(_ == cbHash(cbs)),
+      "ivfPqInsert centroids/codebooks differ from the index's recorded " +
+      "residual references — every insert on one index must use the SAME " +
+      "centroid and codebook frames (retrain via ivfPqReassign/ivfPqRetrain, " +
+      "which re-record them)")
     index.append(pqAssignEncode(spark, cs, cbs, batch, vecCol, idCol),
       partitionBy = Seq("list"))
     index.rowCount.getOrElse(0L) - before
@@ -706,6 +709,19 @@ object Similarity {
     else index.properties.collect {
       case (k, v) if k.startsWith("pq.ref.") => k.stripPrefix("pq.ref.").toLong -> v
     }
+
+  /** Identity hash of a codebook set: codes are (vector, reference,
+    * CODEBOOK)-relative, so a codebook refit invalidates every stored
+    * code even where the reference is unchanged.
+    */
+  private def cbHash(cbs: Array[Array[Array[Float]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(4)
+    cbs.foreach(_.foreach(_.foreach { f =>
+      bb.clear(); bb.putFloat(f); md.update(bb.array())
+    }))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Re-point a persisted IVF-PQ index at NEW IVF centroids — the
     * [[ivfReassign]] maintenance path for the codes-only layout, O(moved
@@ -748,9 +764,14 @@ object Similarity {
     val newHashes = refHashes(cs)
     val recorded = recordedRefs(index)
     // lists whose residual reference is new or changed (a pre-hash-era
-    // index records nothing -> every list conservatively re-encodes)
+    // index records nothing -> every list conservatively re-encodes);
+    // a CODEBOOK refit invalidates every stored code — codes are
+    // (vector, reference, codebook)-relative — so a changed pq.cb makes
+    // every list a changed-reference list
+    val newCb = cbHash(cbs)
+    val cbChanged = !index.properties.get("pq.cb").contains(newCb)
     val changedRef: Set[Long] = cs.map(_._1)
-      .filter(cid => !recorded.get(cid).contains(newHashes(cid))).toSet
+      .filter(cid => cbChanged || !recorded.get(cid).contains(newHashes(cid))).toSet
     // DISCOVERY: one corpus join; vectors retained only where re-encoding
     // will need them (moved or changed-reference destination)
     val sorted = cs.sortBy(_._1)
@@ -798,9 +819,35 @@ object Similarity {
       // the references now in force — recorded AFTER the commit so a
       // failed rewrite leaves the old (still-true) hashes in place
       index.removeProperties(recorded.keys.map(cid => s"pq.ref.$cid").toSeq)
-      index.setProperties(newHashes.map { case (cid, h) => s"pq.ref.$cid" -> h })
+      index.setProperties(newHashes.map { case (cid, h) => s"pq.ref.$cid" -> h } +
+        ("pq.cb" -> newCb))
       movedCount
     } finally compact.unpersist()
+  }
+
+  /** Full IVF-PQ retrain — the FAISS maintenance cadence in one call:
+    * refit IVF centroids on the corpus (seeded bounded-sample KMeans,
+    * [[ivfTrain]]), refit the RESIDUAL codebooks against them
+    * ([[pqTrainResidual]] — the references move, so the codebooks that
+    * quantize residuals against them must refit too), then migrate the
+    * index ([[ivfPqReassign]] — O(moved + changed-reference): with every
+    * reference refit this is a full re-encode, but posting lists whose
+    * membership AND reference are unchanged still carry by reference).
+    * Returns the new `(centroids, codebooks)` frames — persist them:
+    * every subsequent insert/search on this index must use BOTH, and the
+    * old frames are invalid the moment this returns (codes are
+    * (vector, reference, codebook)-relative).
+    */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession,
+      index: graft.table.Icebox, corpus: DataFrame,
+      nlist: Int = 16, m: Int = 8, codes: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxIter: Int = 20,
+      vecCol: String = "embedding", idCol: String = "vec_id"): (DataFrame, DataFrame) = {
+    val centroids = ivfTrain(corpus, nlist, seed, trainFraction, maxIter, vecCol)
+    val cb = pqTrainResidual(corpus, centroids, m, codes, seed, trainFraction,
+      maxIter, vecCol)
+    ivfPqReassign(spark, index, corpus, centroids, cb, vecCol, idCol)
+    (centroids, cb)
   }
 
   /** Top-k search against a persisted IVF-PQ index built by

@@ -335,6 +335,61 @@ class SimilaritySpec extends SparkSpec {
     pruned should be < index.read(spark).inputFiles.length
   }
 
+  test("codebook refit invalidates EVERY stored code: reassign re-encodes even unmoved lists") {
+    val (corpus, oldC, _) = movedFixture(23)
+    val cb = Similarity.pqTrainResidual(corpus, oldC, m = 2, codes = 8, seed = 9L)
+    val index = graft.table.Icebox(tmpDir("pq-cbref"))
+    Similarity.ivfPqInsert(index, oldC, cb, corpus)
+    val before = listPaths(index)
+    // same centroids, REFIT codebooks: zero rows move, but codes are
+    // (vector, reference, codebook)-relative — every occupied list must
+    // rewrite or searches would ADC stale codes against the new LUTs
+    val cb2 = Similarity.pqTrainResidual(corpus, oldC, m = 2, codes = 8, seed = 77L)
+    Similarity.ivfPqReassign(spark, index, corpus, oldC, cb2) shouldBe 0L
+    val after = listPaths(index)
+    for (l <- before.keySet) after(l) should not be before(l)
+    val rebuilt = graft.table.Icebox(tmpDir("pq-cbref-rebuild"))
+    Similarity.ivfPqInsert(rebuilt, oldC, cb2, corpus)
+    val a = index.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = rebuilt.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a shouldBe b
+    // stale-codebook inserts refuse; the refit frames are accepted
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqInsert(index, oldC, cb, corpus.limit(1))
+    }
+    Similarity.ivfPqInsert(index, oldC, cb2, corpus.limit(0)) shouldBe 0L
+  }
+
+  test("ivfPqRetrain: one call refits centroids + codebooks and migrates consistently") {
+    val rnd = new scala.util.Random(31)
+    val wave1 = (around4(rnd, 10f, 0f, 0f, 1f, 0.3f, 100, 0L) ++
+      around4(rnd, 0f, 10f, 0f, 1f, 0.3f, 100, 100L)).toDF("vec_id", "embedding")
+    val index = graft.table.Icebox(tmpDir("pq-retrain"))
+    val frozen = Similarity.ivfTrain(wave1, nlist = 2, seed = 5L)
+    val cb = Similarity.pqTrainResidual(wave1, frozen, m = 2, codes = 8, seed = 5L)
+    Similarity.ivfPqInsert(index, frozen, cb, wave1)
+    val wave2 = around4(rnd, 3f, 3f, 10f, 1f, 0.5f, 200, 1000L).toDF("vec_id", "embedding")
+    Similarity.ivfPqInsert(index, frozen, cb, wave2)
+    val corpus = wave1.unionByName(wave2)
+    val (newC, newCb) = Similarity.ivfPqRetrain(spark, index, corpus,
+      nlist = 3, m = 2, codes = 8, seed = 5L)
+    // byte-identity to a from-scratch build under the RETURNED frames
+    val rebuilt = graft.table.Icebox(tmpDir("pq-retrain-rebuild"))
+    Similarity.ivfPqInsert(rebuilt, newC, newCb, corpus)
+    val a = index.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = rebuilt.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a shouldBe b
+    // the retrained index searches exactly like the rebuilt one
+    val queries = wave2.filter($"vec_id" < 1005L)
+    assertSameRows(
+      Similarity.ivfPqSearch(index, newC, newCb, corpus, queries, k = 3, nprobe = 2),
+      Similarity.ivfPqSearch(rebuilt, newC, newCb, corpus, queries, k = 3, nprobe = 2))
+    // the superseded frames refuse further inserts
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqInsert(index, frozen, cb, corpus.limit(1))
+    }
+  }
+
   test("ivfSearch opens only probed posting-list partitions") {
     val index = graft.table.Icebox(tmpDir("ivf-prune"))
     val centroids = Similarity.ivfTrain(vecs, nlist = 3)

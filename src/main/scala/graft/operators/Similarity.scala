@@ -801,15 +801,20 @@ object Similarity {
         moved.flatMap { case (o, n, _) => Seq(o, n) }.toSet ++
           (changedRef & occupied)
       if (rewrite.isEmpty) return 0L // nothing moved, no reference changed
-      val rewriteStr = rewrite.map(_.toString)
+      // a file from a generation not partitioned by `list` can hold rows
+      // of ANY list: removing it forces every occupied list into the
+      // rewrite set, or its untouched-list rows would be dropped (the
+      // keep filter below must cover every row of every removed file)
       val conforming = snap.files.forall(_.partition.contains("list"))
+      val rewriteFull = if (conforming) rewrite else occupied ++ rewrite
+      val rewriteStr = rewriteFull.map(_.toString)
       val removedF = snap.files.filter(f =>
         !conforming || f.partition.get("list").forall(rewriteStr.contains))
       // REWRITE: unmoved rows under an unchanged reference keep their
       // stored codes verbatim; everything else re-encodes from the vector
       // the discovery pass retained
       val keep = compact.filter(col("list") === col("__new") && !needVec &&
-          col("list").isin(rewrite.toSeq: _*))
+          col("list").isin(rewriteFull.toSeq: _*))
         .select(col(idCol), col("codes"), col("list"))
       val reenc = pqAssignEncode(spark, sorted, cbs,
         compact.filter(needVec).select(col(idCol), col("__v").as(vecCol)),

@@ -335,6 +335,28 @@ class SimilaritySpec extends SparkSpec {
     pruned should be < index.read(spark).inputFiles.length
   }
 
+  test("ivfPqReassign preserves rows from non-partitioned legacy index generations") {
+    val (corpus, oldC, newC) = movedFixture(24)
+    val cb = Similarity.pqTrainResidual(corpus, oldC, m = 2, codes = 8, seed = 9L)
+    val index = graft.table.Icebox(tmpDir("pq-legacy"))
+    Similarity.ivfPqInsert(index, oldC, cb, corpus.filter($"vec_id" =!= 0L))
+    // simulate a legacy generation: vec 0's row appended UNPARTITIONED —
+    // its file's rows could belong to any list, so the delta rewrite must
+    // fall back to rewriting every occupied partition, not drop them
+    val one = graft.table.Icebox(tmpDir("pq-legacy-one"))
+    Similarity.ivfPqInsert(one, oldC, cb, corpus.filter($"vec_id" === 0L))
+    index.append(one.read(spark))
+    val total = corpus.count()
+    index.read(spark).count() shouldBe total
+    Similarity.ivfPqReassign(spark, index, corpus, newC, cb)
+    index.read(spark).count() shouldBe total
+    val rebuilt = graft.table.Icebox(tmpDir("pq-legacy-rebuild"))
+    Similarity.ivfPqInsert(rebuilt, newC, cb, corpus)
+    val a = index.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = rebuilt.read(spark).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    a shouldBe b
+  }
+
   test("codebook refit invalidates EVERY stored code: reassign re-encodes even unmoved lists") {
     val (corpus, oldC, _) = movedFixture(23)
     val cb = Similarity.pqTrainResidual(corpus, oldC, m = 2, codes = 8, seed = 9L)

@@ -2983,6 +2983,26 @@ object SparkEntry {
       out
     }),
 
+    // LLM: TOKENIZER-BUDGET chunking — word-boundary chunks sized by BPE
+    // tokens, not words (the divergence is exactly why q_bpe_tokens
+    // exists): each word lands in chunk floor(prefix-BPE-sum / budget),
+    // one kernel call per word against the plan-literal merges, no
+    // shuffle (require-proven). The oracle replays the merge chain per
+    // word, window-sums the prefix, and string_aggs the chunks.
+    "q_bpe_chunks" -> ((s, dir) => {
+      val merges = typedLit(Seq("t h", "th e", "e r", "a b", "ab l", "abl e",
+        "q u", "er y", "s c", "sc a", "sca n", "o r"))
+      val out = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunksByBudget(s, col("text"), merges, budget = 32))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+          col("c.chunk"))
+      require(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+        "BPE chunking must stay a narrow projection")
+      out
+    }),
+
     // LLM: TRAINED quality classifier (the fastText-analog third leg next
     // to Gopher rules and LM perplexity): logistic weights over hashed
     // unigram+bigram buckets, fit DRIVER-SIDE on a bounded labeled sample
@@ -4795,6 +4815,35 @@ object SparkEntry {
         |  CAST(sum(len(regexp_split_to_array(trim(e), ' +'))) AS BIGINT) AS bpe_tokens,
         |  CAST(count(*) AS BIGINT) AS ws_tokens
         |FROM enc GROUP BY doc_id""".stripMargin,
+
+    // per word: the merge-chain token count; prefix window sum; chunk =
+    // integer-divided prefix; words re-joined in position order
+    "q_bpe_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |words AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+        |cnt AS (
+        |  SELECT doc_id, pos, word,
+        |    len(regexp_split_to_array(trim(
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(
+        |      ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ',
+        |      ' t  h ', ' th '), ' th  e ', ' the '), ' e  r ', ' er '),
+        |      ' a  b ', ' ab '), ' ab  l ', ' abl '), ' abl  e ', ' able '),
+        |      ' q  u ', ' qu '), ' er  y ', ' ery '), ' s  c ', ' sc '),
+        |      ' sc  a ', ' sca '), ' sca  n ', ' scan '), ' o  r ', ' or ')
+        |    ), ' +')) AS c
+        |  FROM words),
+        |pre AS (
+        |  SELECT doc_id, pos, word,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY pos) - c AS bf
+        |  FROM cnt)
+        |SELECT doc_id, CAST(bf // 32 AS BIGINT) AS chunk_id,
+        |  string_agg(word, ' ' ORDER BY pos) AS chunk
+        |FROM pre GROUP BY doc_id, bf // 32""".stripMargin,
 
     // the planted separation: even ids carry reference-like text (keep),
     // odd ids the junk construction (drop); n_feats = unigrams + bigrams

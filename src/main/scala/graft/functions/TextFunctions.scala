@@ -66,6 +66,47 @@ object TextFunctions {
     }
   }
 
+  /** TOKENIZER-BUDGET chunking: word-boundary chunks sized by BPE token
+    * count instead of word count — word `i` lands in chunk
+    * `⌊(Σ_{j<i} bpe(word_j)) / budget⌋`, so every chunk except possibly
+    * the last carries ~`budget` tokenizer tokens regardless of how the
+    * corpus tokenizes (code/CJK chunked by words overflows real sequence
+    * buffers by multiples). Same output shape as [[chunks]]
+    * (`array<struct<chunk_id, chunk>>`, empty doc → empty array); word
+    * counts come from one [[graft.functions.BpeExpressions]] kernel call
+    * per word against the plan-literal merge list. The prefix-sum
+    * accumulator is a growing array — O(words²) element copies per doc —
+    * which is fine at document scale (docs are bounded; corpora are not).
+    */
+  def chunksByBudget(spark: org.apache.spark.sql.SparkSession, text: Column,
+      merges: Column, budget: Int): Column = {
+    require(budget > 0, "budget must be positive")
+    bindOnce(tokens(text)) { toks =>
+      bindOnce(aggregate(toks, array(lit(0L)), (acc, w) =>
+        concat(acc, array(element_at(acc, -1) +
+          graft.functions.BpeExpressions.tokenCount(spark, w, merges))))) { prefix =>
+        val n = org.apache.spark.sql.functions.size(toks)
+        val total = element_at(prefix, -1)
+        // the highest OCCUPIED chunk is the last word's — deriving the
+        // count from `total` would emit a trailing empty chunk whenever
+        // the last word starts below a boundary the total crosses
+        val nChunks =
+          (floor(element_at(prefix, -2).cast("double") / budget) + 1).cast("int")
+        when(n === 0 || total === 0,
+            array().cast("array<struct<chunk_id:int,chunk:string>>"))
+          .otherwise(filter(transform(sequence(lit(0), nChunks - 1), k =>
+            struct(k.cast("int").as("chunk_id"),
+              array_join(filter(zip_with(toks, slice(prefix, lit(1), n),
+                  (w, before) => when(floor(before.cast("double") / budget)
+                    .cast("int") === k, w)),
+                w => w.isNotNull), " ").as("chunk"))),
+            // a single word counting past the budget makes the prefix jump
+            // a whole chunk index — skipped ids stay skipped, not empty
+            st => st.getField("chunk") =!= ""))
+      }
+    }
+  }
+
   /** Fraction of non-blank lines that are duplicates of an earlier line —
     * the Gopher-style repetition signal for boilerplate/spam filtering
     * (0 for docs with no non-blank lines).

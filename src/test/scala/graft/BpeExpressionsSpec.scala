@@ -47,6 +47,25 @@ class BpeExpressionsSpec extends SparkSpec {
     got shouldBe Seq(1L, 2L, 2L)
   }
 
+  test("chunksByBudget splits on BPE prefix sums: boundaries, gaps, no empty chunks") {
+    import graft.functions.TextFunctions
+    def chunksOf(text: String, budget: Int): Seq[(Int, String)] =
+      Seq((1, text)).toDF("id", "text")
+        .select(explode(TextFunctions.chunksByBudget(spark, col("text"),
+          typedLit(merges), budget)).as("c"))
+        .select(col("c.chunk_id"), col("c.chunk"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+    // counts: the=1 table=2 scan=1 sort=3 order=3 -> prefixes 0,1,3,4,7
+    chunksOf("the table scan sort order", 4) shouldBe
+      Seq((0, "the table scan"), (1, "sort order"))
+    // everything fits one chunk; last word's START decides the count
+    chunksOf("the table scan", 4) shouldBe Seq((0, "the table scan"))
+    // a word counting past the budget jumps chunk ids: skipped, not empty
+    // (xyzxyz = 6 unmergeable chars; prefixes 0,6 with budget 3 -> ids 0, 2)
+    chunksOf("xyzxyz the", 3) shouldBe Seq((0, "xyzxyz"), (2, "the"))
+    chunksOf("   ", 4) shouldBe Seq.empty
+  }
+
   test("takeTokenBudget with the BPE counter admits by tokenizer tokens, not words") {
     // "the table scan": 3 words but 4 BPE tokens (the=1, table=2, scan=1);
     // the budget arithmetic must follow the BPE column

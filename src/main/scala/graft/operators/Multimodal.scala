@@ -205,7 +205,12 @@ object Multimodal {
     * bit-identical. None on anything unexpected → caller falls through to
     * the provider path; never throws.
     */
-  private def decodeWavPcm16(b: Array[Byte]): Option[AudioMeta] = {
+  /** Parsed RIFF/WAVE PCM16 layout: sample window `[dataOff, dataOff +
+    * 2·samples)` of little-endian signed 16-bit samples.
+    */
+  private final case class WavPcm16(channels: Int, rate: Int, dataOff: Int, samples: Int)
+
+  private def parseWavPcm16(b: Array[Byte]): Option[WavPcm16] = {
     if (!isRiff(b) || b.length < 12 ||
         b(8) != 'W'.toByte || b(9) != 'A'.toByte || b(10) != 'V'.toByte ||
         b(11) != 'E'.toByte) return None
@@ -236,18 +241,119 @@ object Multimodal {
       off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
-    val n = dataLen / 2
-    var sumSq = 0.0
-    var i = 0
-    while (i < n) {
-      val s = (((b(dataOff + 2 * i + 1) & 0xFF) << 8) | (b(dataOff + 2 * i) & 0xFF)).toShort
-      val v = s / 32768.0
-      sumSq += v * v
-      i += 1
+    Some(WavPcm16(ch, rate, dataOff, dataLen / 2))
+  }
+
+  @inline private def sampleAt(b: Array[Byte], dataOff: Int, i: Int): Short =
+    (((b(dataOff + 2 * i + 1) & 0xFF) << 8) | (b(dataOff + 2 * i) & 0xFF)).toShort
+
+  private def decodeWavPcm16(b: Array[Byte]): Option[AudioMeta] =
+    parseWavPcm16(b).map { w =>
+      var sumSq = 0.0
+      var i = 0
+      while (i < w.samples) {
+        val v = sampleAt(b, w.dataOff, i) / 32768.0
+        sumSq += v * v
+        i += 1
+      }
+      val frames = w.samples.toLong / w.channels
+      AudioMeta(w.rate, w.channels, frames, frames * 1000L / math.max(1, w.rate),
+        if (w.samples == 0) 0.0 else math.sqrt(sumSq / w.samples))
     }
-    val frames = n.toLong / ch
-    Some(AudioMeta(rate, ch, frames, frames * 1000L / math.max(1, rate),
-      if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+
+  /** 64-bit perceptual AUDIO hash: the clip's mono energy ENVELOPE over
+    * 65 equal time windows, bit i = [energy(window i+1) > energy(window
+    * i)] — the dHash recipe applied to loudness contour, which survives
+    * re-encoding, amplitude scaling does not flip strict inequalities,
+    * and resampling preserves window boundaries (windows are fractions
+    * of the clip, not sample counts). WAV-PCM16 fast path (lock-free, as
+    * [[decodeAudio]]); other decodable audio goes through the provider
+    * path's PCM conversion. None for undecodable/empty clips.
+    */
+  def audioDHash(bytes: Array[Byte]): Option[Long] = {
+    val env: Option[Array[Double]] = parseWavPcm16(bytes) match {
+      case Some(w) if w.samples >= 65 =>
+        val frames = w.samples / w.channels
+        if (frames < 65) None
+        else Some(envelopeOf(frames, 65) { f =>
+          var s = 0.0
+          var c = 0
+          while (c < w.channels) {
+            val v = sampleAt(bytes, w.dataOff, f * w.channels + c) / 32768.0
+            s += v * v
+            c += 1
+          }
+          s
+        })
+      case Some(_) => None
+      case None =>
+        decodeAudioSamples(bytes).flatMap { case (ch, data) =>
+          val frames = data.length / ch
+          if (frames < 65) None
+          else Some(envelopeOf(frames, 65) { f =>
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val v = data(f * ch + c) / 32768.0
+              s += v * v
+              c += 1
+            }
+            s
+          })
+        }
+    }
+    env.map { e =>
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i + 1) > e(i)) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+  }
+
+  /** Mean per-frame energy over `windows` equal frame ranges (floor
+    * boundaries, same scheme as the image box downsample).
+    */
+  private def envelopeOf(frames: Int, windows: Int)(energy: Int => Double): Array[Double] = {
+    val out = new Array[Double](windows)
+    var k = 0
+    while (k < windows) {
+      val f0 = k * frames / windows
+      val f1 = math.max(f0 + 1, (k + 1) * frames / windows)
+      var s = 0.0
+      var f = f0
+      while (f < f1) { s += energy(f); f += 1 }
+      out(k) = s / (f1 - f0)
+      k += 1
+    }
+    out
+  }
+
+  /** Provider-path PCM16 samples for non-WAV audio (AIFF/AU/compressed). */
+  private def decodeAudioSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || bytes.length == 0 || !looksLikeAudio(bytes)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ch = math.max(1, fmt.getChannels)
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, ch, 2 * ch, fmt.getSampleRate, false)
+        val data = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, in)
+          .readAllBytes()
+        val out = new Array[Short](data.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        Some((ch, out))
+      } finally in.close()
+    } catch { case _: Exception => None }
   }
 
   /** Deterministic synthetic WAV: `frames` frames at `sampleRateHz`, every
@@ -276,6 +382,42 @@ object Multimodal {
     }
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic mono WAV whose [[audioDHash]] is EXACTLY `bits`: 65
+    * equal windows of a ±amplitude square wave, amplitude walking 16384 ±
+    * 128 per window (up where the bit is set — 64 steps stay inside
+    * [8192, 24576], far from both 0 and the 16-bit rail) — window energy is a strict
+    * monotone function of |amplitude|, so every envelope comparison
+    * realizes its planted bit. The audio twin of [[syntheticDHashPng]].
+    */
+  def syntheticAudioDHashWav(bits: Long, framesPerWindow: Int = 64,
+      sampleRateHz: Int = 8000): Array[Byte] = {
+    require(framesPerWindow >= 1, "framesPerWindow must be >= 1")
+    val frames = 65 * framesPerWindow
+    val data = new Array[Byte](frames * 2)
+    var amp = 16384
+    var k = 0
+    while (k < 65) {
+      if (k > 0) amp += (if (((bits >>> (k - 1)) & 1L) == 1L) 128 else -128)
+      var f = 0
+      while (f < framesPerWindow) {
+        val i = k * framesPerWindow + f
+        val s = (if (i % 2 == 0) amp else -amp).toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        f += 1
+      }
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
     val out = new java.io.ByteArrayOutputStream()
@@ -445,14 +587,16 @@ object Multimodal {
   }
 
   /** Batched perceptual hashing over partitions: `(id, binary)` in →
-    * `(id, phash)` out (`method` = "dhash" | "phash"; null hash marks
+    * `(id, phash)` out (`method` = "dhash" | "phash" for images,
+    * "audio" for [[audioDHash]] envelope hashes; null hash marks
     * undecodable bytes). Narrow op — no shuffle; the 100 TB shape is one
     * decode pass producing an 8-byte column that all downstream dedup
     * operates on, never re-touching the blobs.
     */
   def imageHashMeta(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "media_bytes", method: String = "dhash"): DataFrame = {
-    require(method == "dhash" || method == "phash", s"unknown hash method $method")
+    require(method == "dhash" || method == "phash" || method == "audio",
+      s"unknown hash method $method")
     val spark = df.sparkSession
     import spark.implicits._
     val in: Dataset[Row] = df.select(col(idCol).cast("long"), col(binCol))
@@ -460,7 +604,11 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-        (id, if (method == "dhash") dHash(bytes) else pHash(bytes))
+        (id, method match {
+          case "dhash" => dHash(bytes)
+          case "phash" => pHash(bytes)
+          case _ => audioDHash(bytes)
+        })
       }
     }.toDF(idCol, "phash")
   }

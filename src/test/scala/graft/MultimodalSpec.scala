@@ -258,6 +258,52 @@ class MultimodalSpec extends SparkSpec {
     hamming(d1, Multimodal.dHash(smoothPng(64, 64, other)).get) should be > 12 // 20
   }
 
+  test("audioDHash: planted envelopes round-trip exactly; scale/resample invariant") {
+    val bits = 0x0123456789ABCDEFL
+    val wav = Multimodal.syntheticAudioDHashWav(bits, framesPerWindow = 16)
+    Multimodal.audioDHash(wav) shouldBe Some(bits)
+    // more frames per window = a longer clip of the SAME loudness contour
+    // (the resample analog: windows are clip fractions, not sample counts)
+    Multimodal.audioDHash(
+      Multimodal.syntheticAudioDHashWav(bits, framesPerWindow = 48)) shouldBe Some(bits)
+    // a perturbed envelope moves exactly its bits
+    hamming(bits, Multimodal.audioDHash(
+      Multimodal.syntheticAudioDHashWav(bits ^ (3L << 20), 16)).get) shouldBe 2
+    // amplitude scaling preserves every strict energy comparison: decode
+    // the synth WAV's PCM, halve every sample, re-wrap as WAV
+    val half = {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val data = src.readAllBytes()
+      var i = 0
+      while (i < data.length / 2) {
+        val s = ((((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF)).toShort / 2).toShort
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais2 = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), src.getFormat, data.length / 2L)
+      val o = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais2,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, o)
+      o.toByteArray
+    }
+    Multimodal.audioDHash(half) shouldBe Some(bits)
+    // too-short clips and non-audio refuse, not crash
+    Multimodal.audioDHash(Multimodal.syntheticWav(8000, 1, 30, 100)) shouldBe None
+    Multimodal.audioDHash("not audio".getBytes) shouldBe None
+    // the provider fallback path hashes AIFF-decodable audio too: write
+    // the same PCM as AIFF and expect the identical envelope hash
+    val pcmWav = Multimodal.syntheticAudioDHashWav(bits, 16)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(pcmWav))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    Multimodal.audioDHash(out.toByteArray) shouldBe Some(bits)
+  }
+
   test("imageNearDupInsert: batch collapses, index probe drops re-offers, fresh groups append") {
     def png(g: Long, m: Int): Array[Byte] = {
       var bits = 0L

@@ -3071,6 +3071,33 @@ object SparkEntry {
       Dedup.imageNearDup(imgs, "media_bytes", "doc_id", maxHamming = 8, bands = 8)
     }),
 
+    // LLM: PERCEPTUAL video near-dup — the trilogy's third modality: each
+    // doc is a real 3-frame AVI whose every (lossless PNG) frame realizes
+    // the planted dHash pattern, so the frame-MAJORITY video hash equals
+    // the pattern exactly and decode -> hash -> band -> Hamming ->
+    // components must recover components == doc_id % 16 arithmetically.
+    "q_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val avis = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val g = id % 16
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (((g >> (i % 4)) & 1L) == 1L) bits |= 1L << i
+              i += 1
+            }
+            val m = ((id / 16) % 32).toInt
+            if (m > 0) bits ^= 3L << (2 * m)
+            val frame = Multimodal.syntheticDHashPng(bits)
+            (id, Multimodal.syntheticAvi(9, 8, 10, Seq(frame, frame, frame)))
+          }
+        }.toDF("doc_id", "media_bytes")
+      Dedup.imageNearDup(avis, "media_bytes", "doc_id", maxHamming = 8,
+        bands = 8, method = "video")
+    }),
+
     // LLM: PERCEPTUAL audio near-dup — the image construction's audio
     // twin: each doc carries a real mono WAV whose loudness ENVELOPE
     // realizes the planted 64-bit pattern exactly (amplitude walks up/
@@ -4881,6 +4908,13 @@ object SparkEntry {
         |    THEN 2 * len(regexp_split_to_array(trim(text), '\s+')) - 1
         |    ELSE 59 END AS BIGINT) AS n_feats,
         |  (doc_id % 2 = 0) AS keep
+        |FROM documents""".stripMargin,
+
+    // identical planted-group arithmetic as the image flavor
+    "q_video_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id % 16 AS BIGINT) AS dup_group,
+        |  (doc_id >= 16) AS is_dup
         |FROM documents""".stripMargin,
 
     // identical planted-group arithmetic as the image flavor

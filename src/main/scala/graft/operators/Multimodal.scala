@@ -588,14 +588,15 @@ object Multimodal {
 
   /** Batched perceptual hashing over partitions: `(id, binary)` in →
     * `(id, phash)` out (`method` = "dhash" | "phash" for images,
-    * "audio" for [[audioDHash]] envelope hashes; null hash marks
+    * "audio" for [[audioDHash]] envelope hashes, "video" for
+    * [[videoDHash]] frame-majority hashes; null hash marks
     * undecodable bytes). Narrow op — no shuffle; the 100 TB shape is one
     * decode pass producing an 8-byte column that all downstream dedup
     * operates on, never re-touching the blobs.
     */
   def imageHashMeta(df: DataFrame, idCol: String = "doc_id",
       binCol: String = "media_bytes", method: String = "dhash"): DataFrame = {
-    require(method == "dhash" || method == "phash" || method == "audio",
+    require(Set("dhash", "phash", "audio", "video")(method),
       s"unknown hash method $method")
     val spark = df.sparkSession
     import spark.implicits._
@@ -607,7 +608,8 @@ object Multimodal {
         (id, method match {
           case "dhash" => dHash(bytes)
           case "phash" => pHash(bytes)
-          case _ => audioDHash(bytes)
+          case "audio" => audioDHash(bytes)
+          case _ => videoDHash(bytes)
         })
       }
     }.toDF(idCol, "phash")
@@ -888,6 +890,57 @@ object Multimodal {
     }
     walk(12, math.min(bytes.length, 8 + u32(4).toInt))
     out.result()
+  }
+
+  /** 64-bit perceptual VIDEO hash: the per-bit MAJORITY vote of every
+    * sampled frame's [[dHash]] (every `stride`-th frame of the RIFF/AVI
+    * chunk walk, the [[sampleFrameMeans]] traversal) — robust to frame
+    * drops, insertions, and per-frame re-encodes a single-frame hash is
+    * not (ties vote 0). None when no frame decodes.
+    */
+  def videoDHash(bytes: Array[Byte], stride: Int = 1): Option[Long] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    if (bytes == null || bytes.length < 24 || !looksLikeVideo(bytes)) return None
+    def u32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val votes = new Array[Int](64)
+    var idx = 0
+    var hashed = 0
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val size = u32(o + 4).toInt
+        val dataStart = o + 8
+        if (dataStart + size > bytes.length) return
+        id match {
+          case "LIST" => walk(dataStart + 4, dataStart + size)
+          case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) &&
+              c(0).isDigit && c(1).isDigit =>
+            if (idx % stride == 0)
+              dHash(java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size))
+                .foreach { h =>
+                  hashed += 1
+                  var i = 0
+                  while (i < 64) { if (((h >>> i) & 1L) == 1L) votes(i) += 1; i += 1 }
+                }
+            idx += 1
+          case _ => ()
+        }
+        o = dataStart + size + (size & 1)
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    if (hashed == 0) None
+    else {
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) * 2 > hashed) h |= 1L << i; i += 1 }
+      Some(h)
+    }
   }
 
   /** Deterministic synthetic AVI: wraps pre-encoded frame images (PNG or

@@ -304,6 +304,27 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.audioDHash(out.toByteArray) shouldBe Some(bits)
   }
 
+  test("videoDHash: frame-majority vote survives a corrupt/dissenting minority frame") {
+    val bits = 0xFEDCBA9876543210L
+    val frame = Multimodal.syntheticDHashPng(bits)
+    Multimodal.videoDHash(
+      Multimodal.syntheticAvi(9, 8, 10, Seq(frame, frame, frame))) shouldBe Some(bits)
+    // a single dissenting frame (one planted bit-pair flipped) is outvoted
+    val odd = Multimodal.syntheticDHashPng(bits ^ (3L << 10))
+    Multimodal.videoDHash(
+      Multimodal.syntheticAvi(9, 8, 10, Seq(frame, odd, frame))) shouldBe Some(bits)
+    // an undecodable frame is skipped, not fatal
+    Multimodal.videoDHash(Multimodal.syntheticAvi(9, 8, 10,
+      Seq(frame, "junk frame".getBytes, frame))) shouldBe Some(bits)
+    // stride samples every n-th frame
+    Multimodal.videoDHash(
+      Multimodal.syntheticAvi(9, 8, 10, Seq(frame, odd, frame, odd)),
+      stride = 2) shouldBe Some(bits)
+    // non-video and frameless containers refuse
+    Multimodal.videoDHash("not a video".getBytes) shouldBe None
+    Multimodal.videoDHash(Multimodal.syntheticAvi(9, 8, 10, Nil)) shouldBe None
+  }
+
   test("imageNearDupInsert: batch collapses, index probe drops re-offers, fresh groups append") {
     def png(g: Long, m: Int): Array[Byte] = {
       var bits = 0L

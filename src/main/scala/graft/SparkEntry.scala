@@ -2449,6 +2449,26 @@ object SparkEntry {
         .select(col("doc_id"), col("contaminated"))
     }),
 
+    // LLM: SPAN-SCRUBBING decontamination — remove exactly the tokens
+    // covered by a benchmark 8-gram occurrence, keep the rest (the
+    // surgical alternative to dropping whole docs). Bench grams
+    // broadcast; only MATCHED positions aggregate (contaminated docs
+    // only) and broadcast back — the corpus never shuffles (in-query
+    // require). The oracle replays positions, interval coverage, and the
+    // ordered token reassembly in SQL.
+    "q_decontaminate_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val out = Decontaminate.scrub(d, "text", "doc_id",
+        d.filter(col("doc_id") % 19 === 0), "text", n = 8)
+      // the one hash exchange in the plan aggregates MATCHED positions
+      // (bounded by contamination volume); the corpus side itself meets
+      // bench grams and the position sets in broadcast joins only
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+        "corpus joins must broadcast — the corpus never shuffles for a join")
+      out
+    }),
+
     // LLM: SEMANTIC decontamination — corpus vectors near-duplicate
     // (cosine >= 0.99) of any eval embedding are flagged; eval vectors
     // broadcast, candidacy by hyperplane-signature collision, the corpus
@@ -4584,6 +4604,39 @@ object SparkEntry {
     "q_decon_semantic" ->
       """SELECT vec_id, label, (vec_id < 20) AS contaminated
         |FROM embeddings""".stripMargin,
+
+    // positions of matching 8-grams -> interval coverage -> ordered
+    // reassembly of surviving normalized tokens
+    "q_decontaminate_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS p0, array_to_string(ts[i:i+7], ' ') AS g
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+        |  WHERE len(ts) >= 8),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(ts[i:i+7], ' ') AS g
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+        |  WHERE len(ts) >= 8 AND doc_id % 19 = 0),
+        |hits AS (SELECT DISTINCT grams.doc_id, p0 FROM grams JOIN bench USING (g)),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS idx, ts[i] AS w
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)),
+        |keepw AS (
+        |  SELECT t.doc_id, t.idx, t.w
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+        |    WHERE h.doc_id = t.doc_id AND h.p0 <= t.idx AND t.idx <= h.p0 + 7)),
+        |agg AS (
+        |  SELECT doc_id, coalesce(string_agg(w, ' ' ORDER BY idx), '') AS text,
+        |    count(*) AS n_kept
+        |  FROM keepw GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.text, '') AS text,
+        |  CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+'))
+        |    - coalesce(a.n_kept, 0) AS BIGINT) AS n_scrubbed
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (

@@ -74,6 +74,58 @@ object Decontaminate {
     docs.join(bad, docs(idCol) === col("__cid"), "left_anti")
   }
 
+  /** SPAN-SCRUBBING decontamination: instead of DROPPING a contaminated
+    * document (the [[clean]] policy — wasteful when one quoted benchmark
+    * line taints a long useful document), remove exactly the tokens
+    * covered by some benchmark n-gram occurrence and keep the rest — the
+    * surgical flavor production pipelines pair with doc-level drops.
+    * Output: `(idCol, text, n_scrubbed)` where `text` is the surviving
+    * NORMALIZED (lowercased, single-spaced) tokens in order and
+    * `n_scrubbed` counts removed tokens (0 for untouched docs, the whole
+    * doc for verbatim benchmark members).
+    *
+    * 100 TB shape: the bench gram set broadcasts (eval sets are small by
+    * nature); the corpus's positional grams meet it in one broadcast
+    * SEMI-join and only the MATCHED positions aggregate — a tiny
+    * (contaminated-docs-only) frame that broadcasts back, so the corpus
+    * itself never shuffles; the rebuild is one array expression per row
+    * (`exists` over the doc's own match positions, O(tokens × matches)).
+    */
+  def scrub(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = gramSet(bench, benchTextCol, n)
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val withPos = docs.select(col(idCol).as("__id"), toks.as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(1), size(col("__ts")) - (n - 1)),
+        i => array_join(slice(col("__ts"), i, lit(n)), " "))))
+      .toDF("__id", "__p0", "gram") // __p0 is 0-based start
+    val matches = withPos
+      .join(broadcast(benchGrams), "gram", "left_semi")
+      .groupBy(col("__id")).agg(collect_set(col("__p0")).as("__ps"))
+      .withColumnRenamed("__id", "__mid")
+    docs
+      .join(broadcast(matches), col(idCol) === col("__mid"), "left")
+      .select(col(idCol), tokens(toksOf(textCol)).as("__t"), col("__ps"))
+      .select(col(idCol),
+        when(col("__ps").isNull, col("__t")).otherwise(
+          filter(zip_with(col("__t"),
+              sequence(lit(0), greatest(size(col("__t")) - 1, lit(0))),
+              (w, i) => when(!exists(col("__ps"),
+                p => p <= i && i <= p + (n - 1)), w)),
+            w => w.isNotNull)).as("__keep"),
+        size(col("__t")).as("__n0"))
+      .select(col(idCol), array_join(col("__keep"), " ").as("text"),
+        (col("__n0") - size(col("__keep"))).cast("long").as("n_scrubbed"))
+  }
+
+  // the normalized token array the gram positions index into
+  private def toksOf(textCol: String): Column = lower(trim(col(textCol)))
+  private def tokens(norm: Column): Column =
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, "\\s+"))
+
   // ------------------------------------------- semantic (embedding-level)
 
   /** SEMANTIC decontamination: corpus documents whose EMBEDDING is a

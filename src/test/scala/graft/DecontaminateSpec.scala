@@ -73,4 +73,28 @@ class DecontaminateSpec extends SparkSpec {
       eval, "embedding", dim = 4).queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
   }
+
+  test("scrub removes exactly the benchmark-covered spans, keeps the rest") {
+    val bench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c d e f g h y1 y2 y3"), // span at tokens 3..10
+      (2L, "p q r s t u v w p q"),               // untouched
+      (3L, "a b c d e f g h"),                   // verbatim member: all gone
+      (4L, "a b c d e f g h a b c d e f g h"),   // two occurrences
+      (5L, "a b c d e f g")                      // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.scrub(docs, "text", "doc_id", bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1L) shouldBe (("x1 x2 x3 y1 y2 y3", 8L))
+    out(2L) shouldBe (("p q r s t u v w p q", 0L))
+    out(3L) shouldBe (("", 8L))
+    out(4L) shouldBe (("", 16L))
+    out(5L) shouldBe (("a b c d e f g", 0L))
+    // partial overlap: the covering intervals union, not double-count
+    val d2 = Seq((9L, "z a b c d e f g h b c d e f g h i z")).toDF("doc_id", "text")
+    val b2 = Seq((0L, "a b c d e f g h"), (1L, "h b c d e f g h")).toDF("doc_id", "text")
+    // matches at p0=1 (a..h) and p0=8 (h b c d e f g h) -> covers 1..15
+    Decontaminate.scrub(d2, "text", "doc_id", b2, "text", n = 8)
+      .collect().head.getString(1) shouldBe "z i z"
+  }
 }

@@ -54,37 +54,43 @@ object BpeExpressions {
 
   // ------------------------------------------------------------- kernel
 
-  /** Rank map parsed from the merge literal, cached per thread by object
-    * identity — a literal evaluates to the SAME ArrayData instance every
-    * row, so one parse serves the whole task.
+  /** Parsed ranks PLUS the per-word memo, bound together per merge-list
+    * instance: a memoized count is only ever served alongside the ranks
+    * it was computed under, so two merge lists in one session (or one
+    * query) can never cross-contaminate. A literal evaluates to the SAME
+    * ArrayData instance every row, so one parse serves the whole task;
+    * the identity map holds a handful of states so alternating merge
+    * columns don't thrash the parse either.
     */
-  private val parsedCache =
-    new ThreadLocal[(AnyRef, java.util.HashMap[String, Integer])]()
-
-  private def ranksOf(merges: ArrayData): java.util.HashMap[String, Integer] = {
-    val cached = parsedCache.get()
-    if (cached != null && (cached._1 eq merges)) return cached._2
-    val m = new java.util.HashMap[String, Integer]()
-    var i = 0
-    val n = merges.numElements()
-    while (i < n) {
-      val pair = merges.getUTF8String(i).toString
-      if (!m.containsKey(pair)) m.put(pair, i)
-      i += 1
-    }
-    parsedCache.set((merges, m))
-    m
+  private final class MergeState(val ranks: java.util.HashMap[String, Integer]) {
+    val memo = new java.util.HashMap[String, java.lang.Long]()
   }
 
-  /** Per-word result memo (word → token count), thread-local and bounded:
-    * cleared when full rather than evicted — the working set is the
-    * vocabulary, which is tiny next to the bound.
-    */
-  private val wordCache =
-    new ThreadLocal[java.util.HashMap[String, java.lang.Long]]() {
-      override def initialValue() = new java.util.HashMap[String, java.lang.Long]()
+  private val stateCache =
+    new ThreadLocal[java.util.IdentityHashMap[AnyRef, MergeState]]() {
+      override def initialValue() = new java.util.IdentityHashMap[AnyRef, MergeState]()
     }
+  private val MaxStates = 8
   private val MaxWordCache = 1 << 16
+
+  private def stateOf(merges: ArrayData): MergeState = {
+    val cache = stateCache.get()
+    var st = cache.get(merges)
+    if (st == null) {
+      if (cache.size() >= MaxStates) cache.clear()
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      val n = merges.numElements()
+      while (i < n) {
+        val pair = merges.getUTF8String(i).toString
+        if (!m.containsKey(pair)) m.put(pair, i)
+        i += 1
+      }
+      st = new MergeState(m)
+      cache.put(merges, st)
+    }
+    st
+  }
 
   private def bpeWordCount(word: String, ranks: java.util.HashMap[String, Integer]): Long = {
     var tokens = word.toCharArray.map(_.toString)
@@ -124,8 +130,9 @@ object BpeExpressions {
   /** Static entry the generated code calls. */
   def countTokens(text: UTF8String, merges: ArrayData): Long = {
     if (text == null) return 0L
-    val ranks = ranksOf(merges)
-    val cache = wordCache.get()
+    val st = stateOf(merges)
+    val ranks = st.ranks
+    val cache = st.memo
     var total = 0L
     val words = text.toString.trim.split("\\s+")
     var i = 0

@@ -874,7 +874,10 @@ object Multimodal {
         val id = fourcc(o)
         val size = u32(o + 4).toInt
         val dataStart = o + 8
-        if (dataStart + size > bytes.length) return
+        // a crafted/corrupt u32 can go negative as an Int: it would pass
+        // the bounds check below AND leave `o` unadvanced (size = -8) —
+        // an infinite loop; reject the chunk instead of trusting it
+        if (size < 0 || dataStart + size > bytes.length) return
         id match {
           case "LIST" => walk(dataStart + 4, dataStart + size)
           case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) &&
@@ -888,7 +891,10 @@ object Multimodal {
         o = dataStart + size + (size & 1)
       }
     }
-    walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    // corrupt containers yield NO frames, never a failed task — the
+    // null-metadata contract decodeVideo/imageHashMeta document
+    try walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    catch { case scala.util.control.NonFatal(_) => return out.result() }
     out.result()
   }
 
@@ -915,7 +921,9 @@ object Multimodal {
         val id = fourcc(o)
         val size = u32(o + 4).toInt
         val dataStart = o + 8
-        if (dataStart + size > bytes.length) return
+        // negative sizes pass the bounds check and stall the walk
+        // (size = -8 never advances `o`) — reject, don't trust
+        if (size < 0 || dataStart + size > bytes.length) return
         id match {
           case "LIST" => walk(dataStart + 4, dataStart + size)
           case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) &&
@@ -933,7 +941,10 @@ object Multimodal {
         o = dataStart + size + (size & 1)
       }
     }
-    walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    // a corrupt container hashes to None (the imageHashMeta null-hash
+    // contract), never a failed task
+    try walk(12, math.min(bytes.length, 8 + u32(4).toInt))
+    catch { case scala.util.control.NonFatal(_) => if (hashed == 0) return None }
     if (hashed == 0) None
     else {
       var h = 0L

@@ -148,8 +148,10 @@ object Sampling {
     // null sources get their own explicit bucket: without it the null
     // group's key NPEs the driver-side sort, and even sorted, null-source
     // rows would never match any CASE arm (silently dropped) while their
-    // count still inflated z/total, skewing every other source's rate
-    val bucket = coalesce(col(sourceCol).cast("string"), lit("__null__"))
+    // count still inflated z/total, skewing every other source's rate.
+    // Real values are prefixed so NO string value can collide with the
+    // null bucket ("v:__null__" ≠ "n") — the keys are internal only
+    val bucket = coalesce(concat(lit("v:"), col(sourceCol).cast("string")), lit("n"))
     val counts: Seq[(String, Long)] = df.groupBy(bucket.as("__src"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq

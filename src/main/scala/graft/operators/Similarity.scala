@@ -675,9 +675,20 @@ object Similarity {
     // one reference, probes against another); require instead.
     val hashes = refHashes(cs)
     val recorded = recordedRefs(index)
-    if (recorded.isEmpty)
+    if (recorded.isEmpty) {
+      // an index with rows but NO recorded references is a half-written
+      // state (e.g. a crash mid-swap under the pre-replaceProperties
+      // protocol): recording whatever centroids this call was handed
+      // would bless them as truth over codes encoded under OTHERS —
+      // refuse; the operator must reassign/retrain to re-establish them
+      require(before == 0L,
+        s"ivfPqInsert: index has $before rows but no recorded pq.ref.* " +
+        "references — refusing to record this call's centroids over codes " +
+        "of unknown provenance; run ivfPqReassign/ivfPqRetrain to " +
+        "re-encode and re-record")
       index.setProperties(hashes.map { case (cid, h) => s"pq.ref.$cid" -> h } +
         ("pq.cb" -> cbHash(cbs)))
+    }
     else require(hashes.forall { case (cid, h) => recorded.get(cid).contains(h) } &&
         recorded.keySet == hashes.keySet &&
         index.properties.get("pq.cb").forall(_ == cbHash(cbs)),
@@ -822,10 +833,14 @@ object Similarity {
       index.rewriteFiles("reassign", removedF, keep.unionByName(reenc),
         Seq("list"), expectHeadId = headId)
       // the references now in force — recorded AFTER the commit so a
-      // failed rewrite leaves the old (still-true) hashes in place
-      index.removeProperties(recorded.keys.map(cid => s"pq.ref.$cid").toSeq)
-      index.setProperties(newHashes.map { case (cid, h) => s"pq.ref.$cid" -> h } +
-        ("pq.cb" -> newCb))
+      // failed rewrite leaves the old (still-true) hashes in place, and
+      // as ONE atomic swap: a crash between a separate remove and set
+      // would leave rows with NO recorded references, which the next
+      // insert's recorded.isEmpty branch would mis-read as a fresh index
+      index.replaceProperties(
+        recorded.keys.map(cid => s"pq.ref.$cid").toSeq,
+        newHashes.map { case (cid, h) => s"pq.ref.$cid" -> h } +
+          ("pq.cb" -> newCb))
       movedCount
     } finally compact.unpersist()
   }

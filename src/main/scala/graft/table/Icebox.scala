@@ -244,6 +244,14 @@ final class Icebox(val tableDir: String) {
     */
   def removeProperties(keys: Seq[String]): Unit = updateProperties(_ -- keys)
 
+  /** Remove `remove` and merge `set` in ONE locked read-merge-write — for
+    * key-set swaps (e.g. re-recording an index's residual references)
+    * where a crash between a separate remove and set would leave a
+    * half-cleared state that reads as "never recorded".
+    */
+  def replaceProperties(remove: Seq[String], set: Map[String, String]): Unit =
+    updateProperties(p => (p -- remove) ++ set)
+
   private def updateProperties(f: Map[String, String] => Map[String, String]): Unit =
     withTableLock {
       val merged = f(properties)

@@ -138,6 +138,13 @@ object Dedup {
     * inserts never advance the covered marker. `onBeforeCommit` is a test
     * seam for deterministic interleaving.
     *
+    * Commit budget: steady state is exactly TWO fsync-bearing commits per
+    * wave — the corpus append and the index append; the covered-marker
+    * advance and the first wave's bloom/sort property init RIDE the index
+    * append (pointer-then-props inside one lock window, so a crash mid-
+    * commit leaves the marker conservatively stale, never ahead of the
+    * published bands).
+    *
     * Returns the number of docs appended.
     */
   def nearDupInsert(corpus: graft.table.Icebox, index: graft.table.Icebox,
@@ -247,13 +254,26 @@ object Dedup {
                     collectStats = Seq(idCol))
                 else corpus.append(fresh, collectStats = Seq(idCol)))
               else None
+            // the covered-marker advance RIDES the index append (one
+            // atomic commit, pointer-then-props inside one lock window)
+            // instead of a third fsync-bearing cycle per wave; so does the
+            // first wave's bloom/sort property init. Steady state is
+            // exactly TWO commits per wave: corpus append + index append.
+            val newCovered =
+              if (serializable) appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
+              else -1L
+            val markerProps: Map[String, String] =
+              if (serializable && newCovered >= 0 && newCovered != coveredId)
+                Map(Dedup.CoveredProp -> newCovered.toString)
+              else Map.empty
             if (n > 0 || healRows > 0) {
-              if (!index.exists)
-                index.setProperties(Map("manifest.bloom.columns" -> "key",
+              val initProps: Map[String, String] =
+                if (!index.exists) Map("manifest.bloom.columns" -> "key",
                   // maintenance compaction range-clusters by key, so probe
                   // pruning survives file consolidation via min/max stats
                   // even past the bloom attach budget
-                  "write.sort.columns" -> "key"))
+                  "write.sort.columns" -> "key")
+                else Map.empty
               // right-size the index commit from the KNOWN row count
               // (docs x b bands, ~30 B/row): an unpartitioned append would
               // otherwise emit one sliver file per task — 32 files per
@@ -274,13 +294,13 @@ object Dedup {
               }
               val idxFiles = math.max(1, math.ceil((n + healRows) * b / 4e6).toInt)
               index.append(toIndex.repartitionByRange(idxFiles, col("key")),
-                collectStats = Seq("key"))
-            }
-            if (serializable) {
-              val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
-              if (newCovered >= 0 && newCovered != coveredId)
-                index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
-            }
+                collectStats = Seq("key"),
+                alsoSetProperties = initProps ++ markerProps)
+            } else if (markerProps.nonEmpty)
+              // nothing to index this wave (empty banded delta): the
+              // marker still advances, standalone — rare, and still ≤2
+              // total commits because neither append happened
+              index.setProperties(markerProps)
             return n
           } catch {
             case e if e eq graft.table.Icebox.SupersededCommit =>
@@ -872,16 +892,18 @@ object Dedup {
           val n = fresh.count()
           if (n > 0) {
             corpus.append(fresh.drop("phash"), collectStats = Seq(idCol))
-            if (!index.exists)
-              index.setProperties(Map("manifest.bloom.columns" -> "key",
-                "write.sort.columns" -> "key"))
+            // first-wave init rides the index append (≤2 commits per wave)
+            val initProps: Map[String, String] =
+              if (!index.exists) Map("manifest.bloom.columns" -> "key",
+                "write.sort.columns" -> "key")
+              else Map.empty
             val freshBands = banded
               .join(fresh.select(col(idCol)), col("__id.__id") === col(idCol), "left_semi")
               .select(col("__band").as("band"), col("__key").as("key"),
                 col("__id.__id").as(idCol), col("__id.__ph").as("phash"))
             val idxFiles = math.max(1, math.ceil(n * bands / 4e6).toInt)
             index.append(freshBands.repartitionByRange(idxFiles, col("key")),
-              collectStats = Seq("key"))
+              collectStats = Seq("key"), alsoSetProperties = initProps)
           }
           n
         } finally fresh.unpersist(blocking = false)
@@ -1120,13 +1142,23 @@ object Dedup {
                     collectStats = Seq(idCol))
                 else corpus.append(fresh, collectStats = Seq(idCol))) // corpus FIRST
               else None
+            // marker + first-wave init ride the index append — the same
+            // ≤2-commits-per-wave contract as nearDupInsert
+            val newCovered =
+              if (serializable) appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
+              else -1L
+            val markerProps: Map[String, String] =
+              if (serializable && newCovered >= 0 && newCovered != coveredId)
+                Map(Dedup.CoveredProp -> newCovered.toString)
+              else Map.empty
             if (n > 0 || healRows > 0) {
-              if (!index.exists)
-                index.setProperties(Map("manifest.bloom.columns" -> "key",
+              val initProps: Map[String, String] =
+                if (!index.exists) Map("manifest.bloom.columns" -> "key",
                   // maintenance compaction range-clusters by key, so probe
                   // pruning survives file consolidation via min/max stats
                   // even past the bloom attach budget
-                  "write.sort.columns" -> "key"))
+                  "write.sort.columns" -> "key")
+                else Map.empty
               val freshKeys = keyed
                 .join(fresh.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
                 .select(col("__key").as("key"), col("__id").as(idCol))
@@ -1136,13 +1168,10 @@ object Dedup {
               }
               val idxFiles = math.max(1, math.ceil((n + healRows) / 4e6).toInt) // see nearDupInsert
               index.append(toIndex.repartitionByRange(idxFiles, col("key")),
-                collectStats = Seq("key"))
-            }
-            if (serializable) {
-              val newCovered = appended.map(_.id).orElse(snap.map(_.id)).getOrElse(-1L)
-              if (newCovered >= 0 && newCovered != coveredId)
-                index.setProperties(Map(Dedup.CoveredProp -> newCovered.toString))
-            }
+                collectStats = Seq("key"),
+                alsoSetProperties = initProps ++ markerProps)
+            } else if (markerProps.nonEmpty)
+              index.setProperties(markerProps)
             return n
           } catch {
             case e if e eq graft.table.Icebox.SupersededCommit =>

@@ -237,20 +237,37 @@ final class Icebox(val tableDir: String) {
     * calls serialize instead of losing one's update. A lock left by a
     * crashed holder is broken after 10 s.
     */
-  def setProperties(kv: Map[String, String]): Unit = updateProperties(_ ++ kv)
+  def setProperties(kv: Map[String, String]): Unit = {
+    commitEvents.incrementAndGet()
+    updateProperties(_ ++ kv)
+  }
 
   /** Remove table properties (no-op for absent keys). Same locking as
     * [[setProperties]].
     */
-  def removeProperties(keys: Seq[String]): Unit = updateProperties(_ -- keys)
+  def removeProperties(keys: Seq[String]): Unit = {
+    commitEvents.incrementAndGet()
+    updateProperties(_ -- keys)
+  }
 
   /** Remove `remove` and merge `set` in ONE locked read-merge-write — for
     * key-set swaps (e.g. re-recording an index's residual references)
     * where a crash between a separate remove and set would leave a
     * half-cleared state that reads as "never recorded".
     */
-  def replaceProperties(remove: Seq[String], set: Map[String, String]): Unit =
+  def replaceProperties(remove: Seq[String], set: Map[String, String]): Unit = {
+    commitEvents.incrementAndGet()
     updateProperties(p => (p -- remove) ++ set)
+  }
+
+  /** Count of fsync-bearing publication events performed THROUGH THIS
+    * HANDLE: successful snapshot publications (each = a lock claim + head
+    * CAS + manifest write) plus standalone property writes (each = a lock
+    * claim + props replace). Diagnostic — specs assert commit budgets
+    * (e.g. the dedup ingest's ≤2-commits-per-wave contract) against it;
+    * never persisted, never read by any operator.
+    */
+  private[graft] val commitEvents = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def updateProperties(f: Map[String, String] => Map[String, String]): Unit =
     withTableLock {
@@ -1313,8 +1330,10 @@ final class Icebox(val tableDir: String) {
     * aggregation pass over the freshly written files).
     */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
-      collectStats: Seq[String] = Nil): Snapshot =
-    commit(df, effectiveParts(partitionBy), "append", collectStats) { (parent, newFiles) =>
+      collectStats: Seq[String] = Nil,
+      alsoSetProperties: Map[String, String] = Map.empty): Snapshot =
+    commit(df, effectiveParts(partitionBy), "append", collectStats,
+      alsoSetProperties = alsoSetProperties) { (parent, newFiles) =>
       parent.map(_.files).getOrElse(Nil) ++ newFiles
     }
 
@@ -2540,7 +2559,8 @@ final class Icebox(val tableDir: String) {
     * set is derived by `resolve(parent, newFiles)`.
     */
   private def commit(df0: DataFrame, partitionBy: Seq[String], op: String,
-      collectStats: Seq[String] = Nil, onBranch: Option[String] = None)(
+      collectStats: Seq[String] = Nil, onBranch: Option[String] = None,
+      alsoSetProperties: Map[String, String] = Map.empty)(
       resolve: (Option[Snapshot], Seq[DataFile]) => Seq[DataFile]): Snapshot = this.synchronized {
     require(!df0.columns.contains(CommitCol), s"column name $CommitCol is reserved")
     // the lineage this commit extends: a branch head, or the main head
@@ -2590,7 +2610,9 @@ final class Icebox(val tableDir: String) {
     store.mkdirs(dataDir)
     val commitId = UUID.randomUUID().toString.take(12)
     val commitDir = new HPath(dataDir, s"$CommitCol=$commitId")
-    val props = properties
+    // rider properties act as if already set: write shaping (sort/bloom/
+    // distribution) sees them on the very commit that publishes them
+    val props = properties ++ alsoSetProperties
     // WRITE SHAPING (Iceberg table-property analogs), applied after
     // physicalization so the columns are the on-disk names:
     //  - write.distribution-mode = hash | range: repartition by the
@@ -2722,7 +2744,8 @@ final class Icebox(val tableDir: String) {
         sketches = sketchShas.getOrElse(pathOnly(f.path), Map.empty) ++
           freqShas.getOrElse(pathOnly(f.path), Map.empty))
     }
-    commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch)
+    commitMetaResolved(op, parent => resolve(parent, newFiles), schemaJsonStored, onBranch,
+      alsoSetProperties)
   }
 
   /** The current snapshot's schema as a StructType (logical names). */
@@ -2911,8 +2934,9 @@ final class Icebox(val tableDir: String) {
   }
 
   private def commitMetaResolved(op: String, resolve: Option[Snapshot] => Seq[DataFile],
-      schemaJson: String, onBranch: Option[String] = None): Snapshot =
-    commitMetaResolvedFn(op, resolve, _ => schemaJson, onBranch)
+      schemaJson: String, onBranch: Option[String] = None,
+      alsoSetProperties: Map[String, String] = Map.empty): Snapshot =
+    commitMetaResolvedFn(op, resolve, _ => schemaJson, onBranch, alsoSetProperties)
 
   /** Core of the metadata commit loop. `schemaJsonOf` is re-evaluated
     * against the freshly-resolved parent on EVERY retry, so a commit whose
@@ -2920,10 +2944,19 @@ final class Icebox(val tableDir: String) {
     * refresh) names the schema of the snapshot it actually lands on — not
     * one captured before a long scan, which would silently revert a
     * concurrent ALTER TABLE.
+    *
+    * `alsoSetProperties` merges into the table properties INSIDE the same
+    * lock window that publishes the head, AFTER the pointer moves — one
+    * commit carries both, sparing a second fsync-bearing lock/write cycle
+    * (the dedup ingest's covered-marker advance). A crash between pointer
+    * and props leaves the properties STALE relative to the published
+    * commit, which every rider must tolerate (the covered marker does:
+    * stale = conservative re-band of the delta, never under-coverage).
     */
   private def commitMetaResolvedFn(op: String, resolve: Option[Snapshot] => Seq[DataFile],
       schemaJsonOf: Option[Snapshot] => String,
-      onBranch: Option[String] = None): Snapshot = this.synchronized {
+      onBranch: Option[String] = None,
+      alsoSetProperties: Map[String, String] = Map.empty): Snapshot = this.synchronized {
     store.mkdirs(snapshotsDir)
     var attempt = 0
     // Snapshot ids are claimed across ALL lineages by CREATE_NEW on
@@ -2958,6 +2991,15 @@ final class Icebox(val tableDir: String) {
               if (currentSnapshotId != expected) false
               else {
                 store.atomicReplace(currentPtr, id.toString.getBytes(StandardCharsets.UTF_8))
+                // rider properties: same lock claim, pointer FIRST (see
+                // the method doc's crash contract); withTableLock is not
+                // reentrant, so write the props file inline here
+                if (alsoSetProperties.nonEmpty) {
+                  val merged = properties ++ alsoSetProperties
+                  val node = mapper.createObjectNode()
+                  merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+                  store.atomicReplace(propsPath, mapper.writeValueAsBytes(node))
+                }
                 true
               }
             }
@@ -2974,7 +3016,10 @@ final class Icebox(val tableDir: String) {
             var ok = false
             updateProperties { props =>
               if (props.get(s"$BranchPrefix$b") != expected) props
-              else { ok = true; props + (s"$BranchPrefix$b" -> id.toString) }
+              else {
+                ok = true
+                props + (s"$BranchPrefix$b" -> id.toString) ++ alsoSetProperties
+              }
             }
             if (!ok) { // orphaned claim: release the manifest and retry
               store.deleteIfExists(manifestPath(id))
@@ -2983,6 +3028,7 @@ final class Icebox(val tableDir: String) {
             ok
         }
         if (published) {
+          commitEvents.incrementAndGet()
           manifestCache.put(id, m)
           filesCache.put(id, canonical)
           return new Snapshot(id, m.parentId, m.timestampMs, op, schemaJsonOf(parent),

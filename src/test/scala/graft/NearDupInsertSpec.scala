@@ -174,4 +174,59 @@ class NearDupInsertSpec extends SparkSpec {
     val w2 = Seq((3L, "abc")).toDF("id", "text")
     Dedup.nearDupInsert(corpus, index, w2, "text", "id", threshold = 0.8) shouldBe 1L
   }
+
+  test("commit budget: every wave is at most 2 fsync-bearing commits (marker+init ride the append)") {
+    // serializable mode — the heaviest commit path: corpus appendIfHead,
+    // index append, covered-marker advance, and (wave 1) the bloom/sort
+    // property init. The marker and init must RIDE the index append.
+    val (corpus, index) = fresh("ndi-budget")
+    def deltas[T](body: => T): (T, Long, Long) = {
+      val (c0, i0) = (corpus.commitEvents.get(), index.commitEvents.get())
+      val r = body
+      (r, corpus.commitEvents.get() - c0, index.commitEvents.get() - i0)
+    }
+    val w1 = (1 to 12).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    val (n1, c1, i1) = deltas(Dedup.nearDupInsert(corpus, index, w1, "text", "id",
+      threshold = 0.8, serializable = true))
+    n1 shouldBe 12L
+    c1 shouldBe 1L // the corpus append, nothing else
+    i1 shouldBe 1L // ONE index commit carrying bands + init props + marker
+    // ... and the riders landed: init props AND the covered marker
+    index.properties("manifest.bloom.columns") shouldBe "key"
+    index.properties("write.sort.columns") shouldBe "key"
+    index.properties(Dedup.CoveredProp).toLong shouldBe corpus.currentSnapshotId
+    // wave 2 (steady state): re-offers drop, fresh docs admit — still 1+1
+    val w2 = ((101 to 106).map(i => (i.toLong, doc(i - 100))) ++
+      (121 to 126).map(i => (i.toLong, doc(i)))).toDF("id", "text")
+    val (n2, c2, i2) = deltas(Dedup.nearDupInsert(corpus, index, w2, "text", "id",
+      threshold = 0.8, serializable = true))
+    n2 shouldBe 6L
+    c2 shouldBe 1L
+    i2 shouldBe 1L
+    index.properties(Dedup.CoveredProp).toLong shouldBe corpus.currentSnapshotId
+    // all-duplicate wave: NO commit on either table (the zero-work path)
+    val w3 = (201 to 205).map(i => (i.toLong, doc(i - 200))).toDF("id", "text")
+    val (n3, c3, i3) = deltas(Dedup.nearDupInsert(corpus, index, w3, "text", "id",
+      threshold = 0.8, serializable = true))
+    n3 shouldBe 0L
+    c3 shouldBe 0L
+    i3 shouldBe 0L
+    // the embedding sibling holds the same budget
+    val (vc, vi) = fresh("ndi-budget-vec")
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed); Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val ew1 = (1 to 10).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val (_, ec1, ei1) = deltas2(vc, vi)(Dedup.embeddingNearDupInsert(vc, vi, ew1, "v", "id",
+      dim = 16, threshold = 0.95, planes = 4, serializable = true))
+    ec1 shouldBe 1L
+    ei1 shouldBe 1L
+    vi.properties(Dedup.CoveredProp).toLong shouldBe vc.currentSnapshotId
+  }
+
+  private def deltas2[T](c: Icebox, i: Icebox)(body: => T): (T, Long, Long) = {
+    val (c0, i0) = (c.commitEvents.get(), i.commitEvents.get())
+    val r = body
+    (r, c.commitEvents.get() - c0, i.commitEvents.get() - i0)
+  }
 }

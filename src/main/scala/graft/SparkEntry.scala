@@ -3023,6 +3023,32 @@ object SparkEntry {
       out
     }),
 
+    // LLM: tokenize → pack — the id-stream shape trainers consume. Encode
+    // every doc to token IDS (graft_bpe_encode: one kernel call per doc,
+    // vocab rides the plan as a positional array literal, id = index,
+    // out-of-alphabet = -1), lay docs end to end per source with an EOT
+    // separator, cut into budget-sized sequences (Packing.packTokenIds:
+    // one window + one explode + ONE shuffle of the token stream). The
+    // oracle replays the merge chain per word (the q_bpe_tokens
+    // double-space technique), maps tokens through the same vocab list,
+    // string_aggs the per-source stream, and slices it — exact-hash on
+    // every sequence's id string.
+    "q_bpe_pack" -> ((s, dir) => {
+      val merges = typedLit(Seq("t h", "th e", "e r", "a b", "ab l", "abl e",
+        "q u", "er y", "s c", "sc a", "sca n", "o r"))
+      val vocab = typedLit(('a' to 'z').map(_.toString) ++ Seq("th", "the",
+        "er", "ab", "abl", "able", "qu", "ery", "sc", "sca", "scan", "or"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.BpeExpressions.encode(s, col("text"), merges, vocab)
+          .as("__ids"))
+      graft.operators.Packing
+        .packTokenIds(d, col("doc_id"), col("__ids"), budget = 64,
+          shardCol = "source", docSep = 1000000L)
+        .select(col("source"), col("seq_id").cast("long").as("seq_id"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), " ")
+            .as("ids_str"))
+    }),
+
     // LLM: TRAINED quality classifier (the fastText-analog third leg next
     // to Gopher rules and LM perplexity): logistic weights over hashed
     // unigram+bigram buckets, fit DRIVER-SIDE on a bounded labeled sample
@@ -4951,6 +4977,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(bf // 32 AS BIGINT) AS chunk_id,
         |  string_agg(word, ' ' ORDER BY pos) AS chunk
         |FROM pre GROUP BY doc_id, bf // 32""".stripMargin,
+
+    // replay: merge-chain per word -> token ids by vocab position (-1 when
+    // absent) -> per-source stream with the 1000000 separator -> 64-id
+    // slices; list_position returns 0 for a missing element so -1 falls
+    // out of the same arithmetic
+    "q_bpe_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, source, i AS pos, w[i] AS word
+        |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)
+        |  WHERE w[i] <> ''),
+        |enc AS (
+        |  SELECT doc_id, source, pos,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(replace(
+        |      ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ',
+        |      ' t  h ', ' th '), ' th  e ', ' the '), ' e  r ', ' er '),
+        |      ' a  b ', ' ab '), ' ab  l ', ' abl '), ' abl  e ', ' able '),
+        |      ' q  u ', ' qu '), ' er  y ', ' ery '), ' s  c ', ' sc '),
+        |      ' sc  a ', ' sca '), ' sca  n ', ' scan '), ' o  r ', ' or ') AS e
+        |  FROM words),
+        |ids AS (
+        |  SELECT doc_id, source, pos,
+        |    array_to_string(list_transform(regexp_split_to_array(trim(e), ' +'),
+        |      t -> CAST(list_position(['a','b','c','d','e','f','g','h','i','j',
+        |        'k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z',
+        |        'th','the','er','ab','abl','able','qu','ery','sc','sca','scan',
+        |        'or'], t) - 1 AS VARCHAR)), ' ') AS idstr
+        |  FROM enc),
+        |docstr AS (
+        |  SELECT dd.doc_id, dd.source,
+        |    CASE WHEN i.s IS NULL THEN '1000000' ELSE i.s || ' 1000000' END AS dstr
+        |  FROM (SELECT doc_id, source FROM documents) dd
+        |  LEFT JOIN (SELECT doc_id, string_agg(idstr, ' ' ORDER BY pos) AS s
+        |             FROM ids GROUP BY doc_id) i USING (doc_id)),
+        |stream AS (
+        |  SELECT source,
+        |    regexp_split_to_array(string_agg(dstr, ' ' ORDER BY doc_id), ' +') AS ids
+        |  FROM docstr GROUP BY source)
+        |SELECT source, CAST(k AS BIGINT) AS seq_id,
+        |  array_to_string(ids[k * 64 + 1 : least(len(ids), (k + 1) * 64)], ' ') AS ids_str
+        |FROM stream, unnest(range(0, (len(ids) + 63) // 64)) AS u(k)""".stripMargin,
 
     // the planted separation: even ids carry reference-like text (keep),
     // odd ids the junk construction (drop); n_feats = unigrams + bigrams

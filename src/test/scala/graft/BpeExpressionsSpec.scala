@@ -81,4 +81,36 @@ class BpeExpressionsSpec extends SparkSpec {
       graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
       Map("src" -> 17L)).count() shouldBe 6L
   }
+
+  test("encode emits positional vocab ids per merged token; unknown tokens are -1") {
+    val vocab = Seq("t", "h", "e", "a", "b", "l", "q", "u", "r", "y", "s", "c",
+      "n", "o", "d", "x", "th", "the", "er", "ab", "abl", "able", "qu", "ery",
+      "sc", "sca", "scan", "or")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def enc(texts: String*): Seq[Seq[Long]] =
+        texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+          .select(col("id"), BpeExpressions.encode(spark, col("text"),
+            typedLit(merges), typedLit(vocab)).as("ids"))
+          .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+      // the -> [the]=17; table -> [t, able]=[0,21]; query -> [qu, ery]=[22,23]
+      enc("the", "table", "query") shouldBe
+        Seq(Seq(17L), Seq(0L, 21L), Seq(22L, 23L))
+      // words concatenate in order; count and encode agree on length
+      enc("the table scan") shouldBe Seq(Seq(17L, 0L, 21L, 26L))
+      // z is not in the vocabulary -> -1 (out-of-alphabet marker)
+      enc("xz") shouldBe Seq(Seq(15L, -1L))
+      enc("", "   ") shouldBe Seq(Seq.empty, Seq.empty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("splitWord exposes the raw merge walk (training's pair-count input)") {
+    val got = Seq((0, "query"), (1, "table"), (2, "xyz")).toDF("id", "w")
+      .select(col("id"), BpeExpressions.splitWord(spark, col("w"),
+        typedLit(merges)).as("t"))
+      .orderBy("id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    got shouldBe Seq(Seq("qu", "ery"), Seq("t", "able"), Seq("x", "y", "z"))
+    // encode(text) is the concatenation of splitWord over its words, mapped
+    // through the vocab — the two paths share one kernel by construction
+  }
 }

@@ -64,4 +64,52 @@ class PackingSpec extends SparkSpec {
     ws(3L) shouldBe ((0L, 9L))
     out(3L) shouldBe ((1L, 2L))
   }
+
+  test("packTokenIds: flattened sequences reconstruct doc ids + separators exactly") {
+    val SEP = 1000L
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 80L).map { i =>
+      (i, s"s${i % 3}", (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(100).toLong))
+    }.toDF("id", "shard", "ids")
+    val packed = Packing.packTokenIds(docs, $"id", $"ids", budget = 16,
+      shardCol = "shard", docSep = SEP)
+      .select($"shard", $"seq_id", $"token_ids")
+      .as[(String, Long, Seq[Long])].collect()
+    val byShard = packed.groupBy(_._1)
+    val expected = docs.select($"shard", $"id", $"ids").as[(String, Long, Seq[Long])]
+      .collect().groupBy(_._1)
+      .map { case (s, ds) => s -> ds.sortBy(_._2).flatMap(d => d._3 :+ SEP).toSeq }
+    expected.keySet shouldBe byShard.keySet
+    for ((s, stream) <- expected) {
+      val seqs = byShard(s).sortBy(_._2)
+      // seq ids are dense from 0
+      seqs.map(_._2).toSeq shouldBe (0L until seqs.length.toLong)
+      // every sequence is exactly the budget except possibly the last
+      seqs.dropRight(1).foreach(_._3.size shouldBe 16)
+      seqs.last._3.size should be <= 16
+      // and the concatenation IS the doc stream, boundaries included
+      seqs.flatMap(_._3).toSeq shouldBe stream
+    }
+  }
+
+  test("packTokenIds layout is invariant under input repartitioning") {
+    val docs = (1L to 60L).map(i =>
+      (i, "one", (0L until (i % 7) + 1).toSeq)).toDF("id", "shard", "ids")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packTokenIds(d, $"id", $"ids", budget = 8, shardCol = "shard", docSep = 99L)
+        .select($"seq_id", $"token_ids").as[(Long, Seq[Long])]
+        .collect().sortBy(_._1).toSeq
+    run(docs) shouldBe run(docs.repartition(13))
+    run(docs) shouldBe run(docs.coalesce(1))
+  }
+
+  test("packTokenIds: empty docs contribute just their separator") {
+    val docs = Seq((1L, "a", Seq(7L, 8L)), (2L, "a", Seq.empty[Long]),
+      (3L, "a", Seq(9L))).toDF("id", "shard", "ids")
+    val out = Packing.packTokenIds(docs, $"id", $"ids", budget = 100,
+      shardCol = "shard", docSep = 0L)
+      .select($"token_ids").as[Seq[Long]].collect()
+    out should have length 1
+    out.head shouldBe Seq(7L, 8L, 0L, 0L, 9L, 0L)
+  }
 }

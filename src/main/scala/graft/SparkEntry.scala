@@ -3049,6 +3049,23 @@ object SparkEntry {
             .as("ids_str"))
     }),
 
+    // LLM: BPE merge-list TRAINING on the real corpus — greedy
+    // highest-frequency pair, 4 rounds, ties lexical (BpeTrain: corpus
+    // compresses to distinct-word frequencies once, then each round is ONE
+    // map-side-combined agg; the driver holds only the merge list). The
+    // oracle REPLAYS the greedy argmax rounds in SQL: each round
+    // re-encodes words under the previous rounds' computed winners (the
+    // q_bpe_tokens replace-chain — trained lists are topologically
+    // ordered by construction, so rank-order replaces equal greedy) and
+    // takes the same (count DESC, pair ASC) argmax.
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val learned = graft.operators.BpeTrain
+        .trainBpeMerges(t(s, dir, "documents"), "text", k = 4)
+      learned.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("merge_rank", "pair")
+    }),
+
     // LLM: TRAINED quality classifier (the fastText-analog third leg next
     // to Gopher rules and LM perplexity): logistic weights over hashed
     // unigram+bigram buckets, fit DRIVER-SIDE on a bounded labeled sample
@@ -5021,6 +5038,60 @@ object SparkEntry {
         |SELECT source, CAST(k AS BIGINT) AS seq_id,
         |  array_to_string(ids[k * 64 + 1 : least(len(ids), (k + 1) * 64)], ' ') AS ids_str
         |FROM stream, unnest(range(0, (len(ids) + 63) // 64)) AS u(k)""".stripMargin,
+
+    // four greedy argmax rounds, each re-encoding under the previous
+    // winners (scalar subqueries), counting adjacent pairs weighted by
+    // word frequency, tie-broken lexically
+    "q_bpe_train" ->
+      """WITH wf AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |e0 AS (
+        |  SELECT f, ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS e
+        |  FROM wf),
+        |m0 AS (
+        |  SELECT p FROM (
+        |    SELECT t[i] || ' ' || t[i+1] AS p, sum(f) AS c
+        |    FROM (SELECT f, regexp_split_to_array(trim(e), ' +') AS t FROM e0),
+        |         unnest(range(1, len(t))) AS u(i)
+        |    GROUP BY 1)
+        |  ORDER BY c DESC, p ASC LIMIT 1),
+        |e1 AS (SELECT f, replace(e, ' ' || replace((SELECT p FROM m0), ' ', '  ') || ' ',
+        |                            ' ' || replace((SELECT p FROM m0), ' ', '') || ' ') AS e
+        |       FROM e0),
+        |m1 AS (
+        |  SELECT p FROM (
+        |    SELECT t[i] || ' ' || t[i+1] AS p, sum(f) AS c
+        |    FROM (SELECT f, regexp_split_to_array(trim(e), ' +') AS t FROM e1),
+        |         unnest(range(1, len(t))) AS u(i)
+        |    GROUP BY 1)
+        |  ORDER BY c DESC, p ASC LIMIT 1),
+        |e2 AS (SELECT f, replace(e, ' ' || replace((SELECT p FROM m1), ' ', '  ') || ' ',
+        |                            ' ' || replace((SELECT p FROM m1), ' ', '') || ' ') AS e
+        |       FROM e1),
+        |m2 AS (
+        |  SELECT p FROM (
+        |    SELECT t[i] || ' ' || t[i+1] AS p, sum(f) AS c
+        |    FROM (SELECT f, regexp_split_to_array(trim(e), ' +') AS t FROM e2),
+        |         unnest(range(1, len(t))) AS u(i)
+        |    GROUP BY 1)
+        |  ORDER BY c DESC, p ASC LIMIT 1),
+        |e3 AS (SELECT f, replace(e, ' ' || replace((SELECT p FROM m2), ' ', '  ') || ' ',
+        |                            ' ' || replace((SELECT p FROM m2), ' ', '') || ' ') AS e
+        |       FROM e2),
+        |m3 AS (
+        |  SELECT p FROM (
+        |    SELECT t[i] || ' ' || t[i+1] AS p, sum(f) AS c
+        |    FROM (SELECT f, regexp_split_to_array(trim(e), ' +') AS t FROM e3),
+        |         unnest(range(1, len(t))) AS u(i)
+        |    GROUP BY 1)
+        |  ORDER BY c DESC, p ASC LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS merge_rank, p AS pair FROM m0
+        |UNION ALL SELECT 1, p FROM m1
+        |UNION ALL SELECT 2, p FROM m2
+        |UNION ALL SELECT 3, p FROM m3""".stripMargin,
 
     // the planted separation: even ids carry reference-like text (keep),
     // odd ids the junk construction (drop); n_feats = unigrams + bigrams

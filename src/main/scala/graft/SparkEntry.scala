@@ -2901,6 +2901,36 @@ object SparkEntry {
     }),
 
     // LLM: multimodal blob stats (binary column plumbing, no decode)
+    // LLM: incremental SemDeDup vs an accumulated cluster-partitioned
+    // corpus (Dedup.semDeDupInsert) — completes the incremental family.
+    // Same bit-identical-only property as q_embed_neardup_insert (no
+    // distinct-vector pair above cosine 0.60), so at threshold 0.99 the
+    // oracle replays the two-wave min-id arithmetic on exact vector
+    // equality, plus the q_semdedup argmin assignment for the evidence
+    // columns. In-query require cross-checks wave-2 recall (re-offered
+    // corpus content MUST drop through the cluster-pruned probe).
+    "q_semdedup_insert" -> ((s, dir) => {
+      val corpus = Icebox(tmp("qsdi"))
+      val e = t(s, dir, "embeddings")
+      val seeds = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").cast("long").as("cluster_id"),
+          col("embedding").as("centroid"))
+      val batch1 = e.filter(col("vec_id") % 3 =!= 0)
+      Dedup.semDeDupInsert(corpus, seeds, batch1, "embedding", "vec_id",
+        threshold = 0.99)
+      val batch2 = e.filter(col("vec_id") % 3 === 0).unionByName(
+        batch1.filter(col("vec_id") % 9 === 1)
+          .withColumn("vec_id", col("vec_id") + 1000000))
+      val n2 = Dedup.semDeDupInsert(corpus, seeds, batch2, "embedding", "vec_id",
+        threshold = 0.99)
+      val expected2 = e.groupBy("embedding")
+        .agg(max(when(col("vec_id") % 3 =!= 0, 1).otherwise(0)).as("held_w1"))
+        .filter(col("held_w1") === 0).count()
+      require(n2 == expected2,
+        s"expected $expected2 fresh vectors in wave 2, got $n2")
+      corpus.read(s).select("vec_id", "cluster_id", "centroid_sim")
+    }),
+
     "q_multimodal_stats" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "text")
       Multimodal.blobStats(media).select(
@@ -4832,6 +4862,28 @@ object SparkEntry {
         |SELECT f.vec_id, f.label
         |FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
         |  ON f.vec_id = k.keep""".stripMargin,
+
+    // two-wave min-id keeps on exact vector equality (the bit-identical
+    // property), assignment evidence replayed by the q_semdedup argmin
+    "q_semdedup_insert" ->
+      """WITH f AS (
+        |  SELECT vec_id, CAST(embedding AS VARCHAR) AS fp,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |k1 AS (SELECT fp, min(vec_id) AS keep FROM f
+        |       WHERE vec_id % 3 <> 0 GROUP BY fp),
+        |k2 AS (SELECT fp, min(vec_id) AS keep FROM f
+        |       WHERE fp NOT IN (SELECT fp FROM k1) GROUP BY fp),
+        |kept AS (
+        |  SELECT f.vec_id, f.v
+        |  FROM f JOIN (SELECT keep FROM k1 UNION ALL SELECT keep FROM k2) k
+        |    ON f.vec_id = k.keep),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings ORDER BY vec_id LIMIT 16)
+        |SELECT kept.vec_id, c.cid AS cluster_id,
+        |  round(list_cosine_similarity(kept.v, c.ce), 4) AS centroid_sim
+        |FROM kept CROSS JOIN c
+        |QUALIFY row_number() OVER (PARTITION BY kept.vec_id
+        |  ORDER BY list_distance(kept.v, c.ce), c.cid) = 1""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce

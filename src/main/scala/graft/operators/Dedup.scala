@@ -1008,6 +1008,130 @@ object Dedup {
       .select(col("__id").as(idCol), col("cluster_id"), col("centroid_sim"))
   }
 
+  /** Incremental SemDeDup vs an ACCUMULATED corpus — [[semDeDup]]'s
+    * continuous-ingest face, completing the incremental family (minhash,
+    * embedding-LSH, image all have one): append only the batch vectors
+    * with no semantic duplicate (cosine ≥ `threshold`) already kept, at
+    * O(batch) probe cost per wave.
+    *
+    * The corpus table IS the index — `(idCol, vecCol, cluster_id,
+    * centroid_sim)` PARTITIONED BY cluster (the IVF posting-list layout):
+    * a probe assigns the batch with the shared argmin kernel (map-only,
+    * centroids as plan literals) and reads ONLY the partitions of the
+    * batch's assigned clusters — manifest-pruned, bounded by the centroid
+    * count, never a corpus scan. Oversized corpus clusters (per-partition
+    * MANIFEST row counts — metadata, no scan) verify under an additional
+    * hyperplane sign equality, the [[clusterPairs]] fan-out bound;
+    * identical vectors share every sign, so exact duplicates always meet.
+    *
+    * Keep-rule: in-batch duplicate groups collapse FIRST under semDeDup's
+    * exact rule (least-centroid-similar member survives, ties min id);
+    * batch vectors duplicating CORPUS content always drop — corpus
+    * content is immutable, the contract every incremental flavor here
+    * shares. Centroids must be the SAME every wave (codes of the layout
+    * are centroid-relative): the first append records their identity hash
+    * (`semdedup.centroids`, riding the append commit) and later waves
+    * refuse a mismatch. One fsync-bearing commit per wave.
+    *
+    * Returns the number of vectors appended.
+    */
+  def semDeDupInsert(corpus: graft.table.Icebox, centroids: DataFrame,
+      batch: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.95, maxClusterSize: Int = 1 << 16,
+      seed: Long = 42L): Long = {
+    val spark = batch.sparkSession
+    val cs = Similarity.collectCentroids(centroids)
+    require(cs.nonEmpty, "semDeDupInsert needs at least one centroid")
+    val cHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      cs.sortBy(_._1).foreach { case (cid, v) =>
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(cid).array())
+        val bb = java.nio.ByteBuffer.allocate(4 * v.length)
+        v.foreach(bb.putFloat)
+        md.update(bb.array())
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val recorded = corpus.properties.get("semdedup.centroids")
+    require(recorded.forall(_ == cHash),
+      "semDeDupInsert centroids differ from the corpus table's recorded " +
+      "set — every wave against one corpus must assign with the SAME " +
+      "centroids (rebuild the table to re-cluster)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val asg = Similarity.assignWithSim(spark, cs, col(vecCol))
+    val keyed = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        asg.getField("cid").as("__cluster"), asg.getField("csim").as("__csim"))
+      .persist(lvl)
+    try {
+      // 1. collapse the batch against itself under semDeDup's keep-rule
+      val edges = clusterPairs(keyed, maxClusterSize, seed)
+        .filter(graft.functions.VectorExpressions.cosine(spark,
+          col("__va"), col("__vb")) >= threshold)
+        .select(col("idA"), col("idB"))
+      val comps = connectedComponents(edges)
+      val members = keyed.join(comps, col("__id") === col("id"))
+      val keeps = members.groupBy("rep")
+        .agg(min(struct(col("__csim"), col("__id"))).as("__k"))
+        .select(col("__k").getField("__id").as("__keep"))
+      val intraDrops = members
+        .join(keeps, members("__id") === keeps("__keep"), "left_anti")
+        .select(col("__id").as("__dup"))
+      val survivors = keyed.join(intraDrops, col("__id") === col("__dup"), "left_anti")
+      // 2. probe ONLY the corpus partitions of the batch's clusters
+      val corpusDups: DataFrame =
+        if (!corpus.exists) keyed.limit(0).select(col("__id").as("__dup"))
+        else {
+          val clusters = keyed.select("__cluster").distinct()
+            .collect().map(_.getLong(0)).toSeq // bounded by the centroid count
+          val sizes: Map[Long, Long] = corpus.currentSnapshot.map(_.files
+            .filter(_.partition.contains("cluster_id"))
+            .groupBy(_.partition("cluster_id").toLong)
+            .map { case (c, fs) => c -> fs.map(f => math.max(f.rows, 0L)).sum })
+            .getOrElse(Map.empty)
+          val oversized = sizes.filter(_._2 > maxClusterSize).keySet
+          val slice = corpus.read(spark)
+            .filter(col("cluster_id").isInCollection(clusters))
+            .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+              col("cluster_id").as("__ccl"))
+          val sameBucket: Column =
+            if (oversized.isEmpty) lit(true)
+            else {
+              val dim = cs.head._2.length
+              val planes = 8
+              val sigB = Similarity.hyperplaneSignatureFast(spark, col("__v"), dim, planes, seed)
+              val sigC = Similarity.hyperplaneSignatureFast(spark, col("__cv"), dim, planes, seed)
+              !col("__cluster").isInCollection(oversized.toSeq) || sigB === sigC
+            }
+          survivors.join(slice, col("__cluster") === col("__ccl") && sameBucket)
+            .filter(graft.functions.VectorExpressions.cosine(spark,
+              col("__v"), col("__cv")) >= threshold)
+            .select(col("__id").as("__dup")).distinct()
+        }
+      val fresh = survivors.join(corpusDups, col("__id") === col("__dup"), "left_anti")
+        .persist(lvl)
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          val initProps: Map[String, String] =
+            if (recorded.isEmpty)
+              Map("semdedup.centroids" -> cHash,
+                // posting-list write shaping: rows of one cluster are
+                // written by the tasks that own them, not a sliver from
+                // every task (the ivfInsert lesson)
+                "write.distribution-mode" -> "hash")
+            else Map.empty
+          corpus.append(
+            fresh.select(col("__id").as(idCol), col("__v").as(vecCol),
+              col("__cluster").as("cluster_id"),
+              round(col("__csim"), 4).as("centroid_sim")),
+            partitionBy = Seq("cluster_id"), collectStats = Seq(idCol),
+            alsoSetProperties = initProps)
+        }
+        n
+      } finally fresh.unpersist(blocking = false)
+    } finally keyed.unpersist(blocking = false)
+  }
+
   /** Candidate pairs for [[semDeDup]]: the within-cluster self-equi-join,
     * with oversized clusters sub-bucketed first. Cluster sizes are a
     * groupBy-count collected to the driver — bounded by the CENTROID count

@@ -123,4 +123,93 @@ class SemDeDupSpec extends SparkSpec {
     out.count() shouldBe 40L
     out.filter(col("vec_id") >= 1000L).count() shouldBe 0L
   }
+
+  test("semDeDupInsert: corpus dups drop, novel admit, re-offer wave appends ZERO") {
+    val corpus = graft.table.Icebox(tmpDir("sdi-corpus"))
+    val w1 = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.2f)),  // near-dup of 0 -> in-batch keep-rule: outlier 1 wins
+      (5L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    Dedup.semDeDupInsert(corpus, centroids, w1, "embedding", "vec_id",
+      threshold = 0.95) shouldBe 2L
+    corpus.read(spark).select("vec_id").as[Long].collect().sorted shouldBe Array(1L, 5L)
+    // files are cluster-partitioned (the manifest-pruned probe layout)
+    corpus.currentSnapshot.get.files.forall(_.partition.contains("cluster_id")) shouldBe true
+    // wave 2: a near-dup of kept corpus content (even though it is MORE of
+    // an outlier, corpus content is immutable -> it drops), plus novel
+    val w2 = Seq(
+      (10L, Array(0.85f, 0.3f)), // cosine vs kept (0.9,0.2) = 0.987 -> drop
+      (11L, Array(-1.0f, 0.1f))  // novel
+    ).toDF("vec_id", "embedding")
+    Dedup.semDeDupInsert(corpus, centroids, w2, "embedding", "vec_id",
+      threshold = 0.95) shouldBe 1L
+    // wave 3: pure re-offer of corpus content under fresh ids -> ZERO
+    // appended AND zero commits (the zero-work path)
+    val before = corpus.currentSnapshotId
+    val events0 = corpus.commitEvents.get()
+    val w3 = corpus.read(spark).select(
+      (col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Dedup.semDeDupInsert(corpus, centroids, w3, "embedding", "vec_id",
+      threshold = 0.95) shouldBe 0L
+    corpus.currentSnapshotId shouldBe before
+    corpus.commitEvents.get() shouldBe events0
+    // commit budget: a fresh two-wave run is ONE commit per appending wave
+    val c2 = graft.table.Icebox(tmpDir("sdi-budget"))
+    val e0 = c2.commitEvents.get()
+    Dedup.semDeDupInsert(c2, centroids, w1, "embedding", "vec_id", threshold = 0.95)
+    c2.commitEvents.get() - e0 shouldBe 1L
+    c2.properties("semdedup.centroids").nonEmpty shouldBe true // rode the append
+  }
+
+  test("semDeDupInsert refuses different centroids on a later wave") {
+    val corpus = graft.table.Icebox(tmpDir("sdi-refuse"))
+    val w1 = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Dedup.semDeDupInsert(corpus, centroids, w1, "embedding", "vec_id")
+    val other = Seq((0L, Array(0.6f, 0.8f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cluster_id", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDeDupInsert(corpus, other,
+        Seq((2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"), "embedding", "vec_id")
+    }
+    e.getMessage should include("SAME")
+  }
+
+  test("semDeDupInsert wave-1 survivors equal batch semDeDup survivors") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, base.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val corpus = graft.table.Icebox(tmpDir("sdi-equiv"))
+    Dedup.semDeDupInsert(corpus, centroids, vecs, "embedding", "vec_id",
+      threshold = 0.98)
+    val batchSurvivors = Dedup.semDeDup(vecs, centroids, "embedding", "vec_id",
+      threshold = 0.98).select("vec_id")
+    assertSameRows(corpus.read(spark).select("vec_id"), batchSurvivors)
+  }
+
+  test("semDeDupInsert probe reads only the batch's cluster partitions") {
+    val corpus = graft.table.Icebox(tmpDir("sdi-prune"))
+    val w1 = Seq((0L, Array(1.0f, 0.0f)), (5L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    Dedup.semDeDupInsert(corpus, centroids, w1, "embedding", "vec_id")
+    // a batch entirely in cluster 1: the probe's IN-filter on the
+    // partition column must prune to cluster_id=1 files at the file index
+    // (exactly the listing the planner asks for)
+    val snap = corpus.currentSnapshot.get
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType)))
+    val index = new graft.plans.IceboxFileIndex(spark, corpus.tableDir, snap, partSchema)
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "cluster_id", org.apache.spark.sql.types.LongType)()
+    val pruned = index.listFiles(Seq(
+      org.apache.spark.sql.catalyst.expressions.In(attr,
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(1L)))), Nil)
+    val prunedPaths = pruned.flatMap(_.files.map(_.getPath.toString))
+    prunedPaths should not be empty
+    prunedPaths.foreach(p => p should include("cluster_id=1"))
+    prunedPaths.size should be < snap.files.size
+  }
 }

@@ -3079,6 +3079,26 @@ object SparkEntry {
             .as("ids_str"))
     }),
 
+    // LLM: deterministic shard export — the corpus in md5(seed||id) global
+    // order cut into 5000-token shards; output is the export MANIFEST
+    // (shard, doc_count, token_count, content_sha) so a re-export is
+    // verifiable without reading a data byte. The global prefix sum runs
+    // as fixed-hex-prefix ranges (deterministic, partitioning-independent;
+    // per-range offsets are plan constants) — the oracle replays the whole
+    // assignment as one ordered window plus the same md5-of-id:tokens
+    // shard hash.
+    "q_shard_export" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      graft.operators.ShardExport
+        .shardManifest(d, col("doc_id"), col("n"), tokensPerShard = 5000L,
+          seed = "exp")
+        .select(col("shard_id").cast("long").as("shard_id"),
+          col("doc_count").cast("long").as("doc_count"),
+          col("token_count").cast("long").as("token_count"),
+          col("content_sha"))
+    }),
+
     // LLM: BPE merge-list TRAINING on the real corpus — greedy
     // highest-frequency pair, 4 rounds, ties lexical (BpeTrain: corpus
     // compresses to distinct-word frequencies once, then each round is ONE
@@ -5090,6 +5110,26 @@ object SparkEntry {
         |SELECT source, CAST(k AS BIGINT) AS seq_id,
         |  array_to_string(ids[k * 64 + 1 : least(len(ids), (k + 1) * 64)], ' ') AS ids_str
         |FROM stream, unnest(range(0, (len(ids) + 63) // 64)) AS u(k)""".stripMargin,
+
+    // the md5 global order as ONE window; shard = floor(prefix/5000);
+    // content_sha = md5 of 'id:tokens' joined in order
+    "q_shard_export" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n,
+        |    md5('exp' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n, k,
+        |    sum(n) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS st
+        |  FROM n)
+        |SELECT CAST(st // 5000 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(n) AS BIGINT) AS token_count,
+        |  md5(string_agg(doc_id || ':' || n, ',' ORDER BY k, doc_id)) AS content_sha
+        |FROM p GROUP BY 1""".stripMargin,
 
     // four greedy argmax rounds, each re-encoding under the previous
     // winners (scalar subqueries), counting adjacent pairs weighted by

@@ -3079,6 +3079,36 @@ object SparkEntry {
             .as("ids_str"))
     }),
 
+    // LLM: URL-layer dedup (RefinedWeb stage 1) — canonicalize (real
+    // graft_url_canon kernel: case, default ports, fragments, tracking
+    // params, param sort, trailing slash), exact-dedup by canonical URL
+    // (min doc_id), then a per-domain quota of 2 via takePerKey. The URLs
+    // are PLANTED from doc_id arithmetic (five variants per group: three
+    // canonicalize together, a non-default port and an https variant stay
+    // distinct), so the oracle replays the DECISION as pure string
+    // construction while the mechanism must parse/normalize for real.
+    "q_url_dedup" -> ((s, dir) => {
+      val g = (col("doc_id") % 50).cast("string")
+      val v = (col("doc_id") / 50).cast("long") % 5
+      val seg = substring(md5((col("doc_id") % 50).cast("string").cast("binary")), 1, 6)
+      val url = when(v === 0, concat(lit("http://site"), g, lit(".example.com/a/"),
+          seg, lit("?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTP://Site"), g, lit(".Example.COM:80/a/"),
+          seg, lit("?a=1&b=2#frag")))
+        .when(v === 2, concat(lit("http://site"), g, lit(".example.com/a/"),
+          seg, lit("/?utm_source=feed&gclid="), g, lit("&b=2&a=1")))
+        .when(v === 3, concat(lit("http://site"), g, lit(".example.com:8080/a/"),
+          seg, lit("?a=1&b=2")))
+        .otherwise(concat(lit("https://site"), g, lit(".example.com/a/"),
+          seg, lit("?a=1&b=2")))
+      val withCanon = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.UrlExpressions.canonicalize(s, url).as("url_canon"),
+        graft.functions.UrlExpressions.domain(s, url).as("domain"))
+      val deduped = Dedup.exact(withCanon, "url_canon", "doc_id")
+      Sampling.takePerKey(deduped, "domain", col("doc_id"), n = 2, seed = "u")
+        .select("doc_id", "url_canon", "domain")
+    }),
+
     // LLM: deterministic shard export — the corpus in md5(seed||id) global
     // order cut into 5000-token shards; output is the export MANIFEST
     // (shard, doc_count, token_count, content_sha) so a re-export is
@@ -5110,6 +5140,32 @@ object SparkEntry {
         |SELECT source, CAST(k AS BIGINT) AS seq_id,
         |  array_to_string(ids[k * 64 + 1 : least(len(ids), (k + 1) * 64)], ' ') AS ids_str
         |FROM stream, unnest(range(0, (len(ids) + 63) // 64)) AS u(k)""".stripMargin,
+
+    // the planted canonical is pure arithmetic: variants 0-2 merge, the
+    // :8080 and https variants stay distinct; min-id keeps, then the
+    // per-domain quota replays takePerKey's md5 order
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 50 AS g, (doc_id // 50) % 5 AS v,
+        |    substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 6) AS seg
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    'site' || g || '.example.com' AS domain,
+        |    CASE WHEN v IN (0, 1, 2)
+        |      THEN 'http://site' || g || '.example.com/a/' || seg || '?a=1&b=2'
+        |    WHEN v = 3
+        |      THEN 'http://site' || g || '.example.com:8080/a/' || seg || '?a=1&b=2'
+        |    ELSE 'https://site' || g || '.example.com/a/' || seg || '?a=1&b=2'
+        |    END AS url_canon
+        |  FROM u),
+        |k AS (SELECT url_canon, min(doc_id) AS keep FROM c GROUP BY 1),
+        |d AS (SELECT c.doc_id, c.url_canon, c.domain
+        |      FROM c JOIN k ON c.doc_id = k.keep),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |        ORDER BY md5('u' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM d)
+        |SELECT doc_id, url_canon, domain FROM r WHERE rk <= 2""".stripMargin,
 
     // the md5 global order as ONE window; shard = floor(prefix/5000);
     // content_sha = md5 of 'id:tokens' joined in order

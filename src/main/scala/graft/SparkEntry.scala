@@ -25,6 +25,20 @@ object SparkEntry {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Spread a small id set across the session's cores before an expensive
+    * per-row media kernel (synthesis + real decode): the documents table is
+    * ONE small parquet file, so the opaque mapPartitions kernel otherwise
+    * inherits the scan's 1-2 input splits and runs on 2 of the master's
+    * cores (measured: q_audio_neardup spent 3.8 of its 5.0 s in a 2-task
+    * job). Round-robin repartition is deterministic (sort-before-
+    * repartition) and every kernel here is a pure function of the id, so
+    * results are partitioning-independent. Parallelism follows the
+    * master's core count — never a tuned constant.
+    */
+  private def spreadIds(s: SparkSession,
+      ds: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] =
+    ds.repartition(s.sparkContext.defaultParallelism)
+
   /** A CBO-enabled session on the caller's SparkContext, with the graft
     * extensions (pre-CBO stats rule) installed — the driver's plain
     * session has neither. Cached per context; AQE off so plan-level
@@ -2954,7 +2968,7 @@ object SparkEntry {
     // the values only match if the raster was genuinely decoded.
     "q_image_decode" -> ((s, dir) => {
       import s.implicits._
-      val pngs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val pngs = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             (id, Multimodal.syntheticPng(
@@ -2972,7 +2986,7 @@ object SparkEntry {
     // is exactly v/32768 in double arithmetic). A fake decode cannot pass.
     "q_audio_decode" -> ((s, dir) => {
       import s.implicits._
-      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val wavs = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             (id, Multimodal.syntheticWav(
@@ -2994,7 +3008,7 @@ object SparkEntry {
     // pass.
     "q_video_decode" -> ((s, dir) => {
       import s.implicits._
-      val avis = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val avis = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             val w = (8 + id % 16).toInt
@@ -3196,7 +3210,7 @@ object SparkEntry {
     // splits groups and hash-mismatches the oracle.
     "q_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val imgs = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             val g = id % 16
@@ -3221,7 +3235,7 @@ object SparkEntry {
     // components must recover components == doc_id % 16 arithmetically.
     "q_video_neardup" -> ((s, dir) => {
       import s.implicits._
-      val avis = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val avis = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             val g = id % 16
@@ -3249,7 +3263,7 @@ object SparkEntry {
     // recover components == doc_id % 16 arithmetically.
     "q_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val wavs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val wavs = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
         .mapPartitions { ids =>
           ids.map { id =>
             val g = id % 16
@@ -3295,7 +3309,7 @@ object SparkEntry {
             (id, Multimodal.syntheticDHashPng(bits))
           }
         }.toDF("doc_id", "media_bytes")
-      val all = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      val all = spreadIds(s, t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long])
       Dedup.imageNearDupInsert(corpus, index,
         imgs(all.filter(_ % 3 != 0)), "media_bytes", "doc_id")
       val n2 = Dedup.imageNearDupInsert(corpus, index,

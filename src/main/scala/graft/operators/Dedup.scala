@@ -458,7 +458,23 @@ object Dedup {
     * `QueryExecutionListener`/`StreamingQueryListener` metric channel, so a
     * recall loss from a cap undersized for the corpus is diagnosable.
     */
-  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketPairRows(banded, maxBucketSize)
+      .select(col("__p.idA"), col("__p.idB"))
+      .distinct()
+
+  /** Shared expansion core: `(band, key, idList)` bucket rows → exploded
+    * `(__band, __p = (idA, idB))` pair rows. The bucket rows are spread
+    * over an EXPLICIT-count round-robin repartition before the expansion:
+    * the combination explode has tiny input (one row per bucket) but
+    * quadratic output, so AQE's size-based partition coalescing — blind to
+    * generator cardinality — collapses the post-shuffle stage to ONE task
+    * (measured: 4.5 s single-task walls in the image/audio near-dup
+    * queries, §2.5 of the optimization playbook). An explicit partition
+    * count is exempt from AQE coalescing, and the per-bucket rows are
+    * id-pure, so results are partitioning-independent.
+    */
+  private def bucketPairRows(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val ids = array_sort(collect_list("__id"))
     banded.groupBy("__band", "__key")
       .agg(ids.as("__ids"))
@@ -466,12 +482,38 @@ object Dedup {
         sum(when(size(col("__ids")) > maxBucketSize, 1L).otherwise(0L)).as("dropped_oversize_buckets"),
         max(size(col("__ids"))).as("max_bucket_size"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
-      .select(explode(flatten(transform(
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
+      .select(col("__band"), explode(flatten(transform(
         sequence(lit(1), size(col("__ids")) - 1),
         i => transform(slice(col("__ids"), i + 1, size(col("__ids"))),
           x => struct(element_at(col("__ids"), i).as("idA"), x.as("idB")))))).as("__p"))
+  }
+
+  /** Distinct-free [[bucketPairs]] for banded 64-bit hashes whose pair
+    * structs carry the FULL hash in field `hashField`: a colliding pair is
+    * emitted only by the FIRST band whose bit-slices match (computable per
+    * pair from the two hashes), so the output is distinct BY CONSTRUCTION
+    * — near-identical hashes collide in most of their bands, and the
+    * distinct() the generic flavor needs shuffles that duplication (8
+    * bands ⇒ up to 8× pair volume) just to throw it away. Contract under
+    * the `maxBucketSize` cap: a pair is ATTRIBUTED to its first colliding
+    * band; if that bucket is oversize-dropped the pair is dropped with it
+    * (the generic flavor would resurface it via a later surviving band) —
+    * the cap is an explicit recall guard either way and the observe metric
+    * reports every drop.
+    */
+  private def bucketPairsFirstBand(banded: DataFrame, maxBucketSize: Int,
+      hashField: String, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val x = col("__p.idA").getField(hashField)
+      .bitwiseXOR(col("__p.idB").getField(hashField))
+    val firstBand = array_position(
+      array((0 until bands).map(i =>
+        shiftright(x, i * width).bitwiseAND(mask) === 0L): _*), true) - 1
+    bucketPairRows(banded, maxBucketSize)
+      .filter(col("__band").cast("long") === firstBand)
       .select(col("__p.idA"), col("__p.idB"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (the verify
@@ -772,7 +814,7 @@ object Dedup {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("__sh"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .toDF("__id", "__band", "__key")
-    bucketPairs(banded, maxBucketSize)
+    bucketPairsFirstBand(banded, maxBucketSize, "__sh", bands = 4)
       .select(col("idA.__id").as("idA"), col("idB.__id").as("idB"),
         bit_count(col("idA.__sh").bitwiseXOR(col("idB.__sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -804,7 +846,7 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           shiftright(col("phash"), b * width).bitwiseAND(mask)): _*)))
       .toDF("__id", "__band", "__key")
-    bucketPairs(banded, maxBucketSize)
+    bucketPairsFirstBand(banded, maxBucketSize, "__ph", bands)
       .select(col("idA.__id").as("idA"), col("idB.__id").as("idB"),
         bit_count(col("idA.__ph").bitwiseXOR(col("idB.__ph"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -873,7 +915,7 @@ object Dedup {
       try {
         // 1. collapse the batch against itself (clique-free corpora keep
         //    the min id per verified pair chain, as every dedup here does)
-        val intraDups = bucketPairs(banded, maxBucketSize)
+        val intraDups = bucketPairsFirstBand(banded, maxBucketSize, "__ph", bands)
           .filter(bit_count(col("idA.__ph").bitwiseXOR(col("idB.__ph"))) <= maxHamming)
           .select(col("idB.__id").as("__dup")).distinct()
         val survivors = hp.join(intraDups, col(idCol) === col("__dup"), "left_anti")

@@ -380,14 +380,36 @@ object Multimodal {
       }
       f += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRateHz.toFloat, 16, channels, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    wavEncode(data, sampleRateHz, channels)
+  }
+
+  /** Lock-free canonical RIFF/WAVE PCM16 container around raw little-endian
+    * sample bytes. `AudioSystem.write` walks the SAME synchronized provider
+    * registry whose read side serialized 32 threads below 1-thread
+    * throughput (the r16 AudioProbe finding) — synthesis paid it on every
+    * row. A 44-byte canonical header is pure arithmetic; the bytes parse
+    * identically under both the fast RIFF path and the AudioSystem readers
+    * (decode stays on the REAL decoders everywhere).
+    */
+  private def wavEncode(data: Array[Byte], sampleRateHz: Int, channels: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val byteRate = sampleRateHz * blockAlign
+    val out = new Array[Byte](44 + data.length)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, o, 4)
+    tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRateHz); le32(28, byteRate); le16(32, blockAlign); le16(34, 16)
+    tag(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
   }
 
   /** Deterministic mono WAV whose [[audioDHash]] is EXACTLY `bits`: 65
@@ -416,14 +438,7 @@ object Multimodal {
       }
       k += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRateHz.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    wavEncode(data, sampleRateHz, channels = 1)
   }
 
   /** Deterministic synthetic PNG: `width`×`height`, every pixel the uniform
@@ -438,8 +453,75 @@ object Multimodal {
     g.setColor(new java.awt.Color(v & 0xFF, v & 0xFF, v & 0xFF))
     g.fillRect(0, 0, width, height)
     g.dispose()
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    pngEncode(img)
+  }
+
+  /** Lock-free PNG encode of a BufferedImage raster — grayscale (color
+    * type 0) for 1-band rasters, truecolor (type 2) otherwise, filter None
+    * on every scanline, one zlib IDAT. `ImageIO.write` walks a SYNCHRONIZED
+    * provider registry and builds a fresh writer + cache stream per call,
+    * which serializes (and ~3×-cpu-inflates) the 32-way synthesis kernels —
+    * the encode twin of the r16 AudioSystem finding. `Deflater`/`CRC32` are
+    * lock-free. The output is a spec-conformant PNG that the REAL
+    * javax.imageio decoder parses to the identical raster; decode stays on
+    * ImageIO everywhere.
+    */
+  private def pngEncode(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    val bpp = if (gray) 1 else 3
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    var o = 0
+    var y = 0
+    while (y < h) {
+      raw(o) = 0 // filter: None
+      o += 1
+      var x = 0
+      while (x < w) {
+        if (gray) { raw(o) = raster.getSample(x, y, 0).toByte; o += 1 }
+        else {
+          raw(o) = raster.getSample(x, y, 0).toByte
+          raw(o + 1) = raster.getSample(x, y, 1).toByte
+          raw(o + 2) = raster.getSample(x, y, 2).toByte
+          o += 3
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zBuf.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = zBuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream(idat.length + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def be(i: Int): Array[Byte] = Array(((i >> 24) & 0xFF).toByte,
+      ((i >> 16) & 0xFF).toByte, ((i >> 8) & 0xFF).toByte, (i & 0xFF).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be(w), 0, ihdr, 0, 4)
+    System.arraycopy(be(h), 0, ihdr, 4, 4)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = if (gray) 0 else 2 // color type
+    // compression 0, filter 0, interlace 0 already zero-initialized
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
@@ -581,9 +663,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    pngEncode(img)
   }
 
   /** Batched perceptual hashing over partitions: `(id, binary)` in →

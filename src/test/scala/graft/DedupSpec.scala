@@ -127,6 +127,16 @@ class DedupSpec extends SparkSpec {
     out should not contain (1L -> 5L)
   }
 
+  test("simHashCandidates emits each colliding pair exactly once (first-band attribution)") {
+    // identical texts share ALL 4 band slices — without the first-colliding-
+    // band rule the pair would be generated once per band and need a
+    // distinct() shuffle to collapse; the rows themselves must be unique
+    val out = Dedup.simHashCandidates(docs, "text", "doc_id", maxHamming = 64)
+      .select("idA", "idB").as[(Long, Long)].collect()
+    out.length shouldBe out.toSet.size
+    out.toSet should contain(1L -> 2L)
+  }
+
   test("simHashDedupVerified drops token-multiset dups only (hash collisions verified away)") {
     val permuted = Seq(
       (1L, "alpha beta gamma delta"),

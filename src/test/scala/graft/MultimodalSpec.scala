@@ -366,4 +366,45 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     for (id <- 0L until 12L) out(id) shouldBe ((id % 3, id >= 3))
   }
+
+  test("lock-free synthetic encoders produce containers the STANDARD decoders parse") {
+    // synthesis no longer goes through ImageIO.write / AudioSystem.write
+    // (synchronized provider registries serialize parallel kernels); the
+    // hand-rolled containers must still parse under the real decoders
+    val png = Multimodal.syntheticDHashPng(0x0123456789ABCDEFL)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    img.getWidth shouldBe 9
+    img.getHeight shouldBe 8
+    img.getRaster.getNumBands shouldBe 1
+    img.getRaster.getSample(0, 0, 0) shouldBe 128 // the planted walk's anchor
+    val rgb = Multimodal.syntheticPng(5, 4, 77)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rgb))
+    img2.getRaster.getNumBands shouldBe 3
+    img2.getRaster.getSample(2, 1, 0) shouldBe 77
+    val wav = Multimodal.syntheticWav(8000, 2, 100, 1234)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    ais.getFormat.getChannels shouldBe 2
+    ais.getFormat.getSampleRate shouldBe 8000f
+    ais.getFrameLength shouldBe 100L
+  }
+
+  test("imageNearDupCandidates emits each pair exactly once (first-band attribution)") {
+    // group members share most of their 8 band slices — the first-colliding-
+    // band rule must yield unique rows without a distinct() shuffle
+    val docs = (0L until 12L).map { id =>
+      val g = id % 3
+      var bits = 0L
+      for (i <- 0 until 64) if (((g >> (i % 2)) & 1L) == 1L) bits |= 1L << i
+      val m = (id / 3).toInt
+      if (m > 0) bits ^= 3L << (2 * m)
+      (id, Multimodal.syntheticDHashPng(bits))
+    }.toDF("doc_id", "media_bytes")
+    val pairs = Dedup.imageNearDupCandidates(docs, "media_bytes", "doc_id",
+      maxHamming = 8, bands = 8)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.length shouldBe pairs.toSet.size
+    // every same-group pair within Hamming 8 must still be found
+    pairs.toSet should contain((0L, 3L))
+  }
 }

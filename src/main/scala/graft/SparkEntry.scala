@@ -3346,7 +3346,10 @@ object SparkEntry {
     // raw corpus; md5-bucket hashing so the oracle replicates the exact
     // arithmetic; one aggregation per distribution + a broadcast ratio join
     "q_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // spread the 1-file scan before the gram-hashing kernels (§2.5 input
+      // skew — same rationale as spreadIds; profiled 2.4 s of 2.8 s in
+      // 1-task stages without it)
+      val docs = t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
       graft.operators.Dsir.importanceWeights(docs,
         docs.filter(col("lang") === "en" && col("source") === "src0"),
         "text", "doc_id", buckets = 4096)
@@ -3360,8 +3363,12 @@ object SparkEntry {
     "q_exact_substr" -> ((s, dir) => {
       val boiler = "end of document boilerplate footer line rights " +
         "reserved contact us terms privacy policy sitemap"
+      // spread the 1-file scan before the L-gram explode and the per-word
+      // span-cut lambdas (§2.5 input skew; profiled 2.4 s of 3.1 s in
+      // 1-2-task stages without it)
       val corpus = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" " + boiler + " "), col("text")).as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       graft.operators.PassageDedup.removeDuplicateSpans(
         corpus, "text", "doc_id", minWords = 12)
     }),

@@ -836,11 +836,20 @@ object Dedup {
     */
   def imageNearDupCandidates(df: DataFrame, binCol: String, idCol: String,
       maxHamming: Int = 8, bands: Int = 8, method: String = "dhash",
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    imageCandidatesFromMeta(Multimodal.imageHashMeta(df, idCol, binCol, method),
+      idCol, maxHamming, bands, maxBucketSize)
+
+  /** Candidate pairs from an already-hashed `(id, phash)` meta frame —
+    * shared by [[imageNearDupCandidates]] (fresh decode) and
+    * [[imageNearDup]] (checkpointed meta reused for the final id join).
+    */
+  private def imageCandidatesFromMeta(meta: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int, maxBucketSize: Int): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = Multimodal.imageHashMeta(df, idCol, binCol, method)
+    val banded = meta
       .filter(col("phash").isNotNull)
       .select(struct(col(idCol).as("__id"), col("phash").as("__ph")).as("__id"),
         posexplode(array((0 until bands).map(b =>
@@ -862,13 +871,22 @@ object Dedup {
   def imageNearDup(df: DataFrame, binCol: String, idCol: String,
       maxHamming: Int = 8, bands: Int = 8, method: String = "dhash",
       maxBucketSize: Int = 1000): DataFrame = {
-    val pairs = imageNearDupCandidates(df, binCol, idCol, maxHamming, bands,
-      method, maxBucketSize)
+    // ONE decode pass: the 16-byte-per-row hash meta is eagerly
+    // localCheckpoint'ed and serves BOTH the banded candidate generation
+    // and the final id join — the id-only reference cannot be column-
+    // pruned through the opaque decode lineage (Dataset.map), so without
+    // the checkpoint the whole input pipeline (blob fetch + decode) runs
+    // a second time just to list ids. imageHashMeta emits one row per
+    // input row (null hash for undecodables), so meta's id set IS df's.
+    val meta = Multimodal.imageHashMeta(df, idCol, binCol, method)
+      .localCheckpoint()
+    val pairs = imageCandidatesFromMeta(meta, idCol, maxHamming, bands,
+      maxBucketSize)
     val comp = connectedComponents(pairs.select(col("idA"), col("idB")))
       .withColumnRenamed("id", "__cid")
     // no broadcast hint: the labeled set is corpus-sized when duplication
     // is heavy (image corpora routinely are) — let AQE pick the join
-    df.select(col(idCol))
+    meta.select(col(idCol))
       .join(comp, col(idCol) === col("__cid"), "left")
       .select(col(idCol),
         coalesce(col("rep"), col(idCol).cast("long")).as("dup_group"),

@@ -3198,35 +3198,18 @@ final class Icebox(val tableDir: String) {
     if (paths.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
     val colsV = cols.toVector
+    // SMALL commits read footers ON THE DRIVER: launching a Spark job costs
+    // more in scheduling than reading a handful of footers does (the
+    // mirror of connectedComponents' driver-vs-distributed threshold), and
+    // every commit pays this pass — ~100 such jobs per bench suite. The
+    // Hadoop FS API works identically from the driver, so remote stores
+    // are covered; commits at 100-TB scale have thousands of files and
+    // take the executor-fanned branch below unchanged.
+    if (paths.size <= Icebox.DriverFooterMax)
+      return paths.map(Icebox.footerMetaOne(conf, colsV, colTypes)).toMap
     val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism * 2))
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val footer = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
-      val blocks = footer.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      val st = colsV.flatMap { c =>
-        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
-        val ss = chunks.map(_.getStatistics)
-        if (chunks.size != blocks.size || ss.exists(s => s == null || s.isEmpty)) None
-        else {
-          val nonNull = ss.filter(_.hasNonNullValue)
-          if (nonNull.isEmpty) None
-          else Icebox.decodeFooterMinMax(colTypes(c), nonNull).map(c -> _)
-        }
-      }.toMap
-      // EXACT per-column null counts — same footer pass, no extra IO. Only
-      // recorded when every block's chunk carries the count (a single
-      // unset chunk would understate); the CBO bridge folds these into
-      // ColumnStat.nullCount with the same all-files-covered refusal rule.
-      val nc = colsV.flatMap { c =>
-        val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
-        val ss = chunks.map(_.getStatistics)
-        if (chunks.size != blocks.size || ss.exists(s => s == null || !s.isNumNullsSet)) None
-        else Some(c -> ss.map(_.getNumNulls).sum)
-      }.toMap
-      p -> (rows, st, nc)
-    }.collect().toMap
+    spark.sparkContext.parallelize(paths, slices)
+      .map(Icebox.footerMetaOne(conf, colsV, colTypes)).collect().toMap
   }
 
   /** Data-scan stats (fallback for footer-undecodable column types) — one
@@ -3992,6 +3975,50 @@ object Icebox {
     * manifest rather than recorded — see [[decodeFooterMinMax]].
     */
   private[table] val MaxStringStatBytes = 64
+
+  /** Commits at or below this many files read parquet footers on the
+    * DRIVER instead of launching a Spark job: reading a footer is ~1-5 ms
+    * of metadata IO while a job costs tens of ms of scheduling, and every
+    * commit pays the pass. Large commits (the 100-TB shape) fan out to
+    * executors unchanged.
+    */
+  private[table] val DriverFooterMax = 16
+
+  /** One file's footer → (rows, min/max per stats column, null counts).
+    * Shared verbatim by the driver fast path and the executor fan-out —
+    * lives on the OBJECT so the executor closure captures only its
+    * arguments, never an Icebox instance.
+    */
+  private[table] def footerMetaOne(conf: org.apache.spark.util.SerializableConfiguration,
+      colsV: Vector[String], colTypes: Map[String, DataType])(p: String)
+      : (String, (Long, Map[String, (String, String)], Map[String, Long])) = {
+    val footer = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf.value)))(_.getFooter)
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    val st = colsV.flatMap { c =>
+      val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
+      val ss = chunks.map(_.getStatistics)
+      if (chunks.size != blocks.size || ss.exists(s => s == null || s.isEmpty)) None
+      else {
+        val nonNull = ss.filter(_.hasNonNullValue)
+        if (nonNull.isEmpty) None
+        else Icebox.decodeFooterMinMax(colTypes(c), nonNull).map(c -> _)
+      }
+    }.toMap
+    // EXACT per-column null counts — same footer pass, no extra IO. Only
+    // recorded when every block's chunk carries the count (a single
+    // unset chunk would understate); the CBO bridge folds these into
+    // ColumnStat.nullCount with the same all-files-covered refusal rule.
+    val nc = colsV.flatMap { c =>
+      val chunks = blocks.flatMap(_.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(c)))
+      val ss = chunks.map(_.getStatistics)
+      if (chunks.size != blocks.size || ss.exists(s => s == null || !s.isNumNullsSet)) None
+      else Some(c -> ss.map(_.getNumNulls).sum)
+    }.toMap
+    p -> (rows, st, nc)
+  }
 
   /** Above this many live files a full checkpoint is written SHARDED
     * (content-addressed per-partition shard files) instead of inline —
